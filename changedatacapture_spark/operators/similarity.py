@@ -1,0 +1,167 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — probe set is broadcast, the corpus
+is scanned once, the dot product runs as a JVM higher-order function
+(``aggregate`` over ``zip_with``), and top-k per probe is a ranking
+window over (probe, corpus-partition) partial results.
+
+Scale path: random-hyperplane LSH bucketing — probes and corpus rows
+hash to sign-pattern buckets; candidate generation is an equi-join on
+the bucket id instead of the full cross product. Hyperplanes are
+generated from a deterministic integer LCG so the same buckets are
+reproducible anywhere (and expressible in the SQL oracle).
+
+All accumulation happens in float64 in array-index order, which makes
+the scores deterministic for a given pair — but note cross-engine
+float comparisons are still the weakest parity surface; oracle-checked
+variants therefore rank by scaled-integer scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in float64, index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm_sq(a: Column) -> Column:
+    return F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k nearest corpus vectors per probe by cosine similarity.
+
+    Returns ``probe_id, neighbor_id, score_scaled, rk`` where
+    ``score_scaled = floor(scale * cos(a,b))`` — a scaled integer so
+    ranking and equality are exact across engines.
+
+    Physical shape: ``probes`` is broadcast (it is the small side by
+    construction); the corpus scan computes all pair scores in one
+    codegen stage; top-k is ``row_number`` over the probe partition.
+    Self-pairs are excluded.
+    """
+    from pyspark.sql import Window as W
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    )
+    pair = c.crossJoin(F.broadcast(p)).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    cos = dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_vec"))) * F.sqrt(l2_norm_sq(F.col("corpus_vec")))
+    )
+    scored = pair.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(cos * scale).cast("long").alias("score_scaled"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "score_scaled", "rk")
+    )
+
+
+def _lcg_plane(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
+
+    Plain integer LCG (numerical-recipes constants) — reproducible in
+    any engine with 64-bit integer arithmetic.
+    """
+    x = (1103515245 * (plane * 257 + dim) + 12345) % 2147483648
+    return (x / 2147483648.0) * 2.0 - 1.0
+
+
+def lsh_bucket(vec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
+    """Sign-pattern LSH bucket id for a vector column.
+
+    bucket = Σ_p 2^p · [vec · plane_p ≥ 0]; planes from the LCG above.
+    """
+    bits = []
+    for p in range(n_planes):
+        coeffs = [_lcg_plane(p, d) for d in range(dim)]
+        proj = None
+        for d, w in enumerate(coeffs):
+            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(w)
+            proj = term if proj is None else proj + term
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return bucket
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+
+    At 100 TB the bucket equi-join replaces the broadcast cross
+    product; recall is tunable via ``n_planes`` (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    from pyspark.sql import Window as W
+
+    bucket = lsh_bucket(vec_col, n_planes, dim)
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        bucket.alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        bucket.alias("bucket"),
+    )
+    pair = c.join(F.broadcast(p), "bucket").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    cos = dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_vec"))) * F.sqrt(l2_norm_sq(F.col("corpus_vec")))
+    )
+    scored = pair.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(cos * scale).cast("long").alias("score_scaled"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "score_scaled", "rk")
+    )

@@ -1,0 +1,20 @@
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from changedatacapture_spark.session import get_spark
+
+    s = get_spark(app_name="cdc-spark-tests", shuffle_partitions=8)
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_DIR

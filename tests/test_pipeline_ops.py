@@ -1,0 +1,108 @@
+"""Tests for dedup / text / similarity / multimodal operators."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+)
+from changedatacapture_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from changedatacapture_spark.operators.text import fingerprint, text_stats
+from changedatacapture_spark.operators.multimodal import (
+    extract_features,
+    media_stats,
+    synthetic_media,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_canon = {r.canonical_id: r.n_copies for r in out}
+    assert by_canon[1] == 2 and by_canon[3] == 1 and by_canon[4] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs = _docs(spark)
+    sigs = minhash_signatures(docs, n_hashes=8, k=5)
+    assert sigs.columns == ["doc_id", *[f"mh{i}" for i in range(8)]]
+    pairs = lsh_candidate_pairs(sigs, n_hashes=8, bands=4)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dups always collide
+    assert (1, 3) in got or (2, 3) in got  # near dup should share a band
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_ngram_jaccard_scores(spark):
+    docs = _docs(spark)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "doc_a long, doc_b long"
+    )
+    out = {(r.doc_a, r.doc_b): r.jaccard_pct for r in ngram_jaccard(docs, pairs).collect()}
+    assert out[(1, 2)] == 100
+    assert 50 < out[(1, 3)] < 100
+    assert out[(1, 4)] < 10
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world")], "doc_id long, text string"
+    )
+    fps = [r.fp for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_text_stats(spark):
+    out = text_stats(_docs(spark)).filter(F.col("doc_id") == 1).collect()[0]
+    assert out.n_tokens == 9
+    assert out.n_distinct_tokens == 8  # "the" twice
+    assert out.n_chars == 43
+
+
+def test_cosine_topk_brute(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # closest to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") == 1)
+    out = cosine_topk(emb, probes, k=2).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rk)] == [2, 3]
+
+
+def test_cosine_topk_lsh_same_bucket_recovers_close_pair(spark):
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(20)]
+    rows.append((100, rows[5][1]))  # identical vector to id 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") == 100)
+    out = cosine_topk_lsh(emb, probes, k=3, n_planes=4, dim=8).collect()
+    assert any(r.neighbor_id == 5 and r.rk == 1 for r in out)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, n=12)
+    stats = {r.mime: r.n_items for r in media_stats(media).collect()}
+    assert sum(stats.values()) == 12
+    feats = extract_features(media, dim=16).collect()
+    assert len(feats) == 12
+    assert all(len(r.feature) == 16 for r in feats)
+    # determinism: same payload -> same feature
+    again = extract_features(media, dim=16).collect()
+    assert {r.media_id: tuple(r.feature) for r in feats} == {
+        r.media_id: tuple(r.feature) for r in again
+    }

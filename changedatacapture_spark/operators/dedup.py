@@ -38,10 +38,14 @@ def minhash_signature(text_col: str, n_hashes: int = 8, k: int = 5) -> list[Colu
     md5(shingle || '#' || seed)`` — deterministic and portable.
     """
     sh = _shingle_expr(text_col, k)
+
+    def hasher(tag: str):
+        # one-arg closure: a default-arg lambda would be seen by PySpark
+        # as the two-arg (element, index) form and hash the wrong input
+        return lambda x: F.md5(F.concat(x, F.lit(tag)))
+
     return [
-        F.array_min(
-            F.transform(sh, lambda x, s=seed: F.md5(F.concat(x, F.lit(f"#{s}"))))
-        ).alias(f"mh{seed}")
+        F.array_min(F.transform(sh, hasher(f"#{seed}"))).alias(f"mh{seed}")
         for seed in range(n_hashes)
     ]
 
@@ -110,6 +114,11 @@ def ngram_jaccard(
         .join(ex_b, ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    # left join keeps zero-intersection pairs (jaccard 0), which an
+    # inner join on shared shingles would silently drop
+    inter = pairs.join(inter, ["doc_a", "doc_b"], "left").withColumn(
+        "n_inter", F.coalesce(F.col("n_inter"), F.lit(0))
     )
     sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

@@ -591,3 +591,357 @@ def q_anti_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_without_orders")
     )
     return with_o.crossJoin(without_o)
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup, text analysis, similarity.
+# MinHash uses min(md5(shingle||seed)) — md5 hex strings of equal length
+# order like their numeric values, so the signature is engine-portable.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS canonical_id
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: duplicate groups by content hash (map-side combinable)."""
+    from changedatacapture_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint over normalized text (lower/strip/squeeze)."""
+    from changedatacapture_spark.operators.text import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@_register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_punct
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics (all JVM built-ins, no UDFs)."""
+    from changedatacapture_spark.operators.text import text_stats
+
+    return text_stats(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "text_lang_profile",
+    """
+    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q_text_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile by language and source."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@_register(
+    "text_token_topk",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+)
+def q_text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens (explode → count → top-k)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+_MINHASH_ORACLE = """
+    WITH pos AS (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+      FROM documents),
+    shingled AS (
+      SELECT doc_id, seed,
+             min(md5(substr(text, i, 5) || '#' || seed)) AS mh
+      FROM pos, range(0, 4) s(seed)
+      GROUP BY doc_id, seed)
+    SELECT doc_id,
+           min(CASE WHEN seed = 0 THEN mh END) AS mh0,
+           min(CASE WHEN seed = 1 THEN mh END) AS mh1,
+           min(CASE WHEN seed = 2 THEN mh END) AS mh2,
+           min(CASE WHEN seed = 3 THEN mh END) AS mh3
+    FROM shingled GROUP BY doc_id
+"""
+
+
+@_register("dedup_minhash_signatures", _MINHASH_ORACLE)
+def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=4, 5-char shingles), engine-portable md5 form."""
+    from changedatacapture_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        load_table(spark, "documents", sf_dir), n_hashes=4, k=5
+    )
+
+
+@_register(
+    "dedup_minhash_pairs",
+    f"""
+    WITH sigs AS ({_MINHASH_ORACLE}),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-duplicate candidate pairs (2 bands × 2 rows)."""
+    from changedatacapture_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_table(spark, "documents", sf_dir), n_hashes=4, k=5)
+    return lsh_candidate_pairs(sigs, n_hashes=4, bands=2)
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    """
+    WITH ex AS (
+      SELECT DISTINCT doc_id, substr(text, i, 5) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
+            FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+    pairs AS (
+      SELECT d1.doc_id AS doc_a, d2.doc_id AS doc_b
+      FROM documents d1 JOIN documents d2
+        ON d2.doc_id = d1.doc_id + 1 AND d1.doc_id % 10 = 0),
+    inter0 AS (
+      SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+      FROM pairs p JOIN ex a ON a.doc_id = p.doc_a
+                  JOIN ex b ON b.doc_id = p.doc_b AND b.sh = a.sh
+      GROUP BY p.doc_a, p.doc_b),
+    inter AS (
+      SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter
+      FROM pairs p LEFT JOIN inter0 i
+        ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b)
+    SELECT i.doc_a, i.doc_b, i.n_inter,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           CAST(floor(i.n_inter * 100 / (sa.n_sh + sb.n_sh - i.n_inter)) AS BIGINT)
+             AS jaccard_pct
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard over a deterministic sample of doc pairs
+    (every 10th doc paired with its successor)."""
+    from changedatacapture_spark.operators.dedup import ngram_jaccard
+
+    docs = load_table(spark, "documents", sf_dir)
+    d1 = docs.select(F.col("doc_id").alias("doc_a"))
+    d2 = docs.select(F.col("doc_id").alias("doc_b"))
+    pairs = d1.filter(F.col("doc_a") % 10 == 0).join(
+        d2, F.col("doc_b") == F.col("doc_a") + 1
+    )
+    return ngram_jaccard(docs, pairs)
+
+
+@_register(
+    "embedding_profile",
+    """
+    SELECT label, count(*) AS n_vecs, len(any_value(embedding)) AS dim,
+           min(vec_id) AS first_vec
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding corpus profile: count / dimensionality per label."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.size(F.any_value("embedding")).alias("dim"),
+        F.min("vec_id").alias("first_vec"),
+    )
+
+# ---------------------------------------------------------------------------
+# Similarity search. Dot products accumulate in float64 in index order in
+# BOTH engines (Spark: aggregate-fold; DuckDB: list_zip->list_sum), so the
+# scaled-integer scores are bit-identical; ties rank by neighbor id.
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  list_sum(list_transform(list_zip({a}, {b}),
+           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+"""
+
+
+def _cos_pair_sql(a: str, b: str) -> str:
+    dp = _COS_SQL.format(a=a, b=b)
+    na = _COS_SQL.format(a=a, b=a)
+    nb = _COS_SQL.format(a=b, b=b)
+    return f"({dp}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@_register(
+    "knn_brute_topk",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')}) * 1000000) AS BIGINT)
+               AS score_scaled
+      FROM probes p, embeddings c
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, score_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY score_scaled DESC, neighbor_id) AS rk
+    FROM scored
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors as probes.
+
+    Probe set broadcast; corpus scanned once; scores are scaled
+    integers so ranking is engine-exact.
+    """
+    from changedatacapture_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb, probes, k=5)
+
+
+def _lsh_bucket_sql(vec: str, n_planes: int = 4, dim: int = 64) -> str:
+    """DuckDB expression for the engine's LCG hyperplane bucket id —
+    generated from the same constants as operators/similarity.py."""
+    from changedatacapture_spark.operators.similarity import _lcg_plane
+
+    parts = []
+    for p in range(n_planes):
+        terms = " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * ({_lcg_plane(p, d)!r})"
+            for d in range(dim)
+        )
+        parts.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@_register(
+    "knn_lsh_topk",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {_lsh_bucket_sql('embedding')} AS bucket
+      FROM embeddings),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv, bucket
+      FROM bucketed WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')}) * 1000000) AS BIGINT)
+               AS score_scaled
+      FROM probes p JOIN bucketed c ON c.bucket = p.bucket
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, score_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY score_scaled DESC, neighbor_id) AS rk
+    FROM scored
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates limited to the probe's LSH bucket
+    (4 deterministic LCG hyperplanes) — the bucket equi-join replaces
+    the cross product at scale."""
+    from changedatacapture_spark.operators.similarity import cosine_topk_lsh
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_lsh(emb, probes, k=5, n_planes=4, dim=64)
+
+# ---------------------------------------------------------------------------
+# Mongo/BSON path: extended-JSON normalization as column expressions
+# (replaces the reference's Python UDF, cdc_stream.py:728-739).
+# The oracle builds the same wrapped documents and unwraps them with
+# DuckDB JSON functions — both engines must land on identical scalars.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "bson_normalize",
+    """
+    WITH docs AS (
+      SELECT event_id,
+             '{"_id": {"$numberLong": "' || CAST(user_id AS VARCHAR) || '"}, '
+             || '"when": {"$date": ' || CAST(epoch_ms(ts) AS VARCHAR) || '}, '
+             || '"kind": "' || event_type || '"}' AS doc
+      FROM events)
+    SELECT event_id,
+           json_extract_string(doc, '$._id."$numberLong"') AS _id,
+           json_extract_string(doc, '$.when."$date"') AS when_ms,
+           json_extract_string(doc, '$.kind') AS kind
+    FROM docs
+    """,
+)
+def q_bson_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build BSON extended-JSON documents from events, then normalize
+    them with the engine's expression-based unwrapper (no UDF)."""
+    from changedatacapture_spark.schema.bson import document_to_map
+
+    ev = load_table(spark, "events", sf_dir)
+    doc = F.concat(
+        F.lit('{"_id": {"$numberLong": "'),
+        F.col("user_id").cast("string"),
+        F.lit('"}, "when": {"$date": '),
+        F.unix_millis("ts").cast("string"),
+        F.lit('}, "kind": "'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    m = document_to_map(doc)
+    return ev.select(
+        "event_id",
+        F.element_at(m, "_id").alias("_id"),
+        F.element_at(m, "when").alias("when_ms"),
+        F.element_at(m, "kind").alias("kind"),
+    )

@@ -1,0 +1,137 @@
+"""Stream supervision: config hot-reload, trigger restart, graceful stop.
+
+Re-architecture of the reference's ConfigManager + supervision loop
+(config_manager.py:20-238, cdc_stream.py:954-1006): the reference uses
+module-level globals (``restart_required`` / ``batch_in_progress``)
+polled from the foreachBatch callback; here the same behavior lives in
+one object with explicit state, and "restart on trigger change" is a
+stop-at-batch-boundary + start with the new trigger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql.streaming import StreamingQuery
+
+#: Config sections mirrored from the reference (config_manager.py:117-128)
+REQUIRED_SECTIONS = (
+    "kafka_config",
+    "processing_config",
+)
+
+DEFAULTS: dict = {
+    "kafka_config": {
+        "bootstrap_servers": "localhost:9092",
+        "topic": "dbserver1.public.table",
+        "fail_on_data_loss": False,
+        "max_offsets_per_trigger": 10000,
+    },
+    "processing_config": {
+        "process_time_seconds": 30,
+        "key_column": "id",
+    },
+}
+
+
+@dataclass
+class ConfigManager:
+    """JSON file config with mtime-based hot reload (60 s default)."""
+
+    path: str
+    refresh_interval: float = 60.0
+    _config: dict = field(default_factory=dict)
+    _loaded_at: float = 0.0
+    _mtime: float = 0.0
+
+    def _merge_defaults(self, cfg: dict) -> dict:
+        out = {k: dict(v) for k, v in DEFAULTS.items()}
+        for section, values in cfg.items():
+            out.setdefault(section, {}).update(values)
+        return out
+
+    def get_config(self, force: bool = False) -> dict:
+        now = time.time()
+        if not force and self._config and now - self._loaded_at < self.refresh_interval:
+            return self._config
+        try:
+            mtime = os.path.getmtime(self.path)
+            if force or mtime != self._mtime or not self._config:
+                with open(self.path) as f:
+                    self._config = self._merge_defaults(json.load(f))
+                self._mtime = mtime
+        except FileNotFoundError:
+            if not self._config:
+                self._config = self._merge_defaults({})
+        self._loaded_at = now
+        return self._config
+
+    def process_time(self) -> int:
+        return int(self.get_config()["processing_config"]["process_time_seconds"])
+
+
+class StreamManager:
+    """Run a restartable streaming query under config supervision.
+
+    ``start_fn(trigger_seconds)`` builds and starts the query; the
+    supervisor polls config and, when the trigger interval changes,
+    stops the query *after the in-flight batch completes* and restarts
+    it with the new trigger (T3). ``stop()`` is the graceful-shutdown
+    path (T4): stop processing, wait for termination.
+    """
+
+    def __init__(
+        self,
+        config: ConfigManager,
+        start_fn: Callable[[int], StreamingQuery],
+        poll_seconds: float = 5.0,
+    ) -> None:
+        self.config = config
+        self.start_fn = start_fn
+        self.poll_seconds = poll_seconds
+        self.query: StreamingQuery | None = None
+        self._current_trigger: int | None = None
+        self._stop_evt = threading.Event()
+        self._thread: threading.Thread | None = None
+
+    def _ensure_running(self) -> None:
+        trigger = self.config.process_time()
+        if self.query is not None and trigger == self._current_trigger:
+            return
+        if self.query is not None:
+            # stop() waits for the in-flight foreachBatch to finish —
+            # batch boundaries are the only restart points.
+            self.query.stop()
+            self.query.awaitTermination()
+        self.query = self.start_fn(trigger)
+        self._current_trigger = trigger
+
+    def run_supervised(self, block: bool = False) -> None:
+        self._ensure_running()
+
+        def loop() -> None:
+            while not self._stop_evt.wait(self.poll_seconds):
+                try:
+                    self._ensure_running()
+                except Exception:  # noqa: BLE001 - supervisor must survive
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        if block and self.query is not None:
+            self.query.awaitTermination()
+
+    def stop(self, timeout: float | None = None) -> None:
+        """Graceful shutdown: no new batches, wait for the current one."""
+        self._stop_evt.set()
+        if self._thread is not None:
+            self._thread.join(timeout=self.poll_seconds + 1)
+        if self.query is not None:
+            self.query.stop()
+            self.query.awaitTermination(int(timeout) if timeout else None)
+            self.query = None

@@ -1,0 +1,81 @@
+"""ConfigManager hot-reload and StreamManager restart behavior."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from changedatacapture_spark.streaming.manager import ConfigManager, StreamManager
+
+
+def _write(path, cfg):
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+
+
+def test_config_defaults_and_merge(tmp_path):
+    p = str(tmp_path / "config.json")
+    _write(p, {"processing_config": {"process_time_seconds": 5}})
+    cm = ConfigManager(p, refresh_interval=0.0)
+    cfg = cm.get_config()
+    assert cfg["processing_config"]["process_time_seconds"] == 5
+    # defaults filled in for unspecified keys/sections
+    assert cfg["processing_config"]["key_column"] == "id"
+    assert cfg["kafka_config"]["max_offsets_per_trigger"] == 10000
+
+
+def test_config_hot_reload_on_mtime_change(tmp_path):
+    p = str(tmp_path / "config.json")
+    _write(p, {"processing_config": {"process_time_seconds": 5}})
+    cm = ConfigManager(p, refresh_interval=0.0)
+    assert cm.process_time() == 5
+    time.sleep(0.05)
+    _write(p, {"processing_config": {"process_time_seconds": 9}})
+    import os
+
+    os.utime(p, (time.time() + 2, time.time() + 2))
+    assert cm.process_time() == 9
+
+
+def test_config_missing_file_uses_defaults(tmp_path):
+    cm = ConfigManager(str(tmp_path / "nope.json"), refresh_interval=0.0)
+    assert cm.process_time() == 30
+
+
+class _FakeQuery:
+    def __init__(self, trigger):
+        self.trigger = trigger
+        self.stopped = False
+
+    def stop(self):
+        self.stopped = True
+
+    def awaitTermination(self, timeout=None):
+        return True
+
+
+def test_stream_manager_restarts_on_trigger_change(tmp_path):
+    p = str(tmp_path / "config.json")
+    _write(p, {"processing_config": {"process_time_seconds": 5}})
+    cm = ConfigManager(p, refresh_interval=0.0)
+    started = []
+
+    def start_fn(trigger):
+        q = _FakeQuery(trigger)
+        started.append(q)
+        return q
+
+    mgr = StreamManager(cm, start_fn, poll_seconds=0.05)
+    mgr.run_supervised(block=False)
+    assert started[-1].trigger == 5
+    time.sleep(0.1)
+    _write(p, {"processing_config": {"process_time_seconds": 11}})
+    import os
+
+    os.utime(p, (time.time() + 2, time.time() + 2))
+    deadline = time.time() + 3
+    while time.time() < deadline and started[-1].trigger != 11:
+        time.sleep(0.05)
+    mgr.stop()
+    assert started[-1].trigger == 11
+    assert started[0].stopped  # old query stopped at batch boundary

@@ -141,6 +141,79 @@ def ngram_jaccard(
     )
 
 
+def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """SimHash duplicate groups: fingerprint, member count, canonical id.
+
+    Same shape as :func:`exact_dedup` but keyed on the 16-bit SimHash —
+    catches reordered/near-identical token sets that exact hashing
+    misses. One partial-aggregated shuffle on the fingerprint.
+    """
+    from changedatacapture_spark.operators.text import simhash
+
+    return (
+        simhash(docs, text_col)
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+    )
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Candidate generation is LSH-style banding on the fingerprint's four
+    nibbles: two docs within hamming distance 3 of a 16-bit fingerprint
+    must agree on at least one nibble (pigeonhole), so the band
+    equi-join is lossless for d ≤ 3 — and it replaces the O(n²) cross
+    join with four shuffled self-joins on narrow keys.
+
+    Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b).
+    """
+    from changedatacapture_spark.operators.text import simhash
+
+    sigs = simhash(docs, text_col)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright("simhash", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("nibble"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_idx", "band.nibble")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: fingerprint, copy count, canonical id."""
     return (

@@ -97,6 +97,29 @@ def media_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from ``documents``: payload =
+    UTF-8 bytes of the text, mime/dims from doc_id arithmetic.
+
+    This gives the binary-column path a parquet-backed, oracle-checkable
+    input (the same derivation is expressible in ANSI SQL) while the
+    real decode step stays stubbed.
+    """
+    mime = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image/png"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mime.alias("mime"),
+        (32 * (1 + F.col("doc_id") % 8)).cast("int").alias("width"),
+        (32 * (1 + (F.col("doc_id") * 3) % 8)).cast("int").alias("height"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table for tests (no codec needed)."""
     rows = []

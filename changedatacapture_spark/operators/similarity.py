@@ -117,6 +117,49 @@ def lsh_bucket(vec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
     return bucket
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold_scaled: int = 250_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector analogue of
+    MinHash dedup): candidate pairs share an LSH sign-pattern bucket,
+    survivors have ``cos ≥ threshold_scaled / scale``.
+
+    The bucket self-equi-join shuffles each row once on a small integer
+    key; the O(n²) cross product never materializes. Recall/cost trades
+    via ``n_planes`` exactly as in :func:`cosine_topk_lsh`.
+
+    Output: ``vec_a, vec_b, score_scaled`` (vec_a < vec_b).
+    """
+    bucket = lsh_bucket(vec_col, n_planes, dim)
+    tagged = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
+    )
+    a = tagged.select(
+        F.col("vid").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+    )
+    b = tagged.select(
+        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+    )
+    pair = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(l2_norm_sq(F.col("va"))) * F.sqrt(l2_norm_sq(F.col("vb")))
+    )
+    return (
+        pair.select(
+            "vec_a",
+            "vec_b",
+            F.floor(cos * scale).cast("long").alias("score_scaled"),
+        )
+        .filter(F.col("score_scaled") >= threshold_scaled)
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

@@ -12,10 +12,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Tiny multilingual stopword set for quality scoring (public knowledge).
-STOPWORDS = (
-    "the a an and or of to in is are was were be on for with as at by it this that",
-)
+#: Tiny per-language stopword lists (public common words) for the
+#: n-gram/stopword language-ID heuristic and quality scoring. Kept in
+#: alphabetical language order — ties in the argmax resolve to the
+#: first language alphabetically, deterministically.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "an", "and", "of", "to", "in", "is"),
+    "es": ("el", "los", "las", "y", "es", "un", "una", "por"),
+    "fr": ("le", "la", "les", "et", "est", "une", "du", "pour"),
+}
+
+#: English stopwords used by the quality score.
+STOPWORDS = LANG_STOPWORDS["en"]
+
+#: GPT-2-style pretokenizer approximation: letter runs, digit runs,
+#: single non-alphanumeric marks. Valid in both Java regex and RE2.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
 
 def tokens(text: Column) -> Column:
@@ -43,6 +56,128 @@ def normalized_text(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text."""
     return F.md5(normalized_text(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pretokenizer-style token count: letter runs / digit runs /
+    single punctuation marks (``BPE_TOKEN_PATTERN``)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def _stopword_hits(distinct_toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of distinct tokens that appear in ``words``."""
+    return F.size(
+        F.array_intersect(distinct_toks, F.array(*[F.lit(w) for w in words]))
+    )
+
+
+def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language identification.
+
+    Scores each document against the per-language stopword lists
+    (distinct-token hits) and predicts the argmax; ties resolve to the
+    alphabetically-first language, zero evidence predicts ``und``
+    (ISO 639-3 undetermined). The scoring is pure column arithmetic —
+    at 100 TB this is one codegen'd pass over the scan, no shuffle.
+
+    Output: ``doc_id, s_de, s_en, s_es, s_fr, pred_lang``.
+    """
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    scored = docs.select(
+        "doc_id",
+        *[
+            _stopword_hits(toks, ws).alias(f"s_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    s = {lang: F.col(f"s_{lang}") for lang in LANG_STOPWORDS}
+    pred = (
+        F.when(
+            (s["de"] >= s["en"]) & (s["de"] >= s["es"]) & (s["de"] >= s["fr"])
+            & (s["de"] > 0),
+            F.lit("de"),
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] > 0), F.lit("en"))
+        .when((s["es"] >= s["fr"]) & (s["es"] > 0), F.lit("es"))
+        .when(s["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality signals, all integer-exact.
+
+    ``stop_ratio_pm`` — per-mille of distinct tokens that are English
+    stopwords; ``alpha_ratio_pm`` — per-mille of characters that are
+    letters; ``mean_alpha_per_token_x100`` — scaled mean letters per
+    token; ``passes`` — the boilerplate filter a training pipeline
+    would apply. Scaled integers (not floats) keep results bit-exact
+    across engines.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    dtoks = F.array_distinct(toks)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(dtoks)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    stop_hits = _stopword_hits(dtoks, STOPWORDS)
+    stop_ratio = F.floor(stop_hits * 1000 / n_distinct).cast("long")
+    alpha_ratio = F.floor(n_alpha * 1000 / n_chars).cast("long")
+    mean_alpha = F.floor(n_alpha * 100 / n_tokens).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_hits.alias("stop_hits"),
+        stop_ratio.alias("stop_ratio_pm"),
+        alpha_ratio.alias("alpha_ratio_pm"),
+        mean_alpha.alias("mean_alpha_per_token_x100"),
+        (
+            (n_tokens >= 10) & (stop_ratio >= 10) & (alpha_ratio >= 600)
+        ).alias("passes"),
+    )
+
+
+_HEX = "0123456789abcdef"
+SIMHASH_BITS = 16
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over distinct whitespace tokens.
+
+    Classic Charikar scheme: each token votes ±1 per bit position
+    according to its hash; the fingerprint bit is the sign of the sum.
+    The bit source is the parity of each md5 hex digit — expressible
+    identically in any engine with ``md5``/``instr`` (the oracle uses
+    ``strpos``), so fingerprints are engine-portable. The md5 is
+    computed once per token (projection), then 16 array-aggregates
+    fold the votes — all inside whole-stage codegen, zero shuffles.
+
+    Output: ``doc_id, simhash`` (bigint in [0, 65536)).
+    """
+    hashed = docs.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens(F.col(text_col))), lambda x: F.md5(x)
+        ).alias("_h"),
+    )
+    votes = hashed.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"aggregate(_h, 0, (acc, h) -> acc + "
+                f"CASE WHEN (instr('{_HEX}', substring(h, {j + 1}, 1)) - 1) % 2 = 1 "
+                f"THEN 1 ELSE -1 END)"
+            ).alias(f"v{j}")
+            for j in range(SIMHASH_BITS)
+        ],
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:

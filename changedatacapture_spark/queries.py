@@ -945,3 +945,589 @@ def q_bson_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "when").alias("when_ms"),
         F.element_at(m, "kind").alias("kind"),
     )
+
+# ---------------------------------------------------------------------------
+# Text analysis round 2: language-ID, quality scoring, BPE-ish token
+# counting, SimHash. Oracle SQL is generated from the same constants
+# (stopword lists, hash scheme) as the Spark operators, so the two
+# sides cannot drift.
+# ---------------------------------------------------------------------------
+
+from changedatacapture_spark.operators.text import (  # noqa: E402
+    BPE_TOKEN_PATTERN,
+    LANG_STOPWORDS,
+    SIMHASH_BITS,
+)
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_LANGID_SCORES = ",\n      ".join(
+    f"len(list_intersect(dtoks, {_sql_list(ws)})) AS s_{lang}"
+    for lang, ws in LANG_STOPWORDS.items()
+)
+
+@_register(
+    "text_langid",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+      {_LANGID_SCORES}
+      FROM t)
+    SELECT doc_id, s_de, s_en, s_es, s_fr,
+      CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+           WHEN s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+           WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+           WHEN s_fr > 0 THEN 'fr'
+           ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification (deterministic argmax)."""
+    from changedatacapture_spark.operators.text import langid
+
+    return langid(load_table(spark, "documents", sf_dir))
+
+
+_EN_LIST = _sql_list(LANG_STOPWORDS["en"])
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             list_distinct(string_split(text, ' ')) AS dtoks,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+      FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_intersect(dtoks, {_EN_LIST})) AS stop_hits,
+           CAST(floor(len(list_intersect(dtoks, {_EN_LIST})) * 1000 / len(dtoks)) AS BIGINT) AS stop_ratio_pm,
+           CAST(floor(n_alpha * 1000 / n_chars) AS BIGINT) AS alpha_ratio_pm,
+           CAST(floor(n_alpha * 100 / len(toks)) AS BIGINT) AS mean_alpha_per_token_x100,
+           (len(toks) >= 10
+            AND floor(len(list_intersect(dtoks, {_EN_LIST})) * 1000 / len(dtoks)) >= 10
+            AND floor(n_alpha * 1000 / n_chars) >= 600) AS passes
+    FROM t
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact document-quality signals + boilerplate filter verdict."""
+    from changedatacapture_spark.operators.text import quality_score
+
+    return quality_score(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretokenizer-style (BPE-ish) token counts."""
+    from changedatacapture_spark.operators.text import bpe_token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+_SIMHASH_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2 = 1 "
+    f"THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(SIMHASH_BITS)
+)
+_SIMHASH_FOLD = " + ".join(
+    f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+_SIMHASH_SQL = f"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents),
+      votes AS (
+        SELECT doc_id,
+         {_SIMHASH_VOTES}
+        FROM toks GROUP BY doc_id)
+      SELECT doc_id, CAST({_SIMHASH_FOLD} AS BIGINT) AS simhash FROM votes
+"""
+
+
+@_register(
+    "dedup_simhash",
+    f"""
+    WITH sig AS ({_SIMHASH_SQL})
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+    FROM sig GROUP BY simhash
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash duplicate groups (16-bit engine-portable fingerprint)."""
+    from changedatacapture_spark.operators.dedup import simhash_groups
+
+    return simhash_groups(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH sig AS ({_SIMHASH_SQL}),
+    bands AS (
+      SELECT doc_id, simhash, band_idx, (simhash >> (4 * band_idx)) & 15 AS nibble
+      FROM sig, range(0, 4) r(band_idx))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (hamming ≤ 3, lossless nibble-band LSH)."""
+    from changedatacapture_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "emb_neardup_pairs",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding,
+             {{bucket}} AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(({{cos}}) * 1000000) AS BIGINT) AS score_scaled
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, score_scaled FROM scored WHERE score_scaled >= 250000
+    """.format(
+        bucket=_lsh_bucket_sql("embedding", n_planes=4, dim=64),
+        cos=_cos_pair_sql("a.embedding", "b.embedding"),
+    ),
+)
+def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within LSH buckets."""
+    from changedatacapture_spark.operators.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold_scaled=250_000
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns (payload = UTF-8 bytes of document text;
+# the decode step itself is stubbed — SURVEY north-star).
+# ---------------------------------------------------------------------------
+
+_MEDIA_SQL = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(32 * (1 + doc_id % 8) AS INTEGER) AS width,
+           CAST(32 * (1 + (doc_id * 3) % 8) AS INTEGER) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
+@_register(
+    "media_stats",
+    f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT mime, count(*) AS n_items, sum(n_bytes) AS total_bytes,
+           max(width) AS max_width, max(height) AS max_height
+    FROM media GROUP BY mime
+    """,
+)
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media audit (no payload decode touches the bytes)."""
+    from changedatacapture_spark.operators.multimodal import (
+        documents_as_media,
+        media_stats,
+    )
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    return media_stats(media)
+
+
+@_register("media_features")  # no SQL oracle: mapInPandas feature stub
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode
+    stubbed with a deterministic fake — rows-only driver check)."""
+    from changedatacapture_spark.operators.multimodal import (
+        documents_as_media,
+        extract_features,
+    )
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    return extract_features(media, dim=16)
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics: as-of join and sessionization — operators the
+# reference lacks but a CDC-materialized event table needs (SURVEY §2.4
+# "no as-of joins exist"; both expressible as window compositions).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_asof_join",
+    """
+    WITH u AS (
+      SELECT event_id, user_id, ts, value,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_probe,
+             CASE WHEN event_type = 'click' THEN value END AS click_value
+      FROM events WHERE event_type IN ('click', 'purchase')),
+    w AS (
+      SELECT event_id, user_id, ts, is_probe,
+             last_value(click_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_probe, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value
+      FROM u)
+    SELECT event_id, user_id, ts, last_click_value FROM w WHERE is_probe = 1
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase picks up the user's most recent prior
+    (ts, event_id)-ordered click value.
+
+    Planned as one union + one window pass — a sort within user
+    partitions, not a range join; clicks at the same timestamp as the
+    purchase count as "before" (is_probe breaks the tie).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    u = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_probe"),
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "is_probe", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        u.withColumn(
+            "last_click_value", F.last("click_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_probe") == 1)
+        .select("event_id", "user_id", "ts", "last_click_value")
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_ms(ts) - epoch_ms(prev_ts) > 21600000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_idx
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (6 h inactivity closes a session):
+    lag → flag → running sum → per-session aggregate. In streaming
+    mode the same semantics map to ``session_window``; this is the
+    batch/backfill form."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(order).isNull()
+            | (
+                F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(order))
+                > 21_600_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytics round 2: more join/agg shapes over the star schema.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q6_revenue_filter",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+                    * CAST(l_discount AS DECIMAL(20,2))) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate; every predicate
+    pushes down to the parquet reader."""
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = F.col("l_extendedprice").cast(_DEC) * F.col("l_discount").cast(_DEC)
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+@_register(
+    "q10_returned_revenue",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(20,2))) AS DECIMAL(38,4)) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returns per customer, top 20."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    rev = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@_register(
+    "q_late_shipments",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_late_lines,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE epoch_ms(l.l_shipdate) - epoch_ms(o.o_orderdate) > 7776000000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipments later than 90 days after order date, by priority
+    (the schema-adapted stand-in for TPC-H Q4's commit/receipt lag)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            F.unix_millis(F.col("l_shipdate").cast("timestamp"))
+            - F.unix_millis(F.col("o_orderdate").cast("timestamp"))
+            > 7_776_000_000
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_late_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_share",
+    """
+    SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(20,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(20,2)) END)
+                AS DECIMAL(38,4)) AS promo_revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(20,2))) AS DECIMAL(38,4))
+             AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo vs total revenue in one month (conditional
+    aggregate; part dim broadcast). Both sums decimal-exact — the ratio
+    is left to the reader so no cross-engine float division exists."""
+    p = load_table(spark, "part", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev))
+            .cast("decimal(38,4)")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("decimal(38,4)").alias("total_revenue"),
+        )
+    )
+
+
+@_register(
+    "q18_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(20,2))) >= 150)
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, b.sum_qty
+    FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+    ORDER BY b.sum_qty DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: large-volume orders (agg → having → join → top-k)."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") >= 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full Mongo-envelope path end-to-end: events → extended-JSON envelopes
+# → mongo_changes (expression-based parse + key rule) — oracle computes
+# the same outputs directly.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mongo_changes_e2e",
+    """
+    WITH c AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op
+      FROM events)
+    SELECT CAST(user_id AS VARCHAR) AS key_value, op, epoch_ms(ts) AS ts_ms,
+           CASE WHEN op = 'd' THEN NULL ELSE event_type END AS kind
+    FROM c
+    """,
+)
+def q_mongo_changes_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build Mongo-style Debezium envelopes (JSON-string images with
+    ``$numberLong`` keys) from events and run them through the full
+    expression-based Mongo pipeline: parse → BSON-normalize → key rule.
+    """
+    from changedatacapture_spark.schema.bson import mongo_changes
+
+    ev = load_table(spark, "events", sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    doc = F.concat(
+        F.lit('{"_id": {"$numberLong": "'),
+        F.col("user_id").cast("string"),
+        F.lit('"}, "kind": "'),
+        F.col("event_type"),
+        F.lit('"}'),
+    )
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op != "c", doc).alias("before"),
+                F.when(op != "d", doc).alias("after"),
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    raw = ev.select(env.alias("value"))
+    out = mongo_changes(raw)
+    return out.select(
+        "key_value",
+        "op",
+        "ts_ms",
+        F.element_at("after_doc", "kind").alias("kind"),
+    )

@@ -59,6 +59,13 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
+    # streaming CDC apply throughput (BASELINE.md 'Measured' workload),
+    # reported alongside the per-query walls
+    from changedatacapture_spark.streaming.bench import run as stream_run
+
+    stream = stream_run(spark, n_events=50_000, batch_size=10_000)
+    print(f"# cdc_stream_apply: {stream['events_per_sec']} events/s", file=sys.stderr)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
@@ -66,6 +73,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "stream_apply": {
+            "events_per_sec": stream["events_per_sec"],
+            "sec_per_batch": stream["sec_per_batch"],
+            "n_events": stream["n_events"],
+            "batch_size": stream["batch_size"],
+        },
     }
     print(json.dumps(out))
 

@@ -111,6 +111,12 @@ class CdcPipeline:
 
     def process_batch(self, raw: DataFrame, batch_id: int | None = None) -> None:
         """The foreachBatch body — also the whole batch-mode engine."""
+        # the file/Kafka micro-batch often arrives in 1-2 partitions
+        # (one per file / topic-partition); fan out before the parse or
+        # the whole batch runs on one core
+        target = self.spark.sparkContext.defaultParallelism
+        if raw.rdd.getNumPartitions() < max(2, target // 4):
+            raw = raw.repartition(target)
         changes = self.parse(raw)
         compacted = compact_latest(
             changes, [self.key_col], ["ts_ms", "seq"]

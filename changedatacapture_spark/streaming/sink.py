@@ -52,10 +52,16 @@ class SnapshotTable:
     Layout::
 
         <path>/v=<n>/bucket=<b>/part-*.parquet
-        <path>/_LATEST              # JSON: {"version": n, "batch_id": id}
+        <path>/_LATEST   # JSON: {"version", "batch_id", "schema",
+                         #        "buckets": {bucket: version-last-written}}
 
-    ``n_buckets`` controls merge granularity: upserts rewrite only the
-    buckets whose hash range contains a touched key.
+    The pointer's bucket manifest is the Delta-transaction-log analogue:
+    each bucket records the version whose files hold its current rows,
+    so a merge rewrites **only the buckets containing touched keys** and
+    carries every other bucket forward by reference — merge cost is
+    proportional to the batch's key spread, not the table (at 100 TB,
+    rewriting the full table per 30 s micro-batch is not an option).
+    ``n_buckets`` trades merge granularity against file count.
     """
 
     def __init__(
@@ -82,11 +88,25 @@ class SnapshotTable:
         except FileNotFoundError:
             return None
 
-    def _commit(self, version: int, batch_id: int | None) -> None:
+    def _commit(
+        self,
+        version: int,
+        batch_id: int | None,
+        buckets: dict[int, int],
+        schema_ddl: str,
+    ) -> None:
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
-            json.dump({"version": version, "batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "version": version,
+                    "batch_id": batch_id,
+                    "schema": schema_ddl,
+                    "buckets": {str(b): v for b, v in buckets.items()},
+                },
+                f,
+            )
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
 
     @property
@@ -98,51 +118,94 @@ class SnapshotTable:
         ptr = self._read_pointer()
         return None if ptr is None else ptr.get("batch_id")
 
+    def _bucket_manifest(self) -> dict[int, int]:
+        ptr = self._read_pointer()
+        return {} if ptr is None else {int(b): v for b, v in ptr["buckets"].items()}
+
     def exists(self) -> bool:
         return self._read_pointer() is not None
 
     # -- read -------------------------------------------------------------
 
     def read(self) -> DataFrame:
-        v = self.version
-        if v < 0:
+        """Current table contents, assembled from the bucket manifest."""
+        ptr = self._read_pointer()
+        if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
-        return self.spark.read.parquet(f"{self.path}/v={v}")
+        paths = [
+            f"{self.path}/v={v}/bucket={b}"
+            for b, v in sorted(self._bucket_manifest().items())
+        ]
+        if not paths:  # every row deleted
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(ptr["schema"]))
+            )
+        return self.spark.read.parquet(*paths)
 
     # -- write ------------------------------------------------------------
 
-    def _bucketed(self, df: DataFrame) -> DataFrame:
-        b = F.pmod(F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets))
-        return df.withColumn("bucket", b)
+    def _bucket_col(self):
+        return F.pmod(
+            F.hash(*[F.col(c) for c in self.key_cols]), F.lit(self.n_buckets)
+        )
 
-    def _write_version(self, df: DataFrame, version: int, batch_id: int | None) -> None:
-        target = f"{self.path}/v={version}"
+    def _written_buckets(self, version: int) -> list[int]:
+        try:
+            return [
+                int(d.split("=")[1])
+                for d in os.listdir(f"{self.path}/v={version}")
+                if d.startswith("bucket=")
+            ]
+        except FileNotFoundError:
+            return []
+
+    def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
+        """Write ``df`` (bucket column included) partitioned by bucket
+        under ``v=<version>``; returns the buckets actually written
+        (empty buckets produce no directory)."""
         (
-            self._bucketed(df)
-            .repartition(self.n_buckets, "bucket")
+            df.repartition(self.n_buckets, "bucket")
             .write.mode("overwrite")
             .partitionBy("bucket")
-            .parquet(target)
+            .parquet(f"{self.path}/v={version}")
         )
-        self._commit(version, batch_id)
-        self._vacuum(keep=2)
+        return self._written_buckets(version)
 
-    def _vacuum(self, keep: int) -> None:
-        """Drop snapshot versions older than the newest ``keep``."""
+    def _vacuum(self) -> None:
+        """Drop version directories no longer referenced by the manifest.
+
+        Single-writer discipline: a concurrent reader pinned to an old
+        version loses its files — acceptable here; a multi-writer
+        deployment swaps this class for the Delta sink below.
+        """
+        referenced = set(self._bucket_manifest().values()) | {self.version}
         try:
-            versions = sorted(
+            versions = [
                 int(d.split("=")[1])
                 for d in os.listdir(self.path)
                 if d.startswith("v=")
-            )
+            ]
         except FileNotFoundError:
             return
-        for v in versions[:-keep]:
-            shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+        for v in versions:
+            if v not in referenced:
+                shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Create / replace the table contents (initial load, K1)."""
-        self._write_version(df, self.version + 1, batch_id)
+        version = self.version + 1
+        written = self._write_buckets(
+            df.withColumn("bucket", self._bucket_col()), version
+        )
+        self._commit(
+            version,
+            batch_id,
+            {b: version for b in written},
+            json.dumps(df.schema.jsonValue()),
+        )
+        self._vacuum()
 
     def merge(
         self,
@@ -153,21 +216,62 @@ class SnapshotTable:
     ) -> None:
         """Apply a compacted micro-batch (≤1 row per key) as one merge.
 
+        Only buckets whose hash range contains a touched key are
+        rewritten; all others carry forward in the manifest untouched.
         Idempotent under replay: if ``batch_id`` equals the last
         committed batch id, the merge is skipped (foreachBatch replays
         after crash recovery — SURVEY §7.6.5).
         """
         if batch_id is not None and batch_id == self.last_batch_id():
             return
-        upserts = compacted.filter(F.col(op_col) != delete_op).drop(op_col)
         if not self.exists():
-            self._write_version(upserts, 0, batch_id)
+            self.overwrite(
+                compacted.filter(F.col(op_col) != delete_op).drop(op_col), batch_id
+            )
             return
-        current = self.read().drop("bucket")
-        touched = compacted.select(*self.key_cols)
-        kept = current.join(touched, self.key_cols, "left_anti")
-        merged = kept.unionByName(upserts.select(*current.columns))
-        self._write_version(merged, self.version + 1, batch_id)
+
+        manifest = self._bucket_manifest()
+        # persist once: the batch plan (parse + compact shuffle) feeds
+        # three consumers (touched-bucket probe, anti-join broadcast,
+        # upsert union) — without this it would re-execute per consumer
+        source = compacted.withColumn("bucket", self._bucket_col()).persist()
+        try:
+            # bounded driver action: ≤ n_buckets small ints, never row data
+            touched = sorted(
+                r.bucket for r in source.select("bucket").distinct().collect()
+            )
+            upserts = source.filter(F.col(op_col) != delete_op).drop(op_col)
+            version = self.version + 1
+
+            live_touched = [b for b in touched if b in manifest]
+            if live_touched:
+                current_paths = [
+                    f"{self.path}/v={manifest[b]}/bucket={b}" for b in live_touched
+                ]
+                # recover the physical bucket id from the file path (the
+                # partition column is stripped from the data files)
+                current = self.spark.read.parquet(*current_paths).withColumn(
+                    "bucket", self._bucket_col()
+                )
+                kept = current.join(
+                    F.broadcast(source.select(*self.key_cols)),
+                    self.key_cols,
+                    "left_anti",
+                )
+                new_data = kept.unionByName(upserts.select(*kept.columns))
+            else:
+                new_data = upserts
+
+            written = self._write_buckets(new_data, version)
+        finally:
+            source.unpersist()
+        for b in touched:
+            manifest.pop(b, None)  # bucket emptied by deletes unless rewritten
+        for b in written:
+            manifest[b] = version
+        ptr = self._read_pointer()
+        self._commit(version, batch_id, manifest, ptr["schema"])
+        self._vacuum()
 
 
 class DeltaTableSink:  # pragma: no cover - requires delta-spark

@@ -135,3 +135,69 @@ def test_dlq_captures_corrupt_records(spark, tmp_path):
     pipe.process_batch(spark.read.schema(schema).json(src), batch_id=0)
     assert table.read().count() == 1
     assert spark.read.parquet(dlq).count() == 1
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB contract: a merge touching one key must carry every
+    other bucket forward by manifest reference, not rewrite it."""
+    table = SnapshotTable(
+        spark, str(tmp_path / "table"), key_cols=["customerId"], n_buckets=8
+    )
+    pipe = CdcPipeline(spark, RECORD, table, key_col="customerId")
+    src = str(tmp_path / "env")
+    schema = T.StructType.fromDDL("value string, seq long")
+    n = write_envelope_jsonl(
+        src,
+        [("c", None, _row(k, f"n{k}", "x"), 1000 + k) for k in range(32)],
+        file_name="b0.jsonl",
+    )
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b0.jsonl"), batch_id=0)
+    v0 = table.version
+    manifest0 = table._bucket_manifest()
+    assert len(manifest0) > 1  # 32 keys spread over several buckets
+
+    write_envelope_jsonl(
+        src,
+        [("u", None, _row(0, "n0", "updated"), 9000)],
+        start_seq=n,
+        file_name="b1.jsonl",
+    )
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b1.jsonl"), batch_id=1)
+    manifest1 = table._bucket_manifest()
+
+    changed = {b for b in manifest1 if manifest1[b] != manifest0.get(b)}
+    assert len(changed) == 1, f"expected 1 rewritten bucket, got {changed}"
+    untouched_same = all(
+        manifest1[b] == manifest0[b] for b in manifest0 if b not in changed
+    )
+    assert untouched_same
+    # content still correct after the partial rewrite
+    got = {
+        (r.customerId, r.city)
+        for r in table.read().select("customerId", "city").collect()
+    }
+    assert (0, "updated") in got and len(got) == 32
+
+
+def test_deletes_can_empty_a_bucket(spark, tmp_path):
+    table = SnapshotTable(
+        spark, str(tmp_path / "table"), key_cols=["customerId"], n_buckets=2
+    )
+    pipe = CdcPipeline(spark, RECORD, table, key_col="customerId")
+    src = str(tmp_path / "env")
+    schema = T.StructType.fromDDL("value string, seq long")
+    n = write_envelope_jsonl(
+        src,
+        [("c", None, _row(k, f"n{k}", "x"), 1000 + k) for k in range(8)],
+        file_name="b0.jsonl",
+    )
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b0.jsonl"), batch_id=0)
+    write_envelope_jsonl(
+        src,
+        [("d", _row(k, f"n{k}", "x"), None, 2000 + k) for k in range(8)],
+        start_seq=n,
+        file_name="b1.jsonl",
+    )
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b1.jsonl"), batch_id=1)
+    assert table.read().count() == 0
+    assert table._bucket_manifest() == {}

@@ -140,3 +140,148 @@ class CdcPipeline:
         elif trigger_seconds:
             writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
         return writer.start()
+
+    def start_bronze(
+        self,
+        stream: DataFrame,
+        path: str,
+        checkpoint_dir: str,
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """Raw-events bronze sink (K4, archive/original.py:79-86): every
+        parsed change row appended to parquet, no merge — the immutable
+        event history next to the merged snapshot. Append-only file
+        sink, so this is a plain ``writeStream`` (exactly-once via the
+        sink's own transaction log), not foreachBatch."""
+        writer = (
+            self.parse(stream)
+            .writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def audit_sql(self, changes: DataFrame, table_name: str = "target") -> DataFrame:
+        """Reconstructed SQL per change row (K6/P11) as column
+        expressions — the reference builds these strings in driver-side
+        Python loops (archive/streaming_from_kafka_to_minio_2.py:242-357).
+
+        INSERT for c/r, UPDATE SET all non-key fields for u, DELETE for
+        d; string values quoted with ``''`` escaping, NULLs literal."""
+        fields = [f.name for f in self.record_schema.fields if f.name != self.key_col]
+
+        def literal(col: F.Column, is_string: bool) -> F.Column:
+            if is_string:
+                quoted = F.concat(
+                    F.lit("'"), F.replace(col, F.lit("'"), F.lit("''")), F.lit("'")
+                )
+            else:
+                quoted = col.cast("string")
+            return F.coalesce(quoted, F.lit("NULL"))
+
+        from pyspark.sql.types import StringType
+
+        strings = {
+            f.name: isinstance(f.dataType, StringType)
+            for f in self.record_schema.fields
+        }
+        key_lit = literal(F.col(self.key_col), strings[self.key_col])
+        insert_cols = F.concat_ws(
+            ", ", *[literal(F.col(f), strings[f]) for f in [self.key_col, *fields]]
+        )
+        set_clause = F.concat_ws(
+            ", ",
+            *[
+                F.concat(F.lit(f"{f} = "), literal(F.col(f), strings[f]))
+                for f in fields
+            ],
+        )
+        stmt = (
+            F.when(
+                F.col("op").isin("c", "r"),
+                F.concat(
+                    F.lit(
+                        f"INSERT INTO {table_name} ({', '.join([self.key_col, *fields])}) VALUES ("
+                    ),
+                    insert_cols,
+                    F.lit(")"),
+                ),
+            )
+            .when(
+                F.col("op") == "d",
+                F.concat(
+                    F.lit(f"DELETE FROM {table_name} WHERE {self.key_col} = "),
+                    key_lit,
+                ),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit(f"UPDATE {table_name} SET "),
+                    set_clause,
+                    F.lit(f" WHERE {self.key_col} = "),
+                    key_lit,
+                ),
+            )
+        )
+        return changes.select("seq", "ts_ms", "op", stmt.alias("stmt"))
+
+    def start_audit(
+        self,
+        stream: DataFrame,
+        path: str,
+        checkpoint_dir: str,
+        table_name: str = "target",
+        available_now: bool = False,
+    ) -> StreamingQuery:
+        """SQL-history audit sink (K6): append the reconstructed
+        statements for every event to a parquet audit table."""
+        writer = (
+            self.audit_sql(self.parse(stream), table_name)
+            .writeStream.format("parquet")
+            .option("path", path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def windowed_compact_stream(
+        self,
+        stream: DataFrame,
+        window_duration: str = "1 minute",
+        watermark_delay: str = "2 minutes",
+    ) -> DataFrame:
+        """Watermarked tumbling-window compaction (W1+W3): latest event
+        per key per event-time window, late data handled by Spark's
+        state store instead of the reference's hand-rolled
+        ``future_data`` carry-over (archive/stable_v3.py:188-204).
+
+        Returns a streaming DataFrame in append mode — rows emit when
+        the watermark passes the window end. Callers attach any sink.
+        """
+        changes = self.parse(stream).withColumn(
+            "event_time", F.timestamp_millis(F.col("ts_ms"))
+        )
+        payload = [
+            c for c in changes.columns if c not in (self.key_col, "event_time")
+        ]
+        packed = F.struct(*[F.col(c) for c in payload])
+        ordering = F.struct(F.col("ts_ms"), F.col("seq"))
+        agg = (
+            changes.withWatermark("event_time", watermark_delay)
+            .groupBy(
+                F.window("event_time", window_duration).alias("_w"),
+                F.col(self.key_col),
+            )
+            .agg(F.max_by(packed, ordering).alias("_latest"))
+        )
+        return agg.select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            self.key_col,
+            *[F.col(f"_latest.{c}").alias(c) for c in payload],
+        )

@@ -127,22 +127,30 @@ class SnapshotTable:
 
     # -- read -------------------------------------------------------------
 
-    def read(self) -> DataFrame:
-        """Current table contents, assembled from the bucket manifest."""
+    def schema(self):
+        from pyspark.sql.types import StructType
+
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
+        return StructType.fromJson(json.loads(ptr["schema"]))
+
+    def read(self) -> DataFrame:
+        """Current table contents, assembled from the bucket manifest.
+
+        Reads with the committed schema explicitly: buckets written
+        before a schema evolution lack the newer columns in their
+        files; the parquet reader backfills them as nulls (no
+        ``mergeSchema`` footer sweep needed).
+        """
+        schema = self.schema()
         paths = [
             f"{self.path}/v={v}/bucket={b}"
             for b, v in sorted(self._bucket_manifest().items())
         ]
         if not paths:  # every row deleted
-            from pyspark.sql.types import StructType
-
-            return self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(ptr["schema"]))
-            )
-        return self.spark.read.parquet(*paths)
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*paths)
 
     # -- write ------------------------------------------------------------
 
@@ -213,6 +221,7 @@ class SnapshotTable:
         op_col: str = "op",
         delete_op: str = "d",
         batch_id: int | None = None,
+        evolve_schema: bool = True,
     ) -> None:
         """Apply a compacted micro-batch (≤1 row per key) as one merge.
 
@@ -221,6 +230,14 @@ class SnapshotTable:
         Idempotent under replay: if ``batch_id`` equals the last
         committed batch id, the merge is skipped (foreachBatch replays
         after crash recovery — SURVEY §7.6.5).
+
+        Schema evolution (``evolve_schema``): batch columns the table
+        lacks are added (nulls backfill on read via per-bucket schema
+        union); table columns the batch lacks arrive as nulls — the
+        ``mergeSchema`` policy the reference's Mongo path advertises
+        but silently inverts (it drops new fields,
+        cdc_stream.py:852-861). With ``evolve_schema=False`` extra
+        batch columns raise instead.
         """
         if batch_id is not None and batch_id == self.last_batch_id():
             return
@@ -229,6 +246,18 @@ class SnapshotTable:
                 compacted.filter(F.col(op_col) != delete_op).drop(op_col), batch_id
             )
             return
+
+        from pyspark.sql.types import StructType
+
+        table_schema = StructType.fromJson(
+            json.loads(self._read_pointer()["schema"])
+        )
+        batch_cols = set(compacted.columns) - {op_col}
+        new_cols = [c for c in batch_cols if c not in {f.name for f in table_schema}]
+        if new_cols and not evolve_schema:
+            raise ValueError(
+                f"batch adds columns {new_cols} and evolve_schema is off"
+            )
 
         manifest = self._bucket_manifest()
         # persist once: the batch plan (parse + compact shuffle) feeds
@@ -250,15 +279,19 @@ class SnapshotTable:
                 ]
                 # recover the physical bucket id from the file path (the
                 # partition column is stripped from the data files)
-                current = self.spark.read.parquet(*current_paths).withColumn(
-                    "bucket", self._bucket_col()
+                current = (
+                    self.spark.read.schema(table_schema)
+                    .parquet(*current_paths)
+                    .withColumn("bucket", self._bucket_col())
                 )
                 kept = current.join(
                     F.broadcast(source.select(*self.key_cols)),
                     self.key_cols,
                     "left_anti",
                 )
-                new_data = kept.unionByName(upserts.select(*kept.columns))
+                # two-sided null backfill: batch may add columns the
+                # table lacks and omit columns the table has
+                new_data = kept.unionByName(upserts, allowMissingColumns=True)
             else:
                 new_data = upserts
 
@@ -269,8 +302,16 @@ class SnapshotTable:
             manifest.pop(b, None)  # bucket emptied by deletes unless rewritten
         for b in written:
             manifest[b] = version
-        ptr = self._read_pointer()
-        self._commit(version, batch_id, manifest, ptr["schema"])
+
+        merged_schema = StructType(
+            list(table_schema.fields)
+            + [
+                f
+                for f in compacted.schema.fields
+                if f.name in new_cols and f.name != op_col
+            ]
+        )
+        self._commit(version, batch_id, manifest, json.dumps(merged_schema.jsonValue()))
         self._vacuum()
 
 

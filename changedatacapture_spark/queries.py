@@ -1531,3 +1531,322 @@ def q_mongo_changes_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_ms",
         F.element_at("after_doc", "kind").alias("kind"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extension, round 2: join/subquery shapes the first batch of
+# TPC-H-style queries did not exercise — semi/anti joins from EXISTS,
+# outer-join histograms, scalar subqueries, correlated aggregates,
+# disjunctive join predicates, ranking/lag window analytics, CUBE.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q4_priority_with_returns",
+    """
+    SELECT o.o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape: EXISTS → left-semi join, then count by priority.
+
+    The semi join deduplicates lineitem matches without materializing
+    them; at scale the returnflag filter pushes down to the lineitem
+    scan so only ~25% of the fact table reaches the shuffle.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@_register(
+    "q13_cust_order_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape: orders-per-customer histogram via left outer
+    join + two-level aggregation.
+
+    ``count(o_orderkey)`` counts only matched rows (NULL-skipping), so
+    customers with no orders land in the ``c_count = 0`` bucket — the
+    semantics an inner join would silently lose. The second aggregation
+    is tiny (distinct counts), so the only real shuffle is the first.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))
+                      * CAST(1 - l_discount AS DECIMAL(20,2))) AS DECIMAL(38,4))
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shape: quarterly revenue per supplier, keep the max.
+
+    The scalar subquery becomes a 1-row broadcast cross join against
+    the (already small, |suppliers|-row) aggregate — no second pass
+    over lineitem and no single-partition window.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    rev = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    per_supp = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("total_revenue"))
+    )
+    top = per_supp.agg(F.max("total_revenue").alias("_max"))
+    return (
+        per_supp.join(F.broadcast(top), per_supp.total_revenue == F.col("_max"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2))
+             AS total_price,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape: lines below 20% of their part's average
+    quantity, for one brand.
+
+    The correlated subquery is decorrelated by hand: semi-restrict
+    lineitem to the brand's parts first (broadcast of the filtered part
+    dim), compute the per-part average over *that* subset — identical
+    per-key result, ~1/25th the aggregation input — then self-join.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#23")
+    brand_lines = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    thresholds = brand_lines.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_qty_threshold")
+    )
+    return (
+        brand_lines.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("_qty_threshold"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(20,2))) AS DECIMAL(38,4))
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape: disjunctive mixed-table predicates over a
+    part⋈lineitem join.
+
+    The per-table halves of each disjunct are pre-filtered before the
+    join (part: brand∈{12,23,34}; lineitem: quantity∈[1,30]) so the
+    broadcast build side and the probe input both shrink; the full
+    disjunction runs as a post-join filter.
+    """
+    p = load_table(spark, "part", sf_dir).filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+    )
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(rev).cast("decimal(38,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@_register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(c.c_acctbal AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(CAST(c_acctbal AS DECIMAL(20,2)))
+                         FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape: above-average-balance customers with no urgent
+    orders, grouped by nation (nationkey stands in for the phone country
+    code; the priority filter keeps the anti-join non-vacuous on the
+    synthetic data, where every customer has at least one order).
+
+    NOT EXISTS → left-anti join against the filtered orders; the filter
+    is pushed below the join so only ~20% of orders build the hash side.
+    The scalar average is a 1-row broadcast, computed in decimal so both
+    engines agree bit-for-bit (a float sum would be order-dependent).
+    """
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg(F.col("c_acctbal").cast(_DEC)).alias("_avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@_register(
+    "events_user_deltas",
+    """
+    SELECT event_id, user_id,
+           row_number() OVER w AS rn,
+           CAST(value - lag(value) OVER w AS DOUBLE) AS delta,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_events_user_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/lag/lead analytics over the event stream (the window-
+    function class SURVEY §2.6 notes the reference never uses).
+
+    One shuffle on user_id serves all three window functions (shared
+    frame); ordering ties are broken by event_id so results are
+    deterministic. Doubles are subtracted pairwise (exact), never
+    accumulated.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("rn"),
+        (F.col("value") - F.lag("value").over(w)).cast("double").alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@_register(
+    "q_cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2)) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping-set
+    combinations in one pass (Spark expands the sets map-side; the
+    shuffle carries each input row once per grouping set of the
+    4-set cube — fine for low-cardinality dimensions)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,2)").alias("sum_qty"),
+    )

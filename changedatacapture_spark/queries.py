@@ -1850,3 +1850,441 @@ def q_cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,2)").alias("sum_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extension, round 3: multi-way join chains, argmin-per-group,
+# distinct aggregates with anti-join exclusion, nested semi-join chains,
+# window-based sole-supplier detection, exact medians, time-series
+# conditional aggregation, and running totals.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q7_nation_pair_revenue",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(20,2))) AS DECIMAL(38,4))
+             AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    WHERE sn.n_nationkey < 4 AND cn.n_nationkey < 4
+      AND sn.n_nationkey <> cn.n_nationkey
+    GROUP BY sn.n_name, cn.n_name, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape: 6-way join chain — revenue between nation pairs
+    by ship year.
+
+    Join order: lineitem probes broadcast supplier⋈nation first (the
+    nation filter shrinks supplier before broadcast), then shuffles
+    once on orderkey against orders; customer⋈nation broadcasts onto
+    the result. Only one big shuffle (lineitem⋈orders) survives; every
+    dimension is broadcast, and both nation filters reach the scans.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    sn = s.join(
+        F.broadcast(n.filter(F.col("n_nationkey") < 4)),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = c.join(
+        F.broadcast(n.filter(F.col("n_nationkey") < 4)),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    rev = (
+        F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cn), o.o_custkey == cn.c_custkey)
+        .filter(F.col("sn_key") != F.col("cn_key"))
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@_register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2))
+               AS supply_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                   ORDER BY supply_cost, l_suppkey) AS rn
+      FROM cost)
+    SELECT p.p_partkey, p.p_brand, r.l_suppkey AS cheapest_suppkey, r.supply_cost
+    FROM ranked r JOIN part p ON p.p_partkey = r.l_partkey
+    WHERE r.rn = 1 AND p.p_brand = 'Brand#11'
+    ORDER BY p.p_partkey
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shape: argmin-per-group — the cheapest supplier of each
+    part of one brand.
+
+    The per-(part, supplier) aggregate and the argmin window share the
+    same partitioning (partkey ⊂ (partkey, suppkey) after the agg), so
+    AQE coalesces them into one exchange. Ties on cost break by
+    suppkey, making the winner deterministic. The brand filter is
+    applied via broadcast semi-join BEFORE the heavy aggregation so
+    only ~1/25 of lineitem is aggregated at all.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_brand") == "Brand#11")
+    from pyspark.sql.window import Window
+
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("supply_cost")
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("supply_cost", "l_suppkey")
+    return (
+        cost.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("cheapest_suppkey"),
+            "supply_cost",
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@_register(
+    "q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l.l_partkey,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))) AS DECIMAL(38,2))
+               AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = 7
+      GROUP BY l.l_partkey)
+    SELECT l_partkey, part_value FROM pv
+    WHERE part_value > (SELECT CAST(sum(part_value) * 0.001 AS DECIMAL(38,6)) FROM pv)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shape: parts whose value from one nation's suppliers
+    exceeds a fraction of that nation's total.
+
+    The per-part aggregate is computed once and reused for both the
+    global total and the filter (no second scan of lineitem); the
+    total is a 1-row broadcast. At 100 TB the cache would be a
+    checkpoint/persist of the aggregate, which is |parts|-sized, not
+    |lineitem|-sized.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir).filter(F.col("s_nationkey") == 7)
+    pv = (
+        li.join(F.broadcast(s.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_DEC))
+            .cast("decimal(38,2)")
+            .alias("part_value")
+        )
+    )
+    total = pv.agg(
+        (F.sum("part_value") * F.lit(0.001)).cast("decimal(38,6)").alias("_threshold")
+    )
+    return (
+        pv.join(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@_register(
+    "q16_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size BETWEEN 1 AND 15
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type
+    """,
+)
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape: distinct-supplier counts per (brand, type),
+    excluding an unwanted supplier set.
+
+    NOT IN over a non-nullable key column is a left-anti join (the
+    exclusion set broadcasts). The distinct aggregate expands to
+    Spark's two-phase plan: partial distinct on (brand, type, suppkey),
+    then the final count — both phases share one shuffle.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_size").between(1, 15))
+    bad = load_table(spark, "supplier", sf_dir).filter(
+        F.col("s_acctbal") < 0.0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type")
+    )
+
+
+@_register(
+    "q20_heavy_red_suppliers",
+    """
+    WITH qty AS (
+      SELECT l.l_suppkey, CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2))
+               AS red_qty
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      GROUP BY l.l_suppkey)
+    SELECT s.s_suppkey, s.s_name, n.n_name, q.red_qty
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN qty q ON q.l_suppkey = s.s_suppkey
+    WHERE q.red_qty > 100.0
+    ORDER BY s.s_suppkey
+    """,
+)
+def q20_heavy_red_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shape: nested semi-join chain — suppliers who shipped
+    a large quantity of 'red*' parts, with their nation.
+
+    part-name filter → broadcast semi-join restricts lineitem before
+    the per-supplier aggregate; the aggregate output (|suppliers| rows)
+    then joins supplier⋈nation entirely via broadcast. The only
+    shuffle is the per-supplier aggregation.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("red%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    qty = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast(_DEC)).cast("decimal(38,2)").alias("red_qty")
+        )
+        .filter(F.col("red_qty") > 100.0)
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(qty), s.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "n_name", "red_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "q21_sole_supplier_lines",
+    """
+    SELECT l.l_suppkey, count(*) AS sole_lines
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l.l_orderkey
+                        AND l2.l_suppkey <> l.l_suppkey)
+    GROUP BY l.l_suppkey
+    ORDER BY sole_lines DESC, l.l_suppkey
+    LIMIT 20
+    """,
+)
+def q21_sole_supplier_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape: lines whose supplier is the ONLY supplier on
+    the order.
+
+    The correlated NOT EXISTS self-join (quadratic per order in the
+    naive plan) is replaced by one window pass: min/max suppkey per
+    order are equal iff exactly one supplier appears. One shuffle on
+    orderkey, no self-join, no distinct-count state.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn("_mn", F.min("l_suppkey").over(w))
+        .withColumn("_mx", F.max("l_suppkey").over(w))
+        .filter(F.col("_mn") == F.col("_mx"))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("sole_lines"))
+        .orderBy(F.col("sole_lines").desc(), "l_suppkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "events_median_value",
+    """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type,
+           CAST(avg(CAST(value AS DECIMAL(25,10))) AS DECIMAL(38,10)) AS median_value
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median without a percentile builtin: rank each
+    value, keep the one or two middle rows, average them in decimal.
+
+    Engine-portable medians need identical arithmetic on both sides;
+    builtin interpolating percentiles differ in float op order between
+    engines, so the two middle elements are averaged in decimal
+    instead. One shuffle on event_type serves both window functions
+    and the final aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mid = ranked.filter(
+        (F.col("rn") == ((F.col("n") + 1) / 2).cast("long"))
+        | (F.col("rn") == ((F.col("n") + 2) / 2).cast("long"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.avg(F.col("value").cast("decimal(25,10)"))
+            .cast("decimal(38,10)")
+            .alias("median_value")
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "events_hourly_profile",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+           count(*) AS n_events,
+           count(*) FILTER (WHERE event_type = 'click') AS n_click,
+           count(*) FILTER (WHERE event_type = 'view') AS n_view,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(25,6)))
+                FILTER (WHERE event_type = 'purchase') AS DECIMAL(38,6))
+             AS purchase_value
+    FROM events
+    GROUP BY hour
+    ORDER BY hour
+    """,
+)
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series conditional aggregation: hourly event profile with
+    per-type counts (manual pivot), distinct users, and typed revenue.
+
+    All conditional counts ride the same groupBy — one shuffle; the
+    distinct count adds the usual expand-then-aggregate second phase.
+    `count(x IF cond)` is expressed as count of a NULL-when-false
+    column in Spark, matching SQL FILTER semantics exactly.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+            F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(25,6)"),
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias("purchase_value"),
+        )
+        .orderBy("hour")
+    )
+
+
+@_register(
+    "q_cumulative_cust_revenue",
+    """
+    WITH top_custs AS (
+      SELECT o_custkey FROM orders
+      GROUP BY o_custkey ORDER BY count(*) DESC, o_custkey LIMIT 100)
+    SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2)))
+                OVER (PARTITION BY o.o_custkey ORDER BY o.o_orderdate, o.o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DECIMAL(38,2)) AS cum_spend
+    FROM orders o JOIN top_custs t ON t.o_custkey = o.o_custkey
+    """,
+)
+def q_cumulative_cust_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer (top-100 most active) over order
+    date, with an explicit ROWS frame and orderkey tie-break so the
+    prefix sums are deterministic.
+
+    The top-100 driver set broadcasts as a semi-join before the window
+    shuffle, so the window state covers only ~100 customers' orders
+    regardless of table size.
+    """
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    top = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), "o_custkey")
+        .limit(100)
+        .select("o_custkey")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        o.join(F.broadcast(top), "o_custkey", "left_semi")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.sum(F.col("o_totalprice").cast(_DEC))
+            .over(w)
+            .cast("decimal(38,2)")
+            .alias("cum_spend"),
+        )
+    )

@@ -68,3 +68,53 @@ def test_exact_dedup_is_partial_agg(spark, sf_dir):
     plan = executed_plan(df)
     assert "partial" in plan.lower()
     assert count_exchanges(df) == 1, plan
+
+
+def test_q4_semi_join_with_pushed_flag(spark, sf_dir):
+    """EXISTS compiles to one broadcast semi-join; the returnflag
+    filter must reach the lineitem scan, not run post-join."""
+    df = _run(spark, sf_dir, "q4_priority_with_returns")
+    plan = executed_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 1, plan
+    pf = " ".join(pushed_filters(df))
+    assert "l_returnflag" in pf, f"returnflag filter not pushed: {pf}"
+
+
+def test_q7_single_fact_shuffle(spark, sf_dir):
+    """6-way join chain: every dimension broadcasts; lineitem is
+    scanned once and shuffles only for the orders join + final agg."""
+    df = _run(spark, sf_dir, "q7_nation_pair_revenue")
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert plan.count("lineitem.parquet") == 1, "fact scanned more than once"
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_q21_window_replaces_self_join(spark, sf_dir):
+    """Sole-supplier detection must use the min/max window rewrite:
+    one lineitem scan, no self-join."""
+    df = _run(spark, sf_dir, "q21_sole_supplier_lines")
+    plan = executed_plan(df)
+    assert plan.count("lineitem.parquet") == 1, "self-join reintroduced"
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_q22_anti_join_with_pushed_priority(spark, sf_dir):
+    """NOT EXISTS compiles to a broadcast anti-join; the priority
+    filter must reach the orders scan (hash side stays small)."""
+    df = _run(spark, sf_dir, "q22_idle_rich_customers")
+    plan = executed_plan(df)
+    assert "LeftAnti" in plan, plan
+    pf = " ".join(pushed_filters(df))
+    assert "o_orderpriority" in pf, f"priority filter not pushed: {pf}"
+
+
+def test_q2_argmin_reuses_agg_partitioning(spark, sf_dir):
+    """The (partkey, suppkey) aggregate and the per-partkey argmin
+    window must not add a third fact-side exchange (brand semi-join
+    broadcasts; agg + window + final sort bound the rest)."""
+    df = _run(spark, sf_dir, "q2_min_cost_supplier")
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 3, executed_plan(df)

@@ -94,7 +94,11 @@ class SnapshotTable:
         batch_id: int | None,
         buckets: dict[int, int],
         schema_ddl: str,
+        guard: dict | None = None,
     ) -> None:
+        if guard is None:  # carry forward: a guarded table stays guarded
+            ptr = self._read_pointer()
+            guard = None if ptr is None else ptr.get("guard")
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
@@ -104,6 +108,7 @@ class SnapshotTable:
                     "batch_id": batch_id,
                     "schema": schema_ddl,
                     "buckets": {str(b): v for b, v in buckets.items()},
+                    "guard": guard,
                 },
                 f,
             )
@@ -135,13 +140,17 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshot at {self.path}")
         return StructType.fromJson(json.loads(ptr["schema"]))
 
-    def read(self) -> DataFrame:
+    def read(self, include_tombstones: bool = False) -> DataFrame:
         """Current table contents, assembled from the bucket manifest.
 
         Reads with the committed schema explicitly: buckets written
         before a schema evolution lack the newer columns in their
         files; the parquet reader backfills them as nulls (no
         ``mergeSchema`` footer sweep needed).
+
+        On an order-guarded table (see ``merge(guard_cols=...)``)
+        delete tombstones are physically retained; the logical view
+        filters them out unless ``include_tombstones`` is set.
         """
         schema = self.schema()
         paths = [
@@ -149,8 +158,14 @@ class SnapshotTable:
             for b, v in sorted(self._bucket_manifest().items())
         ]
         if not paths:  # every row deleted
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*paths)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        ptr = self._read_pointer()
+        guard = None if ptr is None else ptr.get("guard")
+        if guard and not include_tombstones:
+            df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
+        return df
 
     # -- write ------------------------------------------------------------
 
@@ -222,6 +237,7 @@ class SnapshotTable:
         delete_op: str = "d",
         batch_id: int | None = None,
         evolve_schema: bool = True,
+        guard_cols: list[str] | None = None,
     ) -> None:
         """Apply a compacted micro-batch (≤1 row per key) as one merge.
 
@@ -238,8 +254,19 @@ class SnapshotTable:
         but silently inverts (it drops new fields,
         cdc_stream.py:852-861). With ``evolve_schema=False`` extra
         batch columns raise instead.
+
+        ``guard_cols`` (e.g. ``["ts", "seq"]``) switches to the
+        order-guarded mode — see :meth:`_merge_ordered`. Default mode
+        is last-batch-wins, matching the reference
+        (cdc_stream.py:664-689 applies batches independently).
         """
         if batch_id is not None and batch_id == self.last_batch_id():
+            return
+        if guard_cols is not None:
+            self._merge_ordered(
+                compacted, list(guard_cols), op_col, delete_op, batch_id,
+                evolve_schema,
+            )
             return
         if not self.exists():
             self.overwrite(
@@ -312,6 +339,118 @@ class SnapshotTable:
             ]
         )
         self._commit(version, batch_id, manifest, json.dumps(merged_schema.jsonValue()))
+        self._vacuum()
+
+    def _merge_ordered(
+        self,
+        compacted: DataFrame,
+        guard_cols: list[str],
+        op_col: str,
+        delete_op: str,
+        batch_id: int | None,
+        evolve_schema: bool,
+    ) -> None:
+        """Order-guarded merge: an incoming row wins only if its
+        ``guard_cols`` tuple exceeds the incumbent's.
+
+        Fixes SURVEY §7.6.2 (the reference applies batches
+        independently, so an earlier-timestamp event arriving a batch
+        late overwrites newer state — accepted there, opt-out here).
+        Deletes are retained as *tombstones* carrying their guard
+        tuple, so a late, older upsert cannot resurrect a newer
+        delete; :meth:`read` hides them from the logical view.
+
+        Physically: union the touched buckets' current rows with the
+        batch and take the per-key ``max_by(guard)`` winner — merge
+        IS the compaction operator, so any sequence of guarded merges
+        over any batch split of a log equals one global compaction
+        (the invariant tests/test_property_cdc.py proves). Cost stays
+        proportional to touched buckets + batch, same as the default
+        mode. Tombstones persist until their bucket's next rewrite
+        cycle (GC: compact a bucket by dropping tombstones older than
+        the source's max replay horizon — not needed at test scale).
+        """
+        from pyspark.sql.types import StructType
+
+        from changedatacapture_spark.operators.cdc import compact_latest
+
+        guard_meta = {
+            "op_col": op_col,
+            "delete_op": delete_op,
+            "guard_cols": guard_cols,
+        }
+        if not self.exists():
+            winners = compact_latest(compacted, self.key_cols, guard_cols)
+            version = self.version + 1
+            written = self._write_buckets(
+                winners.withColumn("bucket", self._bucket_col()), version
+            )
+            self._commit(
+                version,
+                batch_id,
+                {b: version for b in written},
+                json.dumps(winners.schema.jsonValue()),
+                guard_meta,
+            )
+            self._vacuum()
+            return
+
+        table_schema = StructType.fromJson(
+            json.loads(self._read_pointer()["schema"])
+        )
+        new_cols = [
+            c
+            for c in compacted.columns
+            if c not in {f.name for f in table_schema}
+        ]
+        if new_cols and not evolve_schema:
+            raise ValueError(
+                f"batch adds columns {new_cols} and evolve_schema is off"
+            )
+
+        manifest = self._bucket_manifest()
+        source = compacted.withColumn("bucket", self._bucket_col()).persist()
+        try:
+            touched = sorted(
+                r.bucket for r in source.select("bucket").distinct().collect()
+            )
+            version = self.version + 1
+            live_touched = [b for b in touched if b in manifest]
+            if live_touched:
+                current_paths = [
+                    f"{self.path}/v={manifest[b]}/bucket={b}"
+                    for b in live_touched
+                ]
+                current = self.spark.read.schema(table_schema).parquet(
+                    *current_paths
+                )
+                merged_in = current.unionByName(
+                    source.drop("bucket"), allowMissingColumns=True
+                )
+            else:
+                merged_in = source.drop("bucket")
+            winners = compact_latest(merged_in, self.key_cols, guard_cols)
+            written = self._write_buckets(
+                winners.withColumn("bucket", self._bucket_col()), version
+            )
+        finally:
+            source.unpersist()
+        for b in touched:
+            manifest.pop(b, None)
+        for b in written:
+            manifest[b] = version
+
+        merged_schema = StructType(
+            list(table_schema.fields)
+            + [f for f in compacted.schema.fields if f.name in new_cols]
+        )
+        self._commit(
+            version,
+            batch_id,
+            manifest,
+            json.dumps(merged_schema.jsonValue()),
+            guard_meta,
+        )
         self._vacuum()
 
 

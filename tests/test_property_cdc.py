@@ -1,0 +1,141 @@
+"""Property-based differential tests for the core CDC semantics.
+
+The reference's correctness philosophy is end-to-end differential:
+a *randomized* CRUD workload streamed through the engine must leave
+the target equal to an independently-computed expected state
+(test/cdc_test_framework.py:160-214, test/validate_cdc_data.py:130-188).
+These tests keep that philosophy but make it hermetic and adversarial:
+hypothesis generates arbitrary change logs — including same-timestamp
+ties, delete-then-reinsert interleavings (docs/SQLs For Test.txt:9-27),
+delete-before-any-insert, and single-key floods — and the Spark
+operators must match a trivially-correct Python fold of the log.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from changedatacapture_spark.operators import apply_changes, compact_latest
+
+# One event: (key, ts, op, value). seq is the list index — the
+# arrival-order tie-break, mirroring the Kafka offset.
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # small keyspace → collisions
+        st.integers(min_value=0, max_value=3),  # tiny ts range → ts ties
+        st.sampled_from(["c", "u", "d", "r"]),
+        st.integers(min_value=-1000, max_value=1000),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+_SETTINGS = settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _expected_latest(events):
+    """Oracle fold: last event per key by (ts, seq)."""
+    best = {}
+    for seq, (key, ts, op, value) in enumerate(events):
+        cur = best.get(key)
+        if cur is None or (ts, seq) >= (cur[0], cur[1]):
+            best[key] = (ts, seq, op, value)
+    return best
+
+
+def _to_df(spark, events):
+    rows = [
+        (key, ts, seq, op, value)
+        for seq, (key, ts, op, value) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "key_id long, ts long, seq long, op string, value long"
+    )
+
+
+@given(events=_EVENTS)
+@_SETTINGS
+def test_compact_matches_python_fold(spark, events):
+    df = _to_df(spark, events)
+    got = {
+        r["key_id"]: (r["ts"], r["seq"], r["op"], r["value"])
+        for r in compact_latest(df, ["key_id"], ["ts", "seq"]).collect()
+    }
+    assert got == _expected_latest(events)
+
+
+@given(events=_EVENTS)
+@_SETTINGS
+def test_apply_matches_python_fold(spark, events):
+    """apply = compact minus keys whose final op is a delete."""
+    df = _to_df(spark, events)
+    got = {
+        r["key_id"]: (r["ts"], r["seq"], r["op"], r["value"])
+        for r in apply_changes(df, ["key_id"], ["ts", "seq"]).collect()
+    }
+    expected = {
+        k: v for k, v in _expected_latest(events).items() if v[2] != "d"
+    }
+    assert got == expected
+
+
+@given(events=_EVENTS, cuts=st.lists(st.integers(0, 40), max_size=2))
+@_SETTINGS
+def test_guarded_merge_is_batch_split_invariant(spark, events, cuts):
+    """Any sequence of order-guarded sink merges over any batch split
+    of the log leaves the table equal to one global apply.
+
+    This is the invariant the reference does NOT have (SURVEY §7.6.2:
+    batches apply independently, so an older-timestamp event arriving
+    a batch late overwrites newer state) and the guarded merge's
+    tombstones restore: late deletes beat older upserts and vice
+    versa, regardless of where the stream was cut into micro-batches.
+    """
+    import shutil
+    import tempfile
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    batches = [
+        events[a:b] for a, b in zip(bounds, bounds[1:]) if events[a:b]
+    ]
+
+    path = tempfile.mkdtemp(prefix="guarded_merge_")
+    try:
+        table = SnapshotTable(spark, path, ["key_id"], n_buckets=4)
+        offset = 0
+        for batch in batches:
+            rows = [
+                (key, ts, offset + i, op, value)
+                for i, (key, ts, op, value) in enumerate(batch)
+            ]
+            offset += len(batch)
+            bdf = spark.createDataFrame(
+                rows, "key_id long, ts long, seq long, op string, value long"
+            )
+            table.merge(
+                compact_latest(bdf, ["key_id"], ["ts", "seq"]),
+                guard_cols=["ts", "seq"],
+            )
+
+        expected = {
+            k: v
+            for k, v in _expected_latest(events).items()
+            if v[2] != "d"
+        }
+        if not table.exists():
+            assert expected == {}
+            return
+        got = {
+            r["key_id"]: (r["ts"], r["seq"], r["op"], r["value"])
+            for r in table.read().collect()
+        }
+        assert got == expected
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -40,9 +40,38 @@ ORACLE_SQL: dict[str, str] = {}
 _CHANGELOG_CTE = f"WITH changelog AS ({CHANGELOG_SQL})"
 
 
+def _decimals_to_double(df: DataFrame) -> DataFrame:
+    """Cast top-level decimal output columns to double.
+
+    Internal arithmetic stays exact decimal; only the final projection
+    changes. Rationale: the correctness driver canonicalizes both
+    engines' results through pandas, where DuckDB DECIMAL becomes
+    float64 — Spark ``Decimal('138014.00')`` vs float64 ``138014.0``
+    then hash-mismatch on repr despite equal values. Casting the final
+    decimal (already exact) to double is deterministic and identical on
+    both engines (nearest-double of the same exact value).
+    """
+    from pyspark.sql import types as T
+
+    dec_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.DecimalType)]
+    if not dec_cols:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("double").alias(c) if c in dec_cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def _register(name: str, sql: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        SPARK_QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _decimals_to_double(fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        SPARK_QUERIES[name] = wrapped
         if sql is not None:
             ORACLE_SQL[name] = sql
         return fn
@@ -651,7 +680,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_lang_profile",
     """
-    SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc
     FROM documents GROUP BY lang, source
     """,
@@ -1148,7 +1178,8 @@ _MEDIA_SQL = """
     "media_stats",
     f"""
     WITH media AS ({_MEDIA_SQL})
-    SELECT mime, count(*) AS n_items, sum(n_bytes) AS total_bytes,
+    SELECT mime, count(*) AS n_items,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
            max(width) AS max_width, max(height) AS max_height
     FROM media GROUP BY mime
     """,
@@ -1164,17 +1195,47 @@ def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_stats(media)
 
 
-@_register("media_features")  # no SQL oracle: mapInPandas feature stub
+# The fake feature is byte i of sha256(payload) / 255.0; the registered
+# query serializes the vector back to its exact byte ints (round(x*255))
+# so the driver's pandas canonicalizer sees a scalar string, and DuckDB
+# can recompute it from sha256 hex (payload is the UTF-8 bytes of text,
+# so sha256(text) == sha256(payload)).
+_HEX = "0123456789abcdef"
+_FEATURE_BYTES_SQL = ", ".join(
+    f"CAST((strpos('{_HEX}', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+    f" + (strpos('{_HEX}', substr(h, {2 * i + 2}, 1)) - 1) AS VARCHAR)"
+    for i in range(16)
+)
+
+
+@_register(
+    "media_features",
+    f"""
+    SELECT doc_id AS media_id, concat_ws(',', {_FEATURE_BYTES_SQL}) AS feature_sig
+    FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (decode
-    stubbed with a deterministic fake — rows-only driver check)."""
+    stubbed with a deterministic sha256 fake), serialized to a scalar
+    signature column for the driver's hash compare."""
     from changedatacapture_spark.operators.multimodal import (
         documents_as_media,
         extract_features,
     )
 
     media = documents_as_media(load_table(spark, "documents", sf_dir))
-    return extract_features(media, dim=16)
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        "media_id",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("feature_sig"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -40,6 +40,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     from pyspark.sql import types as T
 
     d = sf_dir or DEFAULT_SF_DIR
+    # The conf is runtime-settable, and foreign sessions (test harnesses,
+    # notebooks) won't have it: set it here so events.parquet's
+    # TIMESTAMP(NANOS) column is readable regardless of who built the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{d}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -45,6 +45,23 @@ def norm_rows(cols, rows):
     return [cols[i] for i in order], out
 
 
+def canon_pandas(df):
+    """Mimic the driver's canonicalization: pandas frame, columns sorted
+    by name, rows sorted by all columns, cells compared by repr.
+
+    This is deliberately strict about dtype repr: int64 ``5`` vs float64
+    ``5.0`` is a MISMATCH (that is how the driver's value hash behaves
+    when DuckDB widens BIGINT sums to HUGEINT→float64 or returns DECIMAL
+    as float64 against Spark Decimal/long cells).
+    """
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    return [tuple(norm_cell(v) for v in row) for row in df.itertuples(index=False)]
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from changedatacapture_spark.session import get_spark
@@ -67,7 +84,8 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spd = sdf.toPandas()
+            srows = list(spd.itertuples(index=False))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
@@ -77,8 +95,9 @@ def main() -> int:
             continue
         try:
             res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpd = res.df()
+            dcols = list(dpd.columns)
+            drows = list(dpd.itertuples(index=False))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
@@ -91,8 +110,8 @@ def main() -> int:
             print(f"FAIL {name}: columns spark={sorted(scols)} duckdb={sorted(dcols)}")
             ok = False
         if ok:
-            _, ns = norm_rows(scols, srows)
-            _, nd = norm_rows(dcols, drows)
+            ns = canon_pandas(spd)
+            nd = canon_pandas(dpd)
             if ns != nd:
                 ok = False
                 # find first differing row for diagnostics

@@ -2349,3 +2349,122 @@ def q_cumulative_cust_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cum_spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming/sink surface in batch form (K1-K3, J1-J2, T1): the full
+# envelope → parse → compact → SnapshotTable.merge path run over the
+# events changelog split into micro-batches, snapshot read back.
+# Reference semantics: cdc_stream.py:545-708 (parse + per-batch merge).
+# ---------------------------------------------------------------------------
+
+_FINAL_STATE_SQL = """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY key_id
+                                   ORDER BY ts_us DESC, seq DESC) AS rn
+      FROM log)
+    SELECT key_id, seq, ts_us, value, props FROM ranked
+    WHERE rn = 1 AND op <> 'd'
+"""
+
+
+def _changelog_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog with micro-precision epoch ordering column ``ts_us``."""
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key_id"),
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+@_register("cdc_snapshot_merge_e2e", _FINAL_STATE_SQL)
+def q_cdc_snapshot_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline end-to-end: Debezium JSON envelopes → CdcPipeline
+    parse/compact → SnapshotTable.merge per micro-batch → read-back.
+
+    The changelog is split into 4 micro-batches along the global
+    (ts_us, seq) order (ntile — harness-only; production batches arrive
+    time-ordered from the source) and applied through the default
+    last-batch-wins merge, so the final snapshot must equal one global
+    compaction minus deleted keys (the same invariant the property
+    tests prove). The envelope's ts_ms field carries micros here so
+    compaction order is exact (parity note: cdc_stream.py:629-691).
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    doc = F.struct("key_id", "ts_us", "value", "props")
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(F.col("op") != "c", doc).alias("before"),
+                F.when(F.col("op") != "d", doc).alias("after"),
+                F.col("op").alias("op"),
+                F.col("ts_us").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    raw = log.select(
+        env.alias("value"),
+        "seq",
+        F.ntile(4).over(Window.orderBy("ts_us", "seq")).alias("_b"),
+    )
+
+    record_schema = T.StructType(
+        [
+            T.StructField("key_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="cdc_merge_e2e_"), ["key_id"], n_buckets=8
+    )
+    pipe = CdcPipeline(spark, record_schema, table, "key_id")
+    for b in (1, 2, 3, 4):
+        pipe.process_batch(raw.filter(F.col("_b") == b).select("value", "seq"), b)
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
+@_register("cdc_snapshot_merge_guarded", _FINAL_STATE_SQL)
+def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-guarded merge applied OUT of order: batches split by
+    ``seq % 3`` and merged in the order 1, 2, 0 with
+    ``guard_cols=(ts_us, seq)`` — the guard (incoming row wins only if
+    its guard tuple exceeds the incumbent's, deletes kept as
+    tombstones) makes the result order-independent, so the final
+    logical state still equals the global compaction oracle."""
+    import tempfile
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="cdc_merge_guard_"), ["key_id"], n_buckets=8
+    )
+    for i, b in enumerate((1, 2, 0)):
+        batch = log.filter(F.pmod(F.col("seq"), F.lit(3)) == b)
+        compacted = compact_latest(batch, ["key_id"], ["ts_us", "seq"])
+        table.merge(compacted, batch_id=i, guard_cols=["ts_us", "seq"])
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")

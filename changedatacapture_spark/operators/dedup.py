@@ -144,7 +144,7 @@ def ngram_jaccard(
 def simhash_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """SimHash duplicate groups: fingerprint, member count, canonical id.
 
-    Same shape as :func:`exact_dedup` but keyed on the 16-bit SimHash —
+    Same shape as :func:`exact_dedup` but keyed on the 63-bit SimHash —
     catches reordered/near-identical token sets that exact hashing
     misses. One partial-aggregated shuffle on the fingerprint.
     """
@@ -168,10 +168,14 @@ def simhash_neardup_pairs(
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Candidate generation is LSH-style banding on the fingerprint's four
-    nibbles: two docs within hamming distance 3 of a 16-bit fingerprint
-    must agree on at least one nibble (pigeonhole), so the band
-    equi-join is lossless for d ≤ 3 — and it replaces the O(n²) cross
-    join with four shuffled self-joins on narrow keys.
+    16-bit slices (the top slice carries 15 bits of the 63-bit
+    fingerprint): two docs within hamming distance 3 must agree on at
+    least one band (pigeonhole, 4 bands > 3 differing bits), so the
+    band equi-join is lossless for d ≤ 3 — and it replaces the O(n²)
+    cross join with four shuffled self-joins. Band keys are 16-bit
+    (65k values *per band position*), wide enough that buckets stay
+    small at scale, unlike banding a 16-bit fingerprint whose 65k
+    total key space degenerates at 100 TB.
 
     Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b).
     """
@@ -186,8 +190,8 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright("simhash", 4 * b)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright("simhash", 16 * b)
+                        .bitwiseAND(F.lit(65535))
                         .alias("nibble"),
                     )
                     for b in range(4)

@@ -140,21 +140,26 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 _HEX = "0123456789abcdef"
-SIMHASH_BITS = 16
+# 63, not 64: the fingerprint must stay a non-negative BIGINT so every
+# engine (Spark long, DuckDB BIGINT — which raises on 1<<63) folds and
+# bands it identically. 2^63 key space kills the 16-bit version's
+# bucket-collision skew at scale (a 65k-value key space degenerates
+# the band join at 100 TB).
+SIMHASH_BITS = 63
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """16-bit SimHash over distinct whitespace tokens.
+    """63-bit SimHash over distinct whitespace tokens.
 
     Classic Charikar scheme: each token votes ±1 per bit position
     according to its hash; the fingerprint bit is the sign of the sum.
-    The bit source is the parity of each md5 hex digit — expressible
+    Bit ``j`` is bit ``j % 4`` of md5 hex digit ``j // 4`` — expressible
     identically in any engine with ``md5``/``instr`` (the oracle uses
     ``strpos``), so fingerprints are engine-portable. The md5 is
-    computed once per token (projection), then 16 array-aggregates
+    computed once per token (projection), then the array-aggregates
     fold the votes — all inside whole-stage codegen, zero shuffles.
 
-    Output: ``doc_id, simhash`` (bigint in [0, 65536)).
+    Output: ``doc_id, simhash`` (non-negative bigint, 63 bits).
     """
     hashed = docs.select(
         "doc_id",
@@ -167,7 +172,8 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         *[
             F.expr(
                 f"aggregate(_h, 0, (acc, h) -> acc + "
-                f"CASE WHEN (instr('{_HEX}', substring(h, {j + 1}, 1)) - 1) % 2 = 1 "
+                f"CASE WHEN ((instr('{_HEX}', substring(h, {j // 4 + 1}, 1)) - 1) "
+                f"div {1 << (j % 4)}) % 2 = 1 "
                 f"THEN 1 ELSE -1 END)"
             ).alias(f"v{j}")
             for j in range(SIMHASH_BITS)

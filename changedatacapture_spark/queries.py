@@ -1074,8 +1074,11 @@ def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# bit j of the 63-bit fingerprint = bit (j % 4) of md5 hex digit (j // 4)
+# — identical derivation to operators/text.py:simhash
 _SIMHASH_VOTES = ",\n         ".join(
-    f"sum(CASE WHEN (strpos('0123456789abcdef', substr(md5(tok), {j + 1}, 1)) - 1) % 2 = 1 "
+    f"sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), {j // 4 + 1}, 1)) - 1)"
+    f" // {1 << (j % 4)}) % 2 = 1 "
     f"THEN 1 ELSE -1 END) AS v{j}"
     for j in range(SIMHASH_BITS)
 )
@@ -1103,7 +1106,7 @@ _SIMHASH_SQL = f"""
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash duplicate groups (16-bit engine-portable fingerprint)."""
+    """SimHash duplicate groups (63-bit engine-portable fingerprint)."""
     from changedatacapture_spark.operators.dedup import simhash_groups
 
     return simhash_groups(load_table(spark, "documents", sf_dir))
@@ -1114,7 +1117,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH sig AS ({_SIMHASH_SQL}),
     bands AS (
-      SELECT doc_id, simhash, band_idx, (simhash >> (4 * band_idx)) & 15 AS nibble
+      SELECT doc_id, simhash, band_idx, (simhash >> (16 * band_idx)) & 65535 AS nibble
       FROM sig, range(0, 4) r(band_idx))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
@@ -1124,7 +1127,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming ≤ 3, lossless nibble-band LSH)."""
+    """SimHash near-duplicate pairs (hamming ≤ 3, lossless 16-bit-band LSH)."""
     from changedatacapture_spark.operators.dedup import simhash_neardup_pairs
 
     return simhash_neardup_pairs(load_table(spark, "documents", sf_dir))
@@ -2468,3 +2471,28 @@ def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted = compact_latest(batch, ["key_id"], ["ts_us", "seq"])
         table.merge(compacted, batch_id=i, guard_cols=["ts_us", "seq"])
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
+@_register(
+    "csv_batch_read",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def q_csv_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV batch source (S4): seed a CSV from the nation table, read it
+    back through the CSV reader with an explicit schema, and match the
+    parquet original (reference seeds from CSV the same way,
+    dataframe_to_postgresql.py:62-79)."""
+    import tempfile
+
+    from changedatacapture_spark.sources.csv import load_csv, write_csv
+
+    nation = load_table(spark, "nation", sf_dir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    seed = tempfile.mkdtemp(prefix="csv_seed_")
+    write_csv(nation, seed)
+    return load_csv(
+        spark,
+        seed,
+        schema="n_nationkey long, n_name string, n_regionkey long",
+    )

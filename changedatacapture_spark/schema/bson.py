@@ -89,7 +89,11 @@ def mongo_changes(
             )
         ]
     )
-    parsed = raw.select(F.from_json(F.col(value_col), env_schema).alias("e"))
+    # pass the source-order column through (Kafka offset / file seq):
+    # downstream compaction tie-breaks on it, and it must be assigned
+    # BEFORE any repartition to stay stable across replays
+    extra = [c for c in raw.columns if c == "seq"]
+    parsed = raw.select(F.from_json(F.col(value_col), env_schema).alias("e"), *extra)
     before_doc = document_to_map(F.col("e.payload.before"))
     after_doc = document_to_map(F.col("e.payload.after"))
     out = parsed.select(
@@ -97,12 +101,13 @@ def mongo_changes(
         F.col("e.payload.ts_ms").alias("ts_ms"),
         before_doc.alias("before_doc"),
         after_doc.alias("after_doc"),
+        *extra,
     )
     key = F.when(
         F.col("op") == "d", F.element_at(F.col("before_doc"), key_field)
     ).otherwise(F.element_at(F.col("after_doc"), key_field))
     return out.select(
-        key.alias("key_value"), "op", "ts_ms", "before_doc", "after_doc"
+        key.alias("key_value"), "op", "ts_ms", "before_doc", "after_doc", *extra
     )
 
 

@@ -47,17 +47,20 @@ class MongoCdcPipeline:
         from changedatacapture_spark.operators.cdc import compact_latest
         from changedatacapture_spark.schema.bson import mongo_changes
 
+        # stable tie-break: use the source's order column (Kafka offset)
+        # when present; otherwise derive an arrival-order id BEFORE the
+        # repartition — after a round-robin shuffle the id is neither
+        # arrival-ordered nor stable across replays, so same-ts events
+        # could pick a different winner nondeterministically
+        if "seq" not in raw.columns:
+            raw = raw.withColumn("seq", F.monotonically_increasing_id())
         target = self.spark.sparkContext.defaultParallelism
         if raw.rdd.getNumPartitions() < max(2, target // 4):
             raw = raw.repartition(target)
         changes = mongo_changes(raw, key_field=self.key_field)
         # heterogeneous documents: compaction runs on the map form so
         # no field set is imposed before the winning event is chosen
-        compacted = compact_latest(
-            changes.withColumn("seq", F.monotonically_increasing_id()),
-            ["key_value"],
-            ["ts_ms", "seq"],
-        )
+        compacted = compact_latest(changes, ["key_value"], ["ts_ms", "seq"])
         projected = compacted.select(
             F.col("key_value").alias(self.key_field),
             "op",

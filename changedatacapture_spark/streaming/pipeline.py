@@ -88,14 +88,16 @@ class CdcPipeline:
     # -- batch core (also usable on a static DataFrame) -------------------
 
     def parse(self, raw: DataFrame) -> DataFrame:
-        """raw(value, seq) → typed change rows (key, op, ts_ms, seq, after image)."""
+        """raw(value, seq) → typed change rows (key, op, ts_ms, seq, after image).
+
+        Pure: no side effects, so the streaming bronze/audit sinks can
+        call it on an unbounded DataFrame. Corrupt rows are *dropped*
+        here; :meth:`corrupt_rows` exposes them and
+        :meth:`process_batch` persists them to the DLQ idempotently.
+        """
         parsed = raw.select(
             F.from_json("value", self.envelope_schema).alias("e"), "seq", "value"
         )
-        if self.dlq_path:
-            corrupt = parsed.filter(F.col("e.payload.op").isNull()).select("seq", "value")
-            if not corrupt.isEmpty():
-                corrupt.write.mode("append").parquet(self.dlq_path)
         ok = parsed.filter(F.col("e.payload.op").isNotNull())
         key = F.when(
             F.col("e.payload.op") == "d", F.col(f"e.payload.before.{self.key_col}")
@@ -109,6 +111,13 @@ class CdcPipeline:
             *[F.col(f"e.payload.after.{f}").alias(f) for f in fields],
         )
 
+    def corrupt_rows(self, raw: DataFrame) -> DataFrame:
+        """Rows whose envelope fails to parse (no op after ``from_json``)."""
+        parsed = raw.select(
+            F.from_json("value", self.envelope_schema).alias("e"), "seq", "value"
+        )
+        return parsed.filter(F.col("e.payload.op").isNull()).select("seq", "value")
+
     def process_batch(self, raw: DataFrame, batch_id: int | None = None) -> None:
         """The foreachBatch body — also the whole batch-mode engine."""
         # the file/Kafka micro-batch often arrives in 1-2 partitions
@@ -117,6 +126,13 @@ class CdcPipeline:
         target = self.spark.sparkContext.defaultParallelism
         if raw.rdd.getNumPartitions() < max(2, target // 4):
             raw = raw.repartition(target)
+        if self.dlq_path:
+            # per-batch overwrite directory = replay-idempotent (a
+            # foreachBatch retry rewrites the same path, never appends
+            # duplicates) and no driver-side emptiness probe
+            self.corrupt_rows(raw).write.mode("overwrite").parquet(
+                f"{self.dlq_path}/batch_id={0 if batch_id is None else batch_id}"
+            )
         changes = self.parse(raw)
         compacted = compact_latest(
             changes, [self.key_col], ["ts_ms", "seq"]

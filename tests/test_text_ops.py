@@ -64,15 +64,17 @@ def test_simhash_deterministic_and_order_insensitive(spark):
     c = "totally different words here entirely"
     out = {r.doc_id: r.simhash for r in simhash(_docs(spark, [a, b, c])).collect()}
     assert out[0] == out[1]
-    assert 0 <= out[0] < 1 << 16
+    assert 0 <= out[0] < 1 << 63
     assert out[0] != out[2]
 
 
 def test_simhash_neardup_pairs_finds_close_docs(spark):
     from changedatacapture_spark.operators.dedup import simhash_neardup_pairs
 
-    base = "spark query engine shuffle partition broadcast join filter"
-    near = base + " extra"          # one extra token -> few bit flips
+    # at 63 bits a single extra token flips ~|votes near zero| bits;
+    # with ~100 shared tokens the flip count stays within hamming<=3
+    base = " ".join(f"word{i}" for i in range(100))
+    near = base + " extra"
     far = "completely unrelated vocabulary about cooking pasta sauce"
     docs = _docs(spark, [base, near, far])
     pairs = {(r.doc_a, r.doc_b) for r in simhash_neardup_pairs(docs).collect()}

@@ -135,3 +135,73 @@ class StreamManager:
             self.query.stop()
             self.query.awaitTermination(int(timeout) if timeout else None)
             self.query = None
+
+
+def next_aligned_fire(
+    now: float, period_seconds: float, offset_seconds: float = 0.0
+) -> float:
+    """Next wall-clock-aligned fire time strictly after ``now``.
+
+    Boundaries are ``offset + k * period`` in epoch seconds — e.g.
+    ``period=1800, offset=0`` fires at :00 and :30 of every hour
+    regardless of when the runner started (the property the reference's
+    cron alignment provides, archive/stable_v3.py:322-363, and a plain
+    ``processingTime`` trigger does not: that one ticks relative to
+    query start).
+    """
+    if period_seconds <= 0:
+        raise ValueError("period_seconds must be positive")
+    k = int((now - offset_seconds) // period_seconds) + 1
+    return offset_seconds + k * period_seconds
+
+
+class CronAlignedRunner:
+    """Cron-aligned micro-batching (W4): one ``availableNow`` drain per
+    wall-clock boundary.
+
+    Spark has no cron trigger; the idiomatic equivalent is a scheduled
+    sequence of ``availableNow`` runs against the same checkpoint —
+    each cycle processes everything available, then the query shuts
+    down until the next boundary (same cost model as the reference's
+    sleep-until-aligned loop, with Spark's checkpoint providing
+    exactly-once across cycles).
+
+    ``start_fn()`` must build and start an ``availableNow`` query each
+    cycle. ``clock``/``sleeper`` are injectable for tests.
+    """
+
+    def __init__(
+        self,
+        start_fn: Callable[[], StreamingQuery],
+        period_seconds: float,
+        offset_seconds: float = 0.0,
+        clock: Callable[[], float] = time.time,
+        sleeper: Callable[[float], None] | None = None,
+    ) -> None:
+        self.start_fn = start_fn
+        self.period_seconds = period_seconds
+        self.offset_seconds = offset_seconds
+        self.clock = clock
+        self._stop_evt = threading.Event()
+        self.sleeper = sleeper or (lambda s: self._stop_evt.wait(s))
+        self.cycles_run = 0
+
+    def run(self, max_cycles: int | None = None) -> None:
+        """Fire at each aligned boundary until stopped (or max_cycles)."""
+        while not self._stop_evt.is_set():
+            if max_cycles is not None and self.cycles_run >= max_cycles:
+                return
+            fire_at = next_aligned_fire(
+                self.clock(), self.period_seconds, self.offset_seconds
+            )
+            delay = fire_at - self.clock()
+            if delay > 0:
+                self.sleeper(delay)
+            if self._stop_evt.is_set():
+                return
+            q = self.start_fn()
+            q.awaitTermination()
+            self.cycles_run += 1
+
+    def stop(self) -> None:
+        self._stop_evt.set()

@@ -79,3 +79,63 @@ def test_stream_manager_restarts_on_trigger_change(tmp_path):
     mgr.stop()
     assert started[-1].trigger == 11
     assert started[0].stopped  # old query stopped at batch boundary
+
+
+def test_next_aligned_fire_math():
+    from changedatacapture_spark.streaming.manager import next_aligned_fire
+
+    # :00/:30 alignment — 10:07:13 fires next at 10:30:00
+    assert next_aligned_fire(1800 * 3 + 433, 1800) == 1800 * 4
+    # exactly on a boundary -> strictly the NEXT one
+    assert next_aligned_fire(3600, 1800) == 5400
+    # offset shifts the grid
+    assert next_aligned_fire(100, 60, offset_seconds=15) == 135
+    import pytest
+
+    with pytest.raises(ValueError):
+        next_aligned_fire(0, 0)
+
+
+def test_cron_aligned_runner_fires_on_grid():
+    from changedatacapture_spark.streaming.manager import CronAlignedRunner
+
+    now = {"t": 1000.0}
+    fired_at = []
+    slept = []
+
+    class _Q:
+        def awaitTermination(self, timeout=None):
+            return True
+
+    def clock():
+        return now["t"]
+
+    def sleeper(s):
+        slept.append(round(s, 6))
+        now["t"] += s
+
+    def start_fn():
+        fired_at.append(now["t"])
+        return _Q()
+
+    r = CronAlignedRunner(
+        start_fn, period_seconds=30, clock=clock, sleeper=sleeper
+    )
+    r.run(max_cycles=3)
+    # grid: 1020, 1050, 1080 — aligned to period regardless of start time
+    assert fired_at == [1020.0, 1050.0, 1080.0]
+    assert r.cycles_run == 3
+
+
+def test_cron_aligned_runner_stop_breaks_sleep():
+    from changedatacapture_spark.streaming.manager import CronAlignedRunner
+
+    r = CronAlignedRunner(lambda: None, period_seconds=3600)
+    import threading
+
+    t = threading.Thread(target=r.run)
+    t.start()
+    time.sleep(0.2)
+    r.stop()
+    t.join(timeout=2)
+    assert not t.is_alive()

@@ -160,6 +160,102 @@ def embedding_neardup_pairs(
     )
 
 
+def _lcg_centroid(cell: int, d: int) -> float:
+    """Deterministic pseudo-random IVF centroid coefficient (salted LCG)."""
+    return _lcg_plane(1000 + cell, d)
+
+
+def ivf_cell_scores(vec_col: str, n_cells: int = 8, dim: int = 64) -> Column:
+    """Array of ⟨vec, centroid_c⟩ scores, one per IVF cell.
+
+    Centroids come from the salted LCG, so cell assignment is
+    reproducible in any engine (and in the SQL oracle) without a
+    k-means fit; at real scale the centroid table would be a k-means
+    artifact broadcast the same way — the plan shape is identical.
+    Accumulation is float64 in index order (deterministic).
+    """
+    scores = []
+    for c in range(n_cells):
+        s = None
+        for d in range(dim):
+            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(
+                _lcg_centroid(c, d)
+            )
+            s = term if s is None else s + term
+        scores.append(s)
+    return F.array(*scores)
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Approximate top-k via IVF coarse quantization (the classic
+    inverted-file ANN layout, the scale path beside sign-pattern LSH).
+
+    Every corpus vector is assigned to its best cell (argmax centroid
+    score — a pure projection, zero shuffle); a probe searches only its
+    top-``nprobe`` cells, so the candidate join is an equi-join on the
+    cell id and the scanned fraction is ~``nprobe / n_cells``. Recall
+    trades via ``nprobe``. Ties in the argmax break to the lowest cell
+    id in both engines (first-occurrence semantics of
+    ``array_position`` / ``list_position``).
+
+    Output: ``probe_id, neighbor_id, score_scaled, rk`` (exact cosine
+    rescoring of candidates, scaled-integer scores).
+    """
+    from pyspark.sql import Window as W
+
+    cs = ivf_cell_scores(vec_col, n_cells, dim)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("corpus_vec"),
+        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+    )
+    p_scored = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("probe_vec"),
+            cs.alias("_cs"),
+        )
+        .select(
+            "probe_id", "probe_vec", F.posexplode("_cs").alias("cell", "_s")
+        )
+    )
+    wp = W.partitionBy("probe_id").orderBy(F.col("_s").desc(), F.col("cell"))
+    p = (
+        p_scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= nprobe)
+        .select("probe_id", "probe_vec", "cell")
+    )
+    pair = c.join(F.broadcast(p), "cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    cos = dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_vec"))) * F.sqrt(l2_norm_sq(F.col("corpus_vec")))
+    )
+    scored = pair.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(cos * scale).cast("long").alias("score_scaled"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "score_scaled", "rk")
+    )
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

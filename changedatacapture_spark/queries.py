@@ -929,6 +929,66 @@ def q_knn_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(emb, probes, k=5, n_planes=4, dim=64)
 
+
+def _ivf_cs_sql(vec: str, n_cells: int = 8, dim: int = 64) -> str:
+    """DuckDB list of IVF centroid scores — same salted-LCG constants
+    as operators/similarity.py:ivf_cell_scores."""
+    from changedatacapture_spark.operators.similarity import _lcg_centroid
+
+    cells = []
+    for c in range(n_cells):
+        terms = " + ".join(
+            f"CAST({vec}[{d + 1}] AS DOUBLE) * ({_lcg_centroid(c, d)!r})"
+            for d in range(dim)
+        )
+        cells.append(f"({terms})")
+    return "[" + ", ".join(cells) + "]"
+
+
+@_register(
+    "knn_ivf_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_ivf_cs_sql('embedding')} AS cs
+      FROM embeddings),
+    corpus_cells AS (
+      SELECT vec_id AS neighbor_id, embedding,
+             CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+      FROM base),
+    probe_scored AS (
+      SELECT vec_id AS probe_id, embedding AS pv, r.cell, cs[r.cell + 1] AS s
+      FROM base, range(0, 8) r(cell)
+      WHERE vec_id < 10),
+    probe_cells AS (
+      SELECT probe_id, pv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY s DESC, cell) AS rn
+        FROM probe_scored)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.probe_id, c.neighbor_id,
+             CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')}) * 1000000) AS BIGINT)
+               AS score_scaled
+      FROM probe_cells p JOIN corpus_cells c ON c.cell = p.cell
+      WHERE c.neighbor_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, score_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY score_scaled DESC, neighbor_id) AS rk
+    FROM scored
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5: corpus partitioned into 8 coarse cells
+    (argmax centroid score, zero-shuffle projection), probes search
+    their top-2 cells — candidate fraction ~nprobe/n_cells, candidates
+    rescored exactly."""
+    from changedatacapture_spark.operators.similarity import cosine_topk_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, probes, k=5, n_cells=8, nprobe=2, dim=64)
+
 # ---------------------------------------------------------------------------
 # Mongo/BSON path: extended-JSON normalization as column expressions
 # (replaces the reference's Python UDF, cdc_stream.py:728-739).

@@ -61,7 +61,16 @@ class SnapshotTable:
     carries every other bucket forward by reference — merge cost is
     proportional to the batch's key spread, not the table (at 100 TB,
     rewriting the full table per 30 s micro-batch is not an option).
-    ``n_buckets`` trades merge granularity against file count.
+
+    ``n_buckets`` trades merge granularity against file count and must
+    scale with the TABLE, not the batch: size it so one bucket is
+    roughly 256 MB–1 GB of parquet (e.g. a 1 TB table → ~2,048
+    buckets; the 16 default fits test scale only). Too few buckets →
+    every merge rewrites most of the table; too many → small-file
+    storms and a fat manifest. Buckets are hash-ranged, so the count
+    can only change via a full rewrite (``overwrite``) — pick for the
+    table's target size, not its current one. Single-writer POSIX-
+    rename commit; multi-writer deployments use :class:`DeltaTableSink`.
     """
 
     def __init__(

@@ -106,3 +106,36 @@ def test_multimodal_plumbing(spark):
     assert {r.media_id: tuple(r.feature) for r in feats} == {
         r.media_id: tuple(r.feature) for r in again
     }
+
+
+def test_cosine_topk_ivf_recovers_identical_vector(spark):
+    from changedatacapture_spark.operators.similarity import cosine_topk_ivf
+
+    rows = [(i, [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]) for i in range(20)]
+    rows.append((100, rows[5][1]))  # identical vector to id 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = emb.filter(F.col("vec_id") == 100)
+    # identical vectors land in the same argmax cell, so nprobe=1 finds it
+    out = cosine_topk_ivf(emb, probes, k=3, n_cells=4, nprobe=1, dim=8).collect()
+    assert any(r.neighbor_id == 5 and r.rk == 1 for r in out)
+
+
+def test_ivf_searches_only_nprobe_fraction(spark):
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_cell_scores,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = [(i, [float((i * 13 + d * 5) % 17 - 8) for d in range(8)]) for i in range(64)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cs = ivf_cell_scores("embedding", n_cells=4, dim=8)
+    cells = emb.select(
+        "vec_id",
+        (SF.array_position(cs, SF.array_max(cs)) - 1).cast("int").alias("cell"),
+    )
+    cell_of = {r.vec_id: r.cell for r in cells.collect()}
+    probes = emb.filter(SF.col("vec_id") == 0)
+    out = cosine_topk_ivf(emb, probes, k=50, n_cells=4, nprobe=1, dim=8).collect()
+    # every candidate that survived comes from the probe's own cell
+    assert out and all(cell_of[r.neighbor_id] == cell_of[0] for r in out)

@@ -2556,3 +2556,27 @@ def q_csv_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         seed,
         schema="n_nationkey long, n_name string, n_regionkey long",
     )
+
+
+@_register(
+    "props_key_profile",
+    """
+    SELECT event_type, k AS prop_key, count(*) AS n
+    FROM (SELECT event_type, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY event_type, k
+    """,
+)
+def q_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct JSON property keys per event type (A3: the reference
+    collects distinct map keys driver-side, cdc_stream.py:820-827 —
+    here it is one explode + partial-agg shuffle, no driver loop)."""
+    ev = load_table(spark, "events", sf_dir)
+    keys = ev.select(
+        "event_type",
+        F.explode(
+            F.map_keys(F.from_json("props", "map<string,string>"))
+        ).alias("prop_key"),
+    )
+    return keys.groupBy("event_type", "prop_key").agg(
+        F.count(F.lit(1)).alias("n")
+    )

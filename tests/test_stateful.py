@@ -1,0 +1,80 @@
+"""applyInPandasWithState sessionization: state persists across
+micro-batches, closes on gap, survives per-key sharding."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.types import StructType
+
+
+def _write_batch(src: str, name: str, rows: list[tuple[int, int]]) -> None:
+    os.makedirs(src, exist_ok=True)
+    with open(f"{src}/{name}.jsonl", "w") as f:
+        for uid, ts_us in rows:
+            f.write(json.dumps({"user_id": uid, "ts_us": ts_us}) + "\n")
+
+
+def _run_stream(spark, src: str, ckpt: str, out_table: str):
+    from changedatacapture_spark.streaming.stateful import stateful_sessionize
+
+    schema = StructType.fromDDL("user_id long, ts_us long")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    sessions = stateful_sessionize(stream, gap_seconds=10)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_sessions_close_on_gap_and_state_persists(spark, tmp_path):
+    src = str(tmp_path / "src")
+    us = 1_000_000
+    # batch file a: user 1 events at t=0s,5s (one open session)
+    _write_batch(src, "a", [(1, 0), (1, 5 * us)])
+    # batch file b: t=30s — gap > 10s closes the first session
+    _write_batch(src, "b", [(1, 30 * us), (2, 0)])
+    _run_stream(spark, src, str(tmp_path / "ckpt"), "sess_out")
+    rows = spark.sql("select * from sess_out").collect()
+
+    closed = [r for r in rows if r.closed and r.user_id == 1]
+    assert len(closed) == 1
+    assert (closed[0].session_start, closed[0].session_end, closed[0].n_events) == (
+        0,
+        5 * us,
+        2,
+    )
+    # the new open session for user 1 carries only the t=30s event:
+    # state (session_start/last/n) persisted across the two batches
+    open_u1 = [r for r in rows if not r.closed and r.user_id == 1]
+    assert any(
+        (r.session_start, r.n_events) == (30 * us, 1) for r in open_u1
+    )
+    open_u2 = [r for r in rows if not r.closed and r.user_id == 2]
+    assert any((r.session_start, r.n_events) == (0, 1) for r in open_u2)
+
+
+def test_single_batch_multiple_gaps(spark, tmp_path):
+    src = str(tmp_path / "src")
+    us = 1_000_000
+    _write_batch(
+        src, "a", [(7, 0), (7, 2 * us), (7, 20 * us), (7, 40 * us), (7, 41 * us)]
+    )
+    _run_stream(spark, src, str(tmp_path / "ckpt"), "sess_out2")
+    rows = spark.sql("select * from sess_out2 where user_id = 7").collect()
+    closed = sorted(
+        [(r.session_start, r.session_end, r.n_events) for r in rows if r.closed]
+    )
+    assert closed == [(0, 2 * us, 2), (20 * us, 20 * us, 1)]
+    opened = [(r.session_start, r.n_events) for r in rows if not r.closed]
+    assert (40 * us, 2) in opened

@@ -2580,3 +2580,146 @@ def q_props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keys.groupBy("event_type", "prop_key").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@_register(
+    "q8_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(20,2))
+               * CAST(1 - l.l_discount AS DECIMAL(20,2)) AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+      JOIN region r   ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO')
+    SELECT o_year,
+           CAST(CAST(sum(CASE WHEN supp_nation = 'CHINA' THEN rev
+                              ELSE CAST(0 AS DECIMAL(20,2)) END) AS DECIMAL(38,6))
+                / CAST(sum(rev) AS DECIMAL(38,6)) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape: one supplier nation's revenue share of a
+    region's PROMO-part market per year.
+
+    All six dims (region→nation→customer path, supplier→nation,
+    filtered part) broadcast; lineitem is the only shuffled input and
+    it shuffles once, for the final year aggregation. The share
+    divides two exact decimal sums, cast to double only at the end.
+    """
+    r = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, "nation", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, "lineitem", sf_dir)
+
+    cust_dim = (
+        c.join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_dim = (
+        s.join(
+            F.broadcast(
+                load_table(spark, "nation", sf_dir).select(
+                    F.col("n_nationkey").alias("_n2key"),
+                    F.col("n_name").alias("supp_nation"),
+                )
+            ),
+            s.s_nationkey == F.col("_n2key"),
+        ).select("s_suppkey", "supp_nation")
+    )
+    rev = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+    )
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_dim), o.o_custkey == cust_dim.c_custkey)
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    china = F.when(F.col("supp_nation") == "CHINA", F.col("rev")).otherwise(
+        F.lit(0).cast(_DEC)
+    )
+    return base.groupBy("o_year").agg(
+        (
+            F.sum(china).cast("decimal(38,6)")
+            / F.sum("rev").cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("mkt_share")
+    )
+
+
+@_register(
+    "q9_product_profit",
+    """
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(20,2))
+                    - CAST(p.p_retailprice AS DECIMAL(20,2))
+                      * CAST(l.l_quantity AS DECIMAL(20,2))
+                      * CAST(0.1 AS DECIMAL(20,2))) AS DECIMAL(38,6)) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape: profit by supplier nation and year for one
+    product family (the corpus has no partsupp, so supply cost is
+    proxied as 10% of retail price — same join/agg shape).
+
+    part/supplier/nation broadcast; the lineitem→orders join is the
+    one big shuffle; aggregation is partial map-side on (nation, year).
+    """
+    p = load_table(spark, "part", sf_dir).filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp_dim = s.join(
+        F.broadcast(n.select("n_nationkey", F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    profit = (
+        F.col("l_extendedprice").cast(_DEC)
+        * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+        - F.col("p_retailprice").cast(_DEC)
+        * F.col("l_quantity").cast(_DEC)
+        * F.lit(0.1).cast(_DEC)
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_dim), li.l_suppkey == supp_dim.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("_pf"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("_pf").cast("decimal(38,6)").alias("profit"))
+    )

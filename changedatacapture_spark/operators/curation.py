@@ -1,0 +1,134 @@
+"""Training-corpus curation operators: deterministic splits, sequence
+packing, and filter funnels.
+
+These are the operations a large-scale LLM-data pipeline runs after
+dedup/quality scoring (none exist in the reference — it stops at CDC
+materialization — but they are the reason a 100 TB corpus engine is
+worth having). All are pure column expressions / window functions:
+
+- **split assignment** hashes the *document id*, not row position, so
+  the train/val/test partition is stable under reordering, reruns and
+  incremental appends — the property random() sampling lacks;
+- **sequence packing** is the contiguous-fill approximation (running
+  token total per stream, cut every ``max_tokens``): one window per
+  source partition, no driver loop, deterministic bins;
+- **the funnel** composes the quality filters as plain predicates so
+  Catalyst can collapse them into one scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.operators.text import tokens
+
+_HEX = "0123456789abcdef"
+
+
+def _hash_bucket_expr(instr_fn: str, arg: str, n_buckets: int = 100) -> str:
+    """Engine-portable SQL: first 4 md5 hex digits of ``arg`` → int
+    in [0, n_buckets). ``instr_fn`` is ``instr`` (Spark) / ``strpos``
+    (DuckDB); everything else is shared arithmetic.
+    """
+    terms = " + ".join(
+        f"({instr_fn}('{_HEX}', substring(md5({arg}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({terms}) % {n_buckets})"
+
+
+def split_bucket(id_expr_sql: str) -> Column:
+    """Spark column: md5-derived bucket in [0, 100) for an id expression."""
+    return F.expr(_hash_bucket_expr("instr", id_expr_sql)).cast("long")
+
+
+def split_assign(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Assign each document a stable train/val/test split label.
+
+    bucket = md5(id) mod 100; [0, train) → train, [train, train+val)
+    → val, rest → test. Adding documents later never moves an existing
+    document between splits (content-addressed, not position-based).
+    """
+    bucket = split_bucket(f"CAST({id_col} AS STRING)")
+    label = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        F.col(id_col), bucket.alias("split_bucket"), label.alias("split")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    stream_col: str = "source",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Contiguous-fill sequence packing: within each stream, documents
+    (in stable ``order_col`` order) fill bins of ``max_tokens``.
+
+    bin = floor(exclusive-running-token-total / max_tokens) — one
+    window per stream partition; at scale each stream's window state
+    lives on one executor, and streams are independent. A document
+    longer than ``max_tokens`` occupies its bins alone (same as
+    sample-then-truncate pipelines).
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        W.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(n_tok).over(w)
+    return docs.select(
+        F.col(order_col),
+        F.col(stream_col),
+        n_tok.alias("n_tokens"),
+        F.floor((cum - n_tok) / max_tokens).cast("long").alias("bin"),
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 100,
+    min_alpha_pm: int = 500,
+) -> DataFrame:
+    """Per-stage survivor counts of a minimal curation pipeline:
+    total → length filter → alpha-ratio filter → exact dedup.
+
+    Output: ``stage, n_docs`` (stage names ordered ``0_total`` …
+    ``3_dedup`` so the funnel reads top-down when sorted). Integer
+    arithmetic only (``n_alpha * 1000 >= min_alpha_pm * n_chars``)
+    keeps the predicate exact in any engine.
+    """
+    t = F.col(text_col)
+    base = docs.select("doc_id", t.alias("_t"))
+    n_chars = F.length("_t")
+    n_alpha = F.length(F.regexp_replace(F.col("_t"), "[^A-Za-z]", ""))
+    s1 = base.filter(n_chars >= min_chars)
+    s2 = s1.filter(n_alpha * 1000 >= min_alpha_pm * n_chars)
+    s3 = s2.groupBy("_t").agg(F.min("doc_id"))
+
+    def count_row(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
+    return (
+        count_row(base, "0_total")
+        .unionByName(count_row(s1, "1_minlen"))
+        .unionByName(count_row(s2, "2_alpha"))
+        .unionByName(count_row(s3, "3_dedup"))
+    )

@@ -2723,3 +2723,93 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nation", "o_year")
         .agg(F.sum("_pf").cast("decimal(38,6)").alias("profit"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: deterministic split assignment, sequence packing,
+# filter funnel (operators/curation.py — the post-dedup stages of a
+# training-data pipeline; no reference analogue, scale-first design).
+# ---------------------------------------------------------------------------
+
+from changedatacapture_spark.operators.curation import (  # noqa: E402
+    _hash_bucket_expr,
+    curation_funnel,
+    pack_sequences,
+    split_assign,
+)
+
+
+@_register(
+    "dataset_split_assign",
+    f"""
+    SELECT split, count(*) AS n_docs, min(doc_id) AS first_doc FROM (
+      SELECT doc_id,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   {_hash_bucket_expr('strpos', 'CAST(doc_id AS VARCHAR)')} AS b
+            FROM documents))
+    GROUP BY split
+    """,
+)
+def q_dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable content-addressed train/val/test assignment: md5(doc_id)
+    buckets, so reruns and incremental appends never reshuffle splits."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        split_assign(docs)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+    )
+
+
+@_register(
+    "seq_packing_bins",
+    """
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (
+                    PARTITION BY source ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens) / 2048) AS BIGINT) AS bin
+      FROM t)
+    SELECT source, bin, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM c GROUP BY source, bin
+    """,
+)
+def q_seq_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (contiguous fill, 2048-token bins) per source
+    stream: one window per partition, zero driver loops."""
+    docs = load_table(spark, "documents", sf_dir)
+    packed = pack_sequences(docs, max_tokens=2048)
+    return packed.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+@_register(
+    "curation_funnel",
+    """
+    WITH base AS (SELECT doc_id, text FROM documents),
+    m AS (SELECT doc_id, text, length(text) AS nc,
+                 length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na
+          FROM base),
+    s1 AS (SELECT * FROM m WHERE nc >= 100),
+    s2 AS (SELECT * FROM s1 WHERE na * 1000 >= 500 * nc),
+    s3 AS (SELECT text, min(doc_id) AS doc_id FROM s2 GROUP BY text)
+    SELECT '0_total' AS stage, count(*) AS n_docs FROM base
+    UNION ALL SELECT '1_minlen', count(*) FROM s1
+    UNION ALL SELECT '2_alpha', count(*) FROM s2
+    UNION ALL SELECT '3_dedup', count(*) FROM s3
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel survivor counts: total → min-length →
+    alpha-ratio → exact-dedup (integer-exact predicates)."""
+    return curation_funnel(load_table(spark, "documents", sf_dir))

@@ -2813,3 +2813,94 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation funnel survivor counts: total → min-length →
     alpha-ratio → exact-dedup (integer-exact predicates)."""
     return curation_funnel(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "events_stateful_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    o AS (
+      SELECT user_id, ts_us,
+             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      FROM e),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev IS NULL OR ts_us - prev > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged)
+    SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: events replayed
+    as 4 time-ordered micro-batch files through
+    ``applyInPandasWithState`` sessionization (6 h gap), update-mode
+    memory sink, folded to final sessions — which must equal one
+    global batch sessionization (the oracle) regardless of how the
+    stream was micro-batched.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql.window import Window
+
+    from changedatacapture_spark.streaming.stateful import stateful_sessionize
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    work = tempfile.mkdtemp(prefix="stateful_sess_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    # 4 micro-batch files along global event-time order (per-key arrival
+    # stays in order across batches, as a log-compacted source provides)
+    batched = ev.withColumn(
+        "_b", F.ntile(4).over(Window.orderBy("ts_us", "user_id"))
+    )
+    for i in (1, 2, 3, 4):
+        out_dir = os.path.join(work, f"w{i}")
+        (
+            batched.filter(F.col("_b") == i)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(out_dir)
+        )
+        part = glob.glob(os.path.join(out_dir, "part-*.json"))[0]
+        shutil.move(part, os.path.join(src, f"b{i}.json"))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_sessionize(stream, gap_seconds=21600)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink)
+    # closed sessions emit once; open sessions re-emit per batch as they
+    # grow — the per-(user, start) max is the session's final extent
+    return emitted.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )

@@ -118,3 +118,50 @@ def test_q2_argmin_reuses_agg_partitioning(spark, sf_dir):
     df = _run(spark, sf_dir, "q2_min_cost_supplier")
     assert has_broadcast_join(df)
     assert count_exchanges(df) <= 3, executed_plan(df)
+
+
+def test_q8_all_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    """Six dims (region→nation→customer, supplier→nation, part) all
+    broadcast; lineitem scans once and shuffles only for the orders
+    join + final year aggregation."""
+    df = _run(spark, sf_dir, "q8_market_share")
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert plan.count("lineitem.parquet") == 1, "fact scanned more than once"
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_q9_part_filter_pushed(spark, sf_dir):
+    """The widget LIKE-filter prunes part before broadcast; the fact
+    shuffles once for the orders join."""
+    df = _run(spark, sf_dir, "q9_product_profit")
+    assert has_broadcast_join(df)
+    pf = " ".join(pushed_filters(df))
+    assert "p_name" in pf, f"part name filter not pushed: {pf}"
+    assert count_exchanges(df) <= 2, executed_plan(df)
+
+
+def test_ivf_assignment_is_zero_shuffle_projection(spark, sf_dir):
+    """IVF cell assignment must stay a projection: the only exchanges
+    are the probe-side window (tiny) and the candidate join/top-k —
+    never a corpus-wide extra shuffle for the argmax."""
+    df = _run(spark, sf_dir, "knn_ivf_topk")
+    plan = executed_plan(df)
+    assert has_broadcast_join(df), "probe cells must broadcast"
+    assert plan.count("embeddings.parquet") == 2, "corpus+probes scan twice only"
+
+
+def test_seq_packing_single_window_exchange(spark, sf_dir):
+    """Packing = one hash exchange on the stream key for the window,
+    one for the final (source, bin) aggregate — reusing the same
+    partitioning where AQE allows."""
+    df = _run(spark, sf_dir, "seq_packing_bins")
+    assert count_exchanges(df) <= 2, executed_plan(df)
+
+
+def test_split_assign_no_shuffle(spark, sf_dir):
+    """Split assignment is content-addressed hashing — a pure
+    projection with a final tiny aggregate; the scan must not
+    shuffle the corpus beyond the 3-group count."""
+    df = _run(spark, sf_dir, "dataset_split_assign")
+    assert count_exchanges(df) <= 1, executed_plan(df)

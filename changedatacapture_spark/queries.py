@@ -2904,3 +2904,68 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("session_end").alias("session_end"),
         F.max("n_events").alias("n_events"),
     )
+
+
+@_register(
+    "events_range_join",
+    """
+    WITH w AS (
+      SELECT event_id AS window_id, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 3600000000 AS e
+      FROM events WHERE event_type = 'error'),
+    p AS (
+      SELECT event_id AS probe_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.probe_id, w.window_id, p.user_id
+    FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.s AND w.e
+    """,
+)
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join: purchases landing inside the
+    1 h window after an error by the same user.
+
+    Vanilla Spark compiles BETWEEN joins to nested loops; the bucketed
+    operator (operators/joins.py) rewrites it as an equi-join on
+    (user, hour-bucket) + exact filter — shuffle stays linear in the
+    inputs at any scale.
+    """
+    from changedatacapture_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, "events", sf_dir)
+    windows = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 3_600_000_000).alias("e"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("probe_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    out = range_join_bucketed(
+        probes, windows, "t", "s", "e", keys=["user_id"],
+        bucket_width=3_600_000_000,
+    )
+    return out.select("probe_id", "window_id", "user_id")
+
+
+@_register(
+    "dedup_incremental",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id >= 400
+      AND md5(d.text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 400)
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: new documents (id ≥ 400) whose fingerprint is
+    absent from the reference corpus (id < 400) — the anti-join a
+    crawl pipeline runs against its canonical store; shuffles narrow
+    md5 keys, never document text."""
+    docs = load_table(spark, "documents", sf_dir)
+    new = docs.filter(F.col("doc_id") >= 400).select(
+        "doc_id", F.md5("text").alias("_fp")
+    )
+    ref = docs.filter(F.col("doc_id") < 400).select(F.md5("text").alias("_fp"))
+    return new.join(ref, "_fp", "left_anti").select("doc_id")

@@ -53,3 +53,39 @@ def test_curation_funnel_monotone(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.stage: r.n_docs for r in curation_funnel(docs).collect()}
     assert out == {"0_total": 4, "1_minlen": 3, "2_alpha": 2, "3_dedup": 1}
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    from changedatacapture_spark.operators.joins import range_join_bucketed
+
+    points = spark.createDataFrame(
+        [(i, "k", i * 100) for i in range(50)], "pid long, key string, t long"
+    )
+    intervals = spark.createDataFrame(
+        [
+            (1, "k", 0, 250),        # multi-point
+            (2, "k", 240, 260),      # boundary inclusive both ends
+            (3, "k", 1000, 4000),    # spans many buckets
+            (4, "k", 4900, 4900),    # single-instant interval
+            (5, "other", 0, 5000),   # key mismatch -> no pairs
+        ],
+        "iid long, ikey string, s long, e long",
+    )
+    out = range_join_bucketed(
+        points,
+        intervals.withColumnRenamed("ikey", "key"),
+        "t",
+        "s",
+        "e",
+        keys=["key"],
+        bucket_width=500,
+    )
+    got = {(r.pid, r.iid) for r in out.collect()}
+    naive = {
+        (p, i)
+        for p in range(50)
+        for (i, k, s, e) in [(1, "k", 0, 250), (2, "k", 240, 260),
+                             (3, "k", 1000, 4000), (4, "k", 4900, 4900)]
+        if s <= p * 100 <= e
+    }
+    assert got == naive

@@ -2969,3 +2969,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = docs.filter(F.col("doc_id") < 400).select(F.md5("text").alias("_fp"))
     return new.join(ref, "_fp", "left_anti").select("doc_id")
+
+
+@_register(
+    "cdc_schema_evolution",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    b AS (
+      SELECT *, ntile(2) OVER (ORDER BY ts_us, seq) AS bt FROM log),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY key_id
+                                   ORDER BY ts_us DESC, seq DESC) AS rn
+      FROM b)
+    SELECT key_id, seq, ts_us, value,
+           CASE WHEN bt = 2 THEN props END AS props
+    FROM ranked WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the merge sink (U1): batch 1 is written
+    WITHOUT the ``props`` column, batch 2 adds it — the table widens on
+    merge and batch-1 winners read back with null backfill (the policy
+    the reference advertises but silently inverts by dropping new
+    fields, cdc_stream.py:852-861)."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "_bt", F.ntile(2).over(Window.orderBy("ts_us", "seq"))
+    )
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="cdc_evolve_"), ["key_id"], n_buckets=8
+    )
+    for bt, df in ((1, log.filter(F.col("_bt") == 1).drop("props")),
+                   (2, log.filter(F.col("_bt") == 2))):
+        compacted = compact_latest(df.drop("_bt"), ["key_id"], ["ts_us", "seq"])
+        table.merge(compacted, batch_id=bt)
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")

@@ -3015,3 +3015,137 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         compacted = compact_latest(df.drop("_bt"), ["key_id"], ["ts_us", "seq"])
         table.merge(compacted, batch_id=bt)
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
+def _write_ordered_batches(df: DataFrame, src: str, work: str, n: int) -> None:
+    """Write ``df`` as ``n`` time-ordered JSONL micro-batch files with
+    strictly increasing mtimes (the file stream source orders batches
+    by modification time — same-ms mtimes would scramble replay order).
+    ``df`` must carry a ``_b`` column in [1, n]."""
+    import glob
+    import os
+    import shutil
+
+    os.makedirs(src, exist_ok=True)
+    for i in range(1, n + 1):
+        out_dir = os.path.join(work, f"w{i}")
+        (
+            df.filter(F.col("_b") == i)
+            .drop("_b")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .json(out_dir)
+        )
+        part = glob.glob(os.path.join(out_dir, "part-*.json"))[0]
+        dest = os.path.join(src, f"b{i}.json")
+        shutil.move(part, dest)
+        os.utime(dest, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+
+@_register(
+    "cdc_window_stream_e2e",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_ms(ts) AS ts_ms,
+             -- after-image rule: deletes carry no row image
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+      FROM events),
+    wm AS (SELECT max(ts_ms) - 7200000 AS w FROM log),
+    winr AS (SELECT *, ts_ms - ts_ms % 3600000 AS window_start_ms FROM log),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY window_start_ms, key_id
+                                   ORDER BY ts_ms DESC, seq DESC) AS rn
+      FROM winr)
+    SELECT window_start_ms, key_id, seq, value
+    FROM ranked, wm WHERE rn = 1 AND window_start_ms + 3600000 <= wm.w
+    """,
+)
+def q_cdc_window_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked windowed compaction as a real stream (W1+W3): the
+    changelog replays as 4 time-ordered micro-batch files through
+    ``windowed_compact_stream`` (1 h tumbling windows, 2 h watermark)
+    into an append-mode sink. Emitted = exactly the windows whose end
+    the final watermark passed (window_end ≤ max event time − delay) —
+    the oracle states that closure rule in SQL. Late rows beyond the
+    watermark would be dropped by the state store; the time-ordered
+    replay has none, so emission is deterministic."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    ev = load_table(spark, "events", sf_dir)
+    op = (
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+    )
+    doc = F.struct(
+        F.col("user_id").alias("key_id"), F.col("value").alias("value")
+    )
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(op != "c", doc).alias("before"),
+                F.when(op != "d", doc).alias("after"),
+                op.alias("op"),
+                F.unix_millis("ts").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    raw = ev.select(
+        env.alias("value"),
+        F.col("event_id").alias("seq"),
+        F.ntile(4)
+        .over(Window.orderBy(F.unix_millis("ts"), "event_id"))
+        .alias("_b"),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_winstream_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    record_schema = T.StructType(
+        [
+            T.StructField("key_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    pipe = CdcPipeline(
+        spark,
+        record_schema,
+        SnapshotTable(spark, os.path.join(work, "t"), ["key_id"]),
+        "key_id",
+    )
+    stream = (
+        spark.readStream.schema("value string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    win = pipe.windowed_compact_stream(
+        stream, window_duration="1 hour", watermark_delay="2 hours"
+    )
+    sink = f"cdc_winstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        win.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.unix_millis("window_start").alias("window_start_ms"),
+        "key_id",
+        "seq",
+        "value",
+    )

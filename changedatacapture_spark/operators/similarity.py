@@ -172,18 +172,24 @@ def ivf_cell_scores(vec_col: str, n_cells: int = 8, dim: int = 64) -> Column:
     reproducible in any engine (and in the SQL oracle) without a
     k-means fit; at real scale the centroid table would be a k-means
     artifact broadcast the same way — the plan shape is identical.
-    Accumulation is float64 in index order (deterministic).
+
+    The centroid matrix is one literal array-of-arrays folded with
+    higher-order functions (not n_cells·dim inlined product terms,
+    which made Catalyst compile a 512-term codegen expression — ~7 s
+    of planning per query). ``aggregate`` folds in index order from
+    0.0, which is the same float64 addition sequence as the explicit
+    left-associated sum, so scores stay bit-identical to the oracle's
+    spelled-out arithmetic.
     """
-    scores = []
-    for c in range(n_cells):
-        s = None
-        for d in range(dim):
-            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(
-                _lcg_centroid(c, d)
-            )
-            s = term if s is None else s + term
-        scores.append(s)
-    return F.array(*scores)
+    matrix = ", ".join(
+        "array(" + ", ".join(repr(_lcg_centroid(c, d)) for d in range(dim)) + ")"
+        for c in range(n_cells)
+    )
+    return F.expr(
+        f"transform(array({matrix}), c -> "
+        f"aggregate(zip_with({vec_col}, c, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
 
 
 def cosine_topk_ivf(

@@ -2848,9 +2848,7 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     global batch sessionization (the oracle) regardless of how the
     stream was micro-batched.
     """
-    import glob
     import os
-    import shutil
     import tempfile
     import uuid
 
@@ -2863,23 +2861,13 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stateful_sess_")
     src = os.path.join(work, "src")
-    os.makedirs(src)
     # 4 micro-batch files along global event-time order (per-key arrival
-    # stays in order across batches, as a log-compacted source provides)
+    # stays in order across batches, as a log-compacted source provides);
+    # mtimes forced strictly increasing so replay order is deterministic
     batched = ev.withColumn(
         "_b", F.ntile(4).over(Window.orderBy("ts_us", "user_id"))
     )
-    for i in (1, 2, 3, 4):
-        out_dir = os.path.join(work, f"w{i}")
-        (
-            batched.filter(F.col("_b") == i)
-            .drop("_b")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .json(out_dir)
-        )
-        part = glob.glob(os.path.join(out_dir, "part-*.json"))[0]
-        shutil.move(part, os.path.join(src, f"b{i}.json"))
+    _write_ordered_batches(batched, src, work, 4)
 
     stream = (
         spark.readStream.schema("user_id long, ts_us long")

@@ -9,11 +9,19 @@ import os
 from pyspark.sql.types import StructType
 
 
+_MTIME = [1_000_000]
+
+
 def _write_batch(src: str, name: str, rows: list[tuple[int, int]]) -> None:
     os.makedirs(src, exist_ok=True)
-    with open(f"{src}/{name}.jsonl", "w") as f:
+    path = f"{src}/{name}.jsonl"
+    with open(path, "w") as f:
         for uid, ts_us in rows:
             f.write(json.dumps({"user_id": uid, "ts_us": ts_us}) + "\n")
+    # the file source orders micro-batches by modification time; files
+    # written in the same millisecond would replay in arbitrary order
+    _MTIME[0] += 10
+    os.utime(path, (_MTIME[0], _MTIME[0]))
 
 
 def _run_stream(spark, src: str, ckpt: str, out_table: str):

@@ -34,27 +34,74 @@ def _shingle_expr(text_col: str, k: int = 5) -> Column:
 def minhash_signature(text_col: str, n_hashes: int = 8, k: int = 5) -> list[Column]:
     """``n_hashes`` MinHash values as columns ``mh0..mh{n-1}``.
 
-    Each hash family member is ``min over shingles of
-    md5(shingle || '#' || seed)`` — deterministic and portable.
+    One md5 per shingle; hash family member ``j`` is the 8-hex-digit
+    slice ``digest[8j .. 8j+8)`` (32 bits — ties across ~10³ shingles
+    are negligible for min-selection). Deterministic, portable, and
+    4× cheaper than hashing each shingle once per family member (the
+    md5 is the dominant cost of the signature scan). ``n_hashes`` ≤ 4
+    per digest; larger families chain ``md5(shingle || '#' || block)``.
     """
     sh = _shingle_expr(text_col, k)
 
-    def hasher(tag: str):
-        # one-arg closure: a default-arg lambda would be seen by PySpark
-        # as the two-arg (element, index) form and hash the wrong input
-        return lambda x: F.md5(F.concat(x, F.lit(tag)))
+    def digest_block(block: int):
+        if block == 0:
+            return F.transform(sh, lambda x: F.md5(x))
+        return F.transform(sh, lambda x: F.md5(F.concat(x, F.lit(f"#{block}"))))
 
-    return [
-        F.array_min(F.transform(sh, hasher(f"#{seed}"))).alias(f"mh{seed}")
-        for seed in range(n_hashes)
-    ]
+    def slicer(slot: int):
+        # closure, NOT a default-arg lambda: PySpark reads a default
+        # arg as the two-arg (element, index) transform form
+        return lambda h: F.substring(h, slot * 8 + 1, 8)
+
+    out = []
+    for seed in range(n_hashes):
+        block, slot = divmod(seed, 4)
+        out.append(
+            F.array_min(
+                F.transform(digest_block(block), slicer(slot))
+            ).alias(f"mh{seed}")
+        )
+    return out
 
 
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n_hashes: int = 8, k: int = 5
 ) -> DataFrame:
-    """Per-document MinHash signature table: doc_id, mh0..mh{n-1}."""
-    return docs.select("doc_id", *minhash_signature(text_col, n_hashes, k))
+    """Per-document MinHash signature table: doc_id, mh0..mh{n-1}.
+
+    Two-phase plan so each digest block is computed ONCE per document
+    (a single-select form would repeat the md5 transform per slice —
+    HOFs are not common-subexpression-eliminated reliably): first
+    materialize the digest arrays, then take the per-slice minima.
+    """
+    n_blocks = (n_hashes + 3) // 4
+    sh = _shingle_expr(text_col, k)
+    # build without default-arg lambdas (see minhash_signature)
+    blocks = []
+    for b in range(n_blocks):
+        if b == 0:
+            blocks.append(F.transform(sh, lambda x: F.md5(x)).alias("_dg0"))
+        else:
+            tag = f"#{b}"
+
+            def hasher(t: str):
+                return lambda x: F.md5(F.concat(x, F.lit(t)))
+
+            blocks.append(F.transform(sh, hasher(tag)).alias(f"_dg{b}"))
+    staged = docs.select("doc_id", *blocks)
+
+    def slicer(slot: int):
+        return lambda h: F.substring(h, slot * 8 + 1, 8)
+
+    mh = []
+    for seed in range(n_hashes):
+        block, slot = divmod(seed, 4)
+        mh.append(
+            F.array_min(
+                F.transform(F.col(f"_dg{block}"), slicer(slot))
+            ).alias(f"mh{seed}")
+        )
+    return staged.select("doc_id", *mh)
 
 
 def lsh_candidate_pairs(

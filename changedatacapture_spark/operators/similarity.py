@@ -102,19 +102,27 @@ def lsh_bucket(vec_col: str, n_planes: int = 8, dim: int = 64) -> Column:
     """Sign-pattern LSH bucket id for a vector column.
 
     bucket = Σ_p 2^p · [vec · plane_p ≥ 0]; planes from the LCG above.
+    The plane matrix is a literal array-of-arrays folded with
+    higher-order functions (index-order float64 accumulation from 0.0
+    — the same addition sequence as an explicit left-associated sum,
+    so buckets stay bit-identical to the oracle's spelled-out terms)
+    instead of n_planes·dim inlined product terms that Catalyst would
+    codegen-compile per query.
     """
-    bits = []
-    for p in range(n_planes):
-        coeffs = [_lcg_plane(p, d) for d in range(dim)]
-        proj = None
-        for d, w in enumerate(coeffs):
-            term = F.element_at(F.col(vec_col), d + 1).cast("double") * F.lit(w)
-            proj = term if proj is None else proj + term
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return bucket
+    matrix = ", ".join(
+        "array(" + ", ".join(repr(_lcg_plane(p, d)) for d in range(dim)) + ")"
+        for p in range(n_planes)
+    )
+    projs = (
+        f"transform(array({matrix}), c -> "
+        f"aggregate(zip_with({vec_col}, c, (x, w) -> CAST(x AS DOUBLE) * w), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return F.expr(
+        f"aggregate(zip_with({projs}, sequence(0, {n_planes - 1}), "
+        f"(s, p) -> IF(s >= 0, shiftleft(CAST(1 AS BIGINT), CAST(p AS INT)), "
+        f"CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
 
 
 def embedding_neardup_pairs(

@@ -716,22 +716,21 @@ def q_text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One md5 per shingle; family member j = digest hex slice [8j, 8j+8)
+# — mirrors operators/dedup.py:minhash_signatures exactly.
 _MINHASH_ORACLE = """
     WITH pos AS (
       SELECT doc_id, text,
              unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS i
       FROM documents),
-    shingled AS (
-      SELECT doc_id, seed,
-             min(md5(substr(text, i, 5) || '#' || seed)) AS mh
-      FROM pos, range(0, 4) s(seed)
-      GROUP BY doc_id, seed)
+    digests AS (
+      SELECT doc_id, md5(substr(text, i, 5)) AS h FROM pos)
     SELECT doc_id,
-           min(CASE WHEN seed = 0 THEN mh END) AS mh0,
-           min(CASE WHEN seed = 1 THEN mh END) AS mh1,
-           min(CASE WHEN seed = 2 THEN mh END) AS mh2,
-           min(CASE WHEN seed = 3 THEN mh END) AS mh3
-    FROM shingled GROUP BY doc_id
+           min(substr(h, 1, 8))  AS mh0,
+           min(substr(h, 9, 8))  AS mh1,
+           min(substr(h, 17, 8)) AS mh2,
+           min(substr(h, 25, 8)) AS mh3
+    FROM digests GROUP BY doc_id
 """
 
 

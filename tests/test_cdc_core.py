@@ -121,3 +121,62 @@ def test_compact_is_partial_aggregation(spark):
     plan = compact_latest(log, ["key_id"], ["ts_ms", "seq"])._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_sqls_for_test_full_sequence_all_apply_paths(spark, tmp_path):
+    """Replay the reference's full manual test script
+    (docs/"SQLs For Test.txt": inserts, deletes of live AND nonexistent
+    keys, update-after-delete, re-insert-after-delete) through three
+    apply paths — global apply_changes, batch-split snapshot merges,
+    and out-of-order guarded merges — all must land on the same state."""
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    script = [
+        ("u", 18000, "Marry"),
+        ("c", 23000, "John"), ("c", 22000, "John"),
+        ("c", 24000, "John"), ("c", 25000, "John"),
+        ("c", 26000, "John"), ("c", 27000, "John"),
+        ("d", 25000, None), ("d", 24000, None), ("d", 23000, None),
+        ("d", 22000, None), ("d", 26000, None), ("d", 23405, None),
+        ("u", 23000, "Marry"),          # update after delete -> upsert
+        ("c", 25000, "John"), ("c", 24000, "John"),
+        ("u", 24000, "Marry"),
+        ("d", 25000, None),
+        ("c", 24000, "John"),           # re-insert over live key
+        ("c", 27000, "John"),
+    ]
+    rows = [
+        (i, k, op, 1_000 + i, v) for i, (op, k, v) in enumerate(script)
+    ]
+    log = _log(spark, rows)
+    expected = {
+        (18000, "Marry"), (23000, "Marry"), (24000, "John"), (27000, "John")
+    }
+
+    got_apply = {
+        (r.key_id, r.val)
+        for r in apply_changes(log, ["key_id"], ["ts_ms", "seq"]).collect()
+    }
+    assert got_apply == expected
+
+    t1 = SnapshotTable(spark, str(tmp_path / "t1"), ["key_id"], n_buckets=4)
+    for lo, hi, bid in ((0, 7, 0), (7, 14, 1), (14, len(script), 2)):
+        batch = log.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        t1.merge(
+            compact_latest(batch, ["key_id"], ["ts_ms", "seq"]), batch_id=bid
+        )
+    got_merge = {(r.key_id, r.val) for r in t1.read().collect()}
+    assert got_merge == expected
+
+    t2 = SnapshotTable(spark, str(tmp_path / "t2"), ["key_id"], n_buckets=4)
+    for bid, (lo, hi) in enumerate(((14, len(script)), (0, 7), (7, 14))):
+        batch = log.filter((F.col("seq") >= lo) & (F.col("seq") < hi))
+        t2.merge(
+            compact_latest(batch, ["key_id"], ["ts_ms", "seq"]),
+            batch_id=bid,
+            guard_cols=["ts_ms", "seq"],
+        )
+    got_guarded = {
+        (r.key_id, r.val) for r in t2.read().collect()
+    }
+    assert got_guarded == expected

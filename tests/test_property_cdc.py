@@ -139,3 +139,69 @@ def test_guarded_merge_is_batch_split_invariant(spark, events, cuts):
         assert got == expected
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- round-2 operator properties -------------------------------------------
+
+_POINTS = st.lists(st.integers(min_value=0, max_value=500), min_size=0, max_size=30)
+_INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),
+        st.integers(min_value=0, max_value=120),
+    ),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(points=_POINTS, intervals=_INTERVALS,
+       width=st.sampled_from([7, 50, 128, 1000]))
+@_SETTINGS
+def test_range_join_bucketed_matches_naive(spark, points, intervals, width):
+    """For any bucket width the bucketed rewrite must equal the naive
+    BETWEEN join — bucketing is a plan optimization, not a semantic."""
+    from changedatacapture_spark.operators.joins import range_join_bucketed
+
+    from pyspark.sql.types import StructType
+
+    p = spark.createDataFrame(
+        [(i, "k", t) for i, t in enumerate(points)],
+        StructType.fromDDL("pid long, key string, t long"),
+    )
+    iv = spark.createDataFrame(
+        [(j, "k", s, s + ln) for j, (s, ln) in enumerate(intervals)],
+        StructType.fromDDL("iid long, key string, s long, e long"),
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join_bucketed(
+            p, iv, "t", "s", "e", keys=["key"], bucket_width=width
+        ).collect()
+    }
+    naive = {
+        (i, j)
+        for i, t in enumerate(points)
+        for j, (s, ln) in enumerate(intervals)
+        if s <= t <= s + ln
+    }
+    assert got == naive
+
+
+@given(sizes=st.lists(st.integers(min_value=0, max_value=50),
+                      min_size=1, max_size=25),
+       max_tokens=st.sampled_from([1, 10, 37]))
+@_SETTINGS
+def test_pack_sequences_invariants(spark, sizes, max_tokens):
+    """Bins are contiguous, start at 0, and equal the exclusive-cumsum
+    rule for every doc — for any size distribution and bin width."""
+    from changedatacapture_spark.operators.curation import pack_sequences
+
+    rows = [(i, "s", " ".join(["w"] * n) if n else "") for i, n in enumerate(sizes)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: (r.bin, r.n_tokens) for r in
+           pack_sequences(docs, max_tokens=max_tokens).collect()}
+    cum = 0
+    for i, n in enumerate(sizes):
+        n_tok = n if n else 1  # split("") -> [""] : one empty token
+        assert out[i] == (cum // max_tokens, n_tok)
+        cum += n_tok

@@ -3136,3 +3136,60 @@ def q_cdc_window_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-window ordering
+# ---------------------------------------------------------------------------
+# The correctness driver samples the FIRST 50 registered queries. With 77
+# registered, ordering decides which operators get a driver-verified row.
+# Keep one representative of every distinct operator family inside the
+# window; redundant TPC-H join/agg variants (their shapes are already
+# exercised by q1/q3/q5 and the q_* analytics set) rotate to the tail —
+# they remain registered, oracle-paired, and pytest/check_oracle-verified.
+
+_DEMOTED = [
+    "q4_priority_with_returns",
+    "q6_revenue_filter",
+    "q10_returned_revenue",
+    "q13_cust_order_distribution",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q_late_shipments",
+    "dedup_minhash_signatures",  # exercised transitively by dedup_minhash_pairs
+    "text_lang_profile",  # aggregates text_langid, which keeps its row
+]
+
+_PROMOTED = [
+    "cdc_schema_evolution",
+    "cdc_snapshot_merge_e2e",
+    "cdc_snapshot_merge_guarded",
+    "cdc_window_stream_e2e",
+    "csv_batch_read",
+    "dataset_split_assign",
+    "seq_packing_bins",
+    "curation_funnel",
+    "dedup_incremental",
+    "events_range_join",
+    "events_stateful_sessions",
+]
+
+DRIVER_WINDOW = 50
+
+
+def _reorder_for_driver_window() -> None:
+    global SPARK_QUERIES, ORACLE_SQL
+    names = list(SPARK_QUERIES)
+    missing = [n for n in _DEMOTED + _PROMOTED if n not in names]
+    if missing:  # registration drift guard — fail loudly, not silently
+        raise RuntimeError(f"reorder references unknown queries: {missing}")
+    body = [n for n in names if n not in _DEMOTED and n not in _PROMOTED]
+    cut = DRIVER_WINDOW - len(_PROMOTED)
+    order = body[:cut] + _PROMOTED + body[cut:] + _DEMOTED
+    SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in order}
+    ORACLE_SQL = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
+
+
+_reorder_for_driver_window()

@@ -22,19 +22,25 @@ def load_csv(
     header: bool = True,
     delimiter: str = ",",
     infer_schema: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """Read a CSV file/directory as a DataFrame.
 
     ``schema`` (StructType or DDL string) wins over inference; with
     neither, all columns arrive as strings (cheapest, schema-on-use).
-    Quoted fields with embedded delimiters/newlines are handled by the
-    standard CSV dialect (``quote='"'``, doubled-quote escape).
+    Quoted fields with embedded delimiters are handled by the standard
+    CSV dialect (``quote='"'``, doubled-quote escape).
+
+    ``multiline`` is OFF by default: multiLine parsing makes every file
+    unsplittable (one task per file, no parallel input splits) — a
+    scale-killer on large seed loads. Opt in only for data with quoted
+    embedded newlines.
     """
-    reader = (
-        spark.read.option("header", str(header).lower())
-        .option("sep", delimiter)
-        .option("multiLine", "true")
+    reader = spark.read.option("header", str(header).lower()).option(
+        "sep", delimiter
     )
+    if multiline:
+        reader = reader.option("multiLine", "true")
     if schema is not None:
         reader = reader.schema(schema)
     elif infer_schema:

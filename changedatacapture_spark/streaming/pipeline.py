@@ -84,6 +84,7 @@ class CdcPipeline:
         self.table = table
         self.key_col = key_col
         self.dlq_path = dlq_path
+        self._adhoc_dlq_seq = 0
 
     # -- batch core (also usable on a static DataFrame) -------------------
 
@@ -129,10 +130,17 @@ class CdcPipeline:
         if self.dlq_path:
             # per-batch overwrite directory = replay-idempotent (a
             # foreachBatch retry rewrites the same path, never appends
-            # duplicates) and no driver-side emptiness probe
-            self.corrupt_rows(raw).write.mode("overwrite").parquet(
-                f"{self.dlq_path}/batch_id={0 if batch_id is None else batch_id}"
-            )
+            # duplicates) and no driver-side emptiness probe. Ad-hoc
+            # batch-mode calls (batch_id=None) get their own numbered
+            # `adhoc_N` subdirs: sharing real batch 0's directory would
+            # clobber a streaming run's DLQ output, and reusing one
+            # ad-hoc dir would drop earlier calls' corrupt rows.
+            if batch_id is None:
+                dlq_dir = f"{self.dlq_path}/batch_id=adhoc_{self._adhoc_dlq_seq}"
+                self._adhoc_dlq_seq += 1
+            else:
+                dlq_dir = f"{self.dlq_path}/batch_id={batch_id}"
+            self.corrupt_rows(raw).write.mode("overwrite").parquet(dlq_dir)
         changes = self.parse(raw)
         compacted = compact_latest(
             changes, [self.key_col], ["ts_ms", "seq"]

@@ -47,17 +47,21 @@ def _fold_session(
     else:
         start, last, n = None, None, 0
     out: list[tuple[Any, ...]] = []
-    for pdf in pdf_iter:
-        # within-batch event-time order; cross-batch order is the
-        # source's (micro-batches arrive in order per key)
-        for t in sorted(int(v) for v in pdf["ts_us"]):
-            if last is not None and t - last > gap_us:
-                out.append((uid, start, last, n, True))
-                start, n = None, 0
-            if start is None:
-                start = t
-            n += 1
-            last = t
+    # Materialize the key's WHOLE micro-batch before sorting: the group
+    # arrives as multiple Arrow chunks when it exceeds
+    # spark.sql.execution.arrow.maxRecordsPerBatch rows, and sorting
+    # per-chunk would let `last` move backwards across chunk boundaries
+    # (wrong session_end / missed gap closures). Within-batch event-time
+    # order; cross-batch order is the source's (micro-batches arrive in
+    # order per key).
+    for t in sorted(int(v) for pdf in pdf_iter for v in pdf["ts_us"]):
+        if last is not None and t - last > gap_us:
+            out.append((uid, start, last, n, True))
+            start, n = None, 0
+        if start is None:
+            start = t
+        n += 1
+        last = t
     state.update((start, last, n))
     out.append((uid, start, last, n, False))
     yield pd.DataFrame(

@@ -34,3 +34,34 @@ def test_csv_all_strings_without_inference(spark, tmp_path):
         "string",
         "string",
     ]
+
+
+def test_csv_default_scan_is_splittable(spark, tmp_path):
+    """Default load (multiline off) must split one big file into many
+    input partitions; multiLine parsing forces whole-file tasks."""
+    p = tmp_path / "big.csv"
+    with open(p, "w") as f:
+        f.write("id,val\n")
+        for i in range(20000):
+            f.write(f"{i},{i * 2}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        schema = "id long, val long"
+        n_default = load_csv(spark, str(p), schema=schema).rdd.getNumPartitions()
+        n_multi = load_csv(
+            spark, str(p), schema=schema, multiline=True
+        ).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert n_default > 1
+    assert n_multi == 1
+
+
+def test_csv_multiline_optin_parses_embedded_newlines(spark, tmp_path):
+    p = tmp_path / "ml.csv"
+    p.write_text('id,name\n1,"line one\nline two"\n')
+    back = load_csv(spark, str(p), schema="id long, name string", multiline=True)
+    rows = back.collect()
+    assert len(rows) == 1
+    assert rows[0].name == "line one\nline two"

@@ -86,3 +86,46 @@ def test_single_batch_multiple_gaps(spark, tmp_path):
     assert closed == [(0, 2 * us, 2), (20 * us, 20 * us, 1)]
     opened = [(r.session_start, r.n_events) for r in rows if not r.closed]
     assert (40 * us, 2) in opened
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-testing the fold."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_fold_sorts_across_arrow_chunks():
+    """A key's batch arriving as multiple Arrow chunks must be sorted as
+    ONE batch: per-chunk sorting lets `last` move backwards and closes
+    phantom sessions at chunk boundaries."""
+    import pandas as pd
+
+    from changedatacapture_spark.streaming.stateful import _fold_session
+
+    chunk1 = pd.DataFrame({"ts_us": [100, 200]})
+    chunk2 = pd.DataFrame({"ts_us": [50, 150]})  # earlier events, later chunk
+    state = _FakeState()
+    (out,) = list(
+        _fold_session((7,), iter([chunk1, chunk2]), state, gap_us=60)
+    )
+    closed = out[out["closed"]]
+    assert closed.empty  # gaps are all 50 < 60 once globally sorted
+    open_s = out[~out["closed"]].iloc[0]
+    assert (open_s.session_start, open_s.session_end, open_s.n_events) == (
+        50,
+        200,
+        4,
+    )
+    assert state.get == (50, 200, 4)

@@ -201,3 +201,27 @@ def test_deletes_can_empty_a_bucket(spark, tmp_path):
     pipe.process_batch(spark.read.schema(schema).json(f"{src}/b1.jsonl"), batch_id=1)
     assert table.read().count() == 0
     assert table._bucket_manifest() == {}
+
+
+def test_adhoc_dlq_calls_do_not_clobber(spark, tmp_path):
+    """batch_id=None DLQ writes get their own numbered subdirs: they
+    must not overwrite each other or a streaming run's real batch 0."""
+    import json, os
+
+    src = str(tmp_path / "env")
+    os.makedirs(src, exist_ok=True)
+    for i, bad in enumerate(["{corrupt-a", "{corrupt-b", "{corrupt-c"]):
+        with open(f"{src}/b{i}.jsonl", "w") as f:
+            f.write(json.dumps({"value": bad, "seq": i}) + "\n")
+    dlq = str(tmp_path / "dlq")
+    table = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["customerId"])
+    pipe = CdcPipeline(spark, RECORD, table, key_col="customerId", dlq_path=dlq)
+    schema = T.StructType.fromDDL("value string, seq long")
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b0.jsonl"), batch_id=0)
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b1.jsonl"))
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b2.jsonl"))
+    # all three corrupt rows retained, in three distinct directories
+    assert spark.read.parquet(dlq).count() == 3
+    assert spark.read.parquet(f"{dlq}/batch_id=0").count() == 1
+    assert spark.read.parquet(f"{dlq}/batch_id=adhoc_0").count() == 1
+    assert spark.read.parquet(f"{dlq}/batch_id=adhoc_1").count() == 1

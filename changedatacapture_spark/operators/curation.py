@@ -10,8 +10,8 @@ worth having). All are pure column expressions / window functions:
   the train/val/test partition is stable under reordering, reruns and
   incremental appends — the property random() sampling lacks;
 - **sequence packing** is the contiguous-fill approximation (running
-  token total per stream, cut every ``max_tokens``): one window per
-  source partition, no driver loop, deterministic bins;
+  token total per stream, cut every ``max_tokens``): a two-phase
+  distributed prefix sum, no driver loop, deterministic bins;
 - **the funnel** composes the quality filters as plain predicates so
   Catalyst can collapse them into one scan.
 """
@@ -72,30 +72,76 @@ def pack_sequences(
     stream_col: str = "source",
     order_col: str = "doc_id",
     text_col: str = "text",
+    chunk_size: int = 4096,
 ) -> DataFrame:
     """Contiguous-fill sequence packing: within each stream, documents
     (in stable ``order_col`` order) fill bins of ``max_tokens``.
 
-    bin = floor(exclusive-running-token-total / max_tokens) — one
-    window per stream partition; at scale each stream's window state
-    lives on one executor, and streams are independent. A document
-    longer than ``max_tokens`` occupies its bins alone (same as
-    sample-then-truncate pipelines).
+    bin = floor(exclusive-running-token-total / max_tokens). An
+    oversized document (n_tokens >= max_tokens) *overflows* the bin it
+    starts in — bins are contiguous token ranges of the stream, not
+    per-document allocations — and the next document jumps to the first
+    bin past the overflow.
+
+    Scale: the running total is a TWO-PHASE prefix sum, never one
+    window over a whole stream (which would sort and sum each stream's
+    entire corpus on a single executor — a straggler at 100×):
+
+    1. rows chunk by ``floor(order / chunk_size)`` — monotone in the
+       order key, so chunk order == document order;
+    2. per-(stream, chunk) token subtotals (map-side combinable agg)
+       feed a prefix-sum window over the *chunk* table — per-stream
+       serial state is O(n_chunks), tuned by ``chunk_size``, instead of
+       O(n_docs);
+    3. chunk offsets broadcast-join back; the per-row window now
+       partitions by (stream, chunk) — parallel across chunks.
+
+    Requires a numeric ``order_col`` (chunking needs monotone integer
+    division; a non-numeric key raises rather than silently falling
+    back to the single-window shape).
     """
     from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    if not isinstance(docs.schema[order_col].dataType, T.NumericType):
+        raise TypeError(
+            f"pack_sequences needs a numeric order column, got "
+            f"{docs.schema[order_col].dataType.simpleString()!r} for {order_col!r}"
+        )
 
     n_tok = F.size(tokens(F.col(text_col)))
-    w = (
-        W.partitionBy(stream_col)
-        .orderBy(order_col)
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    cum = F.sum(n_tok).over(w)
-    return docs.select(
+    base = docs.select(
         F.col(order_col),
         F.col(stream_col),
         n_tok.alias("n_tokens"),
-        F.floor((cum - n_tok) / max_tokens).cast("long").alias("bin"),
+        F.floor(F.col(order_col) / chunk_size).cast("long").alias("_chunk"),
+    )
+    chunk_sums = base.groupBy(stream_col, "_chunk").agg(
+        F.sum("n_tokens").alias("_chunk_tok")
+    )
+    w_chunks = (
+        W.partitionBy(stream_col)
+        .orderBy("_chunk")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = chunk_sums.select(
+        stream_col,
+        "_chunk",
+        (F.sum("_chunk_tok").over(w_chunks) - F.col("_chunk_tok")).alias("_offset"),
+    )
+    w_local = (
+        W.partitionBy(stream_col, "_chunk")
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local_cum = F.sum("n_tokens").over(w_local)
+    return base.join(F.broadcast(offsets), [stream_col, "_chunk"]).select(
+        F.col(order_col),
+        F.col(stream_col),
+        F.col("n_tokens"),
+        F.floor((F.col("_offset") + local_cum - F.col("n_tokens")) / max_tokens)
+        .cast("long")
+        .alias("bin"),
     )
 
 

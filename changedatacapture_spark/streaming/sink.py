@@ -375,9 +375,8 @@ class SnapshotTable:
         over any batch split of a log equals one global compaction
         (the invariant tests/test_property_cdc.py proves). Cost stays
         proportional to touched buckets + batch, same as the default
-        mode. Tombstones persist until their bucket's next rewrite
-        cycle (GC: compact a bucket by dropping tombstones older than
-        the source's max replay horizon — not needed at test scale).
+        mode. Tombstones persist until :meth:`gc_tombstones` compacts
+        the ones older than the source's replay horizon.
         """
         from pyspark.sql.types import StructType
 
@@ -461,6 +460,74 @@ class SnapshotTable:
             guard_meta,
         )
         self._vacuum()
+
+    def gc_tombstones(self, horizon) -> int:
+        """Compact away delete tombstones older than a replay horizon.
+
+        A tombstone's only job is to fend off a LATE upsert with a
+        smaller guard tuple than the delete's (see
+        :meth:`_merge_ordered`). Once the source can no longer replay
+        events older than ``horizon`` (e.g. the Kafka retention bound
+        or the stream's watermark), tombstones whose *first* guard
+        value is ``< horizon`` are dead weight — without GC they
+        accumulate forever on churn-heavy keys.
+
+        Rewrites only the buckets that actually contain expired
+        tombstones (driver sees ≤ n_buckets small ints, never rows);
+        every other bucket carries forward by reference, like a merge.
+        Guarded-merge semantics are untouched for any event at or past
+        the horizon; resurrecting a pre-horizon key requires an event
+        the horizon contract says cannot arrive. Returns the number of
+        tombstones dropped.
+        """
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        guard = ptr.get("guard")
+        if not guard:
+            raise ValueError("gc_tombstones applies only to order-guarded tables")
+        expired = (F.col(guard["op_col"]) == guard["delete_op"]) & (
+            F.col(guard["guard_cols"][0]) < F.lit(horizon)
+        )
+        manifest = self._bucket_manifest()
+        schema = self.schema()
+        full = self.read(include_tombstones=True).withColumn(
+            "bucket", self._bucket_col()
+        )
+        # one scan decides both the rewrite set and the dropped count
+        probe = (
+            full.filter(expired)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        if not probe:
+            return 0
+        touched = sorted(r.bucket for r in probe)
+        dropped = sum(r.n for r in probe)
+        version = self.version + 1
+        paths = [
+            f"{self.path}/v={manifest[b]}/bucket={b}"
+            for b in touched
+            if b in manifest
+        ]
+        kept = (
+            self.spark.read.schema(schema)
+            .parquet(*paths)
+            .filter(~expired)
+        )
+        written = self._write_buckets(
+            kept.withColumn("bucket", self._bucket_col()), version
+        )
+        for b in touched:
+            manifest.pop(b, None)  # bucket may hold only expired tombstones
+        for b in written:
+            manifest[b] = version
+        # batch_id and guard carry forward: GC is a physical rewrite,
+        # not a logical batch — replay idempotence must survive it
+        self._commit(version, ptr.get("batch_id"), manifest, ptr["schema"])
+        self._vacuum()
+        return dropped
 
 
 class DeltaTableSink:  # pragma: no cover - requires delta-spark

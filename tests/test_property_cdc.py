@@ -205,3 +205,121 @@ def test_pack_sequences_invariants(spark, sizes, max_tokens):
         n_tok = n if n else 1  # split("") -> [""] : one empty token
         assert out[i] == (cum // max_tokens, n_tok)
         cum += n_tok
+
+
+@given(events=_EVENTS, cuts=st.lists(st.integers(0, 40), max_size=2))
+@_SETTINGS
+def test_guarded_merge_invariant_survives_tombstone_gc(spark, events, cuts):
+    """Running tombstone GC between guarded merges — with the horizon
+    the contract allows (no future event is older than it) — must not
+    change the final table: any tombstone the GC drops could only have
+    fended off arrivals the horizon says cannot come."""
+    import shutil
+    import tempfile
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    batches = [
+        events[a:b] for a, b in zip(bounds, bounds[1:]) if events[a:b]
+    ]
+
+    path = tempfile.mkdtemp(prefix="guarded_gc_")
+    try:
+        table = SnapshotTable(spark, path, ["key_id"], n_buckets=4)
+        offset = 0
+        for i, batch in enumerate(batches):
+            rows = [
+                (key, ts, offset + j, op, value)
+                for j, (key, ts, op, value) in enumerate(batch)
+            ]
+            offset += len(batch)
+            bdf = spark.createDataFrame(
+                rows, "key_id long, ts long, seq long, op string, value long"
+            )
+            table.merge(
+                compact_latest(bdf, ["key_id"], ["ts", "seq"]),
+                guard_cols=["ts", "seq"],
+            )
+            # the largest horizon the replay contract allows right now
+            remaining = [e for b in batches[i + 1:] for e in b]
+            horizon = (
+                min(ts for _, ts, _, _ in remaining) if remaining else 10**9
+            )
+            table.gc_tombstones(horizon)
+
+        expected = {
+            k: v
+            for k, v in _expected_latest(events).items()
+            if v[2] != "d"
+        }
+        if not table.exists():
+            assert expected == {}
+            return
+        got = {
+            r["key_id"]: (r["ts"], r["seq"], r["op"], r["value"])
+            for r in table.read().collect()
+        }
+        assert got == expected
+        # final GC clears every tombstone; the logical view is unmoved
+        table.gc_tombstones(10**9)
+        n_tomb = (
+            table.read(include_tombstones=True).filter("op = 'd'").count()
+            if table.exists()
+            else 0
+        )
+        assert n_tomb == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_tombstone_count_bounded_under_churn_with_gc(spark):
+    """Churning distinct keys grows the tombstone set without bound;
+    periodic GC at the advancing replay horizon keeps it bounded."""
+    import shutil
+    import tempfile
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    path = tempfile.mkdtemp(prefix="tomb_churn_")
+    try:
+        table = SnapshotTable(spark, path, ["key_id"], n_buckets=4)
+
+        def tomb_count():
+            return (
+                table.read(include_tombstones=True).filter("op = 'd'").count()
+            )
+
+        n_batches, gc_every = 9, 3
+        for i in range(n_batches):
+            # key i is created at ts=2i and deleted at ts=2i+1
+            bdf = spark.createDataFrame(
+                [(i, 2 * i, 2 * i, "c", i), (i, 2 * i + 1, 2 * i + 1, "d", None)],
+                "key_id long, ts long, seq long, op string, value long",
+            )
+            table.merge(
+                compact_latest(bdf, ["key_id"], ["ts", "seq"]),
+                guard_cols=["ts", "seq"],
+                batch_id=i,
+            )
+            if (i + 1) % gc_every == 0:
+                dropped = table.gc_tombstones(2 * i + 2)
+                assert dropped > 0
+                assert tomb_count() == 0
+            assert tomb_count() <= gc_every
+        # replay idempotence survives GC: re-merging the last batch id
+        # is a no-op even though GC committed new versions after it
+        before = table.version
+        bdf = spark.createDataFrame(
+            [(0, 100, 100, "c", 7)],
+            "key_id long, ts long, seq long, op string, value long",
+        )
+        table.merge(
+            compact_latest(bdf, ["key_id"], ["ts", "seq"]),
+            guard_cols=["ts", "seq"],
+            batch_id=n_batches - 1,
+        )
+        assert table.version == before
+        assert table.read().count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

@@ -44,6 +44,7 @@ except Exception:  # noqa: BLE001
     HAS_DELTA = False
 
 _POINTER = "_LATEST"
+_LOG = "_LOG"
 
 
 class SnapshotTable:
@@ -79,11 +80,17 @@ class SnapshotTable:
         path: str,
         key_cols: list[str],
         n_buckets: int = 16,
+        retain_history: int = 0,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = key_cols
         self.n_buckets = n_buckets
+        #: how many PAST commits stay readable via ``read(at_version=)``
+        #: (time travel). 0 = only the current version's files are
+        #: retained (original behavior, minimal storage); Delta-style
+        #: deployments set a horizon matching their audit window.
+        self.retain_history = retain_history
 
     # -- commit log -------------------------------------------------------
 
@@ -108,19 +115,23 @@ class SnapshotTable:
         if guard is None:  # carry forward: a guarded table stays guarded
             ptr = self._read_pointer()
             guard = None if ptr is None else ptr.get("guard")
+        entry = {
+            "version": version,
+            "batch_id": batch_id,
+            "schema": schema_ddl,
+            "buckets": {str(b): v for b, v in buckets.items()},
+            "guard": guard,
+        }
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "batch_id": batch_id,
-                    "schema": schema_ddl,
-                    "buckets": {str(b): v for b, v in buckets.items()},
-                    "guard": guard,
-                },
-                f,
-            )
+            json.dump(entry, f)
+        # commit-log append BEFORE the pointer flip: a crash between the
+        # two leaves a log entry no pointer references — harmless (the
+        # next commit reuses the version number and the log keeps the
+        # last line per version on read)
+        with open(f"{self.path}/{_LOG}", "a") as f:
+            f.write(json.dumps(entry) + "\n")
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
 
     @property
@@ -149,8 +160,29 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshot at {self.path}")
         return StructType.fromJson(json.loads(ptr["schema"]))
 
-    def read(self, include_tombstones: bool = False) -> DataFrame:
-        """Current table contents, assembled from the bucket manifest.
+    def history(self) -> list[dict]:
+        """Commit log, oldest first — the ``DESCRIBE HISTORY`` analogue.
+
+        One entry per committed version (version, batch_id, schema,
+        bucket manifest, guard). A version written twice because of a
+        crash between log append and pointer flip keeps its LAST line.
+        """
+        entries: dict[int, dict] = {}
+        try:
+            with open(f"{self.path}/{_LOG}") as f:
+                for line in f:
+                    if line.strip():
+                        e = json.loads(line)
+                        entries[int(e["version"])] = e
+        except FileNotFoundError:
+            return []
+        current = self.version
+        return [entries[v] for v in sorted(entries) if v <= current]
+
+    def read(
+        self, include_tombstones: bool = False, at_version: int | None = None
+    ) -> DataFrame:
+        """Table contents, assembled from the bucket manifest.
 
         Reads with the committed schema explicitly: buckets written
         before a schema evolution lack the newer columns in their
@@ -160,18 +192,42 @@ class SnapshotTable:
         On an order-guarded table (see ``merge(guard_cols=...)``)
         delete tombstones are physically retained; the logical view
         filters them out unless ``include_tombstones`` is set.
+
+        ``at_version`` time-travels to a past commit. Only versions
+        within ``retain_history`` commits of the current one still
+        have their files on disk; older requests raise with the
+        retention bound in the message.
         """
-        schema = self.schema()
+        from pyspark.sql.types import StructType
+
+        if at_version is None:
+            ptr = self._read_pointer()
+            if ptr is None:
+                raise FileNotFoundError(f"no snapshot at {self.path}")
+        else:
+            by_version = {e["version"]: e for e in self.history()}
+            if at_version not in by_version:
+                raise ValueError(
+                    f"version {at_version} not in commit log "
+                    f"(have {sorted(by_version)})"
+                )
+            ptr = by_version[at_version]
+        schema = StructType.fromJson(json.loads(ptr["schema"]))
+        manifest = {int(b): v for b, v in ptr["buckets"].items()}
         paths = [
-            f"{self.path}/v={v}/bucket={b}"
-            for b, v in sorted(self._bucket_manifest().items())
+            f"{self.path}/v={v}/bucket={b}" for b, v in sorted(manifest.items())
         ]
+        missing = [p for p in paths if not os.path.isdir(p)]
+        if missing:
+            raise ValueError(
+                f"version {at_version} is beyond retain_history="
+                f"{self.retain_history}; its files were vacuumed: {missing[:3]}"
+            )
         if not paths:  # every row deleted
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*paths)
-        ptr = self._read_pointer()
-        guard = None if ptr is None else ptr.get("guard")
+        guard = ptr.get("guard")
         if guard and not include_tombstones:
             df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
         return df
@@ -206,13 +262,19 @@ class SnapshotTable:
         return self._written_buckets(version)
 
     def _vacuum(self) -> None:
-        """Drop version directories no longer referenced by the manifest.
+        """Drop version directories no longer referenced by the manifest
+        of the current commit or the last ``retain_history`` commits
+        (kept readable for time travel).
 
-        Single-writer discipline: a concurrent reader pinned to an old
-        version loses its files — acceptable here; a multi-writer
-        deployment swaps this class for the Delta sink below.
+        Single-writer discipline: a concurrent reader pinned to a
+        vacuumed version loses its files — acceptable here; a
+        multi-writer deployment swaps this class for the Delta sink
+        below.
         """
         referenced = set(self._bucket_manifest().values()) | {self.version}
+        if self.retain_history > 0:
+            for entry in self.history()[-(self.retain_history + 1):]:
+                referenced |= set(entry["buckets"].values())
         try:
             versions = [
                 int(d.split("=")[1])

@@ -145,6 +145,95 @@ def pack_sequences(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    rates_pct: dict[str, int],
+    default_pct: int = 0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a document iff its
+    md5 bucket (0-99) falls below its stratum's percentage.
+
+    Content-addressed like :func:`split_assign` — the sample is stable
+    under reordering, reruns, and incremental appends (a rerun samples
+    the SAME documents), which ``df.sample()``'s RNG cannot give. Pure
+    predicate: no shuffle, composes with any downstream operator.
+    ``rates_pct`` maps stratum value → percent kept; unlisted strata
+    use ``default_pct``.
+    """
+    bucket = split_bucket(f"CAST({id_col} AS STRING)")
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return docs.filter(bucket < rate)
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    stream_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy quality-first selection under a per-stream token budget:
+    order each stream's documents by quality (descending, doc_id
+    tie-break) and keep them while the running token total stays
+    within ``budget_tokens``.
+
+    Quality is the integer alpha-ratio per-mille (exact in any
+    engine). The running total is the same two-phase prefix sum as
+    :func:`pack_sequences`, with the quality value itself as the chunk
+    key (≤1001 distinct values): per-(stream, quality) subtotals feed
+    a tiny prefix-sum window, offsets broadcast back, and the per-row
+    window partitions by (stream, quality) — no whole-stream sort on
+    one executor.
+
+    Output: ``doc_id, source, quality_pm, n_tokens`` for selected
+    documents only.
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    # integer division: exact and identical in Spark (DIV) and DuckDB (//)
+    q = F.expr(
+        f"1000 * length(regexp_replace({text_col}, '[^A-Za-z]', '')) "
+        f"DIV greatest(length({text_col}), 1)"
+    )
+    base = docs.select(
+        F.col("doc_id"),
+        F.col(stream_col),
+        n_tok.alias("n_tokens"),
+        q.cast("long").alias("quality_pm"),
+    )
+    chunk_sums = base.groupBy(stream_col, "quality_pm").agg(
+        F.sum("n_tokens").alias("_chunk_tok")
+    )
+    w_chunks = (
+        W.partitionBy(stream_col)
+        .orderBy(F.col("quality_pm").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    offsets = chunk_sums.select(
+        stream_col,
+        "quality_pm",
+        (F.sum("_chunk_tok").over(w_chunks) - F.col("_chunk_tok")).alias("_offset"),
+    )
+    w_local = (
+        W.partitionBy(stream_col, "quality_pm")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.col("_offset") + F.sum("n_tokens").over(w_local)
+    return (
+        base.join(F.broadcast(offsets), [stream_col, "quality_pm"])
+        .select(
+            "doc_id", stream_col, "quality_pm", "n_tokens", cum.alias("_cum")
+        )
+        .filter(F.col("_cum") <= budget_tokens)
+        .drop("_cum")
+    )
+
+
 def curation_funnel(
     docs: DataFrame,
     text_col: str = "text",

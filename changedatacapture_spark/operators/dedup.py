@@ -314,6 +314,41 @@ def simhash_neardup_pairs(
     )
 
 
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Benchmark contamination check: per document, how many of its
+    distinct ``k``-gram shingles appear anywhere in ``benchmark``.
+
+    The decontamination step every training-corpus pipeline runs
+    before a model ships: documents overlapping an eval set must be
+    dropped or the benchmark is meaningless. Output: ``doc_id,
+    n_overlap`` for contaminated documents only (no row = clean).
+
+    Scale: both sides reduce to DISTINCT shingle sets before the join —
+    the shuffle carries k-byte shingle keys, never document text, and
+    the benchmark side (eval suites are ≪ corpus) broadcasts when
+    small. Equi-join on the shingle, linear in both inputs; the
+    per-doc overlap count is a map-side-combinable aggregate.
+    """
+    doc_sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh"),
+    )
+    bench_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh")
+        )
+        .distinct()
+    )
+    return doc_sh.join(bench_sh, "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: fingerprint, copy count, canonical id."""
     return (

@@ -3159,6 +3159,91 @@ def q_cdc_window_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "decontaminate_ngrams",
+    """
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id >= 100),
+    bench AS (SELECT text FROM documents WHERE doc_id < 100),
+    dsh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+            FROM corpus)),
+    bsh AS (
+      SELECT DISTINCT substr(text, i, 8) AS sh
+      FROM (SELECT text,
+                   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+            FROM bench))
+    SELECT doc_id, count(*) AS n_overlap
+    FROM dsh JOIN bsh USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs (id ≥ 100) sharing any 8-gram
+    with the held-out set (id < 100), with overlap counts — the
+    eval-leakage sweep every training corpus needs. Shuffles 8-byte
+    shingle keys, never text."""
+    from changedatacapture_spark.operators.dedup import contamination
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination(
+        docs.filter(F.col("doc_id") >= 100),
+        docs.filter(F.col("doc_id") < 100),
+        k=8,
+    )
+
+
+@_register(
+    "dataset_stratified_sample",
+    f"""
+    SELECT doc_id, source
+    FROM (SELECT doc_id, source,
+                 {_hash_bucket_expr('strpos', 'CAST(doc_id AS VARCHAR)')} AS b
+          FROM documents)
+    WHERE b < CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20 ELSE 10 END
+    """,
+)
+def q_dataset_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-source keep rates (50%
+    src0, 20% src1, 10% elsewhere) via content-addressed md5 buckets —
+    rerun-stable, append-stable, zero shuffle (pure predicate)."""
+    from changedatacapture_spark.operators.curation import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return stratified_sample(
+        docs, {"src0": 50, "src1": 20}, default_pct=10
+    ).select("doc_id", "source")
+
+
+@_register(
+    "token_budget_select",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             1000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+               // greatest(length(text), 1) AS quality_pm
+      FROM documents),
+    c AS (
+      SELECT *, sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY quality_pm DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t)
+    SELECT doc_id, source, quality_pm, n_tokens FROM c WHERE cum <= 600
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-first selection under a 600-token budget per source:
+    greedy fill in (quality desc, doc_id) order via the two-phase
+    distributed prefix sum (quality value = chunk key), so no stream
+    ever sorts on a single executor."""
+    from changedatacapture_spark.operators.curation import token_budget_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_budget_select(docs, budget_tokens=600)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -3181,6 +3266,7 @@ _DEMOTED = [
     "q_late_shipments",
     "dedup_minhash_signatures",  # exercised transitively by dedup_minhash_pairs
     "text_lang_profile",  # aggregates text_langid, which keeps its row
+    "text_token_topk",  # token counting stays covered by text_bpe_tokens
 ]
 
 _PROMOTED = [
@@ -3195,6 +3281,7 @@ _PROMOTED = [
     "dedup_incremental",
     "events_range_join",
     "events_stateful_sessions",
+    "decontaminate_ngrams",
 ]
 
 DRIVER_WINDOW = 50

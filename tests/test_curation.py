@@ -89,3 +89,62 @@ def test_range_join_bucketed_equals_naive(spark):
         if s <= p * 100 <= e
     }
     assert got == naive
+
+
+def test_stratified_sample_deterministic_and_append_stable(spark):
+    from changedatacapture_spark.operators.curation import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b", "t") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    picked1 = {r.doc_id for r in stratified_sample(docs, {"a": 50, "b": 10}).collect()}
+    picked2 = {r.doc_id for r in stratified_sample(docs, {"a": 50, "b": 10}).collect()}
+    assert picked1 == picked2  # rerun-stable, unlike df.sample()
+    # appending new docs never changes which old docs are sampled
+    more = spark.createDataFrame(
+        rows + [(i, "a", "t") for i in range(200, 300)],
+        "doc_id long, source string, text string",
+    )
+    picked3 = {
+        r.doc_id
+        for r in stratified_sample(more, {"a": 50, "b": 10}).collect()
+        if r.doc_id < 200
+    }
+    assert picked3 == picked1
+    # rate ordering holds on the strata (a keeps ~5x more than b)
+    n_a = sum(1 for i in picked1 if i % 2 == 0)
+    n_b = len(picked1) - n_a
+    assert n_a > n_b
+
+
+def test_token_budget_select_takes_best_quality_first(spark):
+    from changedatacapture_spark.operators.curation import token_budget_select
+
+    # quality: doc 1 all-alpha (1000pm), doc 2 mixed (~500pm), doc 3 digits (0pm)
+    rows = [
+        (1, "s", " ".join(["abcd"] * 10)),          # 10 tokens, high quality
+        (2, "s", " ".join(["ab12"] * 10)),          # 10 tokens, mid quality
+        (3, "s", " ".join(["1234"] * 10)),          # 10 tokens, zero quality
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r.doc_id for r in token_budget_select(docs, budget_tokens=20).collect()}
+    assert got == {1, 2}  # greedy fill stops before the low-quality doc
+
+
+def test_contamination_counts_shared_shingles(spark):
+    from changedatacapture_spark.operators.dedup import contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps"),   # identical: fully contaminated
+            (11, "a quick brown fox appears"),   # partial overlap
+            (12, "zzzz yyyy xxxx wwww vvvv"),    # clean: no shared 8-gram
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_overlap for r in contamination(docs, bench, k=8).collect()}
+    assert 12 not in got            # clean docs emit no row
+    assert got[10] == 18            # len 25 → 18 distinct 8-grams, all shared
+    assert 0 < got[11] < 18         # partially contaminated

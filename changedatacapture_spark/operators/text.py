@@ -186,6 +186,114 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return votes.select("doc_id", fp.cast("long").alias("simhash"))
 
 
+#: PII patterns, ordered — earlier patterns are scrubbed first so a
+#: replacement can never create a later match. Each regex is valid and
+#: equivalent in Java regex (Spark) and RE2 (DuckDB oracle): character
+#: classes, bounded repetition, and non-capturing groups only.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"),
+)
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII before a corpus ships: emails, SSNs, phone numbers,
+    IPv4 addresses → ``<TYPE>`` placeholder tokens, with per-type match
+    counts and a ``clean`` flag.
+
+    Patterns apply in :data:`PII_PATTERNS` order (SSN before the
+    overlapping 3-3-4 phone shape) so counting and scrubbing agree.
+    Pure ``regexp_extract_all`` / ``regexp_replace`` column expressions
+    — whole-stage codegen, zero Python, no shuffle; at 100 TB this is
+    a free rider on whatever scan already reads the text column.
+    """
+    counts = {}
+    scrubbed = F.col(text_col)
+    for name, pat in PII_PATTERNS:
+        # count against the partially-scrubbed text so sequential
+        # replacement and the counts can never disagree (an email's
+        # digits, once redacted, cannot also count as an IP)
+        counts[name] = F.size(
+            F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0))
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    out = docs.select(
+        "doc_id",
+        scrubbed.alias("text_scrubbed"),
+        *[counts[name].alias(f"n_{name}") for name, _ in PII_PATTERNS],
+    )
+    clean = None
+    for name, _ in PII_PATTERNS:
+        c = F.col(f"n_{name}") == 0
+        clean = c if clean is None else (clean & c)
+    return out.withColumn("clean", clean)
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    documents dominated by a single token or bigram are boilerplate /
+    spam and get dropped before training.
+
+    Per document: ``top_token_pm`` — per-mille of tokens taken by the
+    most frequent token; ``top_bigram_pm`` — per-mille of bigram slots
+    taken by the most frequent bigram; ``dup_token_pm`` — per-mille of
+    tokens that repeat an earlier token; ``passes_repetition`` — the
+    composite keep decision. Scaled-integer exact (``DIV``), like
+    :func:`quality_score`.
+
+    Scale: gram counting is explode → groupBy(doc_id, gram) — a
+    wordcount-shaped shuffle with map-side partial aggregation, the
+    cheapest distributed shape for per-gram modes (a per-row array
+    sort+fold would keep whole documents in one expression buffer).
+    The two gram families aggregate independently and join back on
+    doc_id.
+    """
+    toks = tokens(F.col(text_col))
+    base = docs.select("doc_id", toks.alias("_t"))
+    bigrams = F.expr(
+        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+    )
+    tok_agg = (
+        base.select("doc_id", F.explode("_t").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("_max_tok"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    bg_agg = (
+        base.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_max_bg"))
+    )
+    joined = tok_agg.join(bg_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr("1000 * _max_tok DIV n_tokens").alias("top_token_pm"),
+        F.expr(
+            "1000 * coalesce(_max_bg, 0) DIV greatest(n_tokens - 1, 1)"
+        ).alias("top_bigram_pm"),
+        F.expr("1000 * (n_tokens - n_distinct) DIV n_tokens").alias(
+            "dup_token_pm"
+        ),
+    )
+    return joined.withColumn(
+        "passes_repetition",
+        (F.col("top_token_pm") <= 200)
+        & (F.col("top_bigram_pm") <= 180)
+        & (F.col("dup_token_pm") <= 900),
+    )
+
+
 def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document statistics: chars, tokens, distinct tokens,
     punctuation count, mean token length (scaled-integer exact)."""

@@ -3244,6 +3244,116 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_select(docs, budget_tokens=600)
 
 
+@_register(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS s FROM documents),
+    tc AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(s) AS g FROM t)
+      GROUP BY doc_id, g),
+    ta AS (
+      SELECT doc_id, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct
+      FROM tc GROUP BY doc_id),
+    bc AS (
+      SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, s[i] || ' ' || s[i + 1] AS g
+            FROM (SELECT doc_id, s, unnest(range(1, len(s))) AS i FROM t))
+      GROUP BY doc_id, g),
+    ba AS (SELECT doc_id, max(c) AS max_bg FROM bc GROUP BY doc_id)
+    SELECT ta.doc_id, n_tokens, n_distinct,
+           1000 * max_tok // n_tokens AS top_token_pm,
+           1000 * coalesce(max_bg, 0) // greatest(n_tokens - 1, 1) AS top_bigram_pm,
+           1000 * (n_tokens - n_distinct) // n_tokens AS dup_token_pm,
+           (1000 * max_tok // n_tokens <= 200
+            AND 1000 * coalesce(max_bg, 0) // greatest(n_tokens - 1, 1) <= 180
+            AND 1000 * (n_tokens - n_distinct) // n_tokens <= 900
+           ) AS passes_repetition
+    FROM ta LEFT JOIN ba ON ta.doc_id = ba.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: top-token / top-bigram /
+    duplicate-token per-mille rates and the composite keep decision,
+    counted with a wordcount-shaped map-side-combinable shuffle."""
+    from changedatacapture_spark.operators.text import repetition_stats
+
+    return repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+def _pii_oracle() -> str:
+    from changedatacapture_spark.operators.text import PII_PATTERNS
+
+    sql = """
+    WITH s0 AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 3 = 0
+                THEN ' contact user' || doc_id || '@ex-mail.com' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' call 555-013-4242' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END
+             AS t
+      FROM documents)"""
+    prev = "s0"
+    kept: list[str] = []
+    for i, (name, pat) in enumerate(PII_PATTERNS, start=1):
+        cols = ", ".join(["doc_id", *kept]) + ", "
+        sql += f""",
+    s{i} AS (
+      SELECT {cols}len(regexp_extract_all(t, '{pat}')) AS n_{name},
+             regexp_replace(t, '{pat}', '<{name.upper()}>', 'g') AS t
+      FROM {prev})"""
+        kept.append(f"n_{name}")
+        prev = f"s{i}"
+    clean = " AND ".join(f"{c} = 0" for c in kept)
+    sql += f"""
+    SELECT doc_id, t AS text_scrubbed, {', '.join(kept)}, ({clean}) AS clean
+    FROM {prev}"""
+    return sql
+
+
+@_register("pii_scrub", _pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction sweep over documents salted with deterministic
+    synthetic emails / SSNs / phones / IPs (the shipped corpus has
+    none): scrub to ``<TYPE>`` placeholders, count per type, flag
+    clean docs. Pure regexp column expressions — codegen, no shuffle."""
+    from changedatacapture_spark.operators.text import pii_scrub
+
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@ex-mail.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(did % 7 == 0, F.lit(" call 555-013-4242")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(synth)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------

@@ -120,3 +120,45 @@ def test_media_roundtrip_payload_bytes(spark):
     # deterministic fake: same payload -> same feature
     feats2 = extract_features(documents_as_media(docs), dim=8).collect()[0]
     assert feats.feature == feats2.feature
+
+
+def test_repetition_stats_flags_dominated_docs(spark):
+    from changedatacapture_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam spam spam spam spam spam"),
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert rows[0].top_token_pm == 1000 and rows[0].top_bigram_pm == 1000
+    assert not rows[0].passes_repetition
+    assert rows[1].top_token_pm == 100 and rows[1].dup_token_pm == 0
+    assert rows[1].passes_repetition
+    # single-token doc: no bigrams -> coalesced 0, dup 0
+    assert rows[2].top_bigram_pm == 0 and rows[2].n_tokens == 1
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from changedatacapture_spark.operators.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail a.b+c@site.org or x@y.io and ssn 123-45-6789"),
+            (1, "call 555-013-4242 from 192.168.0.1 twice 555-013-4242"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert rows[0].n_email == 2 and rows[0].n_ssn == 1 and not rows[0].clean
+    assert "<EMAIL>" in rows[0].text_scrubbed
+    assert "@" not in rows[0].text_scrubbed
+    assert "123-45-6789" not in rows[0].text_scrubbed
+    assert rows[1].n_phone == 2 and rows[1].n_ipv4 == 1
+    # SSN pattern must not claim the 3-3-4 phone shape
+    assert rows[1].n_ssn == 0
+    assert rows[2].clean and rows[2].text_scrubbed == "nothing sensitive here"

@@ -86,6 +86,63 @@ def extract_features(
     return media.select("media_id", payload_col).mapInPandas(batches, out_schema)
 
 
+def sample_frames(
+    media: DataFrame,
+    frame_bytes: int = 16,
+    stride: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic frame sampling over binary payloads: the payload
+    is treated as a contiguous sequence of fixed-size ``frame_bytes``
+    chunks (a real container parser — mp4 boxes, wav blocks — would
+    slot in where the slicing happens) and every ``stride``-th frame is
+    emitted with its index, byte length, and content hash.
+
+    This is the decode-side shape of video/audio ingestion at scale:
+    ``mapInPandas`` streams Arrow batches through the Python worker, the
+    output explodes ~``1/stride`` of the payload volume, and nothing is
+    collected driver-side. Emitting the md5 rather than the frame bytes
+    keeps the result hashable for the oracle comparison; a real
+    pipeline would emit the frame tensor here.
+
+    Output: ``media_id, frame_idx, frame_len, frame_md5``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_len", T.IntegerType(), False),
+            T.StructField("frame_md5", T.StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids: list[int] = []
+            idxs: list[int] = []
+            lens: list[int] = []
+            hashes: list[str] = []
+            for mid, p in zip(pdf["media_id"], pdf[payload_col]):
+                raw = bytes(p) if p is not None else b""
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    chunk = raw[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(mid)
+                    idxs.append(fi)
+                    lens.append(len(chunk))
+                    hashes.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return media.select("media_id", payload_col).mapInPandas(batches, out_schema)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata aggregation (no payload decode): per mime type,
     count / total bytes / max dims — the cheap pre-decode audit pass."""

@@ -270,6 +270,125 @@ def cosine_topk_ivf(
     )
 
 
+def _int_cell_scores(vec_scaled_col: str, matrix: list[list[int]]) -> Column:
+    """Integer dot products ⟨v_scaled, m⟩ per centroid row — BIGINT
+    arithmetic end-to-end, so scores (and the argmax assignment) are
+    order-independent and bit-identical in every engine, unlike float
+    sums whose value depends on reduction order."""
+    m = ", ".join(
+        "array(" + ", ".join(f"CAST({x} AS BIGINT)" for x in row) + ")"
+        for row in matrix
+    )
+    return F.expr(
+        f"transform(array({m}), c -> "
+        f"aggregate(zip_with({vec_scaled_col}, c, (x, w) -> x * w), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x))"
+    )
+
+
+def kmeans_step(
+    emb: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+    centroids_scaled: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """One distributed Lloyd iteration over the IVF coarse quantizer:
+    assign every vector to its argmax-⟨v,c⟩ cell (the same deterministic
+    assignment :func:`cosine_topk_ivf` uses), then recompute each
+    cell's centroid as the per-dimension mean.
+
+    This is how the IVF centroid artifact is refreshed at scale —
+    iterate: assign (zero-shuffle projection) → mean (map-side-combined
+    aggregate) → broadcast refined centroids into the next pass.
+
+    Exactness across engines: elements are scaled to integers
+    (``floor(x·scale)`` as BIGINT) *before* summing, so the aggregate
+    is an order-independent integer sum — float sums would differ
+    between engines by reduction order. The mean uses integer ``DIV``.
+
+    Shape at 100 TB: assignment is a projection over the scan; the
+    explode×dim feeds a groupBy(cell, d) with map-side partial
+    aggregation, so the shuffle carries ≤ ``n_cells·dim`` partial rows
+    per task — constant, not data-sized.
+
+    With ``centroids_scaled`` (a sorted list of ``(cell_id,
+    mean_scaled_weights)`` from a previous step), assignment switches
+    to the integer dot against those refined centroids — the broadcast
+    artifact of the previous iteration — with first-occurrence
+    (lowest cell id) tie-breaks in every engine.
+
+    Output: ``cell, d, n_vectors, mean_scaled`` (``n_cells·dim`` rows;
+    cells left empty by an assignment round drop out).
+    """
+    xv = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    if centroids_scaled is None:
+        cs = ivf_cell_scores(vec_col, n_cells, dim)
+        assigned = emb.select(
+            (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+            xv.alias("_v"),
+        )
+    else:
+        ids_sql = ", ".join(str(c) for c, _ in centroids_scaled)
+        base = emb.select(xv.alias("_v")).withColumn(
+            "_cs", _int_cell_scores("_v", [w for _, w in centroids_scaled])
+        )
+        assigned = base.select(
+            F.expr(
+                f"element_at(array({ids_sql}), "
+                f"CAST(array_position(_cs, array_max(_cs)) AS INT))"
+            ).alias("cell"),
+            "_v",
+        )
+    return (
+        assigned.select("cell", F.posexplode("_v").alias("d", "x"))
+        .groupBy("cell", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr("sum(x) DIV count(1)").alias("mean_scaled"),
+        )
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    n_iter: int = 2,
+    n_cells: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Full distributed Lloyd loop: iterate :func:`kmeans_step`,
+    collecting each round's centroid table (a bounded ``n_cells·dim``
+    integer artifact — the same driver-side collect every distributed
+    k-means performs) and broadcasting it into the next round as a
+    literal matrix, so assignment stays a zero-shuffle codegen
+    projection instead of a data×centroid join.
+
+    All arithmetic is scaled-integer, so any fixed ``n_iter`` unrolls
+    to bit-identical results in any engine. Returns the final step's
+    ``cell, d, n_vectors, mean_scaled`` table.
+    """
+    step = kmeans_step(emb, n_cells, dim, vec_col, scale)
+    for _ in range(n_iter - 1):
+        by_cell: dict[int, list[int]] = {}
+        for r in step.collect():
+            by_cell.setdefault(r["cell"], [0] * dim)[r["d"]] = r["mean_scaled"]
+        step = kmeans_step(
+            emb,
+            n_cells,
+            dim,
+            vec_col,
+            scale,
+            centroids_scaled=sorted(by_cell.items()),
+        )
+    return step
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     probes: DataFrame,

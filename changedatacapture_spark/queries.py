@@ -1691,6 +1691,49 @@ def q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q12_priority_by_status",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape (this dataset carries no shipmode/commit/receipt
+    columns, so the ship-window filter stands in): urgent-vs-other
+    conditional counts per line status.
+
+    The shipdate range predicate pushes down to the lineitem scan;
+    the conditional sums fold map-side, so the shuffle after the join
+    is two partial counters per status value.
+    """
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+    )
+
+
+@_register(
     "q13_cust_order_distribution",
     """
     SELECT c_count, count(*) AS custdist
@@ -3354,6 +3397,117 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_scrub(synth)
 
 
+@_register(
+    "kmeans_refine_step",
+    f"""
+    WITH base AS (
+      SELECT embedding, {_ivf_cs_sql('embedding')} AS cs FROM embeddings),
+    assigned AS (
+      SELECT CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell,
+             embedding
+      FROM base),
+    ex AS (
+      SELECT cell, r.d AS d,
+             CAST(floor(CAST(embedding[r.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM assigned, range(0, 64) r(d))
+    SELECT cell, d, count(*) AS n_vectors,
+           CAST(sum(x) AS BIGINT) // count(*) AS mean_scaled
+    FROM ex
+    GROUP BY cell, d
+    """,
+)
+def q_kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration refreshing the IVF coarse-quantizer
+    centroids: deterministic argmax cell assignment (zero-shuffle
+    projection), then per-(cell, dimension) scaled-integer means —
+    the shuffle carries ≤ n_cells·dim partial rows per task."""
+    from changedatacapture_spark.operators.similarity import kmeans_step
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_step(emb, n_cells=8, dim=64)
+
+
+@_register(
+    "kmeans_fit_2iter",
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding, {_ivf_cs_sql('embedding')} AS cs
+      FROM embeddings),
+    vx AS (
+      SELECT vec_id, r.d AS d,
+             CAST(floor(CAST(embedding[r.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM embeddings, range(0, 64) r(d)),
+    a1 AS (
+      SELECT vec_id, CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+      FROM base),
+    c1 AS (
+      SELECT cell, d, CAST(sum(x) AS BIGINT) // count(*) AS m
+      FROM a1 JOIN vx USING (vec_id)
+      GROUP BY cell, d),
+    dots AS (
+      SELECT v.vec_id, c.cell, CAST(sum(v.x * c.m) AS BIGINT) AS s
+      FROM vx v JOIN c1 c ON c.d = v.d
+      GROUP BY v.vec_id, c.cell),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM dots)
+      WHERE rn = 1)
+    SELECT cell, d, count(*) AS n_vectors,
+           CAST(sum(x) AS BIGINT) // count(*) AS mean_scaled
+    FROM a2 JOIN vx USING (vec_id)
+    GROUP BY cell, d
+    """,
+)
+def q_kmeans_fit_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations: LCG-seeded assignment → scaled-integer
+    means → broadcast the refined centroids back as a literal matrix →
+    reassign by order-independent BIGINT dot products → final means.
+    The iterative broadcast-refine loop, oracle-paired because every
+    step is integer-exact (the oracle unrolls both iterations; its
+    second assignment is a data×centroid join, while Spark keeps
+    assignment a zero-shuffle codegen projection)."""
+    from changedatacapture_spark.operators.similarity import kmeans_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_fit(emb, n_iter=2, n_cells=8, dim=64)
+
+
+@_register(
+    "media_frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+    fr AS (
+      SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+             substr(text, CAST(i * 16 + 1 AS INTEGER), 16) AS chunk
+      FROM (SELECT media_id, text,
+                   unnest(range(0, (length(text) + 15) // 16)) AS i
+            FROM m)
+      WHERE i % 4 = 0)
+    SELECT media_id, frame_idx,
+           CAST(length(chunk) AS INTEGER) AS frame_len,
+           md5(chunk) AS frame_md5
+    FROM fr
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th 16-byte frame of each media payload (the documents-
+    derived binary twin, whose ASCII payload the oracle can slice with
+    substr): Arrow-batched ``mapInPandas`` slicing, frames identified
+    by content hash — the video/audio ingestion decode shape."""
+    from changedatacapture_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(documents_as_media(docs), frame_bytes=16, stride=4)
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -3377,6 +3531,9 @@ _DEMOTED = [
     "dedup_minhash_signatures",  # exercised transitively by dedup_minhash_pairs
     "text_lang_profile",  # aggregates text_langid, which keeps its row
     "text_token_topk",  # token counting stays covered by text_bpe_tokens
+    "dedup_simhash",  # fingerprints exercised transitively by dedup_simhash_pairs
+    "text_fingerprint",  # same md5-normalized fingerprint dedup_exact groups on
+    "embedding_profile",  # embedding load/array surface covered by the knn trio
 ]
 
 _PROMOTED = [
@@ -3392,6 +3549,9 @@ _PROMOTED = [
     "events_range_join",
     "events_stateful_sessions",
     "decontaminate_ngrams",
+    "text_repetition",
+    "pii_scrub",
+    "kmeans_fit_2iter",
 ]
 
 DRIVER_WINDOW = 50

@@ -162,3 +162,60 @@ def test_pii_scrub_redacts_and_counts(spark):
     # SSN pattern must not claim the 3-3-4 phone shape
     assert rows[1].n_ssn == 0
     assert rows[2].clean and rows[2].text_scrubbed == "nothing sensitive here"
+
+
+def test_kmeans_fit_refines_centroids(spark):
+    from changedatacapture_spark.operators.similarity import kmeans_fit, kmeans_step
+
+    import random
+
+    rng = random.Random(7)
+    # two well-separated blobs in 8-d
+    rows = []
+    for i in range(40):
+        center = 1.0 if i % 2 == 0 else -1.0
+        rows.append(
+            (i, [center + rng.uniform(-0.1, 0.1) for _ in range(8)])
+        )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    step1 = {
+        (r.cell, r.d): (r.n_vectors, r.mean_scaled)
+        for r in kmeans_step(emb, n_cells=4, dim=8).collect()
+    }
+    fit1 = {
+        (r.cell, r.d): (r.n_vectors, r.mean_scaled)
+        for r in kmeans_fit(emb, n_iter=1, n_cells=4, dim=8).collect()
+    }
+    assert fit1 == step1  # one iteration IS the single step
+
+    fit2a = sorted(map(tuple, kmeans_fit(emb, n_iter=2, n_cells=4, dim=8).collect()))
+    fit2b = sorted(map(tuple, kmeans_fit(emb, n_iter=2, n_cells=4, dim=8).collect()))
+    assert fit2a == fit2b  # integer arithmetic -> bit-stable across runs
+
+    # after refinement each surviving cell's centroid sits near a blob
+    # (mean_scaled ~ +-1e6), not near the tiny LCG seed values
+    means = [m for (_, _, _, m) in fit2a]
+    assert max(abs(m) for m in means) > 800_000
+
+
+def test_sample_frames_stride_and_tail(spark):
+    import hashlib
+
+    from changedatacapture_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_frames,
+    )
+
+    payload = bytes(range(100))  # 7 frames of 16 bytes, last is 4 bytes
+    media = spark.createDataFrame(
+        [(0, "video/mp4", 32, 32, len(payload), payload)], MEDIA_SCHEMA
+    )
+    rows = {r.frame_idx: r for r in sample_frames(media, 16, stride=4).collect()}
+    assert set(rows) == {0, 4}  # frames 0..6, every 4th
+    assert rows[0].frame_len == 16 and rows[4].frame_len == 16
+    assert rows[0].frame_md5 == hashlib.md5(payload[:16]).hexdigest()
+    # stride 1 exposes the short tail frame
+    tail = {r.frame_idx: r for r in sample_frames(media, 16, stride=1).collect()}
+    assert tail[6].frame_len == 4
+    assert tail[6].frame_md5 == hashlib.md5(payload[96:]).hexdigest()

@@ -177,3 +177,77 @@ def test_split_assign_no_shuffle(spark, sf_dir):
     shuffle the corpus beyond the 3-group count."""
     df = _run(spark, sf_dir, "dataset_split_assign")
     assert count_exchanges(df) <= 1, executed_plan(df)
+
+
+def test_pii_scrub_is_pure_projection(spark, sf_dir):
+    """Regex scrub + counts must ride the scan: zero exchanges."""
+    df = _run(spark, sf_dir, "pii_scrub")
+    assert count_exchanges(df) == 0, executed_plan(df)
+
+
+def test_stratified_sample_is_pure_predicate(spark, sf_dir):
+    """Content-addressed sampling is filter-only: zero exchanges."""
+    df = _run(spark, sf_dir, "dataset_stratified_sample")
+    assert count_exchanges(df) == 0, executed_plan(df)
+
+
+def test_repetition_counts_are_partial_agg(spark, sf_dir):
+    """Gram counting is wordcount-shaped: map-side partial aggregation,
+    no window, no nested-loop join anywhere."""
+    df = _run(spark, sf_dir, "text_repetition")
+    plan = executed_plan(df)
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_kmeans_step_is_projection_plus_one_aggregate(spark, sf_dir):
+    """Cell assignment must stay a zero-shuffle projection; the only
+    exchange is the (cell, d) aggregate, which combines map-side."""
+    df = _run(spark, sf_dir, "kmeans_refine_step")
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert plan.count("embeddings.parquet") == 1, "corpus scanned once"
+
+
+def test_kmeans_fit_iteration_stays_join_free(spark, sf_dir):
+    """The refined-centroid pass folds the collected artifact back in
+    as a literal matrix: no data-by-centroid join, one aggregate."""
+    df = _run(spark, sf_dir, "kmeans_fit_2iter")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) == 1, plan
+
+
+def test_frame_sample_streams_through_arrow(spark, sf_dir):
+    """Frame slicing is mapInPandas over the scan: no exchange, no
+    driver-side materialization in the plan."""
+    df = _run(spark, sf_dir, "media_frame_sample")
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 0, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_token_budget_windows_partition_by_chunk(spark, sf_dir):
+    """The greedy fill's row-level window must partition by
+    (stream, quality) — never the stream alone."""
+    import re
+
+    df = _run(spark, sf_dir, "token_budget_select")
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    row_level = [s for s in specs if "doc_id" in s]
+    assert row_level, f"no row-level window: {specs}"
+    for s in row_level:
+        assert "quality_pm" in s, f"whole-stream window: {s}"
+    assert has_broadcast_join(df), plan
+
+
+def test_contamination_never_goes_quadratic(spark, sf_dir):
+    """Decontamination joins on shingle keys — an equi-join with
+    partial-agg overlap counts, never a nested-loop pairing."""
+    df = _run(spark, sf_dir, "decontaminate_ngrams")
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "partial" in plan.lower(), plan

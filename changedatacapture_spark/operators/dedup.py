@@ -349,6 +349,107 @@ def contamination(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every node connects its STRICTLY LARGER
+    neighbors to the minimum of its closed neighborhood."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", F.col("mv")).alias("m"))
+    # m <= u < v, so the emitted (v, m) edge is never a self-loop
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its SMALLER-OR-EQUAL
+    neighbors (and itself) to the minimum of that set."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        directed.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_rounds: int = 12,
+) -> DataFrame:
+    """Duplicate-group transitive closure: ``(doc_id, group_id)`` for
+    every doc appearing in ``pairs``, where ``group_id`` is the MINIMUM
+    doc id of the doc's connected component (the canonical survivor).
+
+    Pairs alone don't dedup a corpus — A~B and B~C must collapse to one
+    group of three. This is the alternating large-star / small-star
+    algorithm (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14): each round is two (groupBy-min + equi-join)
+    passes over the edge set, and the edge set provably converges to a
+    forest of stars rooted at component minima in O(log² n) rounds
+    (observed: 2-3 rounds on dedup graphs, whose components are
+    near-cliques).
+
+    Scale: the driver loop is bounded by ``max_rounds`` and per round
+    sees ONE (count, checksum) row for the fixpoint test — never edge
+    data. Each round's lineage is truncated with ``localCheckpoint``
+    (swap for reliable ``checkpoint`` against a checkpoint dir on a
+    real cluster) so the plan doesn't grow with iterations. Edges
+    shuffle by node id; boilerplate-heavy components skew-split via AQE.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = None
+    for _ in range(max_rounds):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # one-row fixpoint probe: (row count, order-insensitive hash)
+        # bit_xor, not sum: order-insensitive over the distinct edge
+        # set and immune to ANSI-mode long overflow
+        state = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("u", "v")).alias("h"),
+        ).first()
+        cur = (state["n"], state["h"])
+        if cur == prev:
+            break
+        prev = cur
+    # At the fixpoint every edge is (member, component-min); the min
+    # node itself carries no out-edge, so re-attach it from the node
+    # set. The groupBy-min is insurance against a non-converged edge
+    # set when max_rounds is hit early (still a correct contraction).
+    nodes = (
+        pairs.select(F.col(a_col).alias("doc_id"))
+        .unionByName(pairs.select(F.col(b_col).alias("doc_id")))
+        .distinct()
+    )
+    mapping = edges.select(
+        F.col("u").alias("doc_id"), F.col("v").alias("group_id")
+    )
+    return (
+        nodes.join(mapping, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(F.min("group_id").alias("_g"))
+        .select(
+            "doc_id", F.coalesce("_g", F.col("doc_id")).alias("group_id")
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: fingerprint, copy count, canonical id."""
     return (

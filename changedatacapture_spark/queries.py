@@ -770,6 +770,48 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_groups",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      WHERE e.v <> r.u)
+    SELECT u AS doc_id, least(u, min(v)) AS group_id
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group transitive closure: LSH candidate pairs →
+    connected components (large-star/small-star), canonical doc =
+    component-minimum doc_id. The final dedup stage pairs alone can't
+    express (A~B, B~C must collapse into ONE group). Oracle: recursive
+    CTE reachability over the same pair set."""
+    from changedatacapture_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_table(spark, "documents", sf_dir), n_hashes=4, k=5)
+    return connected_components(lsh_candidate_pairs(sigs, n_hashes=4, bands=2))
+
+
+@_register(
     "dedup_ngram_jaccard",
     """
     WITH ex AS (
@@ -3552,6 +3594,7 @@ _PROMOTED = [
     "text_repetition",
     "pii_scrub",
     "kmeans_fit_2iter",
+    "dedup_groups",
 ]
 
 DRIVER_WINDOW = 50

@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from changedatacapture_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -44,6 +45,34 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 2) in got  # exact dups always collide
     assert (1, 3) in got or (2, 3) in got  # near dup should share a band
     assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_connected_components_transitive_chain(spark):
+    # A~B, B~C, C~D must collapse into ONE group rooted at the minimum
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_connected_components_groups_reversed_and_selfloop(spark):
+    # reversed pair order, a second component, and a self-loop node
+    pairs = spark.createDataFrame(
+        [(3, 2), (1, 2), (11, 10), (20, 20)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    # 40-node path presented in worst-case descending order: exercises
+    # multiple large-star/small-star rounds plus the fixpoint probe
+    edges = [(i, i + 1) for i in range(40, 0, -1)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    out = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert len(out) == 41
+    assert set(out.values()) == {1}
 
 
 def test_ngram_jaccard_scores(spark):

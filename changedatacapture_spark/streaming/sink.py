@@ -91,6 +91,18 @@ class SnapshotTable:
         #: retained (original behavior, minimal storage); Delta-style
         #: deployments set a horizon matching their audit window.
         self.retain_history = retain_history
+        #: commit-log compaction threshold (bytes): past this size the
+        #: log is rewritten keeping the last ``retain_history + 1``
+        #: version entries, so commit cost stays O(retention), not
+        #: O(total commits), on long-running streams
+        self.log_compact_bytes = 4 * 1024 * 1024
+        # the bucket count is a PHYSICAL property of the committed
+        # files: an existing table's persisted value overrides the
+        # constructor arg, otherwise a reader constructed with a
+        # different default would mis-route keys on its next merge
+        ptr = self._read_pointer()
+        if ptr is not None and ptr.get("n_buckets"):
+            self.n_buckets = int(ptr["n_buckets"])
 
     # -- commit log -------------------------------------------------------
 
@@ -121,6 +133,7 @@ class SnapshotTable:
             "schema": schema_ddl,
             "buckets": {str(b): v for b, v in buckets.items()},
             "guard": guard,
+            "n_buckets": self.n_buckets,
         }
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
@@ -133,6 +146,31 @@ class SnapshotTable:
         with open(f"{self.path}/{_LOG}", "a") as f:
             f.write(json.dumps(entry) + "\n")
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        # O(1) size probe, not a line count: between compactions the
+        # log is bounded, so the rewrite below amortizes to O(retention)
+        # per commit instead of history() re-reading O(n_commits)
+        if os.path.getsize(f"{self.path}/{_LOG}") > self.log_compact_bytes:
+            self._compact_log(version)
+
+    def _compact_log(self, current_version: int) -> None:
+        """Rewrite the commit log keeping the last ``retain_history + 1``
+        version entries (the Delta checkpoint analogue). Entries beyond
+        retention are unreadable anyway — their files are vacuumed."""
+        entries: dict[int, str] = {}
+        try:
+            with open(f"{self.path}/{_LOG}") as f:
+                for line in f:
+                    if line.strip():
+                        entries[int(json.loads(line)["version"])] = line
+        except FileNotFoundError:
+            return
+        keep = sorted(v for v in entries if v <= current_version)
+        keep = keep[-(self.retain_history + 1):]
+        tmp = f"{self.path}/{_LOG}.tmp.{time.time_ns()}"
+        with open(tmp, "w") as f:
+            for v in keep:
+                f.write(entries[v])
+        os.replace(tmp, f"{self.path}/{_LOG}")
 
     @property
     def version(self) -> int:
@@ -219,6 +257,14 @@ class SnapshotTable:
         ]
         missing = [p for p in paths if not os.path.isdir(p)]
         if missing:
+            if at_version is None:
+                # the CURRENT manifest referencing absent files is
+                # corruption (external deletion / partial restore), not
+                # a retention miss — don't misattribute it
+                raise RuntimeError(
+                    f"snapshot at {self.path} is corrupted: current "
+                    f"manifest references missing bucket dirs {missing[:3]}"
+                )
             raise ValueError(
                 f"version {at_version} is beyond retain_history="
                 f"{self.retain_history}; its files were vacuumed: {missing[:3]}"
@@ -520,6 +566,80 @@ class SnapshotTable:
             manifest,
             json.dumps(merged_schema.jsonValue()),
             guard_meta,
+        )
+        self._vacuum()
+
+    def compact(self) -> int:
+        """Physically compact the table: rewrite every live bucket at
+        one fresh version (the Delta ``OPTIMIZE`` analogue).
+
+        Merge-heavy tables fragment two ways: each touched bucket's
+        rewrite leaves ``spark.sql.shuffle.partitions``-many small part
+        files, and the manifest ends up referencing many version dirs,
+        which pins them all against :meth:`_vacuum`. Compaction rewrites
+        the full current contents bucket-partitioned — one part file per
+        bucket (each bucket hashes wholly into one task of the
+        ``repartition(n_buckets, "bucket")``) — and commits a manifest
+        where every bucket points at the new version, unpinning all
+        older dirs for vacuum.
+
+        Logical contents (including guard tombstones), schema, guard
+        metadata, and the replay batch id are all carried through
+        bit-identically: compaction is a physical rewrite, not a batch.
+        Cost is one full-table scan + write — schedule it off the hot
+        path (e.g. per N merges), like OPTIMIZE. Returns the number of
+        data files the new version holds.
+        """
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        full = self.read(include_tombstones=True).withColumn(
+            "bucket", self._bucket_col()
+        )
+        version = self.version + 1
+        written = self._write_buckets(full, version)
+        self._commit(
+            version, ptr.get("batch_id"), {b: version for b in written},
+            ptr["schema"],
+        )
+        self._vacuum()
+        root = f"{self.path}/v={version}"
+        return sum(
+            1
+            for _, _, files in os.walk(root)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+
+    def rebucket(self, n_buckets: int) -> None:
+        """Change the table's bucket count via the documented full
+        rewrite, online: read current contents, rewrite under the new
+        hash-range, commit atomically.
+
+        Readers pinned to the old pointer keep a consistent view until
+        retention expires; the new pointer persists ``n_buckets`` so
+        every future writer — whatever its constructor default — routes
+        keys against the committed bucketing (a mismatched modulus
+        would strand live rows in buckets a merge no longer probes).
+        Guard metadata, schema, and batch id carry through unchanged.
+
+        Use when the table outgrows its creation-time bucket count
+        (bucket size should stay ~256 MB–1 GB; see the class docstring).
+        """
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        full = self.read(include_tombstones=True)
+        self.n_buckets = n_buckets
+        version = self.version + 1
+        written = self._write_buckets(
+            full.withColumn("bucket", self._bucket_col()), version
+        )
+        self._commit(
+            version, ptr.get("batch_id"), {b: version for b in written},
+            ptr["schema"],
         )
         self._vacuum()
 

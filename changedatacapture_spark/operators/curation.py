@@ -135,7 +135,11 @@ def pack_sequences(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local_cum = F.sum("n_tokens").over(w_local)
-    return base.join(F.broadcast(offsets), [stream_col, "_chunk"]).select(
+    # no explicit broadcast hint: offsets is n_docs/chunk_size rows per
+    # stream, which at corpus scale can exceed the broadcast threshold
+    # and fail the job — AQE broadcasts it automatically while it's
+    # small and falls back to shuffle join when it isn't
+    return base.join(offsets, [stream_col, "_chunk"]).select(
         F.col(order_col),
         F.col(stream_col),
         F.col("n_tokens"),
@@ -224,8 +228,10 @@ def token_budget_select(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = F.col("_offset") + F.sum("n_tokens").over(w_local)
+    # offsets is bounded (≤1001 quality values per stream) but the
+    # hint is still left to AQE for uniformity with pack_sequences
     return (
-        base.join(F.broadcast(offsets), [stream_col, "quality_pm"])
+        base.join(offsets, [stream_col, "quality_pm"])
         .select(
             "doc_id", stream_col, "quality_pm", "n_tokens", cum.alias("_cum")
         )

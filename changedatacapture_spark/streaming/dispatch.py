@@ -54,9 +54,9 @@ class MongoCdcPipeline:
         # could pick a different winner nondeterministically
         if "seq" not in raw.columns:
             raw = raw.withColumn("seq", F.monotonically_increasing_id())
-        target = self.spark.sparkContext.defaultParallelism
-        if raw.rdd.getNumPartitions() < max(2, target // 4):
-            raw = raw.repartition(target)
+        from changedatacapture_spark.streaming.pipeline import fan_out
+
+        raw = fan_out(raw, self.spark)
         changes = mongo_changes(raw, key_field=self.key_field)
         # heterogeneous documents: compaction runs on the map form so
         # no field set is imposed before the winning event is chosen

@@ -15,6 +15,7 @@ Re-architecture of the reference's ``run_stream`` / ``process_batch``
 
 from __future__ import annotations
 
+import glob
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +26,27 @@ from pyspark.sql.types import StructType
 from changedatacapture_spark.operators.cdc import compact_latest
 from changedatacapture_spark.schema.envelope import debezium_envelope_schema
 from changedatacapture_spark.streaming.sink import SnapshotTable
+
+
+def fan_out(raw: DataFrame, spark: SparkSession) -> DataFrame:
+    """Spread a narrow micro-batch across the cluster before parsing.
+
+    File/Kafka micro-batches often arrive in 1-2 partitions (one per
+    file / topic-partition) and would run the whole parse on one core.
+    The probe is metadata-only: ``inputFiles()`` reads the plan's
+    FileIndex on the driver — unlike ``df.rdd.getNumPartitions()`` it
+    never materializes the RDD lineage per batch. Non-file batches
+    (Kafka, in-memory test frames) report no files and always fan out;
+    a shuffle of one micro-batch is noise next to parse + merge.
+    """
+    target = spark.sparkContext.defaultParallelism
+    try:
+        n_in = len(raw.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file source plans
+        n_in = 0
+    if n_in < max(2, target // 4):
+        return raw.repartition(target)
+    return raw
 
 
 def kafka_envelope_stream(
@@ -84,7 +106,9 @@ class CdcPipeline:
         self.table = table
         self.key_col = key_col
         self.dlq_path = dlq_path
-        self._adhoc_dlq_seq = 0
+        # lazily seeded past any adhoc_* dirs already on disk — see
+        # process_batch
+        self._adhoc_dlq_seq: int | None = None
 
     # -- batch core (also usable on a static DataFrame) -------------------
 
@@ -121,12 +145,7 @@ class CdcPipeline:
 
     def process_batch(self, raw: DataFrame, batch_id: int | None = None) -> None:
         """The foreachBatch body — also the whole batch-mode engine."""
-        # the file/Kafka micro-batch often arrives in 1-2 partitions
-        # (one per file / topic-partition); fan out before the parse or
-        # the whole batch runs on one core
-        target = self.spark.sparkContext.defaultParallelism
-        if raw.rdd.getNumPartitions() < max(2, target // 4):
-            raw = raw.repartition(target)
+        raw = fan_out(raw, self.spark)
         if self.dlq_path:
             # per-batch overwrite directory = replay-idempotent (a
             # foreachBatch retry rewrites the same path, never appends
@@ -136,6 +155,18 @@ class CdcPipeline:
             # clobber a streaming run's DLQ output, and reusing one
             # ad-hoc dir would drop earlier calls' corrupt rows.
             if batch_id is None:
+                if self._adhoc_dlq_seq is None:
+                    # seed past existing adhoc_* dirs: a restarted
+                    # process starting again at adhoc_0 would silently
+                    # overwrite a prior run's ad-hoc DLQ rows
+                    taken = [
+                        int(p.rsplit("adhoc_", 1)[1])
+                        for p in glob.glob(
+                            f"{self.dlq_path}/batch_id=adhoc_*"
+                        )
+                        if p.rsplit("adhoc_", 1)[1].isdigit()
+                    ]
+                    self._adhoc_dlq_seq = max(taken, default=-1) + 1
                 dlq_dir = f"{self.dlq_path}/batch_id=adhoc_{self._adhoc_dlq_seq}"
                 self._adhoc_dlq_seq += 1
             else:

@@ -415,6 +415,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = None
+    converged = False
     for _ in range(max_rounds):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # one-row fixpoint probe: (row count, order-insensitive hash)
@@ -426,12 +427,25 @@ def connected_components(
         ).first()
         cur = (state["n"], state["h"])
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # A non-fixpoint edge set can label two members of one component
+        # with different minima — the groupBy-min below would then
+        # SILENTLY split a duplicate group and a wrong survivor set
+        # reaches deletion. Refuse instead: convergence is O(log² n)
+        # rounds, so hitting the bound means max_rounds is mis-sized for
+        # the graph, not a data problem.
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"max_rounds={max_rounds} rounds (last edge count: "
+            f"{prev[0] if prev else 'unknown'}); raise max_rounds — "
+            "convergence needs O(log² n) rounds"
+        )
     # At the fixpoint every edge is (member, component-min); the min
     # node itself carries no out-edge, so re-attach it from the node
-    # set. The groupBy-min is insurance against a non-converged edge
-    # set when max_rounds is hit early (still a correct contraction).
+    # set. The groupBy-min collapses each member's single label.
     nodes = (
         pairs.select(F.col(a_col).alias("doc_id"))
         .unionByName(pairs.select(F.col(b_col).alias("doc_id")))

@@ -3576,6 +3576,10 @@ _DEMOTED = [
     "dedup_simhash",  # fingerprints exercised transitively by dedup_simhash_pairs
     "text_fingerprint",  # same md5-normalized fingerprint dedup_exact groups on
     "embedding_profile",  # embedding load/array surface covered by the knn trio
+    # multi-join + groupBy-agg shape fully overlapped by q3 (which keeps
+    # its row); demoted so mongo_changes_e2e (sole driver evidence for
+    # P1/P10/T6) fits back inside the 50-row window
+    "q5_revenue_by_nation",
 ]
 
 _PROMOTED = [
@@ -3595,6 +3599,7 @@ _PROMOTED = [
     "pii_scrub",
     "kmeans_fit_2iter",
     "dedup_groups",
+    "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
 ]
 
 DRIVER_WINDOW = 50

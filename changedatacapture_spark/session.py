@@ -50,6 +50,11 @@ def get_spark(
         # which Spark rejects by default; read as long and convert at
         # the source (sources/tables.py) to micros like other engines.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Parquet timestamps without the UTC flag would infer as
+        # TIMESTAMP_NTZ in Spark 4, which unix_millis/unix_micros
+        # reject; read them as session-zone TIMESTAMP (tz is UTC above,
+        # so epoch values match other engines bit-for-bit).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -33,18 +33,30 @@ def fan_out(raw: DataFrame, spark: SparkSession) -> DataFrame:
 
     File/Kafka micro-batches often arrive in 1-2 partitions (one per
     file / topic-partition) and would run the whole parse on one core.
-    The probe is metadata-only: ``inputFiles()`` reads the plan's
-    FileIndex on the driver — unlike ``df.rdd.getNumPartitions()`` it
-    never materializes the RDD lineage per batch. Non-file batches
-    (Kafka, in-memory test frames) report no files and always fan out;
-    a shuffle of one micro-batch is noise next to parse + merge.
+    The fast-path probe is metadata-only: ``inputFiles()`` reads the
+    plan's FileIndex on the driver. Few files always fan out — but MANY
+    files don't prove parallelism: the file source packs small files
+    together up to ``maxPartitionBytes``/``openCostInBytes``, so a
+    64-tiny-file batch can still scan on 1-2 cores. When the file count
+    alone would skip, confirm with the scan's real partition count
+    (one driver-side plan conversion per micro-batch — no job runs) and
+    fan out if it's narrow. Non-file batches (Kafka, in-memory test
+    frames) report no files and always fan out; a shuffle of one
+    micro-batch is noise next to parse + merge.
     """
     target = spark.sparkContext.defaultParallelism
+    floor = max(2, target // 4)
     try:
         n_in = len(raw.inputFiles())
     except Exception:  # noqa: BLE001 - non-file source plans
         n_in = 0
-    if n_in < max(2, target // 4):
+    if n_in < floor:
+        return raw.repartition(target)
+    try:
+        n_parts = raw.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - plans that refuse RDD conversion
+        return raw.repartition(target)
+    if n_parts < floor:
         return raw.repartition(target)
     return raw
 
@@ -159,10 +171,14 @@ class CdcPipeline:
                     # seed past existing adhoc_* dirs: a restarted
                     # process starting again at adhoc_0 would silently
                     # overwrite a prior run's ad-hoc DLQ rows
+                    # glob.escape: a dlq_path containing glob
+                    # metacharacters ([], ?, *) must match itself
+                    # literally, or the seed restarts at 0 and clobbers
+                    # prior ad-hoc DLQ rows
                     taken = [
                         int(p.rsplit("adhoc_", 1)[1])
                         for p in glob.glob(
-                            f"{self.dlq_path}/batch_id=adhoc_*"
+                            glob.escape(self.dlq_path) + "/batch_id=adhoc_*"
                         )
                         if p.rsplit("adhoc_", 1)[1].isdigit()
                     ]

@@ -29,6 +29,7 @@ containing touched keys are rewritten.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -68,10 +69,12 @@ class SnapshotTable:
     roughly 256 MB–1 GB of parquet (e.g. a 1 TB table → ~2,048
     buckets; the 16 default fits test scale only). Too few buckets →
     every merge rewrites most of the table; too many → small-file
-    storms and a fat manifest. Buckets are hash-ranged, so the count
-    can only change via a full rewrite (``overwrite``) — pick for the
-    table's target size, not its current one. Single-writer POSIX-
-    rename commit; multi-writer deployments use :class:`DeltaTableSink`.
+    storms and a fat manifest. Buckets are hash-routed, so the count of
+    an EXISTING table changes only via :meth:`rebucket` (an online full
+    rewrite committed as one new version); the constructor always adopts
+    the committed table's persisted count and logs if a conflicting
+    ``n_buckets`` argument was passed. Single-writer POSIX-rename
+    commit; multi-writer deployments use :class:`DeltaTableSink`.
     """
 
     def __init__(
@@ -102,7 +105,17 @@ class SnapshotTable:
         # different default would mis-route keys on its next merge
         ptr = self._read_pointer()
         if ptr is not None and ptr.get("n_buckets"):
-            self.n_buckets = int(ptr["n_buckets"])
+            persisted = int(ptr["n_buckets"])
+            if persisted != n_buckets:
+                logging.getLogger(__name__).warning(
+                    "SnapshotTable(%s): using committed n_buckets=%d, not the "
+                    "constructor's %d — call rebucket(%d) to change it",
+                    self.path,
+                    persisted,
+                    n_buckets,
+                    n_buckets,
+                )
+            self.n_buckets = persisted
 
     # -- commit log -------------------------------------------------------
 

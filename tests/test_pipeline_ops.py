@@ -65,6 +65,19 @@ def test_connected_components_groups_reversed_and_selfloop(spark):
     assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
 
 
+def test_connected_components_raises_on_max_rounds_exhaustion(spark):
+    # max_rounds=1 cannot confirm a fixpoint (the probe needs two equal
+    # consecutive states), so the guard must refuse rather than let a
+    # possibly-split group reach survivor selection
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 0, -1)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not reach a fixpoint"):
+        connected_components(pairs, max_rounds=1)
+
+
 def test_connected_components_long_path_converges(spark):
     # 40-node path presented in worst-case descending order: exercises
     # multiple large-star/small-star rounds plus the fixpoint probe

@@ -225,3 +225,61 @@ def test_adhoc_dlq_calls_do_not_clobber(spark, tmp_path):
     assert spark.read.parquet(f"{dlq}/batch_id=0").count() == 1
     assert spark.read.parquet(f"{dlq}/batch_id=adhoc_0").count() == 1
     assert spark.read.parquet(f"{dlq}/batch_id=adhoc_1").count() == 1
+
+
+def test_adhoc_dlq_seed_survives_glob_metachar_path(spark, tmp_path):
+    """A dlq_path containing glob metacharacters must still see its own
+    prior adhoc_* dirs — an unescaped glob matches nothing, reseeds at
+    0, and clobbers adhoc_0."""
+    import json, os
+
+    src = str(tmp_path / "env")
+    os.makedirs(src, exist_ok=True)
+    for i, bad in enumerate(["{corrupt-a", "{corrupt-b"]):
+        with open(f"{src}/b{i}.jsonl", "w") as f:
+            f.write(json.dumps({"value": bad, "seq": i}) + "\n")
+    dlq = str(tmp_path / "dlq[v2]")
+    schema = T.StructType.fromDDL("value string, seq long")
+    table = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["customerId"])
+    pipe = CdcPipeline(spark, RECORD, table, key_col="customerId", dlq_path=dlq)
+    pipe.process_batch(spark.read.schema(schema).json(f"{src}/b0.jsonl"))
+    # fresh pipeline instance = the lazy seed runs again from disk state
+    pipe2 = CdcPipeline(spark, RECORD, table, key_col="customerId", dlq_path=dlq)
+    pipe2.process_batch(spark.read.schema(schema).json(f"{src}/b1.jsonl"))
+    # read via pyarrow: Spark's read path would itself glob-expand
+    import pyarrow.parquet as pq
+
+    assert pq.read_table(f"{dlq}/batch_id=adhoc_0").num_rows == 1
+    assert pq.read_table(f"{dlq}/batch_id=adhoc_1").num_rows == 1
+
+
+def test_fan_out_spreads_narrow_many_file_scan(spark, tmp_path):
+    """The file-count probe alone is not proof of parallelism: a batch
+    can report many input files yet scan in 1-2 partitions (file
+    packing, coalesced plans). fan_out must confirm with the real
+    partition count and spread the narrow case — and leave an already
+    well-partitioned scan alone (no gratuitous shuffle)."""
+    import json, os
+
+    from changedatacapture_spark.streaming.pipeline import fan_out
+
+    src = str(tmp_path / "tiny")
+    os.makedirs(src, exist_ok=True)
+    for i in range(64):
+        with open(f"{src}/f{i}.jsonl", "w") as f:
+            f.write(json.dumps({"value": f"row-{i}", "seq": i}) + "\n")
+    schema = T.StructType.fromDDL("value string, seq long")
+    raw = spark.read.schema(schema).json(src)
+    target = spark.sparkContext.defaultParallelism
+    floor = max(2, target // 4)
+    assert len(raw.inputFiles()) >= floor
+    # the cliff case: many files, narrow scan
+    narrow = raw.coalesce(2)
+    assert len(narrow.inputFiles()) >= floor
+    assert narrow.rdd.getNumPartitions() < floor
+    spread = fan_out(narrow, spark)
+    assert spread.rdd.getNumPartitions() >= floor
+    assert spread.count() == 64
+    # the healthy case: scan already wide → returned untouched
+    if raw.rdd.getNumPartitions() >= floor:
+        assert fan_out(raw, spark) is raw

@@ -4,10 +4,26 @@ Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
 
 ``value`` is total wall-clock seconds across the headline queries
-(lower is better). Each query is timed as a full
-plan-build → execute → collect cycle after a shared warm-up of the
-session (JVM + parquet footer reads are amortized, matching how a
-long-running engine behaves).
+(lower is better), timed exactly as in every prior round: each query is
+a full plan-build → execute → collect cycle after a shared session
+warm-up (JVM + parquet footers amortized). Three additions make the
+number interpretable across hosts and rounds:
+
+- ``calib``: a fixed single-core Python loop timed in-process before
+  and after the run. The sandbox host's effective CPU speed varies ~2x
+  between runs (noisy neighbors); the calibration constant lets a
+  reader normalize round-over-round walls before attributing a delta
+  to the code.
+- ``queries_steady`` / ``value_steady``: a second timed pass over the
+  same headline set. The first pass pays per-query-shape JIT/codegen
+  compilation; the steady pass is how a long-running engine behaves.
+  ``value`` (cold) stays the round-comparable headline.
+- ``sf1``: if a 10x corpus exists (``tools/gen_scale.py``, default
+  ``.scaledata/sf1``), a bounded query set is timed there with row
+  counts, one decade of empirical scaling above the driver's sf0.1.
+  Pair-emitting dedup operators report rows because their output is
+  data-dependent (LSH candidate counts are hash-draw-sensitive on the
+  synthetic corpus): judge them on pairs/sec, not wall alone.
 """
 
 from __future__ import annotations
@@ -20,6 +36,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.environ.get(
+    "SPARK_GRAFT_SF1_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scaledata", "sf1"),
+)
+SKIP_SF1 = os.environ.get("SPARK_GRAFT_SKIP_SF1", "") == "1"
 
 #: Headline set: CDC core + analytics + pipeline extensions.
 HEADLINE = [
@@ -35,12 +56,65 @@ HEADLINE = [
     "knn_brute_topk",
 ]
 
+#: Scale-path operators outside the frozen headline set.
+EXTRA = [
+    "knn_lsh_topk",
+    "knn_ivf_topk",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "seq_packing_bins",
+    "events_range_join",
+]
+
+#: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
+#: should scale ~linearly in input rows, plus the pair emitters
+#: (row counts included — their output is structure-dependent).
+SF1_SET = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "cdc_compact",
+    "dedup_exact",
+    "seq_packing_bins",
+    "events_sessionize",
+    "knn_brute_topk",
+    "knn_ivf_topk",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+]
+
+
+def _calib_loop() -> float:
+    """Fixed busy-loop: host effective-CPU-speed constant (seconds)."""
+    t0 = time.time()
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return round(time.time() - t0, 3)
+
+
+def _run_set(qs, names, sf_dir, timings: dict, rows: dict | None = None) -> None:
+    for name in names:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark_ref[0], sf_dir)
+        n = len(df.collect()) if name == "knn_brute_topk" else df.count()
+        timings[name] = round(time.time() - t0, 3)
+        if rows is not None:
+            rows[name] = n
+        print(f"# {name}@{sf_dir}: {timings[name]}s rows={n}", file=sys.stderr)
+
+
+spark_ref = [None]
+
 
 def main() -> None:
     from __spark_entry__ import queries
     from changedatacapture_spark.session import get_spark
 
+    calib_before = _calib_loop()
     spark = get_spark(app_name="cdc-bench")
+    spark_ref[0] = spark
     qs = queries()
     names = [n for n in HEADLINE if n in qs]
     # warm-up: touch every table once so first-query costs are session
@@ -52,24 +126,15 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        df = qs[name](spark, SF_DIR)
-        n = df.count() if name != "knn_brute_topk" else len(df.collect())
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+    _run_set(qs, names, SF_DIR, timings)
 
-    # scale-path operators outside the (frozen, round-comparable)
-    # headline set — timed under a separate key
+    # steady-state second pass: same queries, JIT warm — how the engine
+    # behaves after its first minute of life
+    steady: dict[str, float] = {}
+    _run_set(qs, names, SF_DIR, steady)
+
     extra_timings: dict[str, float] = {}
-    for name in ("knn_lsh_topk", "knn_ivf_topk", "dedup_minhash_pairs",
-                 "dedup_simhash_pairs", "seq_packing_bins", "events_range_join"):
-        if name not in qs:
-            continue
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        extra_timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {extra_timings[name]}s rows={n}", file=sys.stderr)
+    _run_set(qs, EXTRA, SF_DIR, extra_timings)
 
     # streaming CDC apply throughput (BASELINE.md 'Measured' workload),
     # reported alongside the per-query walls
@@ -78,12 +143,29 @@ def main() -> None:
     stream = stream_run(spark, n_events=50_000, batch_size=10_000)
     print(f"# cdc_stream_apply: {stream['events_per_sec']} events/s", file=sys.stderr)
 
+    # 10x scaling point (optional: requires tools/gen_scale.py output)
+    sf1: dict | None = None
+    if not SKIP_SF1 and os.path.isdir(SF1_DIR):
+        sf1_t: dict[str, float] = {}
+        sf1_rows: dict[str, int] = {}
+        _run_set(qs, SF1_SET, SF1_DIR, sf1_t, sf1_rows)
+        sf1 = {
+            "dir": SF1_DIR,
+            "total_wall": round(sum(sf1_t.values()), 3),
+            "queries": sf1_t,
+            "rows": sf1_rows,
+        }
+
+    calib_after = _calib_loop()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_steady": round(sum(steady.values()), 3),
+        "queries_steady": steady,
         "queries_extra": extra_timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stream_apply": {
@@ -92,7 +174,13 @@ def main() -> None:
             "n_events": stream["n_events"],
             "batch_size": stream["batch_size"],
         },
+        "calib": {
+            "single_core_loop_sec_before": calib_before,
+            "single_core_loop_sec_after": calib_after,
+        },
     }
+    if sf1 is not None:
+        out["sf1"] = sf1
     print(json.dumps(out))
 
 

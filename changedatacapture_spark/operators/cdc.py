@@ -199,3 +199,126 @@ def window_compact(
         *_cols(key_cols),
         *[F.col(f"_latest.{c}").alias(c) for c in payload],
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    op_col: str = "op",
+    payload_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 materialization: instead of the
+    latest row per key (A1/K2), keep EVERY version with its validity
+    interval — the audit-style answer to "what did this row look like
+    at time T?".
+
+    Semantics: each non-delete change opens a version effective at its
+    own order position; the NEXT change for the same key (update or
+    delete) closes it. The last open version has a null ``valid_to``
+    and ``is_current = 1``; deletes emit no version of their own, they
+    only terminate the predecessor (matching how Debezium consumers
+    build history tables from the reference's envelope stream,
+    cdc_stream.py:629-691 — the reference itself materializes only the
+    Type 1 latest-state table).
+
+    Plan: ONE shuffle (hash by key) feeding a single window sort —
+    per-key history is small and keys are many, so this parallelizes
+    and survives 100x data. The first ``order_cols`` entry is the
+    version's effective-from value (carry epoch micros for exactness).
+
+    Output: ``key_cols..., payload..., valid_from, valid_to,
+    is_current`` (valid_* typed as the first order col; is_current int).
+    """
+    from pyspark.sql.window import Window
+
+    keyset = set(key_cols)
+    payload = list(payload_cols) if payload_cols is not None else [
+        c
+        for c in df.columns
+        if c not in keyset and c != op_col and c not in set(order_cols)
+    ]
+    w = Window.partitionBy(*_cols(key_cols)).orderBy(*_cols(order_cols))
+    first_order = order_cols[0]
+    hist = df.withColumn("_next_from", F.lead(F.col(first_order)).over(w))
+    return (
+        hist.filter(F.col(op_col) != "d")
+        .select(
+            *_cols(key_cols),
+            *_cols(payload),
+            F.col(first_order).alias("valid_from"),
+            F.col("_next_from").alias("valid_to"),
+            F.col("_next_from").isNull().cast("int").alias("is_current"),
+        )
+    )
+
+
+def aggregate_delta(
+    prev_snapshot: DataFrame,
+    batch: DataFrame,
+    key_cols: Sequence[str],
+    group_expr: Column,
+    value_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental-view-maintenance delta for a grouped COUNT/SUM over
+    the materialized snapshot.
+
+    Given the previous snapshot and one compacted batch (latest change
+    per key), emit per-group deltas ``(grp, d_count, d_sum)`` such that
+    ``agg(snapshot ⊕ batch) = agg(snapshot) + delta`` — the classic
+    delta-propagation rule: every touched key retracts its old
+    contribution (if it existed) and asserts its new one (unless the
+    change is a delete).
+
+    ``group_expr`` must be a function of the KEY columns (e.g.
+    ``pmod(key_id, 8)``): an update's retraction and assertion then
+    land in the same group and the single-row delta form below is
+    exact. Value-derived grouping needs the two-row retract/assert
+    union form instead — not implemented here.
+
+    Plan: one equi-join of the batch against the snapshot on the key
+    (broadcast when the batch is small — the normal CDC case) + one
+    aggregation of BATCH-sized input. The snapshot-sized aggregate is
+    never recomputed; at 100 TB that is the whole point of maintaining
+    the view incrementally.
+    """
+    keys = list(key_cols)
+    old = prev_snapshot.select(
+        *_cols(keys), F.col(value_col).alias("_old_val")
+    )
+    joined = batch.join(F.broadcast(old), keys, "left")
+    new_active = F.col(op_col) != "d"
+    had_old = F.col("_old_val").isNotNull()
+    d_count = (
+        F.when(new_active & ~had_old, F.lit(1))
+        .when(~new_active & had_old, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    d_sum = (
+        F.when(new_active, F.col(value_col)).otherwise(F.lit(0))
+        - F.when(had_old, F.col("_old_val")).otherwise(F.lit(0))
+    )
+    return joined.groupBy(group_expr.alias("grp")).agg(
+        F.sum(d_count).alias("d_count"), F.sum(d_sum).alias("d_sum")
+    )
+
+
+def merge_agg_state(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold one :func:`aggregate_delta` result into the maintained
+    aggregate state ``(grp, cnt, total)``; groups whose count reaches
+    zero drop out (so the state equals a fresh GROUP BY at all times).
+    """
+    return (
+        state.select("grp", "cnt", "total")
+        .unionByName(
+            delta.select(
+                "grp",
+                F.col("d_count").alias("cnt"),
+                F.col("d_sum").alias("total"),
+            )
+        )
+        .groupBy("grp")
+        .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+        .filter(F.col("cnt") > 0)
+    )

@@ -273,3 +273,127 @@ def curation_funnel(
         .unionByName(count_row(s2, "2_alpha"))
         .unionByName(count_row(s3, "3_dedup"))
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking for context-length-bounded
+    training examples: overlapping windows of ``chunk_tokens``
+    whitespace tokens, stride ``chunk_tokens - overlap``.
+
+    Zero-shuffle: tokenize → ``sequence`` of starts → ``explode`` →
+    ``slice`` are all per-row expressions, so the plan is one codegen'd
+    projection over the scan — at 100 TB, chunking is a map-only pass
+    that keeps the input partitioning for whatever shuffles follow.
+
+    Output one row per chunk: ``doc_id, chunk_idx, start_tok,
+    n_tok_chunk, chunk_fp`` (md5 of the chunk text — downstream
+    dedup/packing key material without carrying the text twice).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    tk = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tk.alias("_tk"), F.size(tk).alias("_n")
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.col("_n") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunked = base.select(
+        "doc_id",
+        "_tk",
+        "_n",
+        F.explode(starts).alias("start_tok"),
+    )
+    piece = F.slice(F.col("_tk"), F.col("start_tok") + 1, chunk_tokens)
+    return chunked.select(
+        "doc_id",
+        (F.col("start_tok") / stride).cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("start_tok"))
+        .cast("long")
+        .alias("n_tok_chunk"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = 50, overlap: int = 10
+) -> str:
+    """DuckDB oracle twin of :func:`chunk_documents` (same rule)."""
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    starts AS (
+      SELECT doc_id, tk,
+             unnest(range(0, greatest(len(tk), 1), {stride})) AS start_tok
+      FROM toks)
+    SELECT doc_id,
+           CAST(start_tok / {stride} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({chunk_tokens}, len(tk) - start_tok) AS BIGINT)
+             AS n_tok_chunk,
+           md5(array_to_string(
+                 list_slice(tk, start_tok + 1, start_tok + {chunk_tokens}), ' '))
+             AS chunk_fp
+    FROM starts
+    """
+
+
+def mix_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    target_ppm: dict[str, int] | None = None,
+    cap_ppm: int = 3_000_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Domain-mixing weights: per-group sampling weight that moves the
+    corpus token distribution toward a target mix.
+
+    ``weight = min(cap, target_share / natural_share)`` — groups under
+    their target get up-weighted (epochs > 1), over-represented groups
+    get down-sampled. All ratios are scaled-ppm BIGINT arithmetic
+    (``floor`` division), so results are bit-identical in any engine —
+    the usual float shares would hash-mismatch across engines.
+
+    One aggregation (tokens per group) + one tiny cross join against
+    the single-row total: group cardinality is the number of domains
+    (tens), so every post-agg step is driver-trivial at any corpus
+    size; the only data-sized pass is the token count scan.
+    """
+    target_ppm = target_ppm or {}
+    t = F.col(text_col)
+    per = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(t))).alias("grp_tokens"),
+    )
+    total = per.agg(F.sum("grp_tokens").alias("tot_tokens"))
+    tgt = F.lit(0)
+    for k, v in target_ppm.items():
+        tgt = F.when(F.col("grp") == k, F.lit(v)).otherwise(tgt)
+    joined = per.crossJoin(F.broadcast(total))
+    natural_ppm = F.floor(
+        F.col("grp_tokens") * F.lit(1_000_000) / F.col("tot_tokens")
+    ).cast("long")
+    weight_ppm = F.least(
+        F.lit(cap_ppm).cast("long"),
+        F.floor(tgt.cast("long") * F.lit(1_000_000) / natural_ppm).cast("long"),
+    )
+    return joined.select(
+        "grp",
+        "n_docs",
+        "grp_tokens",
+        natural_ppm.alias("natural_ppm"),
+        tgt.cast("long").alias("target_ppm"),
+        weight_ppm.alias("weight_ppm"),
+        F.floor(F.col("grp_tokens") * weight_ppm / F.lit(1_000_000))
+        .cast("long")
+        .alias("effective_tokens"),
+    )

@@ -3553,6 +3553,300 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
+# Round-6 extensions: chunking, domain mixing, SCD2 history, ANN recall,
+# incremental aggregate maintenance.
+# ---------------------------------------------------------------------------
+
+
+def _doc_chunks_sql() -> str:
+    from changedatacapture_spark.operators.curation import chunk_documents_sql
+
+    return chunk_documents_sql(chunk_tokens=50, overlap=10)
+
+
+@_register("doc_chunks", None)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking of every document into 50-token windows
+    with 10-token overlap — the context-length-bounding pass of a
+    training-data pipeline. Map-only plan (no shuffle): tokenize →
+    sequence → explode → slice, one codegen'd projection over the scan.
+    """
+    from changedatacapture_spark.operators.curation import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    return chunk_documents(docs, chunk_tokens=50, overlap=10)
+
+
+_MIX_TARGET_PPM = {
+    "en": 600_000,
+    "de": 100_000,
+    "es": 100_000,
+    "fr": 100_000,
+    "zh": 100_000,
+}
+
+
+def _mix_target_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET_PPM.items()
+    )
+    return f"CASE lang {whens} ELSE 0 END"
+
+
+@_register(
+    "mix_weights",
+    f"""
+    WITH per AS (
+      SELECT lang AS grp,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS grp_tokens,
+             CAST(any_value({_mix_target_case_sql()}) AS BIGINT) AS target_ppm
+      FROM documents GROUP BY lang),
+    tot AS (SELECT sum(grp_tokens) AS tot_tokens FROM per),
+    scored AS (
+      SELECT grp, n_docs, grp_tokens, target_ppm,
+             CAST(floor(grp_tokens * 1000000 / tot_tokens) AS BIGINT)
+               AS natural_ppm
+      FROM per, tot),
+    weighted AS (
+      SELECT *, CAST(least(3000000,
+                     floor(target_ppm * 1000000 / natural_ppm)) AS BIGINT)
+                  AS weight_ppm
+      FROM scored)
+    SELECT grp, n_docs, grp_tokens, natural_ppm, target_ppm, weight_ppm,
+           CAST(floor(grp_tokens * weight_ppm / 1000000) AS BIGINT)
+             AS effective_tokens
+    FROM weighted
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights toward a target language mix (en 60%,
+    others 10% each), scaled-ppm integer arithmetic end to end."""
+    from changedatacapture_spark.operators.curation import mix_weights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return mix_weights(docs, group_col="lang", target_ppm=_MIX_TARGET_PPM)
+
+
+@_register(
+    "cdc_scd2_history",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    hist AS (
+      SELECT key_id, op, value, props, ts_us,
+             lead(ts_us) OVER (PARTITION BY key_id
+                               ORDER BY ts_us, seq) AS valid_to
+      FROM log)
+    SELECT key_id, value, props,
+           ts_us AS valid_from, valid_to,
+           CAST(valid_to IS NULL AS INTEGER) AS is_current
+    FROM hist WHERE op <> 'd'
+    """,
+)
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history of the per-user row: every surviving version
+    with its validity interval (next change closes it; deletes close
+    without opening). One hash shuffle + one window sort."""
+    from changedatacapture_spark.operators.cdc import scd2_history
+
+    log = _changelog_us(spark, sf_dir)
+    return scd2_history(
+        log, ["key_id"], ["ts_us", "seq"], payload_cols=["value", "props"]
+    )
+
+
+@_register(
+    "knn_recall",
+    None,  # composed below after brute/ivf SQL are both registered
+)
+def q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: per-probe recall of IVF top-5 against
+    the exact brute-force top-5 (hits out of k). The metric every ANN
+    deployment tracks; both sides reuse the engine's own operators."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_ivf,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    ivf = cosine_topk_ivf(emb, probes, k=5, n_cells=8, nprobe=2, dim=64).select(
+        F.col("probe_id").alias("i_probe"), F.col("neighbor_id").alias("i_neighbor")
+    )
+    return (
+        brute.join(
+            ivf,
+            (F.col("probe_id") == F.col("i_probe"))
+            & (F.col("neighbor_id") == F.col("i_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("i_neighbor").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
+
+ORACLE_SQL["knn_recall"] = f"""
+    WITH brute_full AS ({ORACLE_SQL["knn_brute_topk"]}),
+    ivf_full AS ({ORACLE_SQL["knn_ivf_topk"]})
+    SELECT b.probe_id,
+           count(i.neighbor_id) AS n_hits,
+           CAST(5 AS BIGINT) AS k
+    FROM brute_full b
+    LEFT JOIN ivf_full i
+      ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.probe_id
+"""
+
+ORACLE_SQL["doc_chunks"] = _doc_chunks_sql()
+
+
+@_register(
+    "cdc_incremental_agg",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY key_id
+                                   ORDER BY ts_us DESC, seq DESC) AS rn
+      FROM log),
+    snapshot AS (
+      SELECT key_id, value FROM ranked WHERE rn = 1 AND op <> 'd')
+    SELECT CAST(key_id % 8 AS BIGINT) AS grp,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS total
+    FROM snapshot
+    GROUP BY 1
+    """,
+)
+def q_cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a grouped COUNT/SUM
+    over the CDC snapshot, maintained batch-by-batch through delta
+    propagation and never recomputed from the snapshot.
+
+    The changelog splits into 3 micro-batches along the global
+    (ts_us, seq) order (arithmetic range bucketing, as in
+    cdc_snapshot_merge_e2e); each batch compacts to latest-per-key,
+    emits per-group deltas against the pre-batch snapshot
+    (retract old contribution, assert new), and folds them into the
+    aggregate state. The oracle recomputes the same aggregate from the
+    final snapshot — equality proves the delta algebra. Work per step
+    is batch-sized, snapshot-sized only in the key-lookup join: the
+    100 TB case maintains a dashboard aggregate without ever scanning
+    the full table again.
+    """
+    from changedatacapture_spark.operators.cdc import (
+        aggregate_delta,
+        compact_latest,
+        merge_agg_state,
+    )
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(25,6)")
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max(int(hi) - int(lo) + 1, 1)
+    n_batches = 3
+    log = log.withColumn(
+        "_b",
+        F.least(
+            F.lit(n_batches - 1),
+            ((F.col("ts_us") - F.lit(int(lo))) * n_batches / span).cast("int"),
+        ),
+    ).localCheckpoint(eager=True)
+
+    grp = F.pmod(F.col("key_id"), F.lit(8)).cast("long")
+    snapshot = None
+    state = None
+    for b in range(n_batches):
+        batch = compact_latest(
+            log.filter(F.col("_b") == b).drop("_b"),
+            ["key_id"],
+            ["ts_us", "seq"],
+        )
+        if snapshot is None:
+            prev = batch.filter(F.lit(False)).select("key_id", "value")
+        else:
+            prev = snapshot
+        delta = aggregate_delta(prev, batch, ["key_id"], grp, "value")
+        if state is None:
+            state = delta.select(
+                "grp",
+                F.col("d_count").alias("cnt"),
+                F.col("d_sum").alias("total"),
+            ).filter(F.col("cnt") > 0)
+        else:
+            state = merge_agg_state(state, delta)
+        live = batch.filter(F.col("op") != "d").select("key_id", "value")
+        if snapshot is None:
+            snapshot = live
+        else:
+            snapshot = (
+                snapshot.join(batch.select("key_id"), "key_id", "left_anti")
+                .unionByName(live)
+            )
+        snapshot = snapshot.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True)
+    return state.select(
+        "grp", "cnt", F.col("total").cast("decimal(38,6)").alias("total")
+    )
+
+
+@_register(
+    "orc_batch_read",
+    "SELECT r_regionkey, r_name FROM region",
+)
+def q_orc_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC batch source: seed ORC from the region table, read it back
+    with an explicit schema, match the parquet original. ORC scans get
+    the same pushdown/pruning as parquet (sources/formats.py)."""
+    import tempfile
+
+    from changedatacapture_spark.sources.formats import load_orc, write_orc
+
+    region = load_table(spark, "region", sf_dir).select("r_regionkey", "r_name")
+    seed = tempfile.mkdtemp(prefix="orc_seed_")
+    write_orc(region, seed)
+    return load_orc(spark, seed, schema="r_regionkey long, r_name string")
+
+
+@_register(
+    "jsonl_batch_read",
+    "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+)
+def q_jsonl_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL batch source: seed JSON-lines from the supplier table,
+    read back with an explicit schema (single-pass scan), match the
+    parquet original — the raw-event-dump ingestion path."""
+    import tempfile
+
+    from changedatacapture_spark.sources.formats import load_jsonl, write_jsonl
+
+    supplier = load_table(spark, "supplier", sf_dir).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    seed = tempfile.mkdtemp(prefix="jsonl_seed_")
+    write_jsonl(supplier, seed)
+    return load_jsonl(
+        spark, seed, schema="s_suppkey long, s_name string, s_nationkey int"
+    )
+
+
+# ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.
 # Keep one representative of every distinct operator family inside the

@@ -180,3 +180,131 @@ def test_sqls_for_test_full_sequence_all_apply_paths(spark, tmp_path):
         (r.key_id, r.val) for r in t2.read().collect()
     }
     assert got_guarded == expected
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: SCD2 history + incremental aggregate maintenance
+# ---------------------------------------------------------------------------
+
+
+def _scd_log(spark):
+    # key 1: insert @10, update @20, delete @30 → two closed versions
+    # key 2: insert @15 → one open version
+    # key 3: delete @5 of a row never seen → nothing
+    rows = [
+        (1, 1, "c", 10, 100.0),
+        (2, 1, "u", 20, 110.0),
+        (3, 1, "d", 30, 110.0),
+        (4, 2, "c", 15, 200.0),
+        (5, 3, "d", 5, 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "seq long, key_id long, op string, ts_us long, value double"
+    )
+
+
+def test_scd2_history_intervals(spark):
+    from changedatacapture_spark.operators.cdc import scd2_history
+
+    out = scd2_history(
+        _scd_log(spark), ["key_id"], ["ts_us", "seq"], payload_cols=["value"]
+    )
+    got = {
+        (r.key_id, r.valid_from): (r.valid_to, r.is_current, r.value)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, 10): (20, 0, 100.0),   # closed by the update
+        (1, 20): (30, 0, 110.0),   # closed by the delete, no current row
+        (2, 15): (None, 1, 200.0), # still open
+    }
+
+
+def test_scd2_history_single_shuffle(spark, sf_dir):
+    from changedatacapture_spark.operators.cdc import scd2_history
+    from changedatacapture_spark.plans.inspect import count_exchanges
+    from changedatacapture_spark.queries import _changelog_us
+
+    out = scd2_history(
+        _changelog_us(spark, sf_dir), ["key_id"], ["ts_us", "seq"],
+        payload_cols=["value", "props"],
+    )
+    out.collect()
+    assert count_exchanges(out) == 1
+
+
+def test_incremental_agg_matches_recompute(spark):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.cdc import (
+        aggregate_delta,
+        compact_latest,
+        merge_agg_state,
+    )
+
+    # batch 1: insert keys 1..4; batch 2: update 1, delete 2, insert 5
+    b1 = spark.createDataFrame(
+        [(1, 1, "c", 10.0), (2, 2, "c", 20.0), (3, 3, "c", 30.0), (4, 4, "c", 40.0)],
+        "seq long, key_id long, op string, value double",
+    )
+    b2 = spark.createDataFrame(
+        [(5, 1, "u", 15.0), (6, 2, "d", 0.0), (7, 5, "c", 50.0)],
+        "seq long, key_id long, op string, value double",
+    )
+    grp = F.pmod(F.col("key_id"), F.lit(2)).cast("long")
+
+    snapshot = None
+    state = None
+    for b in (b1, b2):
+        batch = compact_latest(b, ["key_id"], ["seq"])
+        prev = (
+            snapshot
+            if snapshot is not None
+            else batch.filter(F.lit(False)).select("key_id", "value")
+        )
+        delta = aggregate_delta(prev, batch, ["key_id"], grp, "value")
+        if state is None:
+            state = delta.select(
+                "grp", F.col("d_count").alias("cnt"), F.col("d_sum").alias("total")
+            ).filter(F.col("cnt") > 0)
+        else:
+            state = merge_agg_state(state, delta)
+        live = batch.filter(F.col("op") != "d").select("key_id", "value")
+        snapshot = (
+            live
+            if snapshot is None
+            else snapshot.join(batch.select("key_id"), "key_id", "left_anti")
+            .unionByName(live)
+        )
+
+    got = {r.grp: (r.cnt, r.total) for r in state.collect()}
+    # final snapshot: {1: 15, 3: 30, 4: 40, 5: 50}
+    # grp 0 (even keys): {4: 40} ; grp 1 (odd): {1:15, 3:30, 5:50}
+    assert got == {0: (1, 40.0), 1: (3, 95.0)}
+    # and it equals a from-scratch recompute of the same aggregate
+    recompute = {
+        r.grp: (r.cnt, r.total)
+        for r in snapshot.groupBy(grp.alias("grp"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == recompute
+
+
+def test_incremental_agg_delete_only_batch(spark):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.cdc import aggregate_delta, merge_agg_state
+
+    snapshot = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "key_id long, value double"
+    )
+    state = spark.createDataFrame([(0, 1, 20.0), (1, 1, 10.0)], "grp long, cnt long, total double")
+    batch = spark.createDataFrame(
+        [(9, 1, "d", 0.0)], "seq long, key_id long, op string, value double"
+    )
+    grp = F.pmod(F.col("key_id"), F.lit(2)).cast("long")
+    delta = aggregate_delta(snapshot, batch, ["key_id"], grp, "value")
+    out = {r.grp: (r.cnt, r.total) for r in merge_agg_state(state, delta).collect()}
+    # key 1 (grp 1) fully retracted → the group disappears
+    assert out == {0: (1, 20.0)}

@@ -65,3 +65,42 @@ def test_csv_multiline_optin_parses_embedded_newlines(spark, tmp_path):
     rows = back.collect()
     assert len(rows) == 1
     assert rows[0].name == "line one\nline two"
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from changedatacapture_spark.sources.formats import load_orc, write_orc
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    write_orc(df, str(tmp_path / "orc"))
+    back = load_orc(spark, str(tmp_path / "orc"), schema="id long, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+
+
+def test_orc_filter_pushdown(spark, tmp_path):
+    from changedatacapture_spark.plans.inspect import executed_plan
+    from changedatacapture_spark.sources.formats import load_orc, write_orc
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    write_orc(df, str(tmp_path / "orc"))
+    out = load_orc(spark, str(tmp_path / "orc")).filter(F.col("id") > 990)
+    out.collect()
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)" in executed_plan(out)
+
+
+def test_jsonl_round_trip_and_corrupt_line(spark, tmp_path):
+    import os
+
+    from changedatacapture_spark.sources.formats import load_jsonl, write_jsonl
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    write_jsonl(df, str(tmp_path / "j"))
+    back = load_jsonl(spark, str(tmp_path / "j"), schema="id long, name string")
+    assert sorted((r.id, r.name) for r in back.collect()) == [(1, "a"), (2, "b")]
+    # corrupt line lands as nulls under PERMISSIVE, not an exception
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(f"{bad}/x.jsonl", "w") as f:
+        f.write('{"id": 3, "name": "c"}\n{oops\n')
+    got = load_jsonl(spark, bad, schema="id long, name string").collect()
+    assert len(got) == 2 and {r.id for r in got} == {3, None}

@@ -148,3 +148,92 @@ def test_contamination_counts_shared_shingles(spark):
     assert 12 not in got            # clean docs emit no row
     assert got[10] == 18            # len 25 → 18 distinct 8-grams, all shared
     assert 0 < got[11] < 18         # partially contaminated
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: chunking + domain mixing
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_all_tokens_with_overlap(spark):
+    from changedatacapture_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(23))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=10, overlap=3).orderBy("chunk_idx").collect()
+    # stride 7 over 23 tokens: starts 0, 7, 14, 21
+    assert [(r.chunk_idx, r.start_tok, r.n_tok_chunk) for r in out] == [
+        (0, 0, 10),
+        (1, 7, 10),
+        (2, 14, 9),
+        (3, 21, 2),
+    ]
+    # consecutive chunks overlap by exactly `overlap` tokens (when full)
+    assert out[0].start_tok + 10 - out[1].start_tok == 3
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from changedatacapture_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=10, overlap=3).collect()
+    assert len(out) == 1 and out[0].n_tok_chunk == 3
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from changedatacapture_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    from changedatacapture_spark.operators.curation import chunk_documents
+    from changedatacapture_spark.plans.inspect import count_exchanges
+    from changedatacapture_spark.sources.tables import load_table
+
+    out = chunk_documents(load_table(spark, "documents", sf_dir))
+    out.collect()
+    assert count_exchanges(out) == 0
+
+
+def test_mix_weights_hand_computed(spark):
+    from changedatacapture_spark.operators.curation import mix_weights
+
+    rows = [
+        (1, "en", "x " * 79 + "x"),   # 80 tokens
+        (2, "de", "y " * 19 + "y"),   # 20 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.grp: r
+        for r in mix_weights(
+            docs, group_col="lang", target_ppm={"en": 500_000, "de": 500_000}
+        ).collect()
+    }
+    # en: natural 800000 ppm, weight = 500000*1e6/800000 = 625000
+    assert out["en"].natural_ppm == 800_000
+    assert out["en"].weight_ppm == 625_000
+    assert out["en"].effective_tokens == 80 * 625_000 // 1_000_000
+    # de: natural 200000 ppm, weight = 2.5x
+    assert out["de"].weight_ppm == 2_500_000
+    assert out["de"].effective_tokens == 50
+
+
+def test_mix_weights_cap_applies(spark):
+    from changedatacapture_spark.operators.curation import mix_weights
+
+    rows = [(1, "en", "x " * 99 + "x"), (2, "zh", "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {
+        r.grp: r
+        for r in mix_weights(
+            docs, group_col="lang", target_ppm={"en": 100_000, "zh": 900_000},
+            cap_ppm=3_000_000,
+        ).collect()
+    }
+    # zh natural = 9900 ppm; uncapped weight would be ~90x → capped at 3x
+    assert out["zh"].weight_ppm == 3_000_000

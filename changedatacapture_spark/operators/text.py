@@ -308,3 +308,95 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "n_punct"
         ),
     )
+
+
+def _word_gram_keys(text_col: str, n: int) -> Column:
+    """Per-document DISTINCT word-n-gram keys: 16-hex md5 prefix of each
+    n-token window (join/count on 16-byte keys, never gram text — at
+    100 TB the shuffle carries fixed-width keys; collisions at 64 bits
+    are negligible for document-frequency counting)."""
+    tk = tokens(F.col(text_col))
+    nt = F.size(tk)
+    starts = F.when(nt >= n, F.sequence(F.lit(1), nt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        starts,
+        lambda s: F.substring(
+            F.md5(F.array_join(F.slice(tk, s, n), " ")), 1, 16
+        ),
+    )
+    return F.array_distinct(grams)
+
+
+def boilerplate_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-boilerplate share per document (CCNet-style repeated
+    n-gram detection): a word n-gram is *boilerplate* when it appears
+    in ≥ ``min_docs`` distinct documents; each document reports how
+    much of it is made of such grams.
+
+    Plan: one explode of per-doc distinct gram keys, one groupBy(gram)
+    document-frequency count, one equi-join back (exchange reuse: both
+    sides are partitioned by the gram key), one per-doc aggregate.
+    Gram text never shuffles — only 16-hex keys.
+
+    Output: ``doc_id, n_grams, n_boiler, boiler_pm`` (scaled-ppm
+    integer ratio; docs shorter than ``n`` tokens emit no row).
+    """
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_word_gram_keys(text_col, n)).alias("g"),
+    )
+    docfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_docs"))
+    flagged = grams.join(docfreq, "g")
+    is_b = (F.col("g_docs") >= min_docs).cast("long")
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(is_b).alias("n_boiler"),
+        F.floor(F.sum(is_b) * 1_000_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("boiler_pm"),
+    )
+
+
+def top_repeated_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    top_k: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``top_k`` word-n-grams by document frequency, with the gram
+    text — the inspection view over what :func:`boilerplate_ratio`
+    counts (kept separate so the counting path never shuffles text).
+
+    Ties rank by gram string; output ``gram, n_docs, rk``.
+    """
+    tk = tokens(F.col(text_col))
+    nt = F.size(tk)
+    starts = F.when(nt >= n, F.sequence(F.lit(1), nt - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(starts, lambda s: F.array_join(F.slice(tk, s, n), " "))
+            )
+        ).alias("gram"),
+    )
+    from pyspark.sql.window import Window
+
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    # orderBy + limit lowers to TakeOrderedAndProject (distributed
+    # per-partition top-k, then a k-row driver merge) — NOT a global
+    # window sort, which would single-partition the whole gram table
+    top = freq.orderBy(F.col("n_docs").desc(), "gram").limit(top_k)
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("gram"))
+    return top.withColumn("rk", F.row_number().over(w))

@@ -3846,6 +3846,66 @@ def q_jsonl_batch_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_boilerplate",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             substr(md5(array_to_string(list_slice(tk, s, s + 4), ' ')), 1, 16)
+               AS g
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS s
+            FROM toks)),
+    df AS (SELECT g, count(*) AS g_docs FROM grams GROUP BY g)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(count(*) FILTER (WHERE g_docs >= 10) AS BIGINT) AS n_boiler,
+           CAST(floor(count(*) FILTER (WHERE g_docs >= 10) * 1000000
+                      / count(*)) AS BIGINT) AS boiler_pm
+    FROM grams JOIN df USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-boilerplate share: word 5-grams appearing in
+    ≥ 10 distinct documents, counted over 16-hex md5 keys (gram text
+    never shuffles)."""
+    from changedatacapture_spark.operators.text import boilerplate_ratio
+
+    docs = load_table(spark, "documents", sf_dir)
+    return boilerplate_ratio(docs, n=5, min_docs=10)
+
+
+@_register(
+    "text_top_ngrams",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(tk, s, s + 4), ' ') AS gram
+      FROM (SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 4, 0) + 1)) AS s
+            FROM toks)),
+    freq AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram)
+    SELECT gram, n_docs,
+           row_number() OVER (ORDER BY n_docs DESC, gram) AS rk
+    FROM freq
+    QUALIFY rk <= 20
+    """,
+)
+def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word 5-grams by document frequency (the boilerplate
+    inspection view); distributed TakeOrdered top-k, not a global
+    window sort."""
+    from changedatacapture_spark.operators.text import top_repeated_ngrams
+
+    docs = load_table(spark, "documents", sf_dir)
+    return top_repeated_ngrams(docs, n=5, top_k=20)
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -219,3 +219,45 @@ def test_sample_frames_stride_and_tail(spark):
     tail = {r.frame_idx: r for r in sample_frames(media, 16, stride=1).collect()}
     assert tail[6].frame_len == 4
     assert tail[6].frame_md5 == hashlib.md5(payload[96:]).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: corpus boilerplate detection
+# ---------------------------------------------------------------------------
+
+
+def test_boilerplate_ratio_flags_shared_grams(spark):
+    from changedatacapture_spark.operators.text import boilerplate_ratio
+
+    shared = "one two three four five"
+    rows = [(i, f"{shared} unique{i} a b c d") for i in range(4)]
+    rows.append((99, "totally different words with no overlap at all"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in boilerplate_ratio(docs, n=5, min_docs=4).collect()}
+    # the shared leading 5-gram appears in 4 docs → boilerplate for them
+    for i in range(4):
+        assert out[i].n_boiler == 1
+        assert 0 < out[i].boiler_pm < 1_000_000
+    assert out[99].n_boiler == 0 and out[99].boiler_pm == 0
+
+
+def test_boilerplate_ratio_short_docs_emit_no_row(spark):
+    from changedatacapture_spark.operators.text import boilerplate_ratio
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = boilerplate_ratio(docs, n=5, min_docs=2).collect()
+    assert {r.doc_id for r in out} == {2}
+
+
+def test_top_ngrams_uses_distributed_topk(spark, sf_dir):
+    from changedatacapture_spark.operators.text import top_repeated_ngrams
+    from changedatacapture_spark.plans.inspect import executed_plan
+    from changedatacapture_spark.sources.tables import load_table
+
+    out = top_repeated_ngrams(load_table(spark, "documents", sf_dir), top_k=5)
+    rows = out.collect()
+    assert len(rows) == 5 and rows[0].rk == 1
+    assert "TakeOrderedAndProject" in executed_plan(out)

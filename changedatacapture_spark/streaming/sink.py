@@ -84,11 +84,20 @@ class SnapshotTable:
         key_cols: list[str],
         n_buckets: int = 16,
         retain_history: int = 0,
+        cluster_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = key_cols
         self.n_buckets = n_buckets
+        #: SQL expressions (usually column names; see
+        #: ``operators/layout.py:zorder16`` for multi-column locality)
+        #: that every bucket write sorts by. Sorted files give parquet
+        #: row-group min/max statistics real selectivity, so reads with
+        #: a predicate on the cluster key skip row groups — the Delta
+        #: OPTIMIZE ZORDER analogue, applied continuously at write time
+        #: instead of as a separate maintenance pass.
+        self.cluster_cols = list(cluster_cols) if cluster_cols else []
         #: how many PAST commits stay readable via ``read(at_version=)``
         #: (time travel). 0 = only the current version's files are
         #: retained (original behavior, minimal storage); Delta-style
@@ -104,6 +113,20 @@ class SnapshotTable:
         # constructor arg, otherwise a reader constructed with a
         # different default would mis-route keys on its next merge
         ptr = self._read_pointer()
+        # clustering is a layout property of the committed files too:
+        # adopt the persisted expressions so a reader-turned-writer
+        # keeps the established sort order
+        if ptr is not None and ptr.get("cluster_cols") is not None:
+            persisted_cc = list(ptr["cluster_cols"])
+            if cluster_cols and persisted_cc != self.cluster_cols:
+                logging.getLogger(__name__).warning(
+                    "SnapshotTable(%s): using committed cluster_cols=%s, "
+                    "not the constructor's %s",
+                    self.path,
+                    persisted_cc,
+                    self.cluster_cols,
+                )
+            self.cluster_cols = persisted_cc
         if ptr is not None and ptr.get("n_buckets"):
             persisted = int(ptr["n_buckets"])
             if persisted != n_buckets:
@@ -147,6 +170,7 @@ class SnapshotTable:
             "buckets": {str(b): v for b, v in buckets.items()},
             "guard": guard,
             "n_buckets": self.n_buckets,
+            "cluster_cols": self.cluster_cols,
         }
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
@@ -311,10 +335,20 @@ class SnapshotTable:
     def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
         """Write ``df`` (bucket column included) partitioned by bucket
         under ``v=<version>``; returns the buckets actually written
-        (empty buckets produce no directory)."""
+        (empty buckets produce no directory).
+
+        With ``cluster_cols``, rows sort within each write task by
+        (bucket, cluster exprs) — a local sort, no extra shuffle — so
+        every parquet file's row groups carry tight, ordered min/max
+        stats on the cluster key and filtered reads skip row groups.
+        """
+        out = df.repartition(self.n_buckets, "bucket")
+        if self.cluster_cols:
+            out = out.sortWithinPartitions(
+                F.col("bucket"), *[F.expr(c) for c in self.cluster_cols]
+            )
         (
-            df.repartition(self.n_buckets, "bucket")
-            .write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy("bucket")
             .parquet(f"{self.path}/v={version}")
         )

@@ -400,3 +400,98 @@ def top_repeated_ngrams(
     top = freq.orderBy(F.col("n_docs").desc(), "gram").limit(top_k)
     w = Window.orderBy(F.col("n_docs").desc(), F.col("gram"))
     return top.withColumn("rk", F.row_number().over(w))
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top ``top_k`` terms per document by tf-idf, with exact rational
+    scoring: ``score_scaled = floor(tf * n_docs * 1e6 / df)`` — the
+    idf stays a ratio (no log), so every score is integer arithmetic
+    and bit-identical across engines; ranking order matches log-idf
+    for fixed tf since ``N/df`` is monotone in ``1/df``.
+
+    Plan: one explode → (doc, term) count, one term document-frequency
+    aggregate off the same shuffle key, a broadcast single-row corpus
+    count, and a per-doc window top-k. Term strings shuffle once.
+    """
+    from pyspark.sql.window import Window
+
+    term_rows = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.floor(F.col("tf") * F.col("n_docs") * F.lit(1_000_000) / F.col("df"))
+            .cast("long")
+            .alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), F.col("term")
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= top_k
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    hash every character ``k``-gram, slide a window of ``w`` hashes,
+    keep each window's MINIMUM hash, emit the distinct survivors.
+
+    Guarantees any shared substring of length ≥ ``k + w - 1`` between
+    two documents yields at least one shared fingerprint — the partial-
+    overlap detector MinHash (whole-document similarity) is blind to.
+
+    Pure per-row expressions (transform → array_min → array_distinct →
+    explode): no UDF, no shuffle before the output's own consumers.
+    Hashes are 16-hex md5 prefixes; min is lexicographic on the fixed-
+    width hex, identical in any engine.
+
+    Two-phase plan, like ``minhash_signatures``: the gram-hash array
+    materializes in its own projection FIRST — a higher-order function
+    referencing another HOF expression is not common-subexpression-
+    eliminated, so the single-select form recomputes every md5 once
+    per window (O(n·w) hashing; measured 40x slower).
+    """
+    t = F.col(text_col)
+    n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+            lambda i: F.substring(F.md5(F.substring(t, i, k)), 1, 16),
+        ).alias("_gh"),
+        n_grams.alias("_ng"),
+    )
+    n_windows = F.greatest(F.col("_ng") - (w - 1), F.lit(0))
+    window_mins = F.when(
+        n_windows >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+            lambda i: F.array_min(F.slice(F.col("_gh"), i, w)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return staged.select(
+        "doc_id",
+        F.explode(F.array_distinct(window_mins)).alias("fp"),
+    )

@@ -3906,6 +3906,63 @@ def q_text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_repeated_ngrams(docs, n=5, top_k=20)
 
 
+@_register(
+    "text_tfidf_top",
+    """
+    WITH term_rows AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM term_rows GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(floor(tf * n_docs * 1000000 / df) AS BIGINT) AS score_scaled
+      FROM tf JOIN dfreq USING (term), n)
+    SELECT doc_id, term, tf, df, score_scaled,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_scaled DESC, term) AS rk
+    FROM scored
+    QUALIFY rk <= 3
+    """,
+)
+def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf with exact rational scoring
+    (scaled-integer N/df idf — no floating log, bit-identical across
+    engines)."""
+    from changedatacapture_spark.operators.text import tfidf_top_terms
+
+    docs = load_table(spark, "documents", sf_dir)
+    return tfidf_top_terms(docs, top_k=3)
+
+
+@_register(
+    "text_winnow_fp",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                            i -> substr(md5(substr(text, i, 8)), 1, 16)) AS gh
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(gh) - 3, 0) + 1),
+                            i -> list_min(list_slice(gh, i, i + 3))) AS wm
+      FROM grams)
+    SELECT DISTINCT doc_id, fp
+    FROM (SELECT doc_id, unnest(wm) AS fp FROM wins)
+    """,
+)
+def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (k=8 char grams, window 4): the
+    guaranteed-detection partial-overlap fingerprint set per document."""
+    from changedatacapture_spark.operators.text import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

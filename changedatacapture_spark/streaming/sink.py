@@ -342,6 +342,12 @@ class SnapshotTable:
         every parquet file's row groups carry tight, ordered min/max
         stats on the cluster key and filtered reads skip row groups.
         """
+        # fixed partition count = bucket count: tasks align 1:1 with
+        # output bucket directories, so each task streams one file.
+        # (Measured: letting AQE coalesce this shuffle for small
+        # batches is NOT a win — fewer tasks each write many files
+        # sequentially, and micro-batch timings are JIT/host-noise
+        # dominated anyway.)
         out = df.repartition(self.n_buckets, "bucket")
         if self.cluster_cols:
             out = out.sortWithinPartitions(

@@ -261,3 +261,53 @@ def test_top_ngrams_uses_distributed_topk(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 5 and rows[0].rk == 1
     assert "TakeOrderedAndProject" in executed_plan(out)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    from changedatacapture_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "common common common rare"),
+        (2, "common other words here"),
+        (3, "common more words again"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r for r in tfidf_top_terms(docs, top_k=2).collect() if r.doc_id == 1]
+    by_rk = {r.rk: r for r in out}
+    # 'rare' (df=1) must outrank 'common' (df=3) despite tf 1 vs 3:
+    # rare: 1*3/1 = 3.0 ; common: 3*3/3 = 3.0 — tie! adjust: use 4 docs
+    docs = spark.createDataFrame(
+        rows + [(4, "common final words done")], "doc_id long, text string"
+    )
+    out = [r for r in tfidf_top_terms(docs, top_k=2).collect() if r.doc_id == 1]
+    by_rk = {r.rk: r for r in out}
+    assert by_rk[1].term == "rare"       # 1*4/1 = 4.0
+    assert by_rk[2].term == "common"     # 3*4/4 = 3.0
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    from changedatacapture_spark.operators.text import winnow_fingerprints
+
+    # guarantee window: shared substring of length >= k + w - 1 = 11
+    shared = "ABCDEFGHIJKLMNOP"  # 16 chars
+    docs = spark.createDataFrame(
+        [
+            (1, f"xxxx {shared} yyyy"),
+            (2, f"zzzzzz {shared} wwww"),
+            (3, "completely unrelated text with no common run"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "docs sharing a 16-char run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+
+
+def test_winnow_short_doc_no_fingerprints(spark):
+    from changedatacapture_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
+    assert winnow_fingerprints(docs, k=8, w=4).count() == 0

@@ -495,3 +495,44 @@ def winnow_fingerprints(
         "doc_id",
         F.explode(F.array_distinct(window_mins)).alias("fp"),
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    max_docs_per_fp: int = 20,
+    min_shared: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Partial-overlap candidate pairs from winnowing fingerprints:
+    documents sharing ≥ ``min_shared`` RARE fingerprints (a fingerprint
+    in ≤ ``max_docs_per_fp`` docs).
+
+    The rare-fp restriction is the standard hub guard: a boilerplate
+    8-gram run shared by hundreds of documents would otherwise emit a
+    quadratic bucket (the corpus's worst fingerprint sits in hundreds
+    of docs; capped buckets bound every join group at
+    ``max_docs_per_fp²``). Discriminative overlaps — the ones worth
+    reviewing — live in rare fingerprints by definition.
+
+    Plan: fingerprint explode → fp frequency aggregate → equi-join
+    back (exchange reuse on fp) → capped self-join → pair aggregate.
+    Output: ``doc_a, doc_b, shared_fps``.
+    """
+    fps = winnow_fingerprints(docs, text_col, k, w, id_col)
+    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs_fp"))
+    rare = freq.filter(
+        (F.col("n_docs_fp") >= 2) & (F.col("n_docs_fp") <= max_docs_per_fp)
+    ).select("fp")
+    rare_fps = fps.join(rare, "fp")
+    a = rare_fps.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = rare_fps.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

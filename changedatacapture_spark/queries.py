@@ -3963,6 +3963,40 @@ def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=8, w=4)
 
 
+@_register(
+    "text_winnow_pairs",
+    """
+    WITH grams AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 7, 0) + 1),
+                            i -> substr(md5(substr(text, i, 8)), 1, 16)) AS gh
+      FROM documents),
+    wins AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(gh) - 3, 0) + 1),
+                            i -> list_min(list_slice(gh, i, i + 3))) AS wm
+      FROM grams),
+    fps AS (SELECT DISTINCT doc_id, fp
+            FROM (SELECT doc_id, unnest(wm) AS fp FROM wins)),
+    rare AS (
+      SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 20)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+    FROM fps a JOIN rare USING (fp) JOIN fps b USING (fp)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap candidate pairs: documents sharing ≥3 rare
+    winnowing fingerprints (hub guard: fps in ≤20 docs), the
+    plagiarism-detection join MinHash whole-doc similarity misses."""
+    from changedatacapture_spark.operators.text import winnow_overlap_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return winnow_overlap_pairs(docs, k=8, w=4, max_docs_per_fp=20, min_shared=3)
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -311,3 +311,21 @@ def test_winnow_short_doc_no_fingerprints(spark):
 
     docs = spark.createDataFrame([(1, "tiny")], "doc_id long, text string")
     assert winnow_fingerprints(docs, k=8, w=4).count() == 0
+
+
+def test_winnow_pairs_hub_guard_and_threshold(spark):
+    from changedatacapture_spark.operators.text import winnow_overlap_pairs
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWX"  # 24-char run: many shared fps
+    rows = [
+        (1, f"aaaa {shared} bbbb"),
+        (2, f"cccc {shared} dddd"),
+        (3, "totally different content with nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = winnow_overlap_pairs(docs, min_shared=1).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+    # a fingerprint present in EVERY doc is a hub: with the cap at 1
+    # (below the 2-doc minimum) no rare fps remain, so no pairs
+    hub = winnow_overlap_pairs(docs, max_docs_per_fp=1, min_shared=1).collect()
+    assert hub == []

@@ -3997,6 +3997,67 @@ def q_text_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(docs, k=8, w=4, max_docs_per_fp=20, min_shared=3)
 
 
+@_register(
+    "events_stream_dedup",
+    """
+    SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, value FROM events
+    """,
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming watermarked dedup e2e: the events replay as 4
+    time-ordered micro-batches with every 10th event DUPLICATED in its
+    own batch (an at-least-once source); ``stream_dedup``
+    (``dropDuplicatesWithinWatermark`` on event_id, 2 h horizon) must
+    emit each event exactly once — the oracle is simply the original
+    table. State is bounded by the watermark, unlike a plain streaming
+    ``dropDuplicates`` whose key set grows forever.
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.streaming.pipeline import stream_dedup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    base = ev.withColumn(
+        "_b",
+        F.least(F.lit(4), F.floor((F.unix_millis("ts") - lo) / span) + 1),
+    ).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"), "user_id", "value", "_b"
+    )
+    dups = base.filter(F.col("event_id") % 10 == 0)
+    raw = base.unionByName(dups)
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_ms long, user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    deduped = stream_dedup(stream, ["event_id"], "event_time", "2 hours")
+    sink = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("event_id", "user_id", "ts_ms", "value")
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -356,3 +356,25 @@ class CdcPipeline:
             self.key_col,
             *[F.col(f"_latest.{c}").alias(c) for c in payload],
         )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    event_time_col: str,
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup within a watermark horizon.
+
+    At-least-once sources (Kafka replays, retried producers, the
+    reference's Debezium topics after connector restarts) deliver
+    duplicate envelopes; ``dropDuplicatesWithinWatermark`` keeps one
+    row per key while the state store only retains keys younger than
+    the watermark — bounded state, unlike a plain ``dropDuplicates``
+    whose key set grows forever on an unbounded stream.
+
+    Returns a streaming DataFrame (append mode); callers attach sinks.
+    """
+    return stream.withWatermark(
+        event_time_col, watermark_delay
+    ).dropDuplicatesWithinWatermark(list(key_cols))

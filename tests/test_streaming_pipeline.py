@@ -283,3 +283,44 @@ def test_fan_out_spreads_narrow_many_file_scan(spark, tmp_path):
     # the healthy case: scan already wide → returned untouched
     if raw.rdd.getNumPartitions() >= floor:
         assert fan_out(raw, spark) is raw
+
+
+def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
+    """A duplicate key arriving in a LATER micro-batch (within the
+    watermark horizon) must still be dropped — state carries across
+    batches, bounded by the watermark."""
+    import json, os, uuid
+
+    from changedatacapture_spark.streaming.pipeline import stream_dedup
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = [{"event_id": 1, "ts_ms": 1_000_000}, {"event_id": 2, "ts_ms": 1_060_000}]
+    b2 = [{"event_id": 1, "ts_ms": 1_000_000}, {"event_id": 3, "ts_ms": 1_120_000}]
+    for i, rows in enumerate((b1, b2), 1):
+        p = f"{src}/b{i}.json"
+        with open(p, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.utime(p, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    sink = f"sd_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(stream, ["event_id"], "event_time", "1 hour")
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.table(sink).collect())
+    assert got == [1, 2, 3]

@@ -64,6 +64,11 @@ EXTRA = [
     "dedup_simhash_pairs",
     "seq_packing_bins",
     "events_range_join",
+    # round-6 additions
+    "cdc_scd2_history",
+    "doc_chunks",
+    "text_winnow_fp",
+    "text_boilerplate",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

@@ -315,6 +315,57 @@ class SnapshotTable:
             df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
         return df
 
+    def read_keys(
+        self, values: list, include_tombstones: bool = False
+    ) -> DataFrame:
+        """Point-lookup path: rows for the given key values, reading
+        ONLY the buckets their hashes route to.
+
+        At 100 TB, "fetch these 50 keys" must not scan the table:
+        hash-routing means each key lives in exactly one bucket, so the
+        scan is O(|touched buckets|) directories regardless of table
+        size. The key→bucket mapping is computed with the engine's own
+        hash on a |values|-row local DataFrame (bounded driver job), so
+        it can never drift from the write-path routing.
+
+        ``values``: scalars for a single-column key, tuples for a
+        composite key. Returns the matching rows (possibly fewer than
+        ``values`` — absent keys simply don't match).
+        """
+        from pyspark.sql.types import StructType
+
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        schema = StructType.fromJson(json.loads(ptr["schema"]))
+        key_schema = StructType(
+            [f for f in schema.fields if f.name in set(self.key_cols)]
+        )
+        if not values:
+            return self.spark.createDataFrame([], schema)
+        rows = [v if isinstance(v, tuple) else (v,) for v in values]
+        keydf = self.spark.createDataFrame(rows, key_schema)
+        wanted = {
+            r.bucket
+            for r in keydf.select(self._bucket_col().alias("bucket"))
+            .distinct()
+            .collect()
+        }
+        manifest = {int(b): v for b, v in ptr["buckets"].items()}
+        paths = [
+            f"{self.path}/v={v}/bucket={b}"
+            for b, v in sorted(manifest.items())
+            if b in wanted
+        ]
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(*paths)
+        df = df.join(F.broadcast(keydf), self.key_cols, "leftsemi")
+        guard = ptr.get("guard")
+        if guard and not include_tombstones:
+            df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
+        return df
+
     # -- write ------------------------------------------------------------
 
     def _bucket_col(self):

@@ -251,3 +251,15 @@ def test_contamination_never_goes_quadratic(spark, sf_dir):
     plan = executed_plan(df)
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
     assert "partial" in plan.lower(), plan
+
+
+def test_boilerplate_two_data_shuffles(spark, sf_dir):
+    # gram-key docfreq agg + final per-doc agg: the gram text never
+    # shuffles and no third data-sized exchange appears
+    df = _run(spark, sf_dir, "text_boilerplate")
+    assert count_exchanges(df) <= 2
+
+
+def test_scd2_single_shuffle_shape(spark, sf_dir):
+    df = _run(spark, sf_dir, "cdc_scd2_history")
+    assert count_exchanges(df) == 1

@@ -151,3 +151,46 @@ def test_corrupted_current_manifest_raises_distinct_error(spark, tmp_path):
     shutil.rmtree(victim)
     with pytest.raises(RuntimeError, match="corrupted"):
         t.read()
+
+
+def test_read_keys_prunes_to_touched_buckets(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["k"], n_buckets=16)
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(200)], "k long, val string"
+    ).withColumn("op", F.lit("c"))
+    table.merge(df.select("k", "op", "val"), batch_id=0)
+
+    out = table.read_keys([3, 77, 150])
+    got = {(r.k, r.val) for r in out.collect()}
+    assert got == {(3, "v3"), (77, "v77"), (150, "v150")}
+    # the scan touched only the buckets those keys hash to, not all 16
+    dirs = {p.rsplit("/", 2)[-2] for p in out.inputFiles()}
+    assert len(dirs) <= 3 < 16
+    # absent keys simply don't match
+    assert table.read_keys([99999]).count() == 0
+    assert table.read_keys([]).count() == 0
+
+
+def test_read_keys_respects_tombstone_guard(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t2"), key_cols=["k"], n_buckets=4)
+    ins = spark.createDataFrame(
+        [(1, "a", 10, 0), (2, "b", 11, 1)], "k long, val string, ts long, seq long"
+    ).withColumn("op", F.lit("c"))
+    table.merge(ins.select("k", "op", "ts", "seq", "val"), batch_id=0,
+                guard_cols=["ts", "seq"])
+    dels = spark.createDataFrame(
+        [(1, None, 20, 2)], "k long, val string, ts long, seq long"
+    ).withColumn("op", F.lit("d"))
+    table.merge(dels.select("k", "op", "ts", "seq", "val"), batch_id=1,
+                guard_cols=["ts", "seq"])
+    assert table.read_keys([1]).count() == 0          # tombstoned
+    assert table.read_keys([1], include_tombstones=True).count() == 1
+    assert table.read_keys([2]).count() == 1

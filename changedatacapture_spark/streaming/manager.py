@@ -205,3 +205,80 @@ class CronAlignedRunner:
 
     def stop(self) -> None:
         self._stop_evt.set()
+
+
+class MetricsRecorder:
+    """Per-micro-batch metrics sink: one JSONL line per completed batch.
+
+    The reference logs per-batch progress ad hoc (cdc_stream.py's
+    logger calls throughout ``process_batch``); here the engine
+    subscribes a ``StreamingQueryListener`` once and every query on the
+    session reports uniformly — batch id, input rows, processed rows
+    per second, batch duration, and state-store rows for stateful
+    operators. Driver-side JSONL append: metrics must not cost a Spark
+    job per batch.
+
+    Use :meth:`attach` / :meth:`detach`; read back with
+    :meth:`load` (a DataFrame over the JSONL, ready for the same
+    analytics queries as any other table).
+    """
+
+    def __init__(self, spark, path: str) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        self.spark = spark
+        self.path = path
+
+        recorder = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryProgress(self, event) -> None:  # noqa: N802
+                p = event.progress
+                row = {
+                    "query_id": str(p.id),
+                    "batch_id": p.batchId,
+                    "timestamp": p.timestamp,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_second": p.inputRowsPerSecond,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "batch_duration_ms": p.batchDuration,
+                    "state_rows": sum(
+                        (s.numRowsTotal or 0) for s in (p.stateOperators or [])
+                    ),
+                }
+                recorder._append(row)
+
+            def onQueryTerminated(self, event) -> None:  # noqa: N802
+                pass
+
+            def onQueryIdle(self, event) -> None:  # noqa: N802
+                pass
+
+        self._listener = _Listener()
+
+    def _append(self, row: dict) -> None:
+        import json as _json
+        import os as _os
+
+        _os.makedirs(_os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "a") as f:
+            f.write(_json.dumps(row) + "\n")
+
+    def attach(self) -> "MetricsRecorder":
+        self.spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self) -> None:
+        self.spark.streams.removeListener(self._listener)
+
+    def load(self):
+        """Metrics as a DataFrame (schema-stable JSONL read)."""
+        return self.spark.read.schema(
+            "query_id string, batch_id long, timestamp string, "
+            "num_input_rows long, input_rows_per_second double, "
+            "processed_rows_per_second double, batch_duration_ms long, "
+            "state_rows long"
+        ).json(self.path)

@@ -323,3 +323,106 @@ def test_tombstone_count_bounded_under_churn_with_gc(spark):
         assert table.read().count() == 0
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# --- round-6 operator properties -------------------------------------------
+
+
+def _expected_scd2(events):
+    """Oracle fold: per key, the (ts,seq)-ordered non-delete versions
+    with each closed by the next event's ts (None if last)."""
+    per_key = {}
+    for seq, (key, ts, op, value) in enumerate(events):
+        per_key.setdefault(key, []).append((ts, seq, op, value))
+    out = set()
+    for key, evs in per_key.items():
+        evs.sort(key=lambda e: (e[0], e[1]))
+        for i, (ts, seq, op, value) in enumerate(evs):
+            if op == "d":
+                continue
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            out.add((key, value, ts, nxt, 1 if nxt is None else 0))
+    return out
+
+
+@given(events=_EVENTS)
+@_SETTINGS
+def test_scd2_matches_python_fold(spark, events):
+    from changedatacapture_spark.operators.cdc import scd2_history
+
+    df = _to_df(spark, events)
+    got = {
+        (r.key_id, r.value, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, ["key_id"], ["ts", "seq"], payload_cols=["value"]
+        ).collect()
+    }
+    assert got == _expected_scd2(events)
+
+
+@given(events=_EVENTS, cuts=st.lists(st.integers(0, 40), max_size=2))
+@_SETTINGS
+def test_incremental_agg_equals_recompute_for_any_split(spark, events, cuts):
+    """Fold the changelog through aggregate_delta/merge_agg_state over
+    ANY batch split: the maintained (grp, cnt, total) must equal a
+    from-scratch GROUP BY over the final applied snapshot."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.cdc import (
+        aggregate_delta,
+        merge_agg_state,
+    )
+
+    bounds = sorted({min(c, len(events)) for c in cuts} | {0, len(events)})
+    batches = [events[a:b] for a, b in zip(bounds, bounds[1:]) if events[a:b]]
+
+    grp = F.pmod(F.col("key_id"), F.lit(3)).cast("long")
+    snapshot = None
+    state = None
+    offset = 0
+    for batch in batches:
+        rows = [
+            (key, ts, offset + i, op, value)
+            for i, (key, ts, op, value) in enumerate(batch)
+        ]
+        offset += len(batch)
+        bdf = spark.createDataFrame(
+            rows, "key_id long, ts long, seq long, op string, value long"
+        )
+        compacted = compact_latest(bdf, ["key_id"], ["ts", "seq"])
+        prev = (
+            snapshot
+            if snapshot is not None
+            else compacted.filter(F.lit(False)).select("key_id", "value")
+        )
+        delta = aggregate_delta(prev, compacted, ["key_id"], grp, "value")
+        if state is None:
+            state = delta.select(
+                "grp", F.col("d_count").alias("cnt"), F.col("d_sum").alias("total")
+            ).filter(F.col("cnt") > 0)
+        else:
+            state = merge_agg_state(state, delta)
+        live = compacted.filter(F.col("op") != "d").select("key_id", "value")
+        snapshot = (
+            live
+            if snapshot is None
+            else snapshot.join(compacted.select("key_id"), "key_id", "left_anti")
+            .unionByName(live)
+        )
+
+    got = (
+        {r.grp: (r.cnt, r.total) for r in state.collect()}
+        if state is not None
+        else {}
+    )
+    expected = (
+        {
+            r.grp: (r.cnt, r.total)
+            for r in snapshot.groupBy(grp.alias("grp"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total"))
+            .collect()
+        }
+        if snapshot is not None
+        else {}
+    )
+    assert got == expected

@@ -139,3 +139,50 @@ def test_cron_aligned_runner_stop_breaks_sleep():
     r.stop()
     t.join(timeout=2)
     assert not t.is_alive()
+
+
+def test_metrics_recorder_captures_batches(spark, tmp_path):
+    import json, os, time, uuid
+
+    from changedatacapture_spark.streaming.manager import MetricsRecorder
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(3):
+        p = f"{src}/b{i}.json"
+        with open(p, "w") as f:
+            for j in range(5):
+                f.write(json.dumps({"v": i * 5 + j}) + "\n")
+        os.utime(p, (1_000_000 + i * 10, 1_000_000 + i * 10))
+
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    rec = MetricsRecorder(spark, metrics_path).attach()
+    try:
+        sink = f"m_{uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.schema("v long")
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener delivery is async — wait briefly for the last event
+        for _ in range(40):
+            if (
+                os.path.exists(metrics_path)
+                and sum(1 for _ in open(metrics_path)) >= 3
+            ):
+                break
+            time.sleep(0.25)
+    finally:
+        rec.detach()
+
+    got = rec.load().filter(F.col("num_input_rows") > 0).collect()
+    assert len(got) >= 3
+    assert sum(r.num_input_rows for r in got) == 15
+    assert all(r.batch_duration_ms >= 0 for r in got)

@@ -4058,6 +4058,49 @@ def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select("event_id", "user_id", "ts_ms", "value")
 
 
+@_register(
+    "events_cohort_retention",
+    """
+    WITH cohort AS (
+      SELECT user_id, min(date_trunc('week', ts)) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT cohort_week,
+           CAST((epoch_ms(wk) - epoch_ms(cohort_week)) / 604800000 AS BIGINT)
+             AS week_offset,
+           count(*) AS n_active
+    FROM activity JOIN cohort USING (user_id)
+    WHERE wk >= cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-signup week, counted as
+    active in each subsequent week — the product-analytics staple.
+    Two aggregations + one equi-join on user_id; the distinct-activity
+    and cohort aggregates share the user_id shuffle key."""
+    ev = load_table(spark, "events", sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(wk).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", wk.alias("wk")).distinct()
+    return (
+        activity.join(cohort, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_week"))
+        .groupBy(
+            "cohort_week",
+            ((F.unix_millis("wk") - F.unix_millis("cohort_week")) / 604_800_000)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

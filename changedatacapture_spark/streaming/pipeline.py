@@ -194,6 +194,39 @@ class CdcPipeline:
         )
         self.table.merge(compacted, batch_id=batch_id)
 
+    def replay_dlq(self) -> dict:
+        """Reprocess every quarantined DLQ row through the normal batch
+        path — the recovery half of the dead-letter story (the
+        reference drops corrupt envelopes on the floor; we quarantine
+        them, an operator repairs the payloads in place — or the parser
+        improves — and this call drains the queue).
+
+        Rows that now parse merge into the snapshot exactly like any
+        micro-batch; rows still corrupt re-quarantine into a fresh
+        ``adhoc_N`` directory. The directories that were read are
+        removed afterwards, so each replay consumes the queue it saw
+        (a crash before removal replays the same upserts — idempotent
+        in effect, the rows are identical).
+        """
+        import shutil
+
+        if not self.dlq_path:
+            raise ValueError("pipeline has no dlq_path")
+        dirs = sorted(glob.glob(glob.escape(self.dlq_path) + "/batch_id=*"))
+        if not dirs:
+            return {"replayed_rows": 0, "recovered_rows": 0, "still_corrupt": 0}
+        raw = self.spark.read.parquet(*dirs).select("value", "seq")
+        total = raw.count()
+        recovered = self.parse(raw).count()
+        self.process_batch(raw)
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        return {
+            "replayed_rows": total,
+            "recovered_rows": recovered,
+            "still_corrupt": total - recovered,
+        }
+
     # -- streaming wrapper -------------------------------------------------
 
     def start(

@@ -747,6 +747,25 @@ class SnapshotTable:
         )
         self._vacuum()
 
+    def optimize(self, tombstone_horizon=None) -> dict:
+        """One-call table maintenance — the periodic job a deployment
+        schedules between merge windows: tombstone GC (if the table is
+        order-guarded and a horizon is given), physical compaction
+        (small files + manifest unpinning), and commit-log compaction
+        ride along. Returns a summary dict.
+        """
+        dropped = 0
+        if tombstone_horizon is not None:
+            ptr = self._read_pointer()
+            if ptr is not None and ptr.get("guard"):
+                dropped = self.gc_tombstones(tombstone_horizon)
+        n_files = self.compact()
+        return {
+            "tombstones_dropped": dropped,
+            "files_after_compaction": n_files,
+            "version": self.version,
+        }
+
     def gc_tombstones(self, horizon) -> int:
         """Compact away delete tombstones older than a replay horizon.
 

@@ -324,3 +324,81 @@ def test_stream_dedup_drops_cross_batch_duplicates(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.table(sink).collect())
     assert got == [1, 2, 3]
+
+
+def test_replay_dlq_recovers_repaired_rows(spark, tmp_path):
+    """The ops recovery loop: corrupt rows quarantine; an operator
+    repairs the payloads in the DLQ; replay merges them and consumes
+    the queue; still-broken rows re-quarantine."""
+    import json, os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    good = json.dumps(
+        {"payload": {"before": None, "after": _row(7, "fixed", "leeds"),
+                     "op": "c", "ts_ms": 5}}
+    )
+    src = str(tmp_path / "env")
+    os.makedirs(src)
+    with open(f"{src}/b.jsonl", "w") as f:
+        f.write(json.dumps({"value": "{broken-a", "seq": 0}) + "\n")
+        f.write(json.dumps({"value": "{broken-b", "seq": 1}) + "\n")
+    dlq = str(tmp_path / "dlq")
+    table = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["customerId"])
+    pipe = CdcPipeline(spark, RECORD, table, key_col="customerId", dlq_path=dlq)
+    schema = T.StructType.fromDDL("value string, seq long")
+    pipe.process_batch(spark.read.schema(schema).json(src), batch_id=0)
+    assert spark.read.parquet(dlq).count() == 2
+
+    # operator repairs ONE of the two rows in place
+    d = f"{dlq}/batch_id=0"
+    files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    rows = pq.read_table(d).to_pylist()
+    for r in rows:
+        if r["seq"] == 0:
+            r["value"] = good
+    for f in files:
+        os.remove(os.path.join(d, f))
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=pa.schema(
+            [("seq", pa.int64()), ("value", pa.string())])),
+        os.path.join(d, "repaired.parquet"),
+    )
+
+    out = pipe.replay_dlq()
+    assert out == {"replayed_rows": 2, "recovered_rows": 1, "still_corrupt": 1}
+    # recovered row merged into the table
+    got = {(r.customerId, r.name) for r in table.read().collect()}
+    assert (7, "fixed") in got
+    # original dir consumed; the still-corrupt row re-quarantined alone
+    assert not os.path.isdir(d)
+    assert spark.read.parquet(dlq).count() == 1
+    # a second replay re-quarantines it again but never duplicates
+    out2 = pipe.replay_dlq()
+    assert out2["still_corrupt"] == 1
+    assert spark.read.parquet(dlq).count() == 1
+
+
+def test_optimize_runs_gc_and_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["k"], n_buckets=4)
+    ins = spark.createDataFrame(
+        [(i, i, i, "c", float(i)) for i in range(8)],
+        "k long, ts long, seq long, op string, v double",
+    )
+    table.merge(compact_latest(ins, ["k"], ["ts", "seq"]), guard_cols=["ts", "seq"],
+                batch_id=0)
+    dels = spark.createDataFrame(
+        [(0, 100, 100, "d", None), (1, 101, 101, "d", None)],
+        "k long, ts long, seq long, op string, v double",
+    )
+    table.merge(compact_latest(dels, ["k"], ["ts", "seq"]), guard_cols=["ts", "seq"],
+                batch_id=1)
+    summary = table.optimize(tombstone_horizon=1_000)
+    assert summary["tombstones_dropped"] == 2
+    assert summary["files_after_compaction"] >= 1
+    assert table.read().count() == 6

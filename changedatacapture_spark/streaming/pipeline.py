@@ -121,6 +121,15 @@ class CdcPipeline:
         # lazily seeded past any adhoc_* dirs already on disk — see
         # process_batch
         self._adhoc_dlq_seq: int | None = None
+        #: attached streaming materialized views (see AggView) — each
+        #: batch updates them from the compacted changes BEFORE the
+        #: base-table merge commits, so their delta join sees pre-batch
+        #: state; their own batch_id idempotence makes replays safe
+        self._agg_views: list = []
+
+    def attach_agg_view(self, view) -> None:
+        """Maintain ``view`` (an :class:`AggView`) from every batch."""
+        self._agg_views.append(view)
 
     # -- batch core (also usable on a static DataFrame) -------------------
 
@@ -192,7 +201,17 @@ class CdcPipeline:
         compacted = compact_latest(
             changes, [self.key_col], ["ts_ms", "seq"]
         )
-        self.table.merge(compacted, batch_id=batch_id)
+        if self._agg_views:
+            # views + merge each consume the compacted plan: cache it
+            # once instead of re-running parse+compact per consumer
+            compacted = compacted.persist()
+        try:
+            for view in self._agg_views:
+                view.apply(compacted, batch_id=batch_id)
+            self.table.merge(compacted, batch_id=batch_id)
+        finally:
+            if self._agg_views:
+                compacted.unpersist()
 
     def replay_dlq(self) -> dict:
         """Reprocess every quarantined DLQ row through the normal batch
@@ -411,3 +430,87 @@ def stream_dedup(
     return stream.withWatermark(
         event_time_col, watermark_delay
     ).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+class AggView:
+    """Streaming materialized aggregate view: a grouped COUNT/SUM over
+    a :class:`SnapshotTable`, maintained by delta propagation from the
+    same compacted micro-batches that merge into the base table.
+
+    The view never rescans the base table: each batch joins against the
+    PRE-merge snapshot to retract old contributions, asserts the new
+    ones (``operators/cdc.py:aggregate_delta``), folds the per-group
+    deltas into the previous view rows for ONLY the touched groups, and
+    merges those rows (delete op when a group's count reaches zero)
+    into its own bucket-pruned snapshot table. Work per batch is
+    batch-sized + |touched groups|; at 100 TB the dashboard aggregate
+    stays current without a table scan.
+
+    ``group_expr`` must be a function of the key columns (the
+    single-row delta form's requirement; see ``aggregate_delta``).
+
+    Call :meth:`apply` with the compacted batch BEFORE the base-table
+    merge commits that batch.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base: SnapshotTable,
+        view_table: SnapshotTable,
+        group_expr,
+        value_col: str,
+        key_cols: Sequence[str],
+        op_col: str = "op",
+    ) -> None:
+        self.spark = spark
+        self.base = base
+        self.view = view_table
+        self.group_expr = group_expr
+        self.value_col = value_col
+        self.key_cols = list(key_cols)
+        self.op_col = op_col
+
+    def apply(self, compacted: DataFrame, batch_id: int | None = None) -> None:
+        from changedatacapture_spark.operators.cdc import aggregate_delta
+
+        if self.base.exists():
+            prev = self.base.read().select(*self.key_cols, self.value_col)
+        else:
+            prev = compacted.filter(F.lit(False)).select(
+                *self.key_cols, self.value_col
+            )
+        delta = aggregate_delta(
+            prev, compacted, self.key_cols, self.group_expr,
+            self.value_col, self.op_col,
+        ).filter((F.col("d_count") != 0) | (F.col("d_sum") != 0))
+        if self.view.exists():
+            old = self.view.read().select("grp", "cnt", "total")
+            old_touched = old.join(delta.select("grp"), "grp", "leftsemi")
+        else:
+            old_touched = delta.filter(F.lit(False)).select(
+                "grp",
+                F.col("d_count").alias("cnt"),
+                F.col("d_sum").alias("total"),
+            )
+        merged = (
+            old_touched.unionByName(
+                delta.select(
+                    "grp",
+                    F.col("d_count").alias("cnt"),
+                    F.col("d_sum").alias("total"),
+                )
+            )
+            .groupBy("grp")
+            .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
+        )
+        rows = merged.select(
+            "grp",
+            F.when(F.col("cnt") > 0, F.lit("u")).otherwise(F.lit("d")).alias("op"),
+            "cnt",
+            "total",
+        )
+        self.view.merge(rows, batch_id=batch_id)
+
+    def read(self) -> DataFrame:
+        return self.view.read()

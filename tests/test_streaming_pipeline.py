@@ -402,3 +402,77 @@ def test_optimize_runs_gc_and_compaction(spark, tmp_path):
     assert summary["tombstones_dropped"] == 2
     assert summary["files_after_compaction"] >= 1
     assert table.read().count() == 6
+
+
+def test_agg_view_tracks_stream(spark, tmp_path):
+    """Streaming materialized view: the maintained grouped COUNT/SUM
+    equals a from-scratch aggregate over the base table after every
+    micro-batch — across inserts, updates, deletes, and replays."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.pipeline import AggView
+
+    base = SnapshotTable(spark, str(tmp_path / "base"), key_cols=["k"], n_buckets=4)
+    vt = SnapshotTable(spark, str(tmp_path / "view"), key_cols=["grp"], n_buckets=2)
+    grp = F.pmod(F.col("k"), F.lit(2)).cast("long")
+    view = AggView(spark, base, vt, grp, "v", ["k"])
+
+    def step(rows, bid):
+        bdf = spark.createDataFrame(rows, "k long, seq long, op string, v long")
+        compacted = compact_latest(bdf, ["k"], ["seq"])
+        view.apply(compacted, batch_id=bid)
+        base.merge(compacted, batch_id=bid)
+        got = {r.grp: (r.cnt, r.total) for r in view.read().collect()}
+        expected = {
+            r.grp: (r.cnt, r.total)
+            for r in base.read()
+            .groupBy(grp.alias("grp"))
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+            .collect()
+        }
+        assert got == expected, f"batch {bid}: {got} != {expected}"
+
+    step([(1, 1, "c", 10), (2, 2, "c", 20), (3, 3, "c", 30)], 0)
+    step([(1, 4, "u", 15), (4, 5, "c", 40)], 1)          # update + insert
+    step([(2, 6, "d", 0), (4, 7, "d", 0)], 2)            # deletes empty grp 0
+    # grp 0 (keys 2,4) fully retracted → view row gone
+    assert {r.grp for r in view.read().collect()} == {1}
+    # replay of the last batch is a no-op for both tables
+    v_base, v_view = base.version, vt.version
+    step([(2, 6, "d", 0), (4, 7, "d", 0)], 2)
+    assert (base.version, vt.version) == (v_base, v_view)
+
+
+def test_agg_view_e2e_through_stream(spark, tmp_path):
+    """attach_agg_view maintains the view through the real streaming
+    path (file source -> foreachBatch -> merge), not just direct calls."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.pipeline import AggView
+
+    record = T.StructType.fromDDL("customerId long, v long")
+    ops = [
+        ("c", None, {"customerId": 1, "v": 10}, 1000),
+        ("c", None, {"customerId": 2, "v": 20}, 1001),
+        ("c", None, {"customerId": 3, "v": 30}, 1002),
+        ("u", None, {"customerId": 1, "v": 15}, 1003),
+        ("d", {"customerId": 2, "v": 20}, None, 1004),
+    ]
+    src = str(tmp_path / "env")
+    write_envelope_jsonl(src, ops)
+
+    base = SnapshotTable(spark, str(tmp_path / "base"), key_cols=["customerId"])
+    vt = SnapshotTable(spark, str(tmp_path / "view"), key_cols=["grp"], n_buckets=2)
+    grp = F.pmod(F.col("customerId"), F.lit(2)).cast("long")
+    pipe = CdcPipeline(spark, record, base, key_col="customerId")
+    pipe.attach_agg_view(AggView(spark, base, vt, grp, "v", ["customerId"]))
+    q = pipe.start(
+        file_envelope_stream(spark, src, max_files_per_trigger=1),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {r.grp: (r.cnt, r.total) for r in vt.read().collect()}
+    # final state: {1: 15, 3: 30} -> grp 1: cnt 2, total 45
+    assert got == {1: (2, 45)}

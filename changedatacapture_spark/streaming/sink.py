@@ -47,6 +47,63 @@ except Exception:  # noqa: BLE001
 _POINTER = "_LATEST"
 _LOG = "_LOG"
 
+#: safe widening lattices for merge-time type evolution; Spark 4's
+#: parquet reader reads narrower files under the wider schema natively
+#: (SPARK-40876), so old files never need a rewrite
+_INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FLT_RANK = {"float": 1, "double": 2}
+
+
+def _evolved_fields(table_schema, batch_schema, op_col: str, evolve: bool):
+    """Merge-time schema evolution: batch columns the table lacks are
+    appended; same-name columns whose batch type is a SAFE widening of
+    the table's (int family upward, float→double) widen the committed
+    type; anything else type-mismatched raises. Returns the evolved
+    field list (original order, additions at the end).
+
+    A NARROWER batch column needs no schema change — the merge union
+    coerces its values up to the table type. Cross-family changes
+    (int→string, double→int, …) are not evolution, they're a bug in
+    the producer; failing loudly beats corrupting a 100 TB table.
+    """
+    by_name = {f.name: f for f in table_schema.fields}
+    widened: dict[str, object] = {}
+    new_fields = []
+    for f in batch_schema.fields:
+        if f.name in (op_col, "bucket"):
+            continue
+        cur = by_name.get(f.name)
+        if cur is None:
+            new_fields.append(f)
+            continue
+        if cur.dataType == f.dataType:
+            continue
+        a = cur.dataType.typeName()
+        b = f.dataType.typeName()
+        if a in _INT_RANK and b in _INT_RANK:
+            if _INT_RANK[b] > _INT_RANK[a]:
+                widened[f.name] = f.dataType
+        elif a in _FLT_RANK and b in _FLT_RANK:
+            if _FLT_RANK[b] > _FLT_RANK[a]:
+                widened[f.name] = f.dataType
+        else:
+            raise ValueError(
+                f"column {f.name!r}: batch type {b} is not a safe "
+                f"widening of table type {a}"
+            )
+    if (new_fields or widened) and not evolve:
+        raise ValueError(
+            f"batch evolves schema (new={[f.name for f in new_fields]}, "
+            f"widened={sorted(widened)}) and evolve_schema is off"
+        )
+    from pyspark.sql.types import StructField
+
+    evolved = [
+        StructField(f.name, widened.get(f.name, f.dataType), f.nullable, f.metadata)
+        for f in table_schema.fields
+    ]
+    return evolved + new_fields
+
 
 class SnapshotTable:
     """Versioned parquet table with merge semantics and atomic commits.
@@ -500,12 +557,9 @@ class SnapshotTable:
         table_schema = StructType.fromJson(
             json.loads(self._read_pointer()["schema"])
         )
-        batch_cols = set(compacted.columns) - {op_col}
-        new_cols = [c for c in batch_cols if c not in {f.name for f in table_schema}]
-        if new_cols and not evolve_schema:
-            raise ValueError(
-                f"batch adds columns {new_cols} and evolve_schema is off"
-            )
+        evolved_fields = _evolved_fields(
+            table_schema, compacted.schema, op_col, evolve_schema
+        )
 
         manifest = self._bucket_manifest()
         # persist once: the batch plan (parse + compact shuffle) feeds
@@ -551,14 +605,7 @@ class SnapshotTable:
         for b in written:
             manifest[b] = version
 
-        merged_schema = StructType(
-            list(table_schema.fields)
-            + [
-                f
-                for f in compacted.schema.fields
-                if f.name in new_cols and f.name != op_col
-            ]
-        )
+        merged_schema = StructType(evolved_fields)
         self._commit(version, batch_id, manifest, json.dumps(merged_schema.jsonValue()))
         self._vacuum()
 
@@ -618,15 +665,9 @@ class SnapshotTable:
         table_schema = StructType.fromJson(
             json.loads(self._read_pointer()["schema"])
         )
-        new_cols = [
-            c
-            for c in compacted.columns
-            if c not in {f.name for f in table_schema}
-        ]
-        if new_cols and not evolve_schema:
-            raise ValueError(
-                f"batch adds columns {new_cols} and evolve_schema is off"
-            )
+        evolved_fields = _evolved_fields(
+            table_schema, compacted.schema, op_col, evolve_schema
+        )
 
         manifest = self._bucket_manifest()
         source = compacted.withColumn("bucket", self._bucket_col()).persist()
@@ -660,10 +701,7 @@ class SnapshotTable:
         for b in written:
             manifest[b] = version
 
-        merged_schema = StructType(
-            list(table_schema.fields)
-            + [f for f in compacted.schema.fields if f.name in new_cols]
-        )
+        merged_schema = StructType(evolved_fields)
         self._commit(
             version,
             batch_id,

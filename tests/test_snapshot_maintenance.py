@@ -194,3 +194,103 @@ def test_read_keys_respects_tombstone_guard(spark, tmp_path):
     assert table.read_keys([1]).count() == 0          # tombstoned
     assert table.read_keys([1], include_tombstones=True).count() == 1
     assert table.read_keys([2]).count() == 1
+
+
+def test_merge_widens_int_to_long_and_float_to_double(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), key_cols=["k"], n_buckets=2)
+    narrow = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)], "k long, a int, b float"
+    ).withColumn("op", F.lit("c"))
+    table.merge(narrow.select("k", "op", "a", "b"), batch_id=0)
+    assert isinstance(table.schema()["a"].dataType, T.IntegerType)
+
+    wide = spark.createDataFrame(
+        [(3, 2**40, 3.5)], "k long, a long, b double"
+    ).withColumn("op", F.lit("c"))
+    table.merge(wide.select("k", "op", "a", "b"), batch_id=1)
+    assert isinstance(table.schema()["a"].dataType, T.LongType)
+    assert isinstance(table.schema()["b"].dataType, T.DoubleType)
+    got = {r.k: (r.a, round(r.b, 1)) for r in table.read().collect()}
+    assert got == {1: (10, 1.5), 2: (20, 2.5), 3: (2**40, 3.5)}
+
+
+def test_merge_narrower_batch_coerces_without_schema_change(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t2"), key_cols=["k"], n_buckets=2)
+    wide = spark.createDataFrame([(1, 2**40)], "k long, a long").withColumn(
+        "op", F.lit("c")
+    )
+    table.merge(wide.select("k", "op", "a"), batch_id=0)
+    narrow = spark.createDataFrame([(2, 7)], "k long, a int").withColumn(
+        "op", F.lit("c")
+    )
+    table.merge(narrow.select("k", "op", "a"), batch_id=1)
+    assert isinstance(table.schema()["a"].dataType, T.LongType)
+    assert {r.k: r.a for r in table.read().collect()} == {1: 2**40, 2: 7}
+
+
+def test_merge_rejects_cross_family_type_change(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t3"), key_cols=["k"], n_buckets=2)
+    base = spark.createDataFrame([(1, 10)], "k long, a int").withColumn(
+        "op", F.lit("c")
+    )
+    table.merge(base.select("k", "op", "a"), batch_id=0)
+    bad = spark.createDataFrame([(2, "oops")], "k long, a string").withColumn(
+        "op", F.lit("c")
+    )
+    with pytest.raises(ValueError, match="not a safe widening"):
+        table.merge(bad.select("k", "op", "a"), batch_id=1)
+
+
+def test_guarded_merge_widens_too(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t4"), key_cols=["k"], n_buckets=2)
+    b0 = spark.createDataFrame(
+        [(1, 1, 1, "c", 10)], "k long, ts long, seq long, op string, a int"
+    )
+    table.merge(compact_latest(b0, ["k"], ["ts", "seq"]), guard_cols=["ts", "seq"],
+                batch_id=0)
+    b1 = spark.createDataFrame(
+        [(2, 2, 2, "c", 2**40)], "k long, ts long, seq long, op string, a long"
+    )
+    table.merge(compact_latest(b1, ["k"], ["ts", "seq"]), guard_cols=["ts", "seq"],
+                batch_id=1)
+    assert isinstance(table.schema()["a"].dataType, T.LongType)
+    assert {r.k: r.a for r in table.read().collect()} == {1: 10, 2: 2**40}
+
+
+def test_widening_refused_when_evolution_off(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(spark, str(tmp_path / "t5"), key_cols=["k"], n_buckets=2)
+    base = spark.createDataFrame([(1, 10)], "k long, a int").withColumn(
+        "op", F.lit("c")
+    )
+    table.merge(base.select("k", "op", "a"), batch_id=0)
+    wide = spark.createDataFrame([(2, 2**40)], "k long, a long").withColumn(
+        "op", F.lit("c")
+    )
+    with pytest.raises(ValueError, match="evolve_schema is off"):
+        table.merge(wide.select("k", "op", "a"), batch_id=1, evolve_schema=False)

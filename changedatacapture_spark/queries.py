@@ -4310,6 +4310,73 @@ def q_customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@_register(
+    "dedup_survivors",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
+    banded AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      WHERE e.v <> r.u),
+    groups AS (
+      SELECT u AS doc_id, least(u, min(v)) AS group_id
+      FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           CASE WHEN g.doc_id IS NULL OR g.group_id = d.doc_id
+                THEN 1 ELSE 0 END AS keep,
+           coalesce(g.group_id, d.doc_id) AS group_id,
+           d.n_chars
+    FROM documents d LEFT JOIN groups g USING (doc_id)
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL verdict per document: keep (canonical
+    group minimum, or never near-duplicated) vs drop, with its group
+    and size — the row a curation job filters on. Pairs → components →
+    survivor selection, then one left join back to the corpus."""
+    from changedatacapture_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=4, k=5)
+    groups = connected_components(lsh_candidate_pairs(sigs, n_hashes=4, bands=2))
+    g = groups.select(
+        F.col("doc_id").alias("g_doc"), F.col("group_id").alias("g_grp")
+    )
+    joined = docs.select("doc_id", "n_chars").join(
+        g, F.col("doc_id") == F.col("g_doc"), "left"
+    )
+    keep = (
+        F.when(
+            F.col("g_doc").isNull() | (F.col("g_grp") == F.col("doc_id")),
+            F.lit(1),
+        ).otherwise(F.lit(0))
+    )
+    return joined.select(
+        "doc_id",
+        keep.alias("keep"),
+        F.coalesce("g_grp", F.col("doc_id")).alias("group_id"),
+        "n_chars",
+    )
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -111,13 +111,38 @@ def pack_sequences(
 
     n_tok = F.size(tokens(F.col(text_col)))
     base = docs.select(
+        F.col(order_col), F.col(stream_col), n_tok.alias("n_tokens")
+    )
+    return pack_by_weight(
+        base, "n_tokens", max_tokens, stream_col, order_col, chunk_size
+    )
+
+
+def pack_by_weight(
+    df: DataFrame,
+    weight_col: str,
+    max_weight: int,
+    stream_col: str,
+    order_col: str,
+    chunk_size: int = 4096,
+) -> DataFrame:
+    """The generic two-phase contiguous-fill core behind
+    :func:`pack_sequences` (token bins) and media shard assignment
+    (byte-sized shards): ``bin = floor(exclusive-running-weight /
+    max_weight)`` within each stream, with the prefix sum chunked so no
+    single executor ever sorts a whole stream. See
+    :func:`pack_sequences` for the phase-by-phase scale rationale.
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(
         F.col(order_col),
         F.col(stream_col),
-        n_tok.alias("n_tokens"),
+        F.col(weight_col),
         F.floor(F.col(order_col) / chunk_size).cast("long").alias("_chunk"),
     )
     chunk_sums = base.groupBy(stream_col, "_chunk").agg(
-        F.sum("n_tokens").alias("_chunk_tok")
+        F.sum(weight_col).alias("_chunk_w")
     )
     w_chunks = (
         W.partitionBy(stream_col)
@@ -127,23 +152,25 @@ def pack_sequences(
     offsets = chunk_sums.select(
         stream_col,
         "_chunk",
-        (F.sum("_chunk_tok").over(w_chunks) - F.col("_chunk_tok")).alias("_offset"),
+        (F.sum("_chunk_w").over(w_chunks) - F.col("_chunk_w")).alias("_offset"),
     )
     w_local = (
         W.partitionBy(stream_col, "_chunk")
         .orderBy(order_col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    local_cum = F.sum("n_tokens").over(w_local)
-    # no explicit broadcast hint: offsets is n_docs/chunk_size rows per
+    local_cum = F.sum(weight_col).over(w_local)
+    # no explicit broadcast hint: offsets is n_rows/chunk_size rows per
     # stream, which at corpus scale can exceed the broadcast threshold
     # and fail the job — AQE broadcasts it automatically while it's
     # small and falls back to shuffle join when it isn't
     return base.join(offsets, [stream_col, "_chunk"]).select(
         F.col(order_col),
         F.col(stream_col),
-        F.col("n_tokens"),
-        F.floor((F.col("_offset") + local_cum - F.col("n_tokens")) / max_tokens)
+        F.col(weight_col),
+        F.floor(
+            (F.col("_offset") + local_cum - F.col(weight_col)) / max_weight
+        )
         .cast("long")
         .alias("bin"),
     )

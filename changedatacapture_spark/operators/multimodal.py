@@ -193,3 +193,31 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def shard_assign(
+    media: DataFrame,
+    shard_bytes: int = 1 << 30,
+    stream_col: str = "mime",
+    order_col: str = "media_id",
+    bytes_col: str = "n_bytes",
+) -> DataFrame:
+    """WebDataset-style shard assignment: within each stream (mime by
+    default), media items fill byte-bounded shards in stable id order —
+    the layout step before writing balanced tar/parquet shards for
+    multimodal training loaders.
+
+    Same two-phase distributed prefix sum as sequence packing
+    (``curation.pack_by_weight``): no single executor ever sorts a
+    whole stream. Output: ``media_id, mime, n_bytes, shard``.
+    """
+    from changedatacapture_spark.operators.curation import pack_by_weight
+
+    out = pack_by_weight(
+        media.select(order_col, stream_col, bytes_col),
+        bytes_col,
+        shard_bytes,
+        stream_col,
+        order_col,
+    )
+    return out.withColumnRenamed("bin", "shard")

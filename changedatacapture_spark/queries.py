@@ -4377,6 +4377,31 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "media_shard_assign",
+    f"""
+    WITH media AS ({_MEDIA_SQL})
+    SELECT media_id, mime, n_bytes,
+           CAST(floor((sum(n_bytes) OVER (PARTITION BY mime ORDER BY media_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n_bytes) / 16384) AS BIGINT) AS shard
+    FROM media
+    """,
+)
+def q_media_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style byte-bounded shard assignment per mime stream
+    (16 KiB shards at test scale) — the balanced-shard layout step of a
+    multimodal training pipeline, via the same two-phase prefix sum as
+    sequence packing."""
+    from changedatacapture_spark.operators.multimodal import (
+        documents_as_media,
+        shard_assign,
+    )
+
+    media = documents_as_media(load_table(spark, "documents", sf_dir))
+    return shard_assign(media, shard_bytes=16384)
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

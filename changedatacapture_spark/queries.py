@@ -4430,6 +4430,13 @@ _DEMOTED = [
     # its row); demoted so mongo_changes_e2e (sole driver evidence for
     # P1/P10/T6) fits back inside the 50-row window
     "q5_revenue_by_nation",
+    # round-6 window rebalance: make room for the new operator families
+    # (SCD2, incremental aggregates, chunking, dedup survivors). Each
+    # demotion's shape keeps driver coverage through a retained row:
+    "knn_lsh_topk",  # hyperplane-LSH bucketing also drives emb_neardup_pairs
+    "q_rollup_lineitem",  # grouping-set agg; q1 keeps the agg row, cube in log
+    "text_quality",  # integer-ratio scoring shape shared with text_stats/repetition
+    "q_distinct_parts_per_flag",  # distinct-agg shape; full oracle log retains it
 ]
 
 _PROMOTED = [
@@ -4450,6 +4457,10 @@ _PROMOTED = [
     "kmeans_fit_2iter",
     "dedup_groups",
     "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
+    "cdc_scd2_history",  # Type-2 history materialization (round 6)
+    "cdc_incremental_agg",  # delta-propagated materialized aggregate (round 6)
+    "doc_chunks",  # sliding-window chunking (round 6)
+    "dedup_survivors",  # pairs→components→survivor capstone (round 6)
 ]
 
 DRIVER_WINDOW = 50

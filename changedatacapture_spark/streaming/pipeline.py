@@ -213,6 +213,21 @@ class CdcPipeline:
             if self._agg_views:
                 compacted.unpersist()
 
+    def bootstrap(self, raw: DataFrame, batch_id: int = -1) -> None:
+        """Kappa-style historical bootstrap: apply an arbitrarily large
+        STATIC backlog of envelopes (a bronze dump, an S3 topic export)
+        through the identical parse → compact → merge path before the
+        live stream attaches.
+
+        One compacted merge regardless of backlog size — compaction
+        collapses the history to ≤1 row per key first, so the merge
+        cost is keyspace-, not history-, sized. Uses a negative
+        ``batch_id`` so the streaming checkpoint's ids (0, 1, …) never
+        collide with it and replay idempotence is preserved across the
+        handoff.
+        """
+        self.process_batch(raw, batch_id=batch_id)
+
     def replay_dlq(self) -> dict:
         """Reprocess every quarantined DLQ row through the normal batch
         path — the recovery half of the dead-letter story (the

@@ -263,3 +263,24 @@ def test_boilerplate_two_data_shuffles(spark, sf_dir):
 def test_scd2_single_shuffle_shape(spark, sf_dir):
     df = _run(spark, sf_dir, "cdc_scd2_history")
     assert count_exchanges(df) == 1
+
+
+def test_reconciliation_aggregates_before_outer_join(spark, sf_dir):
+    # orders aggregate to one row per customer BEFORE the full outer
+    # join: the join's inputs are both keyed, no row explosion
+    df = _run(spark, sf_dir, "q_customer_order_reconciliation")
+    assert count_exchanges(df) <= 3
+
+
+def test_running_value_single_shuffle_with_pushed_filter(spark, sf_dir):
+    df = _run(spark, sf_dir, "events_running_value")
+    assert count_exchanges(df) == 1
+    pf = " ".join(pushed_filters(df))
+    assert "event_type" in pf
+
+
+def test_shard_assign_no_stream_wide_sort(spark, sf_dir):
+    # two-phase prefix sum: exchanges stay bounded (chunked windows +
+    # offsets join), never one window over a whole mime stream
+    df = _run(spark, sf_dir, "media_shard_assign")
+    assert count_exchanges(df) <= 4

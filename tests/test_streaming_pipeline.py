@@ -476,3 +476,39 @@ def test_agg_view_e2e_through_stream(spark, tmp_path):
     got = {r.grp: (r.cnt, r.total) for r in vt.read().collect()}
     # final state: {1: 15, 3: 30} -> grp 1: cnt 2, total 45
     assert got == {1: (2, 45)}
+
+
+def test_bootstrap_then_stream_equals_full_replay(spark, tmp_path):
+    """Kappa handoff: a static historical bootstrap followed by the
+    live stream over the remainder must equal streaming everything."""
+    ops_hist = [
+        ("c", None, _row(1, "ada", "london"), 1000),
+        ("c", None, _row(2, "grace", "nyc"), 1001),
+        ("u", None, _row(1, "ada", "cambridge"), 1002),
+    ]
+    ops_live = [
+        ("d", _row(2, "grace", "nyc"), None, 2000),
+        ("c", None, _row(3, "alan", "manchester"), 2001),
+    ]
+    hist_src = str(tmp_path / "hist")
+    live_src = str(tmp_path / "live")
+    n = write_envelope_jsonl(hist_src, ops_hist)
+    write_envelope_jsonl(live_src, ops_live, start_seq=n)
+
+    table = SnapshotTable(
+        spark, str(tmp_path / "t"), key_cols=["customerId"], n_buckets=4
+    )
+    pipe = CdcPipeline(spark, RECORD, table, key_col="customerId")
+    schema = T.StructType.fromDDL("value string, seq long")
+    pipe.bootstrap(spark.read.schema(schema).json(hist_src))
+    q = pipe.start(
+        file_envelope_stream(spark, live_src),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.customerId, r.name, r.city)
+        for r in table.read().select("customerId", "name", "city").collect()
+    }
+    assert got == {(1, "ada", "cambridge"), (3, "alan", "manchester")}

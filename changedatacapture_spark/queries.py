@@ -4402,6 +4402,85 @@ def q_media_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assign(media, shard_bytes=16384)
 
 
+@_register(
+    "cdc_change_feed",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    bounds AS (
+      SELECT CAST(floor((min(ts_us) + max(ts_us)) / 2) AS BIGINT) AS mid
+      FROM log),
+    r1 AS (
+      SELECT l.*, row_number() OVER (PARTITION BY key_id
+                                     ORDER BY ts_us DESC, seq DESC) AS rn
+      FROM log l, bounds WHERE ts_us <= mid),
+    s1 AS (SELECT key_id, seq, ts_us, value, props
+           FROM r1 WHERE rn = 1 AND op <> 'd'),
+    r2 AS (
+      SELECT l.*, row_number() OVER (PARTITION BY key_id
+                                     ORDER BY ts_us DESC, seq DESC) AS rn
+      FROM log l),
+    s2 AS (SELECT key_id, seq, ts_us, value, props
+           FROM r2 WHERE rn = 1 AND op <> 'd'),
+    diff AS (
+      SELECT CASE WHEN s1.key_id IS NULL THEN 'insert'
+                  WHEN s2.key_id IS NULL THEN 'delete'
+                  WHEN s1.seq <> s2.seq THEN 'update_post' END AS change_type,
+             coalesce(s2.key_id, s1.key_id) AS key_id,
+             coalesce(s2.seq, s1.seq) AS seq,
+             coalesce(s2.ts_us, s1.ts_us) AS ts_us,
+             coalesce(s2.value, s1.value) AS value,
+             coalesce(s2.props, s1.props) AS props
+      FROM s1 FULL OUTER JOIN s2 ON s2.key_id = s1.key_id)
+    SELECT * FROM diff WHERE change_type IS NOT NULL
+    """,
+)
+def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed between two snapshot versions (the Delta
+    ``table_changes`` analogue): the changelog splits at its ts
+    midpoint into two merges, and ``changes_between(v1, v2)`` must
+    emit exactly the net inserts / deletes / post-update images the
+    second half caused — computed from the committed versions by a
+    keyed full outer join, no log replay. The oracle diffs the two
+    ranked states in SQL."""
+    import shutil
+    import tempfile
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (int(lo) + int(hi)) // 2
+    work = tempfile.mkdtemp(prefix="cdc_cdf_")
+    try:
+        table = SnapshotTable(
+            spark, work + "/t", key_cols=["key_id"], n_buckets=8,
+            retain_history=2,
+        )
+        from changedatacapture_spark.operators.cdc import compact_latest
+
+        b1 = compact_latest(
+            log.filter(F.col("ts_us") <= mid), ["key_id"], ["ts_us", "seq"]
+        )
+        table.merge(b1, batch_id=0)
+        v1 = table.version
+        b2 = compact_latest(log, ["key_id"], ["ts_us", "seq"])
+        table.merge(b2, batch_id=1)
+        v2 = table.version
+        feed = table.changes_between(v1, v2).select(
+            "change_type", "key_id", "seq", "ts_us", "value", "props"
+        )
+        rows = feed.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, feed.schema)
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -785,6 +785,73 @@ class SnapshotTable:
         )
         self._vacuum()
 
+    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+        """Change data feed: the net row-level difference between two
+        committed versions (Delta ``table_changes`` analogue) —
+        ``change_type ∈ {insert, delete, update_post}`` plus the row
+        image (the post-image for inserts/updates, the pre-image for
+        deletes).
+
+        Computed as a full outer join of the two versions on the key
+        (both sides read through the bucket manifests, so cost is two
+        version reads + one keyed join — no log replay). Requires both
+        versions readable, i.e. within ``retain_history`` of the
+        current commit. Unchanged rows (identical non-key columns)
+        don't appear.
+        """
+        if v_to <= v_from:
+            raise ValueError(f"v_to ({v_to}) must be > v_from ({v_from})")
+        old = self.read(at_version=v_from)
+        new = self.read(at_version=v_to)
+        payload = [c for c in new.columns if c not in self.key_cols]
+        old_sel = old.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in self.key_cols],
+            *[F.col(c).alias(f"_o_{c}") for c in payload if c in old.columns],
+        )
+        new_sel = new.select(
+            *[F.col(k).alias(f"_nk_{k}") for k in self.key_cols],
+            *[F.col(c).alias(f"_n_{c}") for c in payload],
+        )
+        cond = None
+        for k in self.key_cols:
+            eq = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+            cond = eq if cond is None else cond & eq
+        joined = old_sel.join(new_sel, cond, "full_outer")
+        first_nk = F.col(f"_nk_{self.key_cols[0]}")
+        first_ok = F.col(f"_ok_{self.key_cols[0]}")
+        changed = None
+        for c in payload:
+            if f"_o_{c}" not in old_sel.columns:
+                continue
+            ne = ~(
+                F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+            )
+            changed = ne if changed is None else changed | ne
+        change_type = (
+            F.when(first_ok.isNull(), F.lit("insert"))
+            .when(first_nk.isNull(), F.lit("delete"))
+            .when(
+                changed if changed is not None else F.lit(False),
+                F.lit("update_post"),
+            )
+        )
+        out_cols = [
+            F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+            for k in self.key_cols
+        ] + [
+            (
+                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}"))
+                if f"_o_{c}" in old_sel.columns
+                else F.col(f"_n_{c}")
+            ).alias(c)
+            for c in payload
+        ]
+        return (
+            joined.withColumn("change_type", change_type)
+            .filter(F.col("change_type").isNotNull())
+            .select("change_type", *out_cols)
+        )
+
     def optimize(self, tombstone_horizon=None) -> dict:
         """One-call table maintenance — the periodic job a deployment
         schedules between merge windows: tombstone GC (if the table is

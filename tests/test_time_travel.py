@@ -75,3 +75,48 @@ def test_retention_zero_keeps_current_readable(spark, tmp_path):
     t.merge(_batch(spark, [(1, "u", 11)]), batch_id=1)
     assert [r.v for r in t.read().collect()] == [11]
     assert len(t.history()) == 2
+
+
+def test_changes_between_versions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    table = SnapshotTable(
+        spark, str(tmp_path / "cdf"), key_cols=["k"], n_buckets=2,
+        retain_history=4,
+    )
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "k long, op string, v string")
+        table.merge(df)
+
+    batch([(1, "c", "a"), (2, "c", "b"), (3, "c", "c")])
+    v1 = table.version
+    batch([(2, "u", "B"), (3, "d", None), (4, "c", "d"), (1, "u", "a")])
+    v2 = table.version
+
+    got = {
+        (r.change_type, r.k, r.v)
+        for r in table.changes_between(v1, v2).collect()
+    }
+    # key 1 rewritten identically -> NOT in the feed
+    assert got == {
+        ("update_post", 2, "B"),
+        ("delete", 3, "c"),
+        ("insert", 4, "d"),
+    }
+
+    # a version gap spanning several commits nets out intermediate churn
+    batch([(4, "d", None)])
+    v3 = table.version
+    got2 = {
+        (r.change_type, r.k, r.v)
+        for r in table.changes_between(v1, v3).collect()
+    }
+    assert got2 == {("update_post", 2, "B"), ("delete", 3, "c")}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must be >"):
+        table.changes_between(v2, v1)

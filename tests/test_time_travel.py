@@ -120,3 +120,74 @@ def test_changes_between_versions(spark, tmp_path):
 
     with pytest.raises(ValueError, match="must be >"):
         table.changes_between(v2, v1)
+
+
+def test_change_feed_replicates_to_second_table(spark, tmp_path):
+    """CDF-driven replication: applying the feed between v1 and v2 to a
+    replica that was synced at v1 makes it equal the source at v2."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    src = SnapshotTable(
+        spark, str(tmp_path / "src"), key_cols=["k"], n_buckets=2,
+        retain_history=4,
+    )
+    src.merge(spark.createDataFrame(
+        [(1, "c", "a"), (2, "c", "b")], "k long, op string, v string"))
+    v1 = src.version
+    replica = SnapshotTable(spark, str(tmp_path / "rep"), key_cols=["k"],
+                            n_buckets=2)
+    replica.merge(src.read(at_version=v1).withColumn("op", F.lit("c"))
+                  .select("k", "op", "v"))
+
+    src.merge(spark.createDataFrame(
+        [(1, "u", "A"), (2, "d", None), (3, "c", "c")],
+        "k long, op string, v string"))
+    v2 = src.version
+
+    feed = src.changes_between(v1, v2)
+    as_changes = feed.select(
+        "k",
+        F.when(F.col("change_type") == "delete", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        "v",
+    )
+    replica.merge(as_changes)
+    assert (
+        sorted((r.k, r.v) for r in replica.read().collect())
+        == sorted((r.k, r.v) for r in src.read().collect())
+        == [(1, "A"), (3, "c")]
+    )
+
+
+def test_merge_recovers_from_orphan_version_dir(spark, tmp_path):
+    """A crash between bucket write and pointer commit leaves an orphan
+    v= directory; the next merge must reuse the version number cleanly
+    and vacuum must not leak the orphan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    path = str(tmp_path / "t")
+    table = SnapshotTable(spark, path, key_cols=["k"], n_buckets=2)
+    table.merge(spark.createDataFrame(
+        [(1, "c", "a")], "k long, op string, v string"))
+    v = table.version
+    # simulate the crash: files written for v+1, pointer never flipped
+    orphan = f"{path}/v={v + 1}/bucket=0"
+    os.makedirs(orphan)
+    with open(f"{orphan}/part-stale.parquet", "w") as f:
+        f.write("garbage from a dead writer")
+    table2 = SnapshotTable(spark, path, key_cols=["k"], n_buckets=2)
+    assert table2.version == v  # pointer untouched by the crash
+    table2.merge(spark.createDataFrame(
+        [(2, "c", "b")], "k long, op string, v string"))
+    assert sorted((r.k, r.v) for r in table2.read().collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+    # the stale file is gone: the recovering merge overwrote its dir
+    assert not os.path.exists(f"{orphan}/part-stale.parquet")

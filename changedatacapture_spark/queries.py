@@ -3707,6 +3707,52 @@ ORACLE_SQL["knn_recall"] = f"""
     GROUP BY b.probe_id
 """
 
+
+@_register(
+    "knn_recall_lsh",
+    None,  # composed below from the registered brute/LSH oracles
+)
+def q_knn_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of hyperplane-LSH top-5 against exact brute-force top-5 —
+    the LSH arm of the ANN quality matrix (IVF arm: ``knn_recall``)."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_lsh,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    lsh = cosine_topk_lsh(emb, probes, k=5, n_planes=4, dim=64).select(
+        F.col("probe_id").alias("l_probe"), F.col("neighbor_id").alias("l_neighbor")
+    )
+    return (
+        brute.join(
+            lsh,
+            (F.col("probe_id") == F.col("l_probe"))
+            & (F.col("neighbor_id") == F.col("l_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("l_neighbor").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
+
+ORACLE_SQL["knn_recall_lsh"] = f"""
+    WITH brute_full AS ({ORACLE_SQL["knn_brute_topk"]}),
+    lsh_full AS ({ORACLE_SQL["knn_lsh_topk"]})
+    SELECT b.probe_id,
+           count(l.neighbor_id) AS n_hits,
+           CAST(5 AS BIGINT) AS k
+    FROM brute_full b
+    LEFT JOIN lsh_full l
+      ON l.probe_id = b.probe_id AND l.neighbor_id = b.neighbor_id
+    GROUP BY b.probe_id
+"""
+
 ORACLE_SQL["doc_chunks"] = _doc_chunks_sql()
 
 

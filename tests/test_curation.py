@@ -237,3 +237,47 @@ def test_mix_weights_cap_applies(spark):
     }
     # zh natural = 9900 ppm; uncapped weight would be ~90x → capped at 3x
     assert out["zh"].weight_ppm == 3_000_000
+
+
+def test_chunking_invariants_property(spark):
+    """For any doc length and any (chunk, overlap): starts advance by
+    stride from 0; every token is covered; consecutive full chunks
+    overlap by exactly `overlap`; chunk sizes are exact."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from changedatacapture_spark.operators.curation import chunk_documents
+
+    @given(
+        n_tok=st.integers(1, 120),
+        chunk=st.integers(2, 40),
+        overlap=st.integers(0, 20),
+    )
+    @settings(
+        max_examples=20, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    def check(n_tok, chunk, overlap):
+        if overlap >= chunk:
+            return
+        stride = chunk - overlap
+        docs = spark.createDataFrame(
+            [(1, " ".join(f"w{i}" for i in range(n_tok)))],
+            "doc_id long, text string",
+        )
+        out = sorted(
+            (r.chunk_idx, r.start_tok, r.n_tok_chunk)
+            for r in chunk_documents(
+                docs, chunk_tokens=chunk, overlap=overlap
+            ).collect()
+        )
+        starts = [s for _, s, _ in out]
+        assert starts == list(range(0, n_tok, stride))
+        covered = set()
+        for idx, s, ln in out:
+            assert idx == s // stride
+            assert ln == min(chunk, n_tok - s)
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n_tok))
+
+    check()

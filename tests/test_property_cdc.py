@@ -426,3 +426,75 @@ def test_incremental_agg_equals_recompute_for_any_split(spark, events, cuts):
         else {}
     )
     assert got == expected
+
+
+@given(events=_EVENTS, cut=st.integers(0, 40))
+@_SETTINGS
+def test_change_feed_replication_property(spark, events, cut):
+    """For ANY changelog split, applying changes_between(v1, v2) to a
+    replica synced at v1 reproduces the v2 state exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    cut = min(cut, len(events))
+    b1, b2 = events[:cut], events[cut:]
+    if not b1 or not b2:
+        return
+    path = tempfile.mkdtemp(prefix="cdf_prop_")
+    try:
+        src = SnapshotTable(
+            spark, path + "/src", ["key_id"], n_buckets=4, retain_history=4
+        )
+
+        def to_df(batch, offset):
+            rows = [
+                (key, ts, offset + i, op, value)
+                for i, (key, ts, op, value) in enumerate(batch)
+            ]
+            return spark.createDataFrame(
+                rows, "key_id long, ts long, seq long, op string, value long"
+            )
+
+        src.merge(compact_latest(to_df(b1, 0), ["key_id"], ["ts", "seq"]))
+        v1 = src.version
+        src.merge(
+            compact_latest(to_df(b1 + b2, 0), ["key_id"], ["ts", "seq"])
+        )
+        v2 = src.version
+        if v2 == v1:  # second merge may be a no-op on an empty table
+            return
+
+        replica = SnapshotTable(spark, path + "/rep", ["key_id"], n_buckets=4)
+        v1_state = src.read(at_version=v1)
+        if v1_state.count():
+            replica.merge(v1_state.withColumn("op", F.lit("c")))
+        feed = src.changes_between(v1, v2)
+        as_changes = feed.select(
+            "key_id",
+            F.when(F.col("change_type") == "delete", F.lit("d"))
+            .otherwise(F.lit("u"))
+            .alias("op"),
+            "ts",
+            "seq",
+            "value",
+        )
+        replica.merge(as_changes)
+
+        want = {
+            (r.key_id, r.ts, r.seq, r.value) for r in src.read().collect()
+        }
+        have = (
+            {
+                (r.key_id, r.ts, r.seq, r.value)
+                for r in replica.read().collect()
+            }
+            if replica.exists()
+            else set()
+        )
+        assert have == want
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

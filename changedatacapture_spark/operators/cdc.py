@@ -273,34 +273,47 @@ def aggregate_delta(
 
     ``group_expr`` must be a function of the KEY columns (e.g.
     ``pmod(key_id, 8)``): an update's retraction and assertion then
-    land in the same group and the single-row delta form below is
-    exact. Value-derived grouping needs the two-row retract/assert
-    union form instead — not implemented here.
+    land in the same group and the delta decomposes per side. Value-
+    derived grouping needs pre/post images joined per key — not
+    implemented here.
 
-    Plan: one equi-join of the batch against the snapshot on the key
-    (broadcast when the batch is small — the normal CDC case) + one
-    aggregation of BATCH-sized input. The snapshot-sized aggregate is
-    never recomputed; at 100 TB that is the whole point of maintaining
-    the view incrementally.
+    Plan: assert/retract decomposition, chosen because Spark cannot
+    broadcast the PRESERVED side of an outer join (a batch-preserving
+    left/right join would force the snapshot to be the build side —
+    broadcasting the full table, a driver OOM at any real scale):
+
+    - assertions come from the batch alone, no join: every non-delete
+      contributes (+1, +value) to its group;
+    - retractions read only the snapshot rows whose key the batch
+      touched, via a LEFT SEMI join against the broadcast batch key
+      set (semi joins DO support a broadcast build side): each
+      contributes (−1, −old value).
+
+    Both parts aggregate to group granularity (domains, tens of rows)
+    before the final combine, so the only data-sized pass is the
+    semi-joined snapshot scan — the snapshot-sized aggregate is never
+    recomputed, which at 100 TB is the whole point of maintaining the
+    view incrementally.
     """
     keys = list(key_cols)
-    old = prev_snapshot.select(
-        *_cols(keys), F.col(value_col).alias("_old_val")
-    )
-    joined = batch.join(F.broadcast(old), keys, "left")
     new_active = F.col(op_col) != "d"
-    had_old = F.col("_old_val").isNotNull()
-    d_count = (
-        F.when(new_active & ~had_old, F.lit(1))
-        .when(~new_active & had_old, F.lit(-1))
-        .otherwise(F.lit(0))
+    asserts = batch.groupBy(group_expr.alias("grp")).agg(
+        F.sum(F.when(new_active, F.lit(1)).otherwise(F.lit(0))).alias("d_count"),
+        F.sum(
+            F.when(new_active, F.col(value_col)).otherwise(F.lit(0))
+        ).alias("d_sum"),
     )
-    d_sum = (
-        F.when(new_active, F.col(value_col)).otherwise(F.lit(0))
-        - F.when(had_old, F.col("_old_val")).otherwise(F.lit(0))
+    touched_old = prev_snapshot.join(
+        F.broadcast(batch.select(*_cols(keys))), keys, "semi"
     )
-    return joined.groupBy(group_expr.alias("grp")).agg(
-        F.sum(d_count).alias("d_count"), F.sum(d_sum).alias("d_sum")
+    retracts = touched_old.groupBy(group_expr.alias("grp")).agg(
+        (-F.count(F.lit(1))).alias("d_count"),
+        (-F.sum(F.col(value_col))).alias("d_sum"),
+    )
+    return (
+        asserts.unionByName(retracts)
+        .groupBy("grp")
+        .agg(F.sum("d_count").alias("d_count"), F.sum("d_sum").alias("d_sum"))
     )
 
 

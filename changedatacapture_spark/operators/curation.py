@@ -409,9 +409,17 @@ def mix_weights(
     natural_ppm = F.floor(
         F.col("grp_tokens") * F.lit(1_000_000) / F.col("tot_tokens")
     ).cast("long")
+    # a group under 1 ppm of corpus tokens floors natural_ppm to 0; with
+    # ANSI enabled a raw division would raise DIVIDE_BY_ZERO at runtime,
+    # so clamp the divisor — the tiny group then deterministically hits
+    # cap_ppm, which is the intended "up-weight as far as allowed" rule
     weight_ppm = F.least(
         F.lit(cap_ppm).cast("long"),
-        F.floor(tgt.cast("long") * F.lit(1_000_000) / natural_ppm).cast("long"),
+        F.floor(
+            tgt.cast("long")
+            * F.lit(1_000_000)
+            / F.greatest(natural_ppm, F.lit(1).cast("long"))
+        ).cast("long"),
     )
     return joined.select(
         "grp",

@@ -61,6 +61,45 @@ def fan_out(raw: DataFrame, spark: SparkSession) -> DataFrame:
     return raw
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    max_offsets_per_trigger: int | None = 10000,
+    fail_on_data_loss: bool = False,
+) -> dict[str, str]:
+    """Reader options for the Kafka source (S1/S2), as data.
+
+    Factored out of :func:`kafka_envelope_stream` so the option
+    contract — format keys, rate limiting, data-loss stance (reference
+    parity ``cdc_stream.py:945-952``) — is unit-testable in an
+    environment with no broker: the sandbox can never ``.load()`` a
+    real Kafka stream, but it can pin the assembled surface.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        # resumed streams whose offsets aged out must surface the gap
+        # only when the caller opts into strictness; default matches
+        # the reference's restart-tolerant stance
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+    if max_offsets_per_trigger:
+        # S2 rate limiting: bounds each micro-batch so merge cost and
+        # checkpoint lag stay predictable under backlog
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+#: projection from Kafka's fixed output schema to the engine's raw
+#: envelope contract (value/seq/kafka_ts); ``offset`` is the per-
+#: partition monotone sequence the compactor's (ts, seq) tie-break uses
+KAFKA_VALUE_PROJECTION = (
+    "CAST(value AS STRING) AS value",
+    "offset AS seq",
+    "timestamp AS kafka_ts",
+)
+
+
 def kafka_envelope_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -69,17 +108,12 @@ def kafka_envelope_stream(
     fail_on_data_loss: bool = False,
 ) -> DataFrame:
     """Kafka source (S1/S2): one topic of Debezium JSON envelope values."""
-    reader = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("failOnDataLoss", str(fail_on_data_loss).lower())
-    )
-    if max_offsets_per_trigger:
-        reader = reader.option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-    return reader.load().selectExpr(
-        "CAST(value AS STRING) AS value", "offset AS seq", "timestamp AS kafka_ts"
-    )
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, max_offsets_per_trigger, fail_on_data_loss
+    ).items():
+        reader = reader.option(k, v)
+    return reader.load().selectExpr(*KAFKA_VALUE_PROJECTION)
 
 
 def file_envelope_stream(

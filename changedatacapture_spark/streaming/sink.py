@@ -47,6 +47,13 @@ except Exception:  # noqa: BLE001
 _POINTER = "_LATEST"
 _LOG = "_LOG"
 
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer committed between this writer's read and its
+    commit. The losing writer's version directory is orphaned (harmless
+    — vacuumed later); its logical batch must be replayed against the
+    new table state."""
+
 #: safe widening lattices for merge-time type evolution; Spark 4's
 #: parquet reader reads narrower files under the wider schema natively
 #: (SPARK-40876), so old files never need a rewrite
@@ -54,7 +61,9 @@ _INT_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
 _FLT_RANK = {"float": 1, "double": 2}
 
 
-def _evolved_fields(table_schema, batch_schema, op_col: str, evolve: bool):
+def _evolved_fields(
+    table_schema, batch_schema, op_col: str, evolve: bool, key_cols=()
+):
     """Merge-time schema evolution: batch columns the table lacks are
     appended; same-name columns whose batch type is a SAFE widening of
     the table's (int family upward, float→double) widen the committed
@@ -65,7 +74,16 @@ def _evolved_fields(table_schema, batch_schema, op_col: str, evolve: bool):
     coerces its values up to the table type. Cross-family changes
     (int→string, double→int, …) are not evolution, they're a bug in
     the producer; failing loudly beats corrupting a 100 TB table.
+
+    KEY columns never widen: bucket routing is ``F.hash`` over the key,
+    and Spark's hash is type-sensitive (``hash(5 as int) !=
+    hash(5 as long)``), so widening a key would strand every committed
+    row in a bucket the new routing no longer probes — silent duplicate
+    keys. Callers must instead cast batch keys to the committed types
+    (see ``_align_key_types``); an int→long KEY change is a re-keying,
+    which means a new table, not evolution.
     """
+    keyset = set(key_cols)
     by_name = {f.name: f for f in table_schema.fields}
     widened: dict[str, object] = {}
     new_fields = []
@@ -82,9 +100,21 @@ def _evolved_fields(table_schema, batch_schema, op_col: str, evolve: bool):
         b = f.dataType.typeName()
         if a in _INT_RANK and b in _INT_RANK:
             if _INT_RANK[b] > _INT_RANK[a]:
+                if f.name in keyset:
+                    raise ValueError(
+                        f"key column {f.name!r} cannot widen "
+                        f"({a} -> {b}): hash bucket routing is "
+                        f"type-sensitive; re-key into a new table instead"
+                    )
                 widened[f.name] = f.dataType
         elif a in _FLT_RANK and b in _FLT_RANK:
             if _FLT_RANK[b] > _FLT_RANK[a]:
+                if f.name in keyset:
+                    raise ValueError(
+                        f"key column {f.name!r} cannot widen "
+                        f"({a} -> {b}): hash bucket routing is "
+                        f"type-sensitive; re-key into a new table instead"
+                    )
                 widened[f.name] = f.dataType
         else:
             raise ValueError(
@@ -103,6 +133,28 @@ def _evolved_fields(table_schema, batch_schema, op_col: str, evolve: bool):
         for f in table_schema.fields
     ]
     return evolved + new_fields
+
+
+def _align_key_types(df: DataFrame, table_schema, key_cols) -> DataFrame:
+    """Cast the batch's key columns to the COMMITTED key types before any
+    bucket routing or key join.
+
+    ``F.hash`` is type-sensitive, so a batch whose key arrived narrower
+    (e.g. int where the table committed long) would hash into a
+    different bucket than the committed row for the same logical key —
+    the anti-join would never see the incumbent and the key would
+    silently exist twice. Narrow→wide casts are lossless; the
+    wide→narrow direction is already rejected by ``_evolved_fields``
+    before this runs.
+    """
+    committed = {f.name: f.dataType for f in table_schema.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
+    out = df
+    for k in key_cols:
+        want = committed.get(k)
+        if want is not None and k in have and have[k] != want:
+            out = out.withColumn(k, F.col(k).cast(want))
+    return out
 
 
 class SnapshotTable:
@@ -131,7 +183,10 @@ class SnapshotTable:
     rewrite committed as one new version); the constructor always adopts
     the committed table's persisted count and logs if a conflicting
     ``n_buckets`` argument was passed. Single-writer POSIX-rename
-    commit; multi-writer deployments use :class:`DeltaTableSink`.
+    commit; a second writer is DETECTED (pre-write and commit-time
+    pointer CAS raise :class:`ConcurrentWriteError` instead of silently
+    last-write-winning), but real multi-writer deployments use
+    :class:`DeltaTableSink`.
     """
 
     def __init__(
@@ -142,11 +197,19 @@ class SnapshotTable:
         n_buckets: int = 16,
         retain_history: int = 0,
         cluster_cols: list[str] | None = None,
+        broadcast_key_limit: int = 1_000_000,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
         self.key_cols = key_cols
         self.n_buckets = n_buckets
+        #: merge anti-join strategy ceiling: batches with at most this
+        #: many rows broadcast their key set to the touched-bucket scan
+        #: (the normal CDC micro-batch case — no shuffle of table rows);
+        #: above it (bootstrap/backfill misuse of the merge path) the
+        #: hint is dropped and AQE picks the join strategy, instead of
+        #: blowing the driver's broadcast limit
+        self.broadcast_key_limit = broadcast_key_limit
         #: SQL expressions (usually column names; see
         #: ``operators/layout.py:zorder16`` for multi-column locality)
         #: that every bucket write sorts by. Sorted files give parquet
@@ -216,7 +279,27 @@ class SnapshotTable:
         buckets: dict[int, int],
         schema_ddl: str,
         guard: dict | None = None,
+        expected_base: int | None = None,
     ) -> None:
+        # concurrent-writer detection (commit-pointer CAS): the table is
+        # single-writer by design, but a second writer must fail LOUDLY,
+        # not silently last-write-wins. Each write op captures the
+        # pointer version it planned against; if the pointer moved while
+        # the write ran, another writer committed and this commit would
+        # clobber its manifest. Check-then-rename is not atomic, so this
+        # is detection of discipline violations, not a lock — matching
+        # what a real deployment gets from a conditional-put object
+        # store; multi-writer deployments use DeltaTableSink.
+        if expected_base is not None:
+            cur = self._read_pointer()
+            cur_v = -1 if cur is None else int(cur["version"])
+            if cur_v != expected_base:
+                raise ConcurrentWriteError(
+                    f"concurrent writer detected on {self.path}: commit "
+                    f"planned against version {expected_base} but the "
+                    f"pointer is now at {cur_v}; this writer's work is "
+                    f"discarded — re-read and retry the batch"
+                )
         if guard is None:  # carry forward: a guarded table stays guarded
             ptr = self._read_pointer()
             guard = None if ptr is None else ptr.get("guard")
@@ -395,9 +478,12 @@ class SnapshotTable:
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
         schema = StructType.fromJson(json.loads(ptr["schema"]))
-        key_schema = StructType(
-            [f for f in schema.fields if f.name in set(self.key_cols)]
-        )
+        # key_cols order, NOT table-schema order: callers pass composite
+        # keys as tuples following key_cols, so a schema-ordered struct
+        # would bind values to the wrong columns whenever the two orders
+        # differ — wrong bucket routing and a silently empty semi-join
+        by_name = {f.name: f for f in schema.fields}
+        key_schema = StructType([by_name[k] for k in self.key_cols])
         if not values:
             return self.spark.createDataFrame([], schema)
         rows = [v if isinstance(v, tuple) else (v,) for v in values]
@@ -449,7 +535,27 @@ class SnapshotTable:
         (bucket, cluster exprs) — a local sort, no extra shuffle — so
         every parquet file's row groups carry tight, ordered min/max
         stats on the cluster key and filtered reads skip row groups.
+
+        Pre-write concurrent-writer check: every caller writes
+        ``version = committed + 1``, so a pointer that has already
+        moved past ``version - 1`` means another writer committed that
+        version — and since this write is an OVERWRITE of ``v=<n>``,
+        proceeding would physically clobber the winner's committed
+        files, far worse than losing the commit race. Fail before
+        touching disk. (A pointer still AT ``version - 1`` with an
+        orphaned ``v=<n>`` dir is the crash-recovery case — a prior
+        attempt died between log append and pointer flip — and the
+        overwrite is exactly right there.)
         """
+        cur = self._read_pointer()
+        cur_v = -1 if cur is None else int(cur["version"])
+        if cur_v != version - 1:
+            raise ConcurrentWriteError(
+                f"concurrent writer detected on {self.path}: about to "
+                f"write v={version} but the pointer moved to {cur_v} "
+                f"(expected {version - 1}); aborting before overwriting "
+                f"the other writer's files"
+            )
         # fixed partition count = bucket count: tasks align 1:1 with
         # output bucket directories, so each task streams one file.
         # (Measured: letting AQE coalesce this shuffle for small
@@ -496,7 +602,8 @@ class SnapshotTable:
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Create / replace the table contents (initial load, K1)."""
-        version = self.version + 1
+        base = self.version
+        version = base + 1
         written = self._write_buckets(
             df.withColumn("bucket", self._bucket_col()), version
         )
@@ -505,6 +612,7 @@ class SnapshotTable:
             batch_id,
             {b: version for b in written},
             json.dumps(df.schema.jsonValue()),
+            expected_base=base,
         )
         self._vacuum()
 
@@ -554,25 +662,31 @@ class SnapshotTable:
 
         from pyspark.sql.types import StructType
 
-        table_schema = StructType.fromJson(
-            json.loads(self._read_pointer()["schema"])
-        )
+        ptr = self._read_pointer()
+        base = int(ptr["version"])
+        table_schema = StructType.fromJson(json.loads(ptr["schema"]))
         evolved_fields = _evolved_fields(
-            table_schema, compacted.schema, op_col, evolve_schema
+            table_schema, compacted.schema, op_col, evolve_schema, self.key_cols
         )
 
-        manifest = self._bucket_manifest()
+        manifest = {int(b): v for b, v in ptr["buckets"].items()}
+        # committed key types govern hash routing — see _align_key_types
+        aligned = _align_key_types(compacted, table_schema, self.key_cols)
         # persist once: the batch plan (parse + compact shuffle) feeds
         # three consumers (touched-bucket probe, anti-join broadcast,
         # upsert union) — without this it would re-execute per consumer
-        source = compacted.withColumn("bucket", self._bucket_col()).persist()
+        source = aligned.withColumn("bucket", self._bucket_col()).persist()
         try:
-            # bounded driver action: ≤ n_buckets small ints, never row data
-            touched = sorted(
-                r.bucket for r in source.select("bucket").distinct().collect()
+            # bounded driver action: ≤ n_buckets rows of (bucket, count)
+            # — one job yields both the touched-bucket set and the batch
+            # size that decides the anti-join strategy below
+            per_bucket = (
+                source.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
             )
+            touched = sorted(r.bucket for r in per_bucket)
+            batch_rows = sum(r.n for r in per_bucket)
             upserts = source.filter(F.col(op_col) != delete_op).drop(op_col)
-            version = self.version + 1
+            version = base + 1
 
             live_touched = [b for b in touched if b in manifest]
             if live_touched:
@@ -586,11 +700,10 @@ class SnapshotTable:
                     .parquet(*current_paths)
                     .withColumn("bucket", self._bucket_col())
                 )
-                kept = current.join(
-                    F.broadcast(source.select(*self.key_cols)),
-                    self.key_cols,
-                    "left_anti",
-                )
+                batch_keys = source.select(*self.key_cols)
+                if batch_rows <= self.broadcast_key_limit:
+                    batch_keys = F.broadcast(batch_keys)
+                kept = current.join(batch_keys, self.key_cols, "left_anti")
                 # two-sided null backfill: batch may add columns the
                 # table lacks and omit columns the table has
                 new_data = kept.unionByName(upserts, allowMissingColumns=True)
@@ -606,7 +719,13 @@ class SnapshotTable:
             manifest[b] = version
 
         merged_schema = StructType(evolved_fields)
-        self._commit(version, batch_id, manifest, json.dumps(merged_schema.jsonValue()))
+        self._commit(
+            version,
+            batch_id,
+            manifest,
+            json.dumps(merged_schema.jsonValue()),
+            expected_base=base,
+        )
         self._vacuum()
 
     def _merge_ordered(
@@ -648,7 +767,7 @@ class SnapshotTable:
         }
         if not self.exists():
             winners = compact_latest(compacted, self.key_cols, guard_cols)
-            version = self.version + 1
+            version = 0
             written = self._write_buckets(
                 winners.withColumn("bucket", self._bucket_col()), version
             )
@@ -658,24 +777,26 @@ class SnapshotTable:
                 {b: version for b in written},
                 json.dumps(winners.schema.jsonValue()),
                 guard_meta,
+                expected_base=-1,
             )
             self._vacuum()
             return
 
-        table_schema = StructType.fromJson(
-            json.loads(self._read_pointer()["schema"])
-        )
+        ptr = self._read_pointer()
+        base = int(ptr["version"])
+        table_schema = StructType.fromJson(json.loads(ptr["schema"]))
         evolved_fields = _evolved_fields(
-            table_schema, compacted.schema, op_col, evolve_schema
+            table_schema, compacted.schema, op_col, evolve_schema, self.key_cols
         )
 
-        manifest = self._bucket_manifest()
-        source = compacted.withColumn("bucket", self._bucket_col()).persist()
+        manifest = {int(b): v for b, v in ptr["buckets"].items()}
+        aligned = _align_key_types(compacted, table_schema, self.key_cols)
+        source = aligned.withColumn("bucket", self._bucket_col()).persist()
         try:
             touched = sorted(
                 r.bucket for r in source.select("bucket").distinct().collect()
             )
-            version = self.version + 1
+            version = base + 1
             live_touched = [b for b in touched if b in manifest]
             if live_touched:
                 current_paths = [
@@ -708,6 +829,7 @@ class SnapshotTable:
             manifest,
             json.dumps(merged_schema.jsonValue()),
             guard_meta,
+            expected_base=base,
         )
         self._vacuum()
 
@@ -738,11 +860,12 @@ class SnapshotTable:
         full = self.read(include_tombstones=True).withColumn(
             "bucket", self._bucket_col()
         )
-        version = self.version + 1
+        base = int(ptr["version"])
+        version = base + 1
         written = self._write_buckets(full, version)
         self._commit(
             version, ptr.get("batch_id"), {b: version for b in written},
-            ptr["schema"],
+            ptr["schema"], expected_base=base,
         )
         self._vacuum()
         root = f"{self.path}/v={version}"
@@ -775,13 +898,14 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshot at {self.path}")
         full = self.read(include_tombstones=True)
         self.n_buckets = n_buckets
-        version = self.version + 1
+        base = int(ptr["version"])
+        version = base + 1
         written = self._write_buckets(
             full.withColumn("bucket", self._bucket_col()), version
         )
         self._commit(
             version, ptr.get("batch_id"), {b: version for b in written},
-            ptr["schema"],
+            ptr["schema"], expected_base=base,
         )
         self._vacuum()
 
@@ -915,7 +1039,8 @@ class SnapshotTable:
             return 0
         touched = sorted(r.bucket for r in probe)
         dropped = sum(r.n for r in probe)
-        version = self.version + 1
+        base = int(ptr["version"])
+        version = base + 1
         paths = [
             f"{self.path}/v={manifest[b]}/bucket={b}"
             for b in touched
@@ -935,12 +1060,15 @@ class SnapshotTable:
             manifest[b] = version
         # batch_id and guard carry forward: GC is a physical rewrite,
         # not a logical batch — replay idempotence must survive it
-        self._commit(version, ptr.get("batch_id"), manifest, ptr["schema"])
+        self._commit(
+            version, ptr.get("batch_id"), manifest, ptr["schema"],
+            expected_base=base,
+        )
         self._vacuum()
         return dropped
 
 
-class DeltaTableSink:  # pragma: no cover - requires delta-spark
+class DeltaTableSink:
     """Delta MERGE sink (used when delta-spark is on the classpath).
 
     Single conditional merge per batch::

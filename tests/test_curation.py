@@ -281,3 +281,30 @@ def test_chunking_invariants_property(spark):
         assert covered == set(range(n_tok))
 
     check()
+
+
+def test_mix_weights_sub_ppm_group_hits_cap_not_divide_by_zero(spark):
+    """A group holding <1 ppm of corpus tokens floors natural_ppm to 0;
+    under ANSI a raw division raises DIVIDE_BY_ZERO at runtime. The
+    clamped divisor must instead up-weight the tiny group to cap_ppm."""
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.operators.curation import mix_weights
+
+    docs = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        # 1,500,000 tokens: trailing space adds no token to split()
+        F.expr("repeat('x ', 1500000)").alias("text"),
+    ).unionByName(
+        spark.createDataFrame([(2, "zh", "y")], "doc_id long, lang string, text string")
+    )
+    out = {
+        r.grp: r
+        for r in mix_weights(
+            docs, group_col="lang", target_ppm={"en": 500_000, "zh": 500_000},
+            cap_ppm=3_000_000,
+        ).collect()
+    }
+    assert out["zh"].natural_ppm == 0
+    assert out["zh"].weight_ppm == 3_000_000  # deterministic cap, no error

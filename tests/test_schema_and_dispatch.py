@@ -260,3 +260,29 @@ def test_windowed_compact_stream_with_watermark(spark, tmp_path):
     }
     # window 10: latest for key 1 is the ts 10:30 update
     assert (1, 10, "w0-late") in rows
+
+
+def test_kafka_reader_option_contract():
+    """S1/S2 surface pinned without a broker (the sandbox can never
+    .load() Kafka): format keys, rate limit, data-loss stance — the
+    options the reference wires at cdc_stream.py:945-952."""
+    from changedatacapture_spark.streaming.pipeline import (
+        KAFKA_VALUE_PROJECTION,
+        kafka_reader_options,
+    )
+
+    opts = kafka_reader_options("broker:9092", "dbserver2.public.links")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker:9092",
+        "subscribe": "dbserver2.public.links",
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "10000",
+    }
+    strict = kafka_reader_options(
+        "b:9092", "t", max_offsets_per_trigger=None, fail_on_data_loss=True
+    )
+    assert strict["failOnDataLoss"] == "true"
+    assert "maxOffsetsPerTrigger" not in strict
+    # the projection exposes the raw-envelope contract downstream of load()
+    assert KAFKA_VALUE_PROJECTION[0] == "CAST(value AS STRING) AS value"
+    assert "offset AS seq" in KAFKA_VALUE_PROJECTION

@@ -1,0 +1,319 @@
+"""Merge-path hardening (round-7 advisory findings).
+
+Key-type discipline: ``F.hash`` bucket routing is type-sensitive, so a
+key column may never change its committed type — widening raises, and a
+NARROWER batch key is cast up to the committed type before routing.
+Without either guard a type drift leaves the incumbent row in a bucket
+the merge no longer probes: silent duplicate keys.
+
+Also: composite-key ``read_keys`` binds tuples in ``key_cols`` order,
+the merge anti-join drops its broadcast hint above a configurable batch
+size, a concurrent writer trips a commit-pointer CAS instead of
+silently winning, and the Delta merge-builder sequence is pinned via a
+fake (no delta-spark release is compatible with this PySpark).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from changedatacapture_spark.streaming import sink as sink_mod
+from changedatacapture_spark.streaming.sink import (
+    ConcurrentWriteError,
+    SnapshotTable,
+)
+
+
+def _rows(t):
+    return sorted((r.k, r.v) for r in t.read().collect())
+
+
+# -- key-type discipline --------------------------------------------------
+
+
+def test_key_widening_rejected(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame([(1, "c", 10)], "k int, op string, v int"),
+        batch_id=0,
+    )
+    with pytest.raises(ValueError, match="key column 'k' cannot widen"):
+        t.merge(
+            spark.createDataFrame([(1, "u", 11)], "k long, op string, v int"),
+            batch_id=1,
+        )
+    # the rejected batch must not have corrupted the table
+    assert _rows(t) == [(1, 10)]
+
+
+def test_narrow_batch_key_cast_to_committed_type(spark, tmp_path):
+    """Batch key arrives narrower (int) than the committed type (long):
+    routing must use the committed type, or hash(5 as int) lands the
+    update in a different bucket than the committed hash(5 as long) row
+    and the key silently duplicates."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=16)
+    t.merge(
+        spark.createDataFrame(
+            [(k, "c", k * 10) for k in range(20)], "k long, op string, v long"
+        ),
+        batch_id=0,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(k, "u", k * 10 + 1) for k in range(20)],
+            "k int, op string, v long",
+        ),
+        batch_id=1,
+    )
+    assert _rows(t) == [(k, k * 10 + 1) for k in range(20)]  # no dup keys
+    # deletes through the narrow-key path must find their victim too
+    t.merge(
+        spark.createDataFrame([(3, "d", 0)], "k int, op string, v long"),
+        batch_id=2,
+    )
+    assert 3 not in {k for k, _ in _rows(t)}
+    # point reads agree with the full scan
+    assert [(r.k, r.v) for r in t.read_keys([5]).collect()] == [(5, 51)]
+
+
+def test_narrow_key_cast_on_guarded_merge(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=16)
+    ddl_l = "k long, op string, ts long, v long"
+    ddl_i = "k int, op string, ts long, v long"
+    t.merge(
+        spark.createDataFrame([(k, "c", 100, k) for k in range(20)], ddl_l),
+        guard_cols=["ts"],
+        batch_id=0,
+    )
+    t.merge(
+        spark.createDataFrame([(5, "u", 200, 55)], ddl_i),
+        guard_cols=["ts"],
+        batch_id=1,
+    )
+    got = sorted((r.k, r.v) for r in t.read().collect())
+    assert got == sorted([(k, k) for k in range(20) if k != 5] + [(5, 55)])
+
+
+def test_nonkey_widening_still_allowed(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame([(1, "c", 10)], "k long, op string, v int"),
+        batch_id=0,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(2, "c", 5_000_000_000)], "k long, op string, v long"
+        ),
+        batch_id=1,
+    )
+    assert t.schema()["v"].dataType.typeName() == "long"
+    assert _rows(t) == [(1, 10), (2, 5_000_000_000)]
+
+
+# -- read_keys composite-key binding --------------------------------------
+
+
+def test_read_keys_composite_key_binds_in_key_cols_order(spark, tmp_path):
+    """key_cols order (name, id) deliberately disagrees with the table
+    schema order (id, name): tuples follow key_cols, so schema-ordered
+    binding would put a string where an id belongs."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["name", "id"], n_buckets=8)
+    t.merge(
+        spark.createDataFrame(
+            [(i, f"u{i}", "c", i * 2) for i in range(30)],
+            "id long, name string, op string, v long",
+        ),
+        batch_id=0,
+    )
+    got = sorted(
+        (r.id, r.name, r.v)
+        for r in t.read_keys([("u3", 3), ("u27", 27)]).collect()
+    )
+    assert got == [(3, "u3", 6), (27, "u27", 54)]
+    assert t.read_keys([("u3", 99)]).count() == 0  # half-matching key
+
+
+# -- merge anti-join broadcast guard --------------------------------------
+
+
+def _broadcast_spy(monkeypatch):
+    import pyspark.sql.functions as pf
+
+    calls = []
+    orig = pf.broadcast
+
+    def spy(df):
+        calls.append(df)
+        return orig(df)
+
+    monkeypatch.setattr(pf, "broadcast", spy)
+    return calls
+
+
+def test_merge_broadcasts_small_batch_keys(spark, tmp_path, monkeypatch):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4)
+    t.merge(
+        spark.createDataFrame(
+            [(k, "c", k) for k in range(10)], "k long, op string, v long"
+        ),
+        batch_id=0,
+    )
+    calls = _broadcast_spy(monkeypatch)
+    t.merge(
+        spark.createDataFrame([(1, "u", 100)], "k long, op string, v long"),
+        batch_id=1,
+    )
+    assert len(calls) == 1  # the normal CDC case keeps the hint
+
+
+def test_merge_drops_broadcast_hint_above_key_limit(spark, tmp_path, monkeypatch):
+    """A backfill-sized batch shoved through merge() must not pin the
+    key set to a driver broadcast; above the ceiling AQE picks."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), ["k"], n_buckets=4, broadcast_key_limit=5
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(k, "c", k) for k in range(10)], "k long, op string, v long"
+        ),
+        batch_id=0,
+    )
+    calls = _broadcast_spy(monkeypatch)
+    t.merge(
+        spark.createDataFrame(
+            [(k, "u", k + 100) for k in range(10)], "k long, op string, v long"
+        ),
+        batch_id=1,
+    )
+    assert calls == []  # hint dropped, merge still correct:
+    assert _rows(t) == [(k, k + 100) for k in range(10)]
+
+
+# -- concurrent-writer detection ------------------------------------------
+
+
+def test_commit_cas_detects_stale_base(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(1, "c", 10)], "k long, op string, v long"),
+        batch_id=0,
+    )
+    with pytest.raises(ConcurrentWriteError, match="planned against version 7"):
+        t._commit(8, None, {}, "{}", expected_base=7)
+
+
+def test_interleaved_writers_fail_loudly(spark, tmp_path, monkeypatch):
+    """Two writer instances on one table: the second commit (planned
+    against a pointer the first writer already moved) must raise, not
+    silently last-write-wins."""
+    path = str(tmp_path / "t")
+    t1 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    t1.merge(
+        spark.createDataFrame(
+            [(1, "c", 10), (2, "c", 20)], "k long, op string, v long"
+        ),
+        batch_id=0,
+    )
+    t2 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+
+    orig = SnapshotTable._write_buckets
+    fired = []
+
+    def hook(self, df, version):
+        if self is t1 and not fired:
+            fired.append(True)
+            t2.merge(  # concurrent writer lands first
+                spark.createDataFrame(
+                    [(2, "u", 99)], "k long, op string, v long"
+                ),
+                batch_id=100,
+            )
+        return orig(self, df, version)
+
+    monkeypatch.setattr(SnapshotTable, "_write_buckets", hook)
+    with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
+        t1.merge(
+            spark.createDataFrame([(1, "u", 11)], "k long, op string, v long"),
+            batch_id=1,
+        )
+    # the winner's state is intact and readable
+    t3 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    assert sorted((r.k, r.v) for r in t3.read().collect()) == [(1, 10), (2, 99)]
+
+
+# -- Delta merge-builder contract (fake; no delta-spark in the image) -----
+
+
+class _FakeMergeBuilder:
+    def __init__(self, log):
+        self.log = log
+
+    def whenMatchedDelete(self, condition=None):
+        self.log.append(("whenMatchedDelete", condition))
+        return self
+
+    def whenMatchedUpdateAll(self):
+        self.log.append(("whenMatchedUpdateAll", None))
+        return self
+
+    def whenNotMatchedInsertAll(self, condition=None):
+        self.log.append(("whenNotMatchedInsertAll", condition))
+        return self
+
+    def execute(self):
+        self.log.append(("execute", None))
+
+
+class _FakeDeltaTable:
+    instances: list["_FakeDeltaTable"] = []
+
+    def __init__(self, path):
+        self.path = path
+        self.log: list[tuple] = []
+        _FakeDeltaTable.instances.append(self)
+
+    @classmethod
+    def forPath(cls, spark, path):
+        return cls(path)
+
+    def alias(self, name):
+        self.log.append(("alias", name))
+        return self
+
+    def merge(self, source, cond):
+        self.log.append(("merge", cond))
+        return _FakeMergeBuilder(self.log)
+
+
+def test_delta_sink_merge_builder_sequence(spark, tmp_path, monkeypatch):
+    """Pin the single conditional merge (delete-guard first, then
+    update-all, then insert-unless-delete) that replaces the
+    reference's three separate merges (cdc_stream.py:653-689)."""
+    monkeypatch.setattr(sink_mod, "HAS_DELTA", True)
+    monkeypatch.setattr(sink_mod, "DeltaTable", _FakeDeltaTable, raising=False)
+    _FakeDeltaTable.instances.clear()
+
+    sink = sink_mod.DeltaTableSink(spark, "/fake/path", ["id", "grp"])
+    batch = spark.createDataFrame(
+        [(1, "a", "u", 10)], "id long, grp string, op string, v long"
+    )
+    sink.merge(batch)
+
+    (dt,) = _FakeDeltaTable.instances
+    assert dt.path == "/fake/path"
+    assert dt.log == [
+        ("alias", "t"),
+        ("merge", "t.id = s.id AND t.grp = s.grp"),
+        ("whenMatchedDelete", "s.op = 'd'"),
+        ("whenMatchedUpdateAll", None),
+        ("whenNotMatchedInsertAll", "s.op != 'd'"),
+        ("execute", None),
+    ]
+
+
+def test_delta_sink_raises_without_delta(spark):
+    monkeypatch_free = sink_mod.HAS_DELTA
+    if monkeypatch_free:  # pragma: no cover - image has no delta
+        pytest.skip("delta-spark present")
+    with pytest.raises(ImportError):
+        sink_mod.DeltaTableSink(spark, "/p", ["k"])

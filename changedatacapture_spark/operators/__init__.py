@@ -15,6 +15,7 @@ from changedatacapture_spark.operators.curation import (
 from changedatacapture_spark.operators.dedup import (
     exact_dedup,
     lsh_candidate_pairs,
+    lsh_hot_buckets,
     minhash_signatures,
     simhash_groups,
     simhash_neardup_pairs,
@@ -39,6 +40,7 @@ __all__ = [
     "exact_dedup",
     "flatten_envelope",
     "lsh_candidate_pairs",
+    "lsh_hot_buckets",
     "minhash_signatures",
     "op_split",
     "pack_sequences",

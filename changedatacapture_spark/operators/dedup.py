@@ -106,28 +106,97 @@ def minhash_signatures(
 
 def _first_shared_band(n_bands: int) -> Column:
     """True iff the current exploded band is the FIRST one the joined
-    docs agree on: band_idx == 0, or every earlier band differs.
-    Unrolled boolean chain (codegen-friendly) over the carried
-    ``bands`` arrays of the ``a``/``b`` join sides.
+    docs agree on AND survive in: band_idx == 0, or every earlier band
+    differs or was dropped by the bucket cap. Unrolled boolean chain
+    (codegen-friendly) over the carried ``bands`` arrays of the
+    ``a``/``b`` join sides.
+
+    Capped variants null out hot bands in the carried array (the rows
+    themselves are filtered before the join, so a pair can never be
+    EMITTED from a hot band — but an earlier hot band must also not
+    suppress emission from a later surviving one, hence "null counts
+    as differing"). If the hashes agree, both sides share the bucket
+    and are null together, so checking the ``a`` side suffices.
     """
     idx = F.col("a.band_idx")
     cond = idx == 0
     prefix_differs = None
     for k in range(1, n_bands):
-        neq = F.col("a.bands")[k - 1] != F.col("b.bands")[k - 1]
+        ak = F.col("a.bands")[k - 1]
+        bk = F.col("b.bands")[k - 1]
+        neq = ak.isNull() | ~ak.eqNullSafe(bk)
         prefix_differs = neq if prefix_differs is None else (prefix_differs & neq)
         cond = cond | ((idx == k) & prefix_differs)
     return cond
 
 
+def _capped_banded(
+    exploded: DataFrame, hash_col: str, max_bucket_size: int, extra_cols=()
+) -> DataFrame:
+    """Hub guard for LSH band self-joins: drop band buckets holding more
+    than ``max_bucket_size`` docs, and null them out in a rebuilt
+    per-doc ``bands`` array so min-band emission stays exact.
+
+    A bucket with B docs emits B²/2 pairs from the self-join; one hot
+    band (boilerplate shingles, near-constant signatures) turns the
+    linear band join quadratic — measured 24× super-linear at 10× data
+    before the cap. Hot buckets carry no dedup signal anyway: a band
+    shared by thousands of documents identifies a boilerplate slice,
+    not a duplicate pair (same rationale as the winnowing rare-fp
+    guard, ``operators/text.py:winnow_overlap_pairs``). Use
+    :func:`lsh_hot_buckets` to audit what a given cap drops.
+
+    Plan: band-key aggregate for bucket sizes → join back (exchange
+    reuse on the band key) → regroup per doc to rebuild the nulled
+    array → re-explode minus hot rows. Three linear shuffles of tiny
+    rows (ids + band hashes, never text), each bounded by docs×bands.
+    """
+    keys = ["band_idx", hash_col]
+    freq = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    kept = F.when(F.col("_n") <= max_bucket_size, F.col(hash_col))
+    nulled = (
+        exploded.join(freq, keys)
+        .groupBy("doc_id", *extra_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("band_idx"), kept.alias("h")))
+            ).alias("_s")
+        )
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.transform(F.col("_s"), lambda s: s["h"]).alias("bands"),
+        )
+    )
+    return (
+        nulled.select(
+            "doc_id",
+            *extra_cols,
+            "bands",
+            F.posexplode("bands").alias("band_idx", hash_col),
+        )
+        .filter(F.col(hash_col).isNotNull())
+        .hint("merge")
+    )
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, n_hashes: int = 8, bands: int = 4
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
     Docs sharing any band hash become a candidate pair (doc_a < doc_b).
     Planned as: explode to (band_idx, band_hash, doc_id) → self
     equi-join on the band — one shuffle keyed by band hash.
+
+    ``max_bucket_size`` is the hub guard (see :func:`_capped_banded`):
+    band buckets above it are dropped before the self-join, bounding
+    every join group at cap²/2 pairs — without it one boilerplate-heavy
+    bucket of B docs emits B²/2 pairs and a 100 TB corpus's hot band is
+    a job-killer. ``None`` disables the guard (exact small-corpus use).
     """
     rows_per_band = n_hashes // bands
 
@@ -145,20 +214,30 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
 
-    # The array is built INLINE in posexplode (not projected first and
-    # exploded by reference): InferFiltersFromGenerate skips literal
-    # CreateArray generator inputs, but for a column reference it adds
-    # `size(bands) > 0`, which pushdown rewrites into a per-row
-    # re-evaluation of the whole signature pipeline at the scan (3.5×
-    # measured). The `merge` hint forces a sort-merge self-join whose
-    # two identical shuffles collapse via exchange reuse — the
-    # signature scan runs ONCE, not once per join side (2× measured);
-    # SMJ also keeps AQE's skew-split available for boilerplate bands.
-    banded = signatures.select(
-        "doc_id",
-        F.array(*band_hashes()).alias("bands"),
-        F.posexplode(F.array(*band_hashes())).alias("band_idx", "band_hash"),
-    ).hint("merge")
+    if max_bucket_size is not None:
+        exploded = signatures.select(
+            "doc_id",
+            F.posexplode(F.array(*band_hashes())).alias("band_idx", "band_hash"),
+        )
+        banded = _capped_banded(exploded, "band_hash", max_bucket_size)
+    else:
+        # The array is built INLINE in posexplode (not projected first
+        # and exploded by reference): InferFiltersFromGenerate skips
+        # literal CreateArray generator inputs, but for a column
+        # reference it adds `size(bands) > 0`, which pushdown rewrites
+        # into a per-row re-evaluation of the whole signature pipeline
+        # at the scan (3.5× measured). (The capped path is immune: its
+        # bands array comes out of an aggregate, nothing can push to
+        # the scan.) The `merge` hint forces a sort-merge self-join
+        # whose two identical shuffles collapse via exchange reuse —
+        # the signature scan runs ONCE, not once per join side (2×
+        # measured); SMJ also keeps AQE's skew-split available for
+        # boilerplate bands.
+        banded = signatures.select(
+            "doc_id",
+            F.array(*band_hashes()).alias("bands"),
+            F.posexplode(F.array(*band_hashes())).alias("band_idx", "band_hash"),
+        ).hint("merge")
     a = banded.alias("a")
     b = banded.alias("b")
     # min-band emission: a pair colliding in k bands would appear k
@@ -181,6 +260,43 @@ def lsh_candidate_pairs(
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+    )
+
+
+def lsh_hot_buckets(
+    signatures: DataFrame,
+    n_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Audit output of the LSH hub guard: the band buckets a given
+    ``max_bucket_size`` would drop, with their sizes — what a pipeline
+    reports ("N boilerplate buckets excluded, largest B docs") instead
+    of silently truncating coverage.
+
+    Output: ``band_idx, band_hash, n_docs`` (n_docs > cap), one
+    band-key aggregate — no self-join, safe at any scale.
+    """
+    rows_per_band = n_hashes // bands
+    hashes = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{j}")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    return (
+        signatures.select(
+            F.posexplode(F.array(*hashes)).alias("band_idx", "band_hash")
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
     )
 
 
@@ -258,6 +374,7 @@ def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     max_hamming: int = 3,
+    max_bucket_size: int | None = 500,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
@@ -271,6 +388,14 @@ def simhash_neardup_pairs(
     small at scale, unlike banding a 16-bit fingerprint whose 65k
     total key space degenerates at 100 TB.
 
+    ``max_bucket_size`` is the hub guard (:func:`_capped_banded`): a
+    boilerplate-heavy corpus piles near-identical fingerprints into one
+    16-bit slice bucket, and that bucket's B²/2 pair emission is the
+    scale-killer, not the band count. Capping trades the pigeonhole
+    guarantee ONLY for pairs all of whose agreeing bands are hot —
+    i.e. boilerplate clusters the dedup survivor step collapses
+    wholesale anyway; ``None`` restores strict losslessness.
+
     Output: ``doc_a, doc_b, hamming`` (doc_a < doc_b).
     """
     from changedatacapture_spark.operators.text import simhash
@@ -283,15 +408,25 @@ def simhash_neardup_pairs(
             for b in range(4)
         ]
 
-    # inline CreateArray + merge hint: see lsh_candidate_pairs for why
-    # (generator size-filter recompute; exchange reuse across the
-    # self-join sides)
-    bands = sigs.select(
-        "doc_id",
-        "simhash",
-        F.array(*nibbles()).alias("bands"),
-        F.posexplode(F.array(*nibbles())).alias("band_idx", "nibble"),
-    ).hint("merge")
+    if max_bucket_size is not None:
+        exploded = sigs.select(
+            "doc_id",
+            "simhash",
+            F.posexplode(F.array(*nibbles())).alias("band_idx", "nibble"),
+        )
+        bands = _capped_banded(
+            exploded, "nibble", max_bucket_size, extra_cols=("simhash",)
+        )
+    else:
+        # inline CreateArray + merge hint: see lsh_candidate_pairs for
+        # why (generator size-filter recompute; exchange reuse across
+        # the self-join sides)
+        bands = sigs.select(
+            "doc_id",
+            "simhash",
+            F.array(*nibbles()).alias("bands"),
+            F.posexplode(F.array(*nibbles())).alias("band_idx", "nibble"),
+        ).hint("merge")
     a = bands.alias("a")
     b = bands.alias("b")
     # min-band emission (see lsh_candidate_pairs): emit each pair only

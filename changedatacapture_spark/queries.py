@@ -83,6 +83,28 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_changelog(load_table(spark, "events", sf_dir))
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def _session_scratch_dir(prefix: str) -> str:
+    """Temp dir that outlives the query function (cleaned at interpreter
+    exit): lets queries materializing a scratch SnapshotTable return a
+    LAZY DataFrame over it instead of collecting to the driver —
+    collect-then-recreate was O(result rows) on the driver, a scale
+    bug, not a convenience."""
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 # ---------------------------------------------------------------------------
 # CDC core (SURVEY §2.12)
 # ---------------------------------------------------------------------------
@@ -734,6 +756,32 @@ _MINHASH_ORACLE = """
 """
 
 
+#: LSH hub-guard cap mirrored on both engines (operators/dedup.py:
+#: _capped_banded): band buckets holding more than this many docs are
+#: excluded before the pair self-join, bounding every join group at
+#: cap²/2 pairs. Results stay bit-exact at ANY scale factor because the
+#: oracle applies the identical rule.
+_LSH_CAP = 500
+
+
+def _lsh_banded_capped_sql(cap: int) -> str:
+    """CTE chain ``banded0 → hot → banded`` with the hub guard applied
+    (assumes a ``sigs`` CTE with mh0..mh3 is already in scope)."""
+    return f"""
+    banded0 AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs),
+    hot AS (
+      SELECT band_idx, band_hash FROM banded0
+      GROUP BY band_idx, band_hash HAVING count(*) > {cap}),
+    banded AS (
+      SELECT b.doc_id, b.band_idx, b.band_hash FROM banded0 b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = b.band_idx
+                          AND h.band_hash = b.band_hash))"""
+
+
 @_register("dedup_minhash_signatures", _MINHASH_ORACLE)
 def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=4, 5-char shingles), engine-portable md5 form."""
@@ -747,11 +795,7 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_minhash_pairs",
     f"""
-    WITH sigs AS ({_MINHASH_ORACLE}),
-    banded AS (
-      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
-      UNION ALL
-      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs)
+    WITH sigs AS ({_MINHASH_ORACLE}),{_lsh_banded_capped_sql(_LSH_CAP)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
       ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -759,24 +803,21 @@ def q_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH near-duplicate candidate pairs (2 bands × 2 rows)."""
+    """LSH near-duplicate candidate pairs (2 bands × 2 rows), hot band
+    buckets excluded by the hub guard (cap 500)."""
     from changedatacapture_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
     )
 
     sigs = minhash_signatures(load_table(spark, "documents", sf_dir), n_hashes=4, k=5)
-    return lsh_candidate_pairs(sigs, n_hashes=4, bands=2)
+    return lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=_LSH_CAP)
 
 
 @_register(
     "dedup_groups",
     f"""
-    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
-    banded AS (
-      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
-      UNION ALL
-      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs),
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),{_lsh_banded_capped_sql(_LSH_CAP)},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
@@ -1217,9 +1258,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     f"""
     WITH sig AS ({_SIMHASH_SQL}),
-    bands AS (
+    bands0 AS (
       SELECT doc_id, simhash, band_idx, (simhash >> (16 * band_idx)) & 65535 AS nibble
-      FROM sig, range(0, 4) r(band_idx))
+      FROM sig, range(0, 4) r(band_idx)),
+    hot AS (
+      SELECT band_idx, nibble FROM bands0
+      GROUP BY band_idx, nibble HAVING count(*) > {_LSH_CAP}),
+    bands AS (
+      SELECT b.doc_id, b.simhash, b.band_idx, b.nibble FROM bands0 b
+      WHERE NOT EXISTS (SELECT 1 FROM hot h
+                        WHERE h.band_idx = b.band_idx AND h.nibble = b.nibble))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM bands a JOIN bands b
@@ -1228,10 +1276,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs (hamming ≤ 3, lossless 16-bit-band LSH)."""
+    """SimHash near-duplicate pairs (hamming ≤ 3, 16-bit-band LSH with
+    the hub guard — lossless below the bucket cap)."""
     from changedatacapture_spark.operators.dedup import simhash_neardup_pairs
 
-    return simhash_neardup_pairs(load_table(spark, "documents", sf_dir))
+    return simhash_neardup_pairs(
+        load_table(spark, "documents", sf_dir), max_bucket_size=_LSH_CAP
+    )
 
 
 @_register(
@@ -3610,7 +3661,8 @@ def _mix_target_case_sql() -> str:
       FROM per, tot),
     weighted AS (
       SELECT *, CAST(least(3000000,
-                     floor(target_ppm * 1000000 / natural_ppm)) AS BIGINT)
+                     floor(target_ppm * 1000000 / greatest(natural_ppm, 1)))
+                   AS BIGINT)
                   AS weight_ppm
       FROM scored)
     SELECT grp, n_docs, grp_tokens, natural_ppm, target_ppm, weight_ppm,
@@ -4359,11 +4411,7 @@ def q_customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFra
 @_register(
     "dedup_survivors",
     f"""
-    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),
-    banded AS (
-      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
-      UNION ALL
-      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs),
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),{_lsh_banded_capped_sql(_LSH_CAP)},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a JOIN banded b
@@ -4493,38 +4541,87 @@ def q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emit exactly the net inserts / deletes / post-update images the
     second half caused — computed from the committed versions by a
     keyed full outer join, no log replay. The oracle diffs the two
-    ranked states in SQL."""
-    import shutil
-    import tempfile
+    ranked states in SQL.
 
+    The feed is returned LAZY (the scratch table lives in a
+    session-scoped dir cleaned at interpreter exit): collecting the
+    feed to the driver would be O(changed rows) — a driver OOM at any
+    real scale — and the distributed full-outer join is the whole
+    point of ``changes_between``."""
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
     log = _changelog_us(spark, sf_dir)
     lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = (int(lo) + int(hi)) // 2
-    work = tempfile.mkdtemp(prefix="cdc_cdf_")
-    try:
-        table = SnapshotTable(
-            spark, work + "/t", key_cols=["key_id"], n_buckets=8,
-            retain_history=2,
-        )
-        from changedatacapture_spark.operators.cdc import compact_latest
+    work = _session_scratch_dir("cdc_cdf_")
+    table = SnapshotTable(
+        spark, work + "/t", key_cols=["key_id"], n_buckets=8,
+        retain_history=2,
+    )
+    from changedatacapture_spark.operators.cdc import compact_latest
 
-        b1 = compact_latest(
-            log.filter(F.col("ts_us") <= mid), ["key_id"], ["ts_us", "seq"]
-        )
-        table.merge(b1, batch_id=0)
-        v1 = table.version
-        b2 = compact_latest(log, ["key_id"], ["ts_us", "seq"])
-        table.merge(b2, batch_id=1)
-        v2 = table.version
-        feed = table.changes_between(v1, v2).select(
-            "change_type", "key_id", "seq", "ts_us", "value", "props"
-        )
-        rows = feed.collect()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, feed.schema)
+    b1 = compact_latest(
+        log.filter(F.col("ts_us") <= mid), ["key_id"], ["ts_us", "seq"]
+    )
+    table.merge(b1, batch_id=0)
+    v1 = table.version
+    b2 = compact_latest(log, ["key_id"], ["ts_us", "seq"])
+    table.merge(b2, batch_id=1)
+    v2 = table.version
+    return table.changes_between(v1, v2).select(
+        "change_type", "key_id", "seq", "ts_us", "value", "props"
+    )
+
+
+@_register(
+    "dedup_lsh_hot_buckets",
+    f"""
+    WITH sigs AS ({_MINHASH_ORACLE}),
+    banded0 AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash FROM sigs)
+    SELECT band_idx, band_hash, count(*) AS n_docs
+    FROM banded0 GROUP BY band_idx, band_hash HAVING count(*) > 3
+    """,
+)
+def q_dedup_lsh_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH hub guard's audit output at a deliberately low cap (3):
+    which band buckets would be dropped and how big they are — the
+    report a pipeline publishes instead of silently truncating dedup
+    coverage."""
+    from changedatacapture_spark.operators.dedup import (
+        lsh_hot_buckets,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_table(spark, "documents", sf_dir), n_hashes=4, k=5)
+    return lsh_hot_buckets(sigs, n_hashes=4, bands=2, max_bucket_size=3)
+
+
+@_register(
+    "dedup_minhash_pairs_capped",
+    f"""
+    WITH sigs AS ({_MINHASH_ORACLE}),{_lsh_banded_capped_sql(3)}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with the hub guard ACTIVE at sf0.01 (cap 3,
+    below real bucket sizes): pins the survival-aware min-band emission
+    — a pair whose first shared band is hot must still be emitted once
+    from its first SURVIVING shared band — hash-exact against the
+    identically-capped oracle."""
+    from changedatacapture_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_table(spark, "documents", sf_dir), n_hashes=4, k=5)
+    return lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=3)
 
 
 # ---------------------------------------------------------------------------

@@ -181,3 +181,82 @@ def test_ivf_searches_only_nprobe_fraction(spark):
     out = cosine_topk_ivf(emb, probes, k=50, n_cells=4, nprobe=1, dim=8).collect()
     # every candidate that survived comes from the probe's own cell
     assert out and all(cell_of[r.neighbor_id] == cell_of[0] for r in out)
+
+
+def test_lsh_bucket_cap_survival_aware_emission(spark):
+    """Hub guard semantics, hand-built: docs 1-5 share band 0 (a hot
+    bucket at cap 3); docs 1,2 ALSO share band 1 (rare). With the cap,
+    the only surviving pair is (1,2) — emitted from band 1 even though
+    its FIRST shared band (0) was dropped; the uncapped run emits all
+    10 band-0 pairs."""
+    from changedatacapture_spark.operators.dedup import lsh_hot_buckets
+
+    # n_hashes=4, bands=2: band0 = md5(mh0|mh1), band1 = md5(mh2|mh3)
+    rows = [
+        (1, "aa", "bb", "cc", "dd"),
+        (2, "aa", "bb", "cc", "dd"),
+        (3, "aa", "bb", "c3", "d3"),
+        (4, "aa", "bb", "c4", "d4"),
+        (5, "aa", "bb", "c5", "d5"),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh0 string, mh1 string, mh2 string, mh3 string"
+    )
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sigs, n_hashes=4, bands=2, max_bucket_size=None
+        ).collect()
+    }
+    assert uncapped == {(a, b) for a in range(1, 6) for b in range(a + 1, 6)}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sigs, n_hashes=4, bands=2, max_bucket_size=3
+        ).collect()
+    }
+    assert capped == {(1, 2)}
+    hot = lsh_hot_buckets(sigs, n_hashes=4, bands=2, max_bucket_size=3).collect()
+    assert [(r.band_idx, r.n_docs) for r in hot] == [(0, 5)]
+
+
+def test_lsh_cap_emits_each_pair_once(spark):
+    """Min-band dedup must stay exact under the cap: docs agreeing on
+    BOTH surviving bands appear exactly once."""
+    rows = [
+        (1, "aa", "bb", "cc", "dd"),
+        (2, "aa", "bb", "cc", "dd"),
+        (3, "x3", "y3", "z3", "w3"),
+    ]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh0 string, mh1 string, mh2 string, mh3 string"
+    )
+    got = lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=10).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(1, 2)]
+
+
+def test_simhash_cap_drops_hot_slice_bucket(spark):
+    """SimHash banding with the hub guard: a pile of identical docs
+    saturates every 16-bit slice bucket; capping below the pile size
+    removes its pairs while distinct near-dups still emit."""
+    from changedatacapture_spark.operators.dedup import simhash_neardup_pairs
+
+    boiler = [(i, "same boilerplate text repeated everywhere") for i in range(1, 8)]
+    near = [
+        (10, "a unique document about spark adaptive execution"),
+        (11, "a unique document about spark adaptive execution"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(docs, max_bucket_size=4).collect()
+    }
+    # the 7-doc boilerplate pile saturates all four of its slice
+    # buckets (size 7 > cap 4) — none of its 21 pairs emit
+    assert not any(a < 8 and b < 8 for a, b in capped)
+    assert (10, 11) in capped
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_neardup_pairs(docs, max_bucket_size=None).collect()
+    }
+    assert (1, 2) in uncapped and (10, 11) in uncapped

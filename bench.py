@@ -86,6 +86,12 @@ SF1_SET = [
     "cdc_scd2_history",
     "doc_chunks",
     "knn_ivf_topk",
+    # round-7 additions: heaviest sf0.1 extras + the bucketized range
+    # join, none of which had a 10x data point before
+    "text_boilerplate",
+    "text_winnow_fp",
+    "events_asof_join",
+    "events_range_join",
     "dedup_simhash_pairs",
     "dedup_minhash_pairs",
     "knn_brute_topk",

@@ -4624,6 +4624,277 @@ def q_dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=3)
 
 
+@_register(
+    "events_resample",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.event_type, h.hour
+      FROM (SELECT DISTINCT event_type FROM events) t,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds) h),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             count(*) AS n_raw,
+             CAST(sum(CAST(value AS DECIMAL(25,6))) AS DECIMAL(38,6)) AS hr_value
+      FROM events GROUP BY 1, 2)
+    SELECT s.event_type, s.hour,
+           coalesce(h.n_raw, 0) AS n_events,
+           CAST(last_value(h.hr_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled_value
+    FROM spine s LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
+)
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample events to a dense hourly
+    grid per type (gap-fill) and forward-fill the hourly value over
+    the gaps — the step every training pipeline runs before windowed
+    features over irregular event streams.
+
+    Scale shape: the spine is ``|types| x |hours|`` — generated from a
+    one-row bounds aggregate exploded with ``sequence``, never by
+    scanning data twice. The only data-sized pass is the hourly
+    pre-aggregation (one shuffle); the left join and the forward-fill
+    window both run on spine-sized input (bounded by the time range,
+    independent of row count), so a 100x bigger corpus changes only
+    the pre-agg, not the fill.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))  # 1-row bounds: scalar broadcast
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.col("value").cast("decimal(25,6)"))
+        .cast("decimal(38,6)")
+        .alias("hr_value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n_raw", F.lit(0)).alias("n_events"),
+        F.last("hr_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@_register(
+    "events_pivot_daily",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT: daily event counts with one column per type,
+    via Spark's native ``groupBy().pivot()`` with an EXPLICIT value
+    list — the explicit list matters at scale because an unlisted
+    pivot first runs a distinct-values job over the whole input to
+    discover the columns. Missing (day, type) cells are 0, matching
+    SQL FILTER counts."""
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    piv = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .pivot("event_type", types)
+        .count()
+    )
+    return piv.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+    )
+
+
+@_register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    k AS (
+      SELECT event_type, count(*) AS n_mink, max(hv) AS kth_hash
+      FROM r WHERE rn <= 64 GROUP BY 1),
+    x AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1)
+    SELECT k.event_type, k.n_mink, k.kth_hash,
+           CASE WHEN k.n_mink < 64 THEN CAST(k.n_mink AS DOUBLE)
+                ELSE (63.0 * power(2.0, 60)) / CAST(k.kth_hash AS DOUBLE)
+           END AS est_users,
+           x.exact_users
+    FROM k JOIN x USING (event_type)
+    """,
+)
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=64: estimate
+    distinct users per event type from the 64 smallest md5-derived
+    60-bit hashes, next to the exact count as the quality loop.
+
+    Why a sketch at all: exact count-distinct shuffles every distinct
+    key; the KMV state is 64 longs per group regardless of input size
+    (Bar-Yossef et al. 2002, the estimator behind HLL's ancestors).
+    Unlike ``approx_count_distinct`` (whose HLL++ register layout is
+    engine-private), every step here — md5, 60-bit prefix, min-k,
+    (k-1)/frac(h_k) — is deterministic ANSI SQL, so the oracle runs
+    the identical sketch and the result is bit-exact cross-engine.
+
+    Scale shape: two-phase min-k — a salted partial top-k bounds every
+    ``collect_list`` to k entries per (group, salt) cell, then the
+    global re-rank runs on <= salts*k rows per group. No full-group
+    sort, no unbounded state.
+    """
+    from pyspark.sql.window import Window
+
+    K = 64
+    ev = load_table(spark, "events", sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = ev.select("event_type", hv.alias("hv")).distinct()
+    partial = hashes.groupBy(
+        "event_type", F.pmod(F.col("hv"), F.lit(32)).alias("salt")
+    ).agg(F.slice(F.array_sort(F.collect_list("hv")), 1, K).alias("mins"))
+    cand = partial.select("event_type", F.explode("mins").alias("hv"))
+    w = Window.partitionBy("event_type").orderBy("hv")
+    mink = (
+        cand.select(
+            "event_type", "hv", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_mink"), F.max("hv").alias("kth_hash"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    est = F.when(
+        F.col("n_mink") < K, F.col("n_mink").cast("double")
+    ).otherwise(
+        F.lit(float(K - 1) * 2.0**60) / F.col("kth_hash").cast("double")
+    )
+    return mink.join(exact, "event_type").select(
+        "event_type", "n_mink", "kth_hash", est.alias("est_users"), "exact_users"
+    )
+
+
+@_register(
+    "text_length_histogram",
+    """
+    SELECT lang, least(n_chars // 200, 19) AS bucket,
+           count(*) AS n_docs,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width length histogram per language (200-char buckets,
+    clamped to 20 bins): the corpus-profiling primitive behind length
+    filters. Fixed bounds mean ONE pass and one shuffle — a min/max-
+    scaled histogram needs a prior pass; at 100 TB that second scan is
+    the entire cost, so profile with fixed bounds and clamp the tail."""
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.least(F.floor(F.col("n_chars") / F.lit(200)), F.lit(19))
+    return docs.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@_register(
+    "text_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    counts AS (SELECT w1, w2, count(*) AS n_bigram FROM big GROUP BY 1, 2),
+    prefix AS (
+      SELECT w1, CAST(sum(n_bigram) AS BIGINT) AS n_prefix
+      FROM counts GROUP BY 1)
+    SELECT w1, w2, n_bigram, n_prefix
+    FROM counts JOIN prefix USING (w1)
+    ORDER BY n_bigram DESC, w1, w2 LIMIT 100
+    """,
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts: top-100 adjacent word pairs with
+    the prefix total (the numerator/denominator of the conditional
+    probability P(w2|w1), kept as exact integers — cross-engine float
+    division is not bit-stable, downstream divides).
+
+    Scale shape: bigrams come from a zero-join ``transform`` over the
+    token array (adjacent pairs inside each document — no positional
+    self-join, no explode-then-join shuffle); counts and prefix totals
+    are two map-side-combinable aggregations, and the prefix join runs
+    on the already-aggregated bigram table, not the raw pairs."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "
+        ).alias("t")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_bigram"))
+    prefix = counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_prefix"))
+    return (
+        counts.join(prefix, "w1")
+        .select("w1", "w2", "n_bigram", "n_prefix")
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+        .limit(100)
+    )
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -4625,6 +4625,95 @@ def q_dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           epoch_ms(c.ts) AS click_ms, epoch_ms(p.ts) AS purchase_ms
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """,
+)
+def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join e2e (attribution): the events replay
+    as 4 time-ordered micro-batches feeding TWO streams — clicks and
+    purchases — joined per user where the click precedes the purchase
+    by at most 30 minutes. Watermarks on both sides let Spark evict
+    buffered rows that can no longer match (bounded state); the oracle
+    is the equivalent batch self-join, which the inner interval join
+    must reproduce exactly."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.streaming.pipeline import stream_interval_join
+
+    ev = load_table(spark, "events", sf_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    lo, hi = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    raw = ev.withColumn(
+        "_b",
+        F.least(F.lit(4), F.floor((F.unix_millis("ts") - lo) / span) + 1),
+    ).select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "user_id",
+        "event_type",
+        "_b",
+    )
+    work = tempfile.mkdtemp(prefix="stream_join_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    ddl = "event_id long, ts_ms long, user_id long, event_type string"
+
+    def branch(kind, id_alias, t_alias):
+        return (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+            .filter(F.col("event_type") == kind)
+            .select(
+                F.col("event_id").alias(id_alias),
+                "user_id",
+                F.timestamp_millis(F.col("ts_ms")).alias(t_alias),
+            )
+        )
+
+    joined = stream_interval_join(
+        branch("click", "click_id", "click_time"),
+        branch("purchase", "purchase_id", "purchase_time"),
+        ["user_id"],
+        "click_time",
+        "purchase_time",
+        lag="interval 30 minutes",
+        watermark_delay="2 hours",
+    )
+    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_millis("click_time").alias("click_ms"),
+        F.unix_millis("purchase_time").alias("purchase_ms"),
+    )
+
+
+@_register(
     "events_resample",
     """
     WITH bounds AS (
@@ -4930,6 +5019,12 @@ _DEMOTED = [
     "q_rollup_lineitem",  # grouping-set agg; q1 keeps the agg row, cube in log
     "text_quality",  # integer-ratio scoring shape shared with text_stats/repetition
     "q_distinct_parts_per_flag",  # distinct-agg shape; full oracle log retains it
+    # round-7 window rebalance: make room for the new operator families
+    # (stream-stream interval join, gap-fill resample, KMV sketch). Each
+    # demotion's family keeps a driver row through a retained query:
+    "media_stats",  # multimodal surface kept by media_features (Arrow path)
+    "events_sessionize",  # sessionization kept by events_stateful_sessions
+    "dedup_groups",  # connectivity kept by dedup_survivors (pairs→groups→keep)
 ]
 
 _PROMOTED = [
@@ -4948,12 +5043,14 @@ _PROMOTED = [
     "text_repetition",
     "pii_scrub",
     "kmeans_fit_2iter",
-    "dedup_groups",
     "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
     "cdc_scd2_history",  # Type-2 history materialization (round 6)
     "cdc_incremental_agg",  # delta-propagated materialized aggregate (round 6)
     "doc_chunks",  # sliding-window chunking (round 6)
     "dedup_survivors",  # pairs→components→survivor capstone (round 6)
+    "events_stream_join",  # stream-stream interval join e2e (round 7)
+    "events_resample",  # dense-spine gap-fill + forward fill (round 7)
+    "kmv_distinct_users",  # deterministic KMV distinct sketch (round 7)
 ]
 
 DRIVER_WINDOW = 50

@@ -481,6 +481,50 @@ def stream_dedup(
     ).dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: Sequence[str],
+    left_time_col: str,
+    right_time_col: str,
+    lag: str = "interval 30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: each right-side event matches
+    left-side events with the same key whose time lies in
+    ``[right_time - lag, right_time]`` — the attribution join (click →
+    purchase within the window) every event pipeline runs.
+
+    Why this shape scales: both inputs carry watermarks and the join
+    condition bounds event-time distance, so Spark derives a state
+    watermark for each side and EVICTS buffered rows once they can no
+    longer match (Structured Streaming's interval-join state cleanup).
+    An unconstrained stream-stream join would buffer both streams
+    forever; here state is O(key cardinality x window), independent of
+    stream length.
+
+    Inner-join append semantics: with time-ordered sources and a
+    ``watermark_delay`` covering the source's out-of-orderness, the
+    emitted rows equal the batch join of the full inputs — no matches
+    are dropped (late rows beyond the watermark would be; size the
+    delay to the source, reference Kafka topics are near-ordered).
+
+    Columns from both sides are kept; callers project. ``left`` and
+    ``right`` may be filtered branches of the SAME source stream
+    (self-join), which Spark supports for inner interval joins.
+    """
+    lw = left.withWatermark(left_time_col, watermark_delay)
+    rw = right.withWatermark(right_time_col, watermark_delay)
+    lt, rt = lw[left_time_col], rw[right_time_col]
+    cond = (lt >= rt - F.expr(lag)) & (lt <= rt)
+    for k in key_cols:
+        cond = cond & (lw[k] == rw[k])
+    joined = lw.join(rw, cond, "inner")
+    for k in key_cols:  # equal by the join condition — keep one copy
+        joined = joined.drop(rw[k])
+    return joined
+
+
 class AggView:
     """Streaming materialized aggregate view: a grouped COUNT/SUM over
     a :class:`SnapshotTable`, maintained by delta propagation from the

@@ -284,3 +284,47 @@ def test_shard_assign_no_stream_wide_sort(spark, sf_dir):
     # offsets join), never one window over a whole mime stream
     df = _run(spark, sf_dir, "media_shard_assign")
     assert count_exchanges(df) <= 4
+
+
+def test_resample_window_runs_on_spine_not_raw_rows(spark, sf_dir):
+    """The gap-fill's forward-fill window must consume the SPINE-sized
+    joined table (|types| x |hours|), with the raw events reduced first
+    by a map-side-combinable hourly aggregation — the window never sees
+    a data-sized input, so a 100x corpus only grows the pre-agg."""
+    df = _run(spark, sf_dir, "events_resample")
+    plan = executed_plan(df)
+    assert "partial" in plan.lower(), "hourly pre-agg lost its map-side combine"
+    # the fill is a window over (event_type, hour) ordering — present once
+    assert "windowspecdefinition" in plan.lower(), plan
+    # spine generation is explode(sequence(...)), not a second data scan
+    assert "explode" in plan.lower() or "generate" in plan.lower(), plan
+
+
+def test_kmv_partial_topk_bounds_collect_list(spark, sf_dir):
+    """The KMV sketch's only collect_list runs on SALTED groups and is
+    sliced to k entries — the global re-rank sees <= salts*k rows per
+    group. An un-salted collect_list over all distinct hashes would be
+    unbounded state on a hot group."""
+    from changedatacapture_spark.plans.inspect import optimized_plan
+
+    df = _run(spark, sf_dir, "kmv_distinct_users")
+    logical = optimized_plan(df)  # expression-level detail lives here
+    assert "slice(" in logical, "partial top-k slice missing"
+    # the salt survives as an inlined grouping expression pmod(hv, 32)
+    assert "pmod(hv" in logical, "collect_list not salted"
+    # bonus: Spark pushes the rn<=k filter down as a WindowGroupLimit
+    assert "WindowGroupLimit" in logical, "top-k not pushed into window"
+    assert "partial" in executed_plan(df).lower(), (
+        "distinct/agg lost map-side combine"
+    )
+
+
+def test_bigram_pairs_from_in_array_transform_no_self_join(spark, sf_dir):
+    """Bigrams come from transform() over each document's token array —
+    adjacent pairs need NO positional self-join; the plan must be free
+    of cartesian/nested-loop joins and keep partial aggregation."""
+    df = _run(spark, sf_dir, "text_bigram_lm")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "partial" in plan.lower(), "bigram count lost map-side combine"

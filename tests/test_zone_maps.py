@@ -1,0 +1,200 @@
+"""Manifest-level zone maps (data skipping): per-bucket min/max stats
+collected at commit time, carried forward for untouched buckets, and
+used by ``read_where`` to avoid scheduling buckets whose value range
+cannot match a predicate.
+
+The Delta analogue is file-level stats in the transaction log
+(dataSkippingNumIndexedCols); the reference has no counterpart — its
+Delta reads always scan the whole table (cdc_stream.py:664-689 reads
+``DeltaTable.forPath`` unpruned).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.streaming.sink import SnapshotTable
+
+
+def _bucket_of(spark, key, n_buckets):
+    return (
+        spark.range(1)
+        .select(F.pmod(F.hash(F.lit(key).cast("long")), F.lit(n_buckets)))
+        .first()[0]
+    )
+
+
+def _build_correlated(spark, tmp_path, n_buckets=4):
+    """Table where bucket-0 keys hold small ``val`` and every other
+    bucket holds large ``val`` — value range correlates with bucket, so
+    a selective predicate can prove most buckets irrelevant."""
+    path = str(tmp_path / "zt")
+    keys = list(range(200))
+    b0 = [k for k in keys if _bucket_of(spark, k, n_buckets) == 0][:20]
+    rest = [k for k in keys if _bucket_of(spark, k, n_buckets) != 0][:60]
+    rows = [(k, i, float(i)) for i, k in enumerate(b0)]  # val in [0, 20)
+    rows += [(k, 1000 + i, float(1000 + i)) for i, k in enumerate(rest)]
+    df = spark.createDataFrame(rows, "k long, val long, fval double")
+    t = SnapshotTable(spark, path, ["k"], n_buckets=n_buckets)
+    t.overwrite(df, batch_id=0)
+    return t, rows
+
+
+def test_stats_written_and_bounded(spark, tmp_path):
+    t, rows = _build_correlated(spark, tmp_path)
+    ptr = t._read_pointer()
+    stats = ptr["stats"]
+    assert set(stats) == set(ptr["buckets"])
+    mins = [s["val"][0] for s in stats.values()]
+    maxs = [s["val"][1] for s in stats.values()]
+    assert min(mins) == min(r[1] for r in rows)
+    assert max(maxs) == max(r[1] for r in rows)
+
+
+def test_read_where_prunes_and_stays_exact(spark, tmp_path):
+    t, rows = _build_correlated(spark, tmp_path)
+    kept, every = t._prune_buckets([("val", "<=", 10)])
+    assert kept == [0] and len(every) == 4
+
+    got = sorted(r.k for r in t.read_where([("val", "<=", 10)]).collect())
+    want = sorted(k for k, v, _ in rows if v <= 10)
+    assert got == want
+    # the pruned plan reads fewer files than the full read
+    assert len(t.read_where([("val", "<=", 10)]).inputFiles()) < len(
+        t.read().inputFiles()
+    )
+
+
+def test_read_where_all_pruned_is_empty_not_error(spark, tmp_path):
+    t, _rows = _build_correlated(spark, tmp_path)
+    df = t.read_where([("val", ">", 10_000)])
+    kept, _ = t._prune_buckets([("val", ">", 10_000)])
+    assert kept == []
+    assert df.count() == 0
+    assert df.schema == t.read().schema
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        [("val", "=", 1000)],
+        [("val", "between", 5, 1002)],
+        [("val", ">=", 1050)],
+        [("fval", "<", 10.0)],
+        [("val", ">", 3), ("val", "<", 1001)],  # conjunction
+    ],
+)
+def test_read_where_matches_plain_filtered_read(spark, tmp_path, pred):
+    t, _rows = _build_correlated(spark, tmp_path)
+    base = t.read()
+    for col, op, *vals in pred:
+        c = F.col(col)
+        base = base.filter(
+            (c >= vals[0]) & (c <= vals[1])
+            if op == "between"
+            else {"=": c == vals[0], "<": c < vals[0], "<=": c <= vals[0],
+                  ">": c > vals[0], ">=": c >= vals[0]}[op]
+        )
+    want = sorted(tuple(r) for r in base.collect())
+    got = sorted(tuple(r) for r in t.read_where(pred).collect())
+    assert got == want
+
+
+def test_merge_drops_touched_stats_and_carries_untouched(spark, tmp_path):
+    """Hot-path policy: a merge must NOT pay a stats job — the touched
+    bucket's stats are dropped (absent stats never prune, so reads stay
+    exact); untouched buckets keep theirs verbatim."""
+    t, _rows = _build_correlated(spark, tmp_path)
+    before = t._read_pointer()["stats"]
+    key = int(t.read().select("k").first()[0])
+    b = _bucket_of(spark, key, t.n_buckets)
+    batch = spark.createDataFrame(
+        [(key, 999_999, 1.5, "u")], "k long, val long, fval double, op string"
+    )
+    t.merge(batch, batch_id=1)
+    after = t._read_pointer()["stats"]
+    assert str(b) not in after  # dropped, not stale
+    for ob in after:
+        assert after[ob] == before[ob]  # carried forward verbatim
+    # the de-statted bucket always survives pruning → exactness holds
+    got = sorted(r.k for r in t.read_where([("val", ">=", 999_999)]).collect())
+    assert got == [key]
+    # maintenance rewrite restores full stats coverage
+    t.compact()
+    refreshed = t._read_pointer()["stats"]
+    assert set(refreshed) == set(t._read_pointer()["buckets"])
+    assert refreshed[str(b)]["val"][1] == 999_999
+
+
+def test_stats_on_merge_refreshes_touched_bucket(spark, tmp_path):
+    path = str(tmp_path / "som")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(40)], "k long, val long"
+    )
+    t = SnapshotTable(spark, path, ["k"], n_buckets=4, stats_on_merge=True)
+    t.overwrite(df, batch_id=0)
+    before = t._read_pointer()["stats"]
+    key = 7
+    b = _bucket_of(spark, key, 4)
+    t.merge(
+        spark.createDataFrame([(key, 555_555, "u")], "k long, val long, op string"),
+        batch_id=1,
+    )
+    after = t._read_pointer()["stats"]
+    assert after[str(b)]["val"][1] == 555_555  # refreshed in-merge
+    for ob in after:
+        if ob != str(b):
+            assert after[ob] == before[ob]
+
+
+def test_string_max_truncation_never_misprunes(spark, tmp_path):
+    path = str(tmp_path / "st")
+    long_a = "a" * 200  # bucket's true max would be truncated
+    long_z = "z" * 200
+    df = spark.createDataFrame(
+        [(1, long_a), (2, long_z), (3, "mmm")], "k long, s string"
+    )
+    t = SnapshotTable(spark, path, ["k"], n_buckets=1)
+    t.overwrite(df, batch_id=0)
+    zone = t._read_pointer()["stats"]["0"]["s"]
+    assert zone[0] == "a" * 64  # truncated lower bound, still valid
+    assert zone[1] is None  # truncated upper bound DROPPED, not stored
+    # a predicate above the truncated-away max must still find the row
+    assert t.read_where([("s", ">=", "z" * 100)]).count() == 1
+    assert t.read_where([("s", "<", "a" * 300)]).count() == 1
+
+
+def test_timestamp_zone_pruning(spark, tmp_path):
+    path = str(tmp_path / "tt")
+    rows = [
+        (k, datetime.datetime(2024, 1, 1 + (k % 5), 12, 0, 0)) for k in range(40)
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    t = SnapshotTable(spark, path, ["k"], n_buckets=4)
+    t.overwrite(df, batch_id=0)
+    cut = datetime.datetime(2024, 1, 3)
+    got = sorted(r.k for r in t.read_where([("ts", "<", cut)]).collect())
+    want = sorted(k for k, ts in rows if ts < cut)
+    assert got == want
+    # out-of-range timestamp prunes everything
+    kept, _ = t._prune_buckets([("ts", ">", datetime.datetime(2030, 1, 1))])
+    assert kept == []
+
+
+def test_stats_disabled_keeps_everything_and_read_where_still_exact(
+    spark, tmp_path
+):
+    path = str(tmp_path / "nd")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(30)], "k long, val long"
+    )
+    t = SnapshotTable(spark, path, ["k"], n_buckets=4, collect_stats=False)
+    t.overwrite(df, batch_id=0)
+    assert t._read_pointer()["stats"] == {}
+    kept, every = t._prune_buckets([("val", "<", 50)])
+    assert kept == every  # no stats → never prune
+    got = sorted(r.k for r in t.read_where([("val", "<", 50)]).collect())
+    assert got == [0, 1, 2, 3, 4]

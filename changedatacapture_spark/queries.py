@@ -4714,6 +4714,128 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_pruned_scan",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL})
+    SELECT key_id, seq, ts_us, value, props
+    FROM final_state WHERE value >= 100.0 AND value <= 300.0
+    """,
+)
+def q_cdc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map filtered read: materialize the changelog's final state
+    into a SnapshotTable (overwrite collects per-bucket min/max stats
+    into the manifest), then ``read_where`` a value range. Buckets
+    whose zone cannot contain the range are never scheduled — at
+    100 TB the scan cost tracks the SELECTIVITY of the predicate, not
+    the table size; exactness is independent of pruning because the
+    predicate is re-applied on the survivors (see
+    tests/test_zone_maps.py for the file-count assertions)."""
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    state = compact_latest(log, ["key_id"], ["ts_us", "seq"]).filter(
+        F.col("op") != "d"
+    ).drop("op")
+    work = _session_scratch_dir("cdc_pruned_")
+    table = SnapshotTable(spark, work, ["key_id"], n_buckets=8)
+    table.overwrite(state, batch_id=0)
+    return table.read_where(
+        [("value", ">=", 100.0), ("value", "<=", 300.0)]
+    ).select("key_id", "seq", "ts_us", "value", "props")
+
+
+@_register(
+    "events_session_window_stream",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS t,
+             lag(epoch_ms(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_t
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t > 1800000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e),
+    sess AS (
+      SELECT user_id, t,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY t, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_idx
+      FROM flagged),
+    agg AS (
+      SELECT user_id, session_idx, count(*) AS n_events,
+             min(t) AS session_start_ms, max(t) + 1800000 AS session_end_ms
+      FROM sess GROUP BY 1, 2),
+    wm AS (SELECT max(epoch_ms(ts)) - 7200000 AS w FROM events)
+    SELECT user_id, n_events, session_start_ms, session_end_ms
+    FROM agg, wm WHERE session_end_ms <= wm.w
+    """,
+)
+def q_events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` streaming aggregation (the built-in
+    gap-session operator, vs the ``applyInPandasWithState`` twin in
+    ``events_stateful_sessions``): events replay as 4 time-ordered
+    micro-batches; sessions close after 30 min of inactivity; append
+    mode emits exactly the sessions whose end the final watermark
+    passed (session_end = last event + gap <= max event time − 2 h) —
+    the oracle states that closure rule in SQL over a gaps-and-islands
+    rewrite. State is per-(user, open session), watermark-evicted;
+    merging is handled JVM-side by Spark's session-merge exec, no
+    Python in the loop."""
+    import os
+    import tempfile
+    import uuid
+
+    ev = load_table(spark, "events", sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    raw = ev.withColumn(
+        "_b",
+        F.least(F.lit(4), F.floor((F.unix_millis("ts") - lo) / span) + 1),
+    ).select(
+        "event_id", F.unix_millis("ts").alias("ts_ms"), "user_id", "_b"
+    )
+    work = tempfile.mkdtemp(prefix="sess_win_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts_ms long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts_ms")))
+    )
+    sessions = (
+        stream.withWatermark("event_time", "2 hours")
+        .groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_millis("w.start").alias("session_start_ms"),
+            F.unix_millis("w.end").alias("session_end_ms"),
+        )
+    )
+    sink = f"sess_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@_register(
     "events_resample",
     """
     WITH bounds AS (

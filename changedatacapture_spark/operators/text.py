@@ -310,23 +310,35 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _word_gram_keys(text_col: str, n: int) -> Column:
-    """Per-document DISTINCT word-n-gram keys: 16-hex md5 prefix of each
-    n-token window (join/count on 16-byte keys, never gram text — at
-    100 TB the shuffle carries fixed-width keys; collisions at 64 bits
-    are negligible for document-frequency counting)."""
+def _staged_gram_keys(
+    docs: DataFrame, text_col: str, n: int, id_col: str
+) -> DataFrame:
+    """Per-document DISTINCT word-n-gram keys as ``(doc_id, g)`` rows:
+    16-hex md5 prefix of each n-token window (join/count on 16-byte
+    keys, never gram text — at 100 TB the shuffle carries fixed-width
+    keys; collisions at 64 bits are negligible for document-frequency
+    counting).
+
+    Two-phase, like ``winnow_fingerprints``: the TOKEN ARRAY
+    materializes in its own projection FIRST. A lambda that references
+    ``slice(split(text), s, n)`` re-runs the split once per gram
+    position — O(tokens²) per document (the executed plan showed the
+    split inlined inside the transform; measured 110 s for the sf1
+    boilerplate query vs ~8 s staged)."""
     tk = tokens(F.col(text_col))
-    nt = F.size(tk)
-    starts = F.when(nt >= n, F.sequence(F.lit(1), nt - (n - 1))).otherwise(
-        F.array().cast("array<int>")
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tk.alias("_tk"), F.size(tk).alias("_nt")
     )
+    starts = F.when(
+        F.col("_nt") >= n, F.sequence(F.lit(1), F.col("_nt") - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         starts,
         lambda s: F.substring(
-            F.md5(F.array_join(F.slice(tk, s, n), " ")), 1, 16
+            F.md5(F.array_join(F.slice(F.col("_tk"), s, n), " ")), 1, 16
         ),
     )
-    return F.array_distinct(grams)
+    return staged.select("doc_id", F.explode(F.array_distinct(grams)).alias("g"))
 
 
 def boilerplate_ratio(
@@ -349,10 +361,7 @@ def boilerplate_ratio(
     Output: ``doc_id, n_grams, n_boiler, boiler_pm`` (scaled-ppm
     integer ratio; docs shorter than ``n`` tokens emit no row).
     """
-    grams = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_word_gram_keys(text_col, n)).alias("g"),
-    )
+    grams = _staged_gram_keys(docs, text_col, n, id_col)
     docfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_docs"))
     flagged = grams.join(docfreq, "g")
     is_b = (F.col("g_docs") >= min_docs).cast("long")

@@ -5106,6 +5106,75 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_rare_bigram_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    corpus AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           CAST(count(*) FILTER (WHERE corpus.c <= 2) AS BIGINT) AS n_rare,
+           CAST(count(*) FILTER (WHERE corpus.c <= 2) * 1000000 // count(*)
+                AS BIGINT) AS rare_pm
+    FROM big b JOIN corpus USING (w1, w2)
+    GROUP BY b.doc_id
+    """,
+)
+def q_text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-statistics quality proxy: the share of a document's word
+    bigrams that are RARE in the corpus (seen <= 2 times) — the
+    integer-exact stand-in for a perplexity filter (gibberish and OCR
+    noise score high; templated boilerplate scores near zero). Classic
+    corpus-quality gate (CCNet trains KenLM for the same signal); the
+    cross-engine-safe version keeps counts, not log-probs.
+
+    Scale shape: bigrams come from the zero-join in-array transform;
+    the corpus LM is one map-side-combinable aggregate; the score join
+    re-partitions both sides on the SAME (w1, w2) key — exchange
+    reuse, no second scan of the raw text."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "
+        ).alias("t"),
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    corpus = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    rare = (F.col("c") <= 2).cast("long")
+    return (
+        big.join(corpus, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(rare).alias("n_rare"),
+            F.floor(F.sum(rare) * 1_000_000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("rare_pm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -4984,10 +4984,12 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k-1)/frac(h_k) — is deterministic ANSI SQL, so the oracle runs
     the identical sketch and the result is bit-exact cross-engine.
 
-    Scale shape: two-phase min-k — a salted partial top-k bounds every
-    ``collect_list`` to k entries per (group, salt) cell, then the
-    global re-rank runs on <= salts*k rows per group. No full-group
-    sort, no unbounded state.
+    Scale shape: two-level salted row_number pre-rank — the first rank
+    runs per (group, salt) cell on Spark's spillable external sort (no
+    ``collect_list``: an array agg would materialize the whole cell in
+    one executor's heap before any slice), keeps k rows per cell, and
+    the global re-rank then runs on <= salts*k rows per group. Memory
+    is bounded by the sorter's spill budget, never by cardinality.
     """
     from pyspark.sql.window import Window
 
@@ -4997,10 +4999,14 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("long")
     hashes = ev.select("event_type", hv.alias("hv")).distinct()
-    partial = hashes.groupBy(
-        "event_type", F.pmod(F.col("hv"), F.lit(32)).alias("salt")
-    ).agg(F.slice(F.array_sort(F.collect_list("hv")), 1, K).alias("mins"))
-    cand = partial.select("event_type", F.explode("mins").alias("hv"))
+    wc = Window.partitionBy(
+        "event_type", F.pmod(F.col("hv"), F.lit(32))
+    ).orderBy("hv")
+    cand = (
+        hashes.withColumn("cell_rn", F.row_number().over(wc))
+        .filter(F.col("cell_rn") <= K)
+        .select("event_type", "hv")
+    )
     w = Window.partitionBy("event_type").orderBy("hv")
     mink = (
         cand.select(

@@ -610,7 +610,13 @@ class SnapshotTable:
             if isinstance(value, datetime.datetime):
                 if value.tzinfo is None:  # session TZ is UTC by contract
                     value = value.replace(tzinfo=datetime.timezone.utc)
-                return int(value.timestamp() * 1_000_000)
+                # exact integer micros — float .timestamp() loses sub-us
+                # precision near current epochs and int() truncates, which
+                # could shift a pruning bound by 1us and drop a live bucket
+                epoch = datetime.datetime(
+                    1970, 1, 1, tzinfo=datetime.timezone.utc
+                )
+                return (value - epoch) // datetime.timedelta(microseconds=1)
             return int(value)
         if kind == "date":
             if isinstance(value, datetime.date):
@@ -674,13 +680,17 @@ class SnapshotTable:
 
     def _prune_buckets(
         self, predicates: list[tuple]
-    ) -> tuple[list[int], list[int]]:
-        """(surviving, all) bucket ids for the given predicates.
+    ) -> tuple[list[int], list[int], dict]:
+        """(surviving, all, pointer) for the given predicates.
 
         A bucket survives unless some predicate PROVABLY excludes its
         entire [min, max] zone; absent stats (older commits, dropped
         bounds, stats disabled) always survive — pruning is an
-        optimization, never a correctness gate."""
+        optimization, never a correctness gate. The pointer that the
+        pruning decision was made against is returned so the caller
+        reads manifest/schema/guard from the SAME snapshot — a commit
+        landing between two pointer reads must not mix old stats with
+        a new manifest."""
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
@@ -695,7 +705,7 @@ class SnapshotTable:
             zone = stats.get(str(b))
             if zone is None or self._zone_may_match(zone, predicates, kinds):
                 kept.append(b)
-        return kept, every
+        return kept, every, ptr
 
     def _zone_may_match(
         self, zone: dict, predicates: list[tuple], kinds: dict[str, str]
@@ -738,9 +748,10 @@ class SnapshotTable:
         file, one level above parquet row-group skipping (which the
         ``cluster_cols`` write-time sort already feeds). The same
         predicates are re-applied as real filters on the surviving
-        buckets, so results are exact regardless of pruning."""
-        kept, every = self._prune_buckets(predicates)
-        ptr = self._read_pointer()
+        buckets, so results are exact regardless of pruning. One
+        pointer read governs pruning, manifest, schema, and guard —
+        never a second read that a concurrent commit could split."""
+        kept, every, ptr = self._prune_buckets(predicates)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(ptr["schema"]))

@@ -300,20 +300,21 @@ def test_resample_window_runs_on_spine_not_raw_rows(spark, sf_dir):
     assert "explode" in plan.lower() or "generate" in plan.lower(), plan
 
 
-def test_kmv_partial_topk_bounds_collect_list(spark, sf_dir):
-    """The KMV sketch's only collect_list runs on SALTED groups and is
-    sliced to k entries — the global re-rank sees <= salts*k rows per
-    group. An un-salted collect_list over all distinct hashes would be
-    unbounded state on a hot group."""
+def test_kmv_two_level_rank_is_bounded_no_collect_list(spark, sf_dir):
+    """The KMV min-k must never materialize a whole cell in one heap:
+    no collect_list anywhere — both the salted per-cell rank and the
+    global re-rank are row_number windows whose rn<=k filters Spark
+    pushes down as WindowGroupLimit (rank computation stops at k per
+    partition inside the spillable external sorter)."""
     from changedatacapture_spark.plans.inspect import optimized_plan
 
     df = _run(spark, sf_dir, "kmv_distinct_users")
     logical = optimized_plan(df)  # expression-level detail lives here
-    assert "slice(" in logical, "partial top-k slice missing"
-    # the salt survives as an inlined grouping expression pmod(hv, 32)
-    assert "pmod(hv" in logical, "collect_list not salted"
-    # bonus: Spark pushes the rn<=k filter down as a WindowGroupLimit
-    assert "WindowGroupLimit" in logical, "top-k not pushed into window"
+    assert "collect_list" not in logical, "unbounded array agg crept back"
+    # the salt survives as an inlined partitioning expression pmod(hv, 32)
+    assert "pmod(hv" in logical, "per-cell rank not salted"
+    # BOTH rn<=k filters must push into the windows as group limits
+    assert logical.count("WindowGroupLimit") >= 2, logical
     assert "partial" in executed_plan(df).lower(), (
         "distinct/agg lost map-side combine"
     )

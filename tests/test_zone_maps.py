@@ -19,12 +19,14 @@ from pyspark.sql import functions as F
 from changedatacapture_spark.streaming.sink import SnapshotTable
 
 
-def _bucket_of(spark, key, n_buckets):
-    return (
-        spark.range(1)
-        .select(F.pmod(F.hash(F.lit(key).cast("long")), F.lit(n_buckets)))
-        .first()[0]
-    )
+def _bucket_map(spark, keys, n_buckets):
+    """key -> bucket for all ``keys`` in ONE Spark job (not one per
+    key): thousands of single-row jobs were pure test overhead."""
+    df = spark.createDataFrame([(int(k),) for k in keys], "k long")
+    rows = df.select(
+        "k", F.pmod(F.hash(F.col("k")), F.lit(n_buckets)).alias("b")
+    ).collect()
+    return {r.k: r.b for r in rows}
 
 
 def _build_correlated(spark, tmp_path, n_buckets=4):
@@ -32,9 +34,9 @@ def _build_correlated(spark, tmp_path, n_buckets=4):
     bucket holds large ``val`` — value range correlates with bucket, so
     a selective predicate can prove most buckets irrelevant."""
     path = str(tmp_path / "zt")
-    keys = list(range(200))
-    b0 = [k for k in keys if _bucket_of(spark, k, n_buckets) == 0][:20]
-    rest = [k for k in keys if _bucket_of(spark, k, n_buckets) != 0][:60]
+    bmap = _bucket_map(spark, range(200), n_buckets)
+    b0 = [k for k, b in bmap.items() if b == 0][:20]
+    rest = [k for k, b in bmap.items() if b != 0][:60]
     rows = [(k, i, float(i)) for i, k in enumerate(b0)]  # val in [0, 20)
     rows += [(k, 1000 + i, float(1000 + i)) for i, k in enumerate(rest)]
     df = spark.createDataFrame(rows, "k long, val long, fval double")
@@ -43,8 +45,16 @@ def _build_correlated(spark, tmp_path, n_buckets=4):
     return t, rows
 
 
-def test_stats_written_and_bounded(spark, tmp_path):
-    t, rows = _build_correlated(spark, tmp_path)
+@pytest.fixture(scope="module")
+def correlated(spark, tmp_path_factory):
+    """Shared READ-ONLY correlated table — tests that mutate must build
+    their own via ``_build_correlated``."""
+    tmp = tmp_path_factory.mktemp("zonemaps")
+    return _build_correlated(spark, tmp)
+
+
+def test_stats_written_and_bounded(correlated):
+    t, rows = correlated
     ptr = t._read_pointer()
     stats = ptr["stats"]
     assert set(stats) == set(ptr["buckets"])
@@ -54,9 +64,9 @@ def test_stats_written_and_bounded(spark, tmp_path):
     assert max(maxs) == max(r[1] for r in rows)
 
 
-def test_read_where_prunes_and_stays_exact(spark, tmp_path):
-    t, rows = _build_correlated(spark, tmp_path)
-    kept, every = t._prune_buckets([("val", "<=", 10)])
+def test_read_where_prunes_and_stays_exact(correlated):
+    t, rows = correlated
+    kept, every, _ptr = t._prune_buckets([("val", "<=", 10)])
     assert kept == [0] and len(every) == 4
 
     got = sorted(r.k for r in t.read_where([("val", "<=", 10)]).collect())
@@ -68,10 +78,10 @@ def test_read_where_prunes_and_stays_exact(spark, tmp_path):
     )
 
 
-def test_read_where_all_pruned_is_empty_not_error(spark, tmp_path):
-    t, _rows = _build_correlated(spark, tmp_path)
+def test_read_where_all_pruned_is_empty_not_error(correlated):
+    t, _rows = correlated
     df = t.read_where([("val", ">", 10_000)])
-    kept, _ = t._prune_buckets([("val", ">", 10_000)])
+    kept, _, _ = t._prune_buckets([("val", ">", 10_000)])
     assert kept == []
     assert df.count() == 0
     assert df.schema == t.read().schema
@@ -87,8 +97,8 @@ def test_read_where_all_pruned_is_empty_not_error(spark, tmp_path):
         [("val", ">", 3), ("val", "<", 1001)],  # conjunction
     ],
 )
-def test_read_where_matches_plain_filtered_read(spark, tmp_path, pred):
-    t, _rows = _build_correlated(spark, tmp_path)
+def test_read_where_matches_plain_filtered_read(correlated, pred):
+    t, _rows = correlated
     base = t.read()
     for col, op, *vals in pred:
         c = F.col(col)
@@ -110,7 +120,7 @@ def test_merge_drops_touched_stats_and_carries_untouched(spark, tmp_path):
     t, _rows = _build_correlated(spark, tmp_path)
     before = t._read_pointer()["stats"]
     key = int(t.read().select("k").first()[0])
-    b = _bucket_of(spark, key, t.n_buckets)
+    b = _bucket_map(spark, [key], t.n_buckets)[key]
     batch = spark.createDataFrame(
         [(key, 999_999, 1.5, "u")], "k long, val long, fval double, op string"
     )
@@ -138,7 +148,7 @@ def test_stats_on_merge_refreshes_touched_bucket(spark, tmp_path):
     t.overwrite(df, batch_id=0)
     before = t._read_pointer()["stats"]
     key = 7
-    b = _bucket_of(spark, key, 4)
+    b = _bucket_map(spark, [key], 4)[key]
     t.merge(
         spark.createDataFrame([(key, 555_555, "u")], "k long, val long, op string"),
         batch_id=1,
@@ -180,8 +190,25 @@ def test_timestamp_zone_pruning(spark, tmp_path):
     want = sorted(k for k, ts in rows if ts < cut)
     assert got == want
     # out-of-range timestamp prunes everything
-    kept, _ = t._prune_buckets([("ts", ">", datetime.datetime(2030, 1, 1))])
+    kept, _, _ = t._prune_buckets([("ts", ">", datetime.datetime(2030, 1, 1))])
     assert kept == []
+
+
+def test_timestamp_stat_value_is_exact_integer_micros():
+    """Float ``.timestamp()`` spacing near current epochs is ~0.25us;
+    the bound conversion must be exact integer arithmetic or a pruning
+    bound can land 1us low and wrongly exclude a boundary bucket."""
+    for us in (0, 1, 123456, 999999):
+        v = datetime.datetime(
+            2026, 8, 14, 12, 30, 45, us, tzinfo=datetime.timezone.utc
+        )
+        got = SnapshotTable._stat_value(v, "ts")
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+        want = (v - epoch) // datetime.timedelta(microseconds=1)
+        assert got == want
+        assert got % 1_000_000 == us
+    naive = datetime.datetime(2026, 8, 14, 12, 30, 45, 1)
+    assert SnapshotTable._stat_value(naive, "ts") % 1_000_000 == 1
 
 
 def test_stats_disabled_keeps_everything_and_read_where_still_exact(
@@ -194,7 +221,7 @@ def test_stats_disabled_keeps_everything_and_read_where_still_exact(
     t = SnapshotTable(spark, path, ["k"], n_buckets=4, collect_stats=False)
     t.overwrite(df, batch_id=0)
     assert t._read_pointer()["stats"] == {}
-    kept, every = t._prune_buckets([("val", "<", 50)])
+    kept, every, _ = t._prune_buckets([("val", "<", 50)])
     assert kept == every  # no stats → never prune
     got = sorted(r.k for r in t.read_where([("val", "<", 50)]).collect())
     assert got == [0, 1, 2, 3, 4]

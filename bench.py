@@ -10,10 +10,12 @@ warm-up (JVM + parquet footers amortized). Three additions make the
 number interpretable across hosts and rounds:
 
 - ``calib``: a fixed single-core Python loop timed in-process before
-  and after the run. The sandbox host's effective CPU speed varies ~2x
-  between runs (noisy neighbors); the calibration constant lets a
-  reader normalize round-over-round walls before attributing a delta
-  to the code.
+  and after the run, PLUS an n-core process-pool run of the same loop.
+  The sandbox host's effective CPU speed varies ~2x between runs
+  (noisy neighbors), and round 7 showed contention can hit all 32
+  cores while a single-core probe stays flat — the multi/single wall
+  ratio lets a reader normalize round-over-round walls before
+  attributing a delta to the code.
 - ``queries_steady`` / ``value_steady``: a second timed pass over the
   same headline set. The first pass pays per-query-shape JIT/codegen
   compilation; the steady pass is how a long-running engine behaves.
@@ -107,6 +109,28 @@ def _calib_loop() -> float:
     return round(time.time() - t0, 3)
 
 
+def _busy(_):
+    s = 0
+    for i in range(10_000_000):
+        s += i * i
+    return s
+
+
+def _calib_multicore(n: int) -> float:
+    """Wall seconds for ``n`` PROCESSES running the same busy loop at
+    once. On an uncontended host with >= n cores this approaches the
+    single-core time; under noisy-neighbor contention it rises toward
+    n * single. Round 7 proved the need: every headline query regressed
+    1.5x while the single-core calib stayed flat — 32-way contention is
+    invisible to one process. Processes, not threads (GIL)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    t0 = time.time()
+    with ProcessPoolExecutor(max_workers=n) as ex:
+        list(ex.map(_busy, range(n)))
+    return round(time.time() - t0, 3)
+
+
 def _run_set(qs, names, sf_dir, timings: dict, rows: dict | None = None) -> None:
     for name in names:
         if name not in qs:
@@ -127,7 +151,9 @@ def main() -> None:
     from __spark_entry__ import queries
     from changedatacapture_spark.session import get_spark
 
+    n_cores = os.cpu_count() or 1
     calib_before = _calib_loop()
+    mcore_before = _calib_multicore(n_cores)
     spark = get_spark(app_name="cdc-bench")
     spark_ref[0] = spark
     qs = queries()
@@ -186,6 +212,7 @@ def main() -> None:
         }
 
     calib_after = _calib_loop()
+    mcore_after = _calib_multicore(n_cores)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -206,6 +233,12 @@ def main() -> None:
         "calib": {
             "single_core_loop_sec_before": calib_before,
             "single_core_loop_sec_after": calib_after,
+            # n_cores concurrent processes, same loop: contention probe.
+            # ratio multi/single ~1 = quiet host; >>1 = contended host —
+            # normalize walls by this before attributing deltas to code.
+            "multi_core_procs": n_cores,
+            "multi_core_wall_sec_before": mcore_before,
+            "multi_core_wall_sec_after": mcore_after,
         },
     }
     if sf1 is not None:

@@ -106,36 +106,29 @@ def minhash_signatures(
 
 def _first_shared_band(n_bands: int) -> Column:
     """True iff the current exploded band is the FIRST one the joined
-    docs agree on AND survive in: band_idx == 0, or every earlier band
-    differs or was dropped by the bucket cap. Unrolled boolean chain
-    (codegen-friendly) over the carried ``bands`` arrays of the
-    ``a``/``b`` join sides.
-
-    Capped variants null out hot bands in the carried array (the rows
-    themselves are filtered before the join, so a pair can never be
-    EMITTED from a hot band — but an earlier hot band must also not
-    suppress emission from a later surviving one, hence "null counts
-    as differing"). If the hashes agree, both sides share the bucket
-    and are null together, so checking the ``a`` side suffices.
-    """
+    docs agree on: band_idx == 0, or every earlier band differs.
+    Unrolled boolean chain (codegen-friendly) over the carried
+    ``bands`` arrays of the ``a``/``b`` join sides — used by the
+    UNCAPPED paths to emit each pair exactly once without a distinct
+    (the capped paths dedup on the cap-bounded pair set instead, see
+    :func:`_capped_banded`)."""
     idx = F.col("a.band_idx")
     cond = idx == 0
     prefix_differs = None
     for k in range(1, n_bands):
         ak = F.col("a.bands")[k - 1]
         bk = F.col("b.bands")[k - 1]
-        neq = ak.isNull() | ~ak.eqNullSafe(bk)
+        neq = ak != bk
         prefix_differs = neq if prefix_differs is None else (prefix_differs & neq)
         cond = cond | ((idx == k) & prefix_differs)
     return cond
 
 
 def _capped_banded(
-    exploded: DataFrame, hash_col: str, max_bucket_size: int, extra_cols=()
+    exploded: DataFrame, hash_col: str, max_bucket_size: int
 ) -> DataFrame:
-    """Hub guard for LSH band self-joins: drop band buckets holding more
-    than ``max_bucket_size`` docs, and null them out in a rebuilt
-    per-doc ``bands`` array so min-band emission stays exact.
+    """Hub guard for LSH band self-joins: drop band buckets holding
+    more than ``max_bucket_size`` docs before the self-join.
 
     A bucket with B docs emits B²/2 pairs from the self-join; one hot
     band (boilerplate shingles, near-constant signatures) turns the
@@ -146,36 +139,24 @@ def _capped_banded(
     guard, ``operators/text.py:winnow_overlap_pairs``). Use
     :func:`lsh_hot_buckets` to audit what a given cap drops.
 
-    Plan: band-key aggregate for bucket sizes → join back (exchange
-    reuse on the band key) → regroup per doc to rebuild the nulled
-    array → re-explode minus hot rows. Three linear shuffles of tiny
-    rows (ids + band hashes, never text), each bounded by docs×bands.
+    Plan: the bucket size is a window count partitioned by
+    ``(band_idx, hash)`` — the SAME keys the sort-merge self-join
+    shuffles and sorts on, so the window rides the join's own
+    exchange+sort and the guard adds ZERO shuffles (the round-7
+    aggregate→join-back→regroup→re-explode form cost three extra
+    linear shuffles and measured 2-3× the uncapped wall). Both join
+    sides are the identical subplan, so exchange reuse computes the
+    signature scan once. Callers dedup the emitted pairs with a
+    groupBy on the (cap-bounded) pair set — cheaper than shuffling
+    docs×bands rows twice to maintain nulled min-band arrays.
     """
-    keys = ["band_idx", hash_col]
-    freq = exploded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
-    kept = F.when(F.col("_n") <= max_bucket_size, F.col(hash_col))
-    nulled = (
-        exploded.join(freq, keys)
-        .groupBy("doc_id", *extra_cols)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("band_idx"), kept.alias("h")))
-            ).alias("_s")
-        )
-        .select(
-            "doc_id",
-            *extra_cols,
-            F.transform(F.col("_s"), lambda s: s["h"]).alias("bands"),
-        )
-    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("band_idx", hash_col)
     return (
-        nulled.select(
-            "doc_id",
-            *extra_cols,
-            "bands",
-            F.posexplode("bands").alias("band_idx", hash_col),
-        )
-        .filter(F.col(hash_col).isNotNull())
+        exploded.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
         .hint("merge")
     )
 
@@ -220,15 +201,35 @@ def lsh_candidate_pairs(
             F.posexplode(F.array(*band_hashes())).alias("band_idx", "band_hash"),
         )
         banded = _capped_banded(exploded, "band_hash", max_bucket_size)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        # pair-set dedup: a pair colliding in several surviving bands
+        # appears once per such band; the groupBy collapses them with
+        # one shuffle of the pair set — bounded at cap²/2 per bucket by
+        # the guard, and partial-agg combines band-local duplicates
+        # before the wire
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_hash") == F.col("b.band_hash"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
     else:
         # The array is built INLINE in posexplode (not projected first
         # and exploded by reference): InferFiltersFromGenerate skips
         # literal CreateArray generator inputs, but for a column
         # reference it adds `size(bands) > 0`, which pushdown rewrites
         # into a per-row re-evaluation of the whole signature pipeline
-        # at the scan (3.5× measured). (The capped path is immune: its
-        # bands array comes out of an aggregate, nothing can push to
-        # the scan.) The `merge` hint forces a sort-merge self-join
+        # at the scan (3.5× measured); the capped path above explodes
+        # an inline array for the same reason. The `merge` hint forces
+        # a sort-merge self-join
         # whose two identical shuffles collapse via exchange reuse —
         # the signature scan runs ONCE, not once per join side (2×
         # measured); SMJ also keeps AQE's skew-split available for
@@ -414,8 +415,26 @@ def simhash_neardup_pairs(
             "simhash",
             F.posexplode(F.array(*nibbles())).alias("band_idx", "nibble"),
         )
-        bands = _capped_banded(
-            exploded, "nibble", max_bucket_size, extra_cols=("simhash",)
+        bands = _capped_banded(exploded, "nibble", max_bucket_size)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        # pair-set dedup via distinct (see lsh_candidate_pairs):
+        # hamming is a pure function of the pair, so including it in
+        # the distinct keys keeps the partial-agg combine
+        return (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.nibble") == F.col("b.nibble"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
     else:
         # inline CreateArray + merge hint: see lsh_candidate_pairs for

@@ -5181,6 +5181,299 @@ def q_text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "text_quality_gate",
+    """
+    WITH sc AS (
+      SELECT doc_id, lang,
+             CAST(floor(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        * 1000 / length(text)) AS BIGINT) AS score
+      FROM documents),
+    hist AS (SELECT lang, score, count(*) AS n FROM sc GROUP BY 1, 2),
+    tot AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs FROM hist GROUP BY 1),
+    cum AS (
+      SELECT lang, score,
+             sum(n) OVER (PARTITION BY lang ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM hist),
+    thr AS (
+      SELECT c.lang, max(c.score) AS thr
+      FROM cum c JOIN tot t USING (lang)
+      WHERE c.cum >= (t.n_docs + 3) // 4
+      GROUP BY c.lang)
+    SELECT s.doc_id, s.lang, s.score, thr.thr
+    FROM sc s JOIN thr USING (lang)
+    WHERE s.score >= thr.thr
+    """,
+)
+def q_text_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-quartile quality gate (alpha-ratio score, ties
+    included): keep every document whose score reaches the smallest
+    score s where at least ceil(n/4) of the language's docs score >= s.
+
+    Scale shape — the 100 TB way to take a per-group percentile cut:
+    NO per-language sort of the corpus (languages are few and heavily
+    skewed; a window over `partition by lang` puts the dominant
+    language's entire corpus slice through one sorter). Instead the
+    score is integer per-mille, so a (lang, score) HISTOGRAM — a
+    map-side-combinable aggregate with <= langs x 1001 output rows —
+    determines the exact threshold; the cumulative window runs on the
+    tiny histogram, and the thresholds broadcast back for a map-side
+    filter. Two scans, zero large shuffles, exact set semantics (no
+    doc-level tie-break needed: whole tie groups pass together).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    score = F.floor(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1000
+        / F.length("text")
+    ).cast("long")
+    sc = docs.select("doc_id", "lang", score.alias("score"))
+    hist = sc.groupBy("lang", "score").agg(F.count(F.lit(1)).alias("n"))
+    tot = hist.groupBy("lang").agg(F.sum("n").alias("n_docs"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    thr = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .join(tot, "lang")
+        .filter(F.col("cum") >= F.floor((F.col("n_docs") + 3) / 4))
+        .groupBy("lang")
+        .agg(F.max("score").alias("thr"))
+    )
+    return (
+        sc.join(F.broadcast(thr), "lang")
+        .filter(F.col("score") >= F.col("thr"))
+        .select("doc_id", "lang", "score", "thr")
+    )
+
+
+@_register(
+    "dedup_minhash_est_jaccard",
+    f"""
+    WITH sigs AS ({_MINHASH_ORACLE}),{_lsh_banded_capped_sql(_LSH_CAP)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+               + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+               + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+               + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_agree,
+           CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+               + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+               + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+               + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END) * 25 AS BIGINT)
+             AS est_jaccard_pct
+    FROM pairs p JOIN sigs sa ON sa.doc_id = p.doc_a
+                 JOIN sigs sb ON sb.doc_id = p.doc_b
+    """,
+)
+def q_dedup_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-estimated Jaccard for LSH candidate pairs: the share
+    of agreeing MinHash slots is an unbiased estimator of the true
+    shingle Jaccard (the MinHash property) — the standard cheap filter
+    between candidate generation and the exact shingle-join verify
+    (``dedup_ngram_jaccard``), which at 100 TB only ever runs on pairs
+    this estimate lets through.
+
+    Scale shape: the estimate touches ONLY signatures (4 x 8-byte
+    slots/doc), never text — two equi-joins of the pair list back to
+    the signature table, shuffling ids and slots. Reference parity:
+    the reference has no near-dup machinery at all (cdc_stream.py is
+    CDC-only); this extends SURVEY §2's pipeline surface."""
+    from changedatacapture_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=4, k=5)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=_LSH_CAP)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(4)],
+    )
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long") for i in range(4)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            agree.alias("n_agree"),
+            (agree * 25).alias("est_jaccard_pct"),
+        )
+    )
+
+
+@_register(
+    "q_join_skew_profile",
+    """
+    WITH k AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+    g AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total_rows,
+                 count(*) AS n_keys FROM k)
+    SELECT k.o_custkey, k.n_orders,
+           CAST(k.n_orders * 1000000 // g.total_rows AS BIGINT) AS share_ppm,
+           CAST(k.n_orders * g.n_keys * 1000 // g.total_rows AS BIGINT)
+             AS skew_x1000
+    FROM k, g
+    ORDER BY k.n_orders DESC, k.o_custkey LIMIT 20
+    """,
+)
+def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the 20 heaviest ``o_custkey`` values
+    with absolute count, corpus share (ppm), and skew factor vs the
+    mean key (x1000) — the profile a pipeline runs BEFORE a big join
+    to decide between plain shuffle, AQE skew-split, and salting.
+    A key with ``skew_x1000`` >> 1000 is a straggler-maker: its whole
+    hash partition lands on one task.
+
+    Scale shape: one map-side-combinable per-key aggregate, a 1-row
+    global rollup of that aggregate's (small) output, broadcast via
+    cross join, then a top-k sort on per-key counts — the raw table is
+    scanned once and never re-shuffled."""
+    orders = load_table(spark, "orders", sf_dir)
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    glob = per_key.agg(
+        F.sum("n_orders").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(glob))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.floor(F.col("n_orders") * 1_000_000 / F.col("total_rows"))
+            .cast("long")
+            .alias("share_ppm"),
+            F.floor(
+                F.col("n_orders") * F.col("n_keys") * 1000 / F.col("total_rows")
+            )
+            .cast("long")
+            .alias("skew_x1000"),
+        )
+        .orderBy(F.col("n_orders").desc(), "o_custkey")
+        .limit(20)
+    )
+
+
+@_register(
+    "emb_dedup_groups",
+    """
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, embedding,
+             {bucket} AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(({cos}) * 1000000) AS BIGINT) AS score_scaled
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+    pairs AS (SELECT vec_a, vec_b FROM scored WHERE score_scaled >= 250000),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      WHERE e.v <> r.u)
+    SELECT u AS vec_id, least(u, min(v)) AS group_id
+    FROM reach GROUP BY u
+    """.format(
+        bucket=_lsh_bucket_sql("embedding", n_planes=4, dim=64),
+        cos=_cos_pair_sql("a.embedding", "b.embedding"),
+    ),
+)
+def q_emb_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level duplicate groups: cosine near-dup pairs within
+    LSH buckets → connected components → (vec_id, group_id) with the
+    component-minimum id as the canonical survivor. Completes the
+    embedding dedup pipeline end-to-end (pairs alone can't collapse
+    A~B, B~C into one group), mirroring what ``dedup_groups`` does for
+    text. Same large-star/small-star closure; the oracle is recursive
+    CTE reachability over the identical pair set."""
+    from changedatacapture_spark.operators.dedup import connected_components
+    from changedatacapture_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(emb, threshold_scaled=250_000)
+    groups = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return groups.select(F.col("doc_id").alias("vec_id"), "group_id")
+
+
+@_register(
+    "events_minute_spikes",
+    """
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, minute, n,
+             CAST(coalesce(sum(n) OVER (PARTITION BY event_type ORDER BY minute
+                  ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS sum_prev,
+             CAST(count(n) OVER (PARTITION BY event_type ORDER BY minute
+                  ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS cnt_prev
+      FROM m)
+    SELECT event_type, minute, n, sum_prev, cnt_prev
+    FROM w WHERE cnt_prev >= 10 AND 2 * n * cnt_prev > 3 * sum_prev
+    """,
+)
+def q_events_minute_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detection: per-minute event counts flagged where the
+    minute runs more than 1.5x the trailing average of the previous (up
+    to) 60 observed minutes — the monitoring primitive behind ingest
+    anomaly alerts. The comparison ``2*n*cnt_prev > 3*sum_prev`` is
+    the 1.5x-average test in pure integers, so both engines agree
+    bit-exactly (no float division).
+
+    Scale shape: the window runs over the per-(type, minute)
+    AGGREGATED series — one map-side-combinable count first, then a
+    bounded 60-row frame over <= types x minutes rows — never over raw
+    events. Event-type partitions of the minute series are tiny at any
+    corpus size (rows = minutes, not events)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("minute").rowsBetween(-60, -1)
+    flagged = m.select(
+        "event_type",
+        "minute",
+        "n",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).alias("sum_prev"),
+        F.count("n").over(w).alias("cnt_prev"),
+    )
+    return flagged.filter(
+        (F.col("cnt_prev") >= 10)
+        & (2 * F.col("n") * F.col("cnt_prev") > 3 * F.col("sum_prev"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.
@@ -5248,6 +5541,8 @@ _PROMOTED = [
     "events_stream_join",  # stream-stream interval join e2e (round 7)
     "events_resample",  # dense-spine gap-fill + forward fill (round 7)
     "kmv_distinct_users",  # deterministic KMV distinct sketch (round 7)
+    "text_quality_gate",  # histogram-threshold percentile cut (round 8)
+    "events_minute_spikes",  # trailing-window anomaly detection (round 8)
 ]
 
 DRIVER_WINDOW = 50

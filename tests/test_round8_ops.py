@@ -1,0 +1,184 @@
+"""Round-8 operator semantics: quality-gate quota/threshold laws,
+MinHash-estimate calibration, skew-profile conservation, embedding
+group closure, and spike-detection invariants. The oracle differential
+pins bit-exactness vs DuckDB; these tests add the properties an oracle
+can't express (set-selection laws, estimator identities, closure
+transitivity on hand-built graphs)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.queries import SPARK_QUERIES
+from changedatacapture_spark.sources.tables import load_table
+
+
+def test_quality_gate_quota_and_threshold_laws(spark, sf_dir):
+    """Per language: (a) at least ceil(n/4) docs pass; (b) removing
+    the whole lowest-passing-score tie group would drop below quota
+    (the threshold is tight, not slack); (c) every passing score >=
+    every failing score (the cut is a clean score threshold)."""
+    docs = load_table(spark, "documents", sf_dir)
+    score = F.floor(
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")) * 1000
+        / F.length("text")
+    ).cast("long")
+    all_scores = {
+        (r.lang, r.doc_id): r.s
+        for r in docs.select("lang", "doc_id", score.alias("s")).collect()
+    }
+    passed = SPARK_QUERIES["text_quality_gate"](spark, sf_dir).collect()
+    by_lang_pass: dict[str, list] = {}
+    for r in passed:
+        by_lang_pass.setdefault(r.lang, []).append(r)
+        assert r.score == all_scores[(r.lang, r.doc_id)]
+        assert r.score >= r.thr
+    langs = {lang for (lang, _d) in all_scores}
+    assert set(by_lang_pass) == langs
+    for lang in langs:
+        scores = sorted(s for (lg, _d), s in all_scores.items() if lg == lang)
+        n = len(scores)
+        quota = math.ceil(n / 4)
+        got = by_lang_pass[lang]
+        thr = got[0].thr
+        assert all(r.thr == thr for r in got)  # one threshold per lang
+        assert len(got) >= quota  # (a)
+        above_thr = sum(1 for s in scores if s > thr)
+        assert above_thr < quota  # (b) tie group at thr is needed
+        max_fail = max((s for s in scores if s < thr), default=None)
+        if max_fail is not None:
+            assert min(r.score for r in got) > max_fail  # (c)
+
+
+def test_quality_gate_plan_histogram_not_corpus_sort(spark, sf_dir):
+    """The scale claim: the window runs over the (lang, score)
+    histogram, never a per-lang sort of documents, and the threshold
+    side broadcasts. A Sort above the document scan would mean the
+    dominant language's whole slice goes through one sorter."""
+    df = SPARK_QUERIES["text_quality_gate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.lower().count("partial") >= 1, "histogram lost map-side combine"
+
+
+def test_minhash_est_jaccard_identical_and_disjoint_docs(spark):
+    """Estimator identities: byte-identical docs agree on all 4 slots
+    (est 100%); the estimate is always a multiple of 25 with n_agree
+    in [1, 4] (candidates share >= 1 band = >= 2 agreeing slots is NOT
+    guaranteed — one band = 2 slots hash together, so >= 0 agree on
+    the other slots; but a shared band forces its own 2 slots equal,
+    hence n_agree >= 2 for 2-band/4-hash configs)."""
+    from changedatacapture_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog")] * 2
+    rows = [(1, rows[0][1]), (2, rows[0][1]), (3, "completely different words here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, n_hashes=4, k=5)
+    pairs = lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=500)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(4)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(4)],
+    )
+    agree = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long") for i in range(4)
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.n
+        for r in pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", agree.alias("n"))
+        .collect()
+    }
+    assert out[(1, 2)] == 4  # identical docs: all slots agree
+    for n in out.values():
+        assert 2 <= n <= 4  # a shared band pins its 2 slots
+
+
+def test_skew_profile_share_and_skew_are_consistent(spark, sf_dir):
+    """Top-20 rows are count-descending; share_ppm and skew_x1000 obey
+    their integer definitions against independently computed totals."""
+    prof = SPARK_QUERIES["q_join_skew_profile"](spark, sf_dir).collect()
+    assert len(prof) == 20
+    counts = [r.n_orders for r in prof]
+    assert counts == sorted(counts, reverse=True)
+    orders = load_table(spark, "orders", sf_dir)
+    total = orders.count()
+    n_keys = orders.select("o_custkey").distinct().count()
+    for r in prof:
+        assert r.share_ppm == r.n_orders * 1_000_000 // total
+        assert r.skew_x1000 == r.n_orders * n_keys * 1000 // total
+
+
+def test_emb_dedup_groups_closure_on_handmade_chain(spark):
+    """Transitive closure law on a hand-built chain A~B~C plus an
+    isolated pair: every member maps to the component minimum."""
+    from changedatacapture_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (77, 99)], "vec_a long, vec_b long"
+    )
+    got = {
+        r.doc_id: r.group_id
+        for r in connected_components(pairs, a_col="vec_a", b_col="vec_b").collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 77: 77, 99: 77}
+
+
+def test_emb_dedup_groups_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair's two members land in the same group, and
+    every group_id is a member of its own group (canonical ids are
+    real vectors, component minima)."""
+    from changedatacapture_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs(emb, threshold_scaled=250_000).collect()
+    groups = {
+        r.vec_id: r.group_id
+        for r in SPARK_QUERIES["emb_dedup_groups"](spark, sf_dir).collect()
+    }
+    for p in pairs:
+        assert groups[p.vec_a] == groups[p.vec_b]
+        assert groups[p.vec_a] <= min(p.vec_a, p.vec_b)
+    for vec_id, gid in groups.items():
+        assert groups[gid] == gid  # canonical id is its own canonical
+        assert gid <= vec_id
+
+
+def test_minute_spikes_flags_handmade_burst(spark, tmp_path):
+    """A flat 10-events/minute series with one 100-event minute must
+    flag exactly that minute; a uniform series flags nothing."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for minute in range(30):
+        n = 100 if minute == 25 else 10
+        for i in range(n):
+            rows.append(
+                (eid, base + datetime.timedelta(minutes=minute, seconds=i % 60),
+                 1, "burst", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = str(tmp_path / "ev")
+    df.write.parquet(path + "/events.parquet")
+    out = SPARK_QUERIES["events_minute_spikes"](spark, path).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 100 and r.cnt_prev == 25 and r.sum_prev == 250

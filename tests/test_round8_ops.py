@@ -143,7 +143,10 @@ def test_emb_dedup_groups_consistent_with_pairs(spark, sf_dir):
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    pairs = embedding_neardup_pairs(emb, threshold_scaled=250_000).collect()
+    # n_planes=6: must match the registered query's bucketing
+    pairs = embedding_neardup_pairs(
+        emb, threshold_scaled=250_000, n_planes=6
+    ).collect()
     groups = {
         r.vec_id: r.group_id
         for r in SPARK_QUERIES["emb_dedup_groups"](spark, sf_dir).collect()

@@ -2672,6 +2672,106 @@ def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_rolling_active_users",
+    """
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS active_7d
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day
+    """,
+)
+def q_events_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the WAU engagement
+    primitive. Rolling COUNT DISTINCT is not window-mergeable (distinct
+    sets don't sum), so the exact form is a bounded range join, NOT a
+    window over raw events.
+
+    Scale shape: raw events first collapse to DISTINCT (day, user)
+    pairs — one map-side-combinable shuffle bounded by days x users,
+    typically orders of magnitude under the event count. The trailing
+    join then runs that small frame against the (tiny, broadcast) day
+    spine with a <= 7x fan-out, and the final distinct-count shuffles
+    (day, user) once more. Nothing ever re-touches raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    joined = du.join(
+        F.broadcast(days),
+        (F.col("day") <= F.col("d"))
+        & (F.col("day") > F.col("d") - F.expr("INTERVAL 7 DAYS")),
+    )
+    return joined.groupBy(F.col("d").alias("day")).agg(
+        F.count_distinct("user_id").alias("active_7d")
+    )
+
+
+@_register(
+    "cdc_time_travel",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM log),
+    early AS (
+      SELECT l.* FROM log l, b
+      WHERE l.ts_us < b.lo + 2 * ((b.hi - b.lo) // 4 + 1)),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY key_id
+                                   ORDER BY ts_us DESC, seq DESC) AS rn
+      FROM early)
+    SELECT key_id, seq, ts_us, value, props FROM ranked
+    WHERE rn = 1 AND op <> 'd'
+    """,
+)
+def q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (``SELECT ... VERSION AS OF`` analogue):
+    apply the changelog in 4 ts-range micro-batches, then read the
+    table AT the version committed by batch 2 — the result must equal
+    a compaction of ONLY the first two ts-range slices, proving the
+    commit log's past versions stay readable and exact after later
+    merges land. The version is resolved from ``history()`` by
+    batch_id, not assumed from the commit count. Reference gap: the
+    reference's Delta reads are always current-state
+    (cdc_stream.py:664-689); the versioned manifest gives time travel
+    for the cost of retaining ``retain_history`` commits of files."""
+    import tempfile
+
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    staged = log.withColumn(
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
+    )
+    table = SnapshotTable(
+        spark,
+        tempfile.mkdtemp(prefix="cdc_timetravel_"),
+        ["key_id"],
+        n_buckets=8,
+        retain_history=4,  # keep all 4 commits readable (default vacuums)
+    )
+    for b in (1, 2, 3, 4):
+        batch = staged.filter(F.col("_b") == b).drop("_b")
+        table.merge(compact_latest(batch, ["key_id"], ["ts_us", "seq"]), batch_id=b)
+    v_batch2 = next(
+        e["version"] for e in table.history() if e.get("batch_id") == 2
+    )
+    return table.read(at_version=v_batch2).select(
+        "key_id", "seq", "ts_us", "value", "props"
+    )
+
+
+@_register(
     "csv_batch_read",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )

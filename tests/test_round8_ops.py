@@ -159,6 +159,32 @@ def test_emb_dedup_groups_consistent_with_pairs(spark, sf_dir):
         assert gid <= vec_id
 
 
+def test_rolling_active_users_matches_bruteforce(spark, sf_dir):
+    """active_7d per day equals the python brute-force over distinct
+    (day, user) pairs with a (d-7, d] trailing window."""
+    ev = load_table(spark, "events", sf_dir)
+    du = {
+        (r.day, r.user_id)
+        for r in ev.select(
+            F.date_trunc("day", "ts").alias("day"), "user_id"
+        ).distinct().collect()
+    }
+    import datetime
+
+    got = {
+        r.day: r.active_7d
+        for r in SPARK_QUERIES["events_rolling_active_users"](
+            spark, sf_dir
+        ).collect()
+    }
+    days = {d for d, _u in du}
+    assert set(got) == days
+    for d in days:
+        lo = d - datetime.timedelta(days=7)
+        want = len({u for (dd, u) in du if lo < dd <= d})
+        assert got[d] == want, d
+
+
 def test_minute_spikes_flags_handmade_burst(spark, tmp_path):
     """A flat 10-events/minute series with one 100-event minute must
     flag exactly that minute; a uniform series flags nothing."""

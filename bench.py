@@ -71,6 +71,11 @@ EXTRA = [
     "doc_chunks",
     "text_winnow_fp",
     "text_boilerplate",
+    # round-8 additions
+    "text_quality_gate",
+    "dedup_minhash_est_jaccard",
+    "events_rolling_active_users",
+    "events_value_histogram_quantiles",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -97,6 +102,10 @@ SF1_SET = [
     "dedup_simhash_pairs",
     "dedup_minhash_pairs",
     "knn_brute_topk",
+    # round-8 additions: the connected-components closure and the
+    # embedding dedup capstone, the two heaviest new shapes
+    "dedup_groups",
+    "emb_dedup_groups",
 ]
 
 

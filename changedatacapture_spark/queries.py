@@ -2672,6 +2672,186 @@ def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_grouping_sets_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2))
+             AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag, l_linenumber), ())
+    """,
+)
+def q_grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of rollup/cube): two
+    independent two-column breakdowns plus the grand total in ONE scan.
+    Spark plans this as a single Expand + aggregate — each input row
+    fans out once per set, all partial-aggregated map-side — where
+    three separate GROUP BYs would scan the table three times; at
+    100 TB the single-scan form is the only affordable one."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, l_linenumber,
+               CAST(sum(CAST(l_quantity AS DECIMAL(20,2))) AS DECIMAL(38,2))
+                 AS sum_qty,
+               count(*) AS n_rows
+        FROM {li}
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag, l_linenumber), ())
+        """,
+        li=li,
+    )
+
+
+@_register(
+    "events_value_histogram_quantiles",
+    """
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(floor(value) AS BIGINT), 999) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events
+            FROM b GROUP BY 1),
+    cum AS (
+      SELECT event_type, bucket,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+      FROM b)
+    SELECT t.event_type, t.n_events,
+           min(CASE WHEN c.cum * 2   >= t.n_events      THEN c.bucket END)
+             AS p50_bucket,
+           min(CASE WHEN c.cum * 10  >= t.n_events * 9  THEN c.bucket END)
+             AS p90_bucket,
+           min(CASE WHEN c.cum * 100 >= t.n_events * 99 THEN c.bucket END)
+             AS p99_bucket
+    FROM cum c JOIN tot t USING (event_type)
+    GROUP BY t.event_type, t.n_events
+    """,
+)
+def q_events_value_histogram_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram-resolution quantiles (p50/p90/p99 of ``value`` per
+    event type, at unit-bucket precision) — the 100 TB companion to
+    the exact-percentile query ``events_value_percentiles``: an exact
+    percentile needs a per-group sort of every value, while the
+    histogram form is ONE map-side-combinable aggregate into <= 1000
+    buckets per group, a cumulative window over that tiny frame, and
+    integer threshold tests (``cum * 2 >= n`` is p50 without float
+    division). Bucket resolution is the explicit trade: the answer is
+    the bucket containing the quantile, which is what monitoring and
+    quality-gate thresholds actually consume."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    b = ev.groupBy(
+        "event_type",
+        F.least(F.floor("value").cast("long"), F.lit(999)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = b.groupBy("event_type").agg(F.sum("n").alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.withColumn("cum", F.sum("n").over(w))
+    c, n = F.col("cum"), F.col("n_events")
+    return (
+        cum.join(tot, "event_type")
+        .groupBy("event_type", "n_events")
+        .agg(
+            F.min(F.when(c * 2 >= n, F.col("bucket"))).alias("p50_bucket"),
+            F.min(F.when(c * 10 >= n * 9, F.col("bucket"))).alias("p90_bucket"),
+            F.min(F.when(c * 100 >= n * 99, F.col("bucket"))).alias("p99_bucket"),
+        )
+    )
+
+
+@_register(
+    "dedup_corpus_stats",
+    f"""
+    WITH RECURSIVE sigs AS ({_MINHASH_ORACLE}),{_lsh_banded_capped_sql(_LSH_CAP)},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      WHERE e.v <> r.u),
+    groups AS (
+      SELECT u AS doc_id, least(u, min(v)) AS group_id
+      FROM reach GROUP BY u),
+    verdict AS (
+      SELECT d.lang, d.n_chars,
+             CASE WHEN g.doc_id IS NULL OR g.group_id = d.doc_id
+                  THEN 1 ELSE 0 END AS keep
+      FROM documents d LEFT JOIN groups g USING (doc_id))
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total,
+           CAST(sum(CASE WHEN keep = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS chars_kept,
+           CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS kept_ppm
+    FROM verdict GROUP BY lang
+    """,
+)
+def q_dedup_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline report card: per language, how much of the
+    corpus survives near-duplicate removal (docs and characters kept,
+    survival rate ppm) — the summary a curation run publishes so a
+    sudden dedup-rate shift is caught before training. Built on the
+    same pairs → components → survivor verdict as ``dedup_survivors``,
+    collapsed to one map-side-combinable aggregate per language."""
+    from changedatacapture_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=4, k=5)
+    groups = connected_components(lsh_candidate_pairs(sigs, n_hashes=4, bands=2))
+    g = groups.select(
+        F.col("doc_id").alias("g_doc"), F.col("group_id").alias("g_grp")
+    )
+    keep = (
+        F.when(
+            F.col("g_doc").isNull() | (F.col("g_grp") == F.col("doc_id")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    verdict = (
+        docs.select("doc_id", "lang", "n_chars")
+        .join(g, docs["doc_id"] == g["g_doc"], "left")
+        .select("lang", "n_chars", keep.alias("keep"))
+    )
+    return verdict.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_kept"),
+        F.sum("n_chars").alias("chars_total"),
+        F.sum(F.when(F.col("keep") == 1, F.col("n_chars")).otherwise(0)).alias(
+            "chars_kept"
+        ),
+        F.floor(F.sum("keep") * 1_000_000 / F.count(F.lit(1)))
+        .cast("long")
+        .alias("kept_ppm"),
+    )
+
+
+@_register(
     "events_rolling_active_users",
     """
     WITH du AS (

@@ -185,6 +185,57 @@ def test_rolling_active_users_matches_bruteforce(spark, sf_dir):
         assert got[d] == want, d
 
 
+def test_grouping_sets_single_scan_expand(spark, sf_dir):
+    """Three breakdowns in one scan: the plan must contain exactly one
+    Expand over one FileScan with map-side partial aggregation — three
+    separate GROUP BYs would be three scans of a 100 TB table."""
+    df = SPARK_QUERIES["q_grouping_sets_lineitem"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "partial" in plan.lower(), "grouping sets lost map-side combine"
+
+
+def test_histogram_quantiles_bracket_exact_percentiles(spark, sf_dir):
+    """The bucket quantile must BRACKET the exact percentile: exact
+    p_q lies in [bucket, bucket+1) for unit buckets (values < 1000).
+    Computed against a python sort of the raw values."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "value")
+    by_type: dict[str, list] = {}
+    for r in ev.collect():
+        by_type.setdefault(r.event_type, []).append(r.value)
+    out = SPARK_QUERIES["events_value_histogram_quantiles"](
+        spark, sf_dir
+    ).collect()
+    assert {r.event_type for r in out} == set(by_type)
+    for r in out:
+        vals = sorted(by_type[r.event_type])
+        n = len(vals)
+        assert r.n_events == n
+        for q, bucket in ((0.5, r.p50_bucket), (0.9, r.p90_bucket),
+                          (0.99, r.p99_bucket)):
+            # smallest index with cum >= ceil(q*n)  (1-based rank)
+            import math
+
+            rank = math.ceil(q * n)
+            exact = vals[rank - 1]
+            assert bucket <= exact < bucket + 1, (r.event_type, q, bucket, exact)
+
+
+def test_dedup_corpus_stats_conserves_survivors(spark, sf_dir):
+    """Corpus stats must agree with the per-doc survivor verdict:
+    sum(n_kept) == number of keep=1 docs, chars conserve, and
+    kept_ppm follows its integer definition."""
+    stats = SPARK_QUERIES["dedup_corpus_stats"](spark, sf_dir).collect()
+    surv = SPARK_QUERIES["dedup_survivors"](spark, sf_dir).collect()
+    assert sum(r.n_kept for r in stats) == sum(r.keep for r in surv)
+    assert sum(r.n_docs for r in stats) == len(surv)
+    assert sum(r.chars_total for r in stats) == sum(r.n_chars for r in surv)
+    for r in stats:
+        assert r.kept_ppm == r.n_kept * 1_000_000 // r.n_docs
+        assert 0 < r.n_kept <= r.n_docs
+
+
 def test_minute_spikes_flags_handmade_burst(spark, tmp_path):
     """A flat 10-events/minute series with one 100-event minute must
     flag exactly that minute; a uniform series flags nothing."""

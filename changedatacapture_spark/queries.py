@@ -2672,6 +2672,127 @@ def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_vocab_coverage",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '))
+               AS token
+      FROM documents),
+    vocab AS (SELECT token FROM toks GROUP BY token HAVING count(*) >= 5)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.token IS NULL) * 1000000 // count(*)
+                AS BIGINT) AS oov_pm
+    FROM toks t LEFT JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per document: tokens outside the corpus
+    vocabulary (min frequency 5) as a count and ppm rate — the
+    tokenizer-coverage signal a corpus build checks before committing
+    to a vocab (high OOV = gibberish, OCR noise, or a language the
+    vocab misses).
+
+    Scale shape: the vocab is one map-side-combinable aggregate over
+    the token stream; the coverage join re-partitions the SAME token
+    stream on the SAME key, so the exchange is reused and raw text is
+    scanned once (the ``text_rare_bigram_score`` pattern, plan-audited
+    there). Per-doc rollup is a second bounded aggregate."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "
+            )
+        ).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 5)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    oov = F.col("_in_vocab").isNull().cast("long")
+    return (
+        toks.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            F.floor(F.sum(oov) * 1_000_000 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("oov_pm"),
+        )
+    )
+
+
+@_register(
+    "q_bucketed_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(20,2))) AS DECIMAL(38,2))
+             AS total_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join via Spark bucketed tables: both
+    sides are written ``bucketBy(8, custkey)`` (one file per bucket via
+    a pre-write repartition on the SAME hash Spark's bucketing uses),
+    so the sort-merge join reads matching buckets directly — ZERO
+    exchanges on either join side (plan-pinned; the only exchange in
+    the query is the final small groupBy). At 100 TB this is THE lever
+    for repeated fact-dim joins: the shuffle is paid once at write
+    time and amortized over every subsequent join on the key.
+
+    Scratch bucketed tables are session-cached per sf_dir (inputs are
+    immutable), so steady-state timing measures the join, not the
+    one-time bucketed write."""
+    import re
+
+    tag = re.sub(r"[^0-9a-zA-Z]+", "_", sf_dir).strip("_")
+    specs = {
+        "orders": ("o_custkey", ["o_custkey", "o_totalprice"]),
+        "customer": ("c_custkey", ["c_custkey", "c_mktsegment"]),
+    }
+    names = {}
+    for t, (key, cols) in specs.items():
+        name = f"bucketed_{t}_{tag}"
+        if not spark.catalog.tableExists(name):
+            path = _session_scratch_dir(f"bucketed_{t}_")
+            (
+                load_table(spark, t, sf_dir)
+                .select(*cols)
+                .repartition(8, F.col(key))  # 1 file/bucket: sort usable
+                .write.bucketBy(8, key)
+                .sortBy(key)
+                .option("path", path)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        names[t] = name
+    o = spark.table(names["orders"])
+    c = spark.table(names["customer"])
+    joined = o.join(
+        c.hint("merge"),  # pin SMJ: a broadcast would hide the point
+        o["o_custkey"] == c["c_custkey"],
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(_DEC))
+        .cast("decimal(38,2)")
+        .alias("total_price"),
+    )
+
+
+@_register(
     "q_grouping_sets_lineitem",
     """
     SELECT l_returnflag, l_linestatus, l_linenumber,

@@ -236,6 +236,18 @@ def test_dedup_corpus_stats_conserves_survivors(spark, sf_dir):
         assert 0 < r.n_kept <= r.n_docs
 
 
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    """The whole point of bucketed tables: the sort-merge join reads
+    co-located buckets with ZERO exchanges on either join side — the
+    only exchange in the plan is the final small groupBy. The scan
+    must show bucket selection."""
+    df = SPARK_QUERIES["q_bucketed_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Bucketed: true" in plan, plan
+
+
 def test_minute_spikes_flags_handmade_burst(spark, tmp_path):
     """A flat 10-events/minute series with one 100-event minute must
     flag exactly that minute; a uniform series flags nothing."""

@@ -5686,38 +5686,52 @@ def q_dedup_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     this estimate lets through.
 
     Scale shape: the estimate touches ONLY signatures (4 x 8-byte
-    slots/doc), never text — two equi-joins of the pair list back to
-    the signature table, shuffling ids and slots. Reference parity:
+    slots/doc), never text — and the slots ride THROUGH the band
+    self-join (the hub-guard window passes carried columns untouched),
+    so agreement is computed inside the join itself: one signature
+    scan (exchange-reused across both join sides), zero join-backs.
+    Joining the pair list back to the signature table instead measured
+    3 signature scans and two extra id shuffles. Reference parity:
     the reference has no near-dup machinery at all (cdc_stream.py is
     CDC-only); this extends SURVEY §2's pipeline surface."""
     from changedatacapture_spark.operators.dedup import (
-        lsh_candidate_pairs,
+        _capped_banded,
         minhash_signatures,
     )
 
     docs = load_table(spark, "documents", sf_dir)
     sigs = minhash_signatures(docs, n_hashes=4, k=5)
-    pairs = lsh_candidate_pairs(sigs, n_hashes=4, bands=2, max_bucket_size=_LSH_CAP)
-    sa = sigs.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(4)],
+    # band hashes exactly as lsh_candidate_pairs(n_hashes=4, bands=2)
+    b0 = F.md5(F.concat_ws("|", F.col("mh0"), F.col("mh1")))
+    b1 = F.md5(F.concat_ws("|", F.col("mh2"), F.col("mh3")))
+    exploded = sigs.select(
+        "doc_id",
+        "mh0",
+        "mh1",
+        "mh2",
+        "mh3",
+        F.posexplode(F.array(b0, b1)).alias("band_idx", "band_hash"),
     )
-    sb = sigs.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(4)],
-    )
+    banded = _capped_banded(exploded, "band_hash", _LSH_CAP)
+    a = banded.alias("a")
+    b = banded.alias("b")
     agree = sum(
-        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("long") for i in range(4)
+        (F.col(f"a.mh{i}") == F.col(f"b.mh{i}")).cast("long") for i in range(4)
     )
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
-            "doc_a",
-            "doc_b",
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
             agree.alias("n_agree"),
             (agree * 25).alias("est_jaccard_pct"),
         )
+        .distinct()
     )
 
 

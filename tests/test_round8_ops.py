@@ -104,6 +104,19 @@ def test_minhash_est_jaccard_identical_and_disjoint_docs(spark):
         assert 2 <= n <= 4  # a shared band pins its 2 slots
 
 
+def test_est_jaccard_single_signature_scan_via_reuse(spark, sf_dir):
+    """The slots ride through the band self-join: after execution the
+    adaptive plan must show a ReusedExchange (both join sides served
+    by ONE signature scan) — a join-back to the signature table would
+    show three document scans."""
+    df = SPARK_QUERIES["dedup_minhash_est_jaccard"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+    assert final.count("FileScan parquet") == 1, final
+
+
 def test_skew_profile_share_and_skew_are_consistent(spark, sf_dir):
     """Top-20 rows are count-descending; share_ppm and skew_x1000 obey
     their integer definitions against independently computed totals."""

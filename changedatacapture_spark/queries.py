@@ -2672,6 +2672,63 @@ def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "emb_quantize_int8",
+    """
+    WITH scaled AS (
+      SELECT vec_id, embedding,
+             nullif(list_max(list_transform(embedding,
+                                            x -> abs(CAST(x AS DOUBLE)))), 0)
+               AS maxabs
+      FROM embeddings)
+    SELECT vec_id, i - 1 AS dim_idx,
+           CAST(round(CAST(embedding[i] AS DOUBLE) * 127 / maxabs)
+                AS BIGINT) AS q
+    FROM scaled, UNNEST(generate_series(1, len(embedding))) g(i)
+    """,
+)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings (max-abs scaling, the
+    vector-index compression standard): each component maps to
+    round(x * 127 / max|x|) in [-127, 127] — 4x smaller vectors for
+    ANN candidate scoring, with the full-precision column kept for
+    re-ranking. All-zero vectors quantize to NULL via the nullif
+    guard rather than dividing by zero.
+
+    Cross-engine exactness: float32 components cast to double before
+    any arithmetic; max of absolutes is order-insensitive; both
+    engines round half away from zero on doubles — so the codes are
+    bit-identical, no float tolerance needed. One map-only projection
+    + explode, no shuffle at all (the ideal 100 TB shape: linear scan,
+    output partitioned exactly like the input)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    maxabs = F.nullif(
+        F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ),
+        F.lit(0.0),
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "embedding",
+            maxabs.alias("maxabs"),
+        )
+        .select(
+            "vec_id",
+            F.posexplode("embedding").alias("dim_idx", "x"),
+            "maxabs",
+        )
+        .select(
+            "vec_id",
+            "dim_idx",
+            F.round(F.col("x").cast("double") * 127 / F.col("maxabs"))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+
+
+@_register(
     "text_vocab_coverage",
     """
     WITH toks AS (

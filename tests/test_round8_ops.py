@@ -261,6 +261,23 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert "Bucketed: true" in plan, plan
 
 
+def test_int8_quantization_laws(spark, sf_dir):
+    """Codes bound to [-127, 127]; every vector's largest-magnitude
+    component maps to exactly +/-127; signs preserved."""
+    out = SPARK_QUERIES["emb_quantize_int8"](spark, sf_dir)
+    lo, hi = out.agg(F.min("q"), F.max("q")).first()
+    assert -127 <= lo and hi <= 127
+    per_vec = out.groupBy("vec_id").agg(
+        F.max(F.abs(F.col("q"))).alias("mx")
+    )
+    assert per_vec.filter(F.col("mx") != 127).count() == 0
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.posexplode("embedding").alias("dim_idx", "x")
+    )
+    joined = out.join(emb, ["vec_id", "dim_idx"])
+    assert joined.filter(F.signum("q") * F.signum("x") < 0).count() == 0
+
+
 def test_minute_spikes_flags_handmade_burst(spark, tmp_path):
     """A flat 10-events/minute series with one 100-event minute must
     flag exactly that minute; a uniform series flags nothing."""

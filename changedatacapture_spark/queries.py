@@ -5993,6 +5993,10 @@ _DEMOTED = [
     "media_stats",  # multimodal surface kept by media_features (Arrow path)
     "events_sessionize",  # sessionization kept by events_stateful_sessions
     "dedup_groups",  # connectivity kept by dedup_survivors (pairs→groups→keep)
+    # round-8 window rebalance — same rule:
+    "q_anti_semi_join",  # semi/anti shape kept by the merge path (J2) + oracle log
+    "dedup_ngram_jaccard",  # exact-verify family kept by dedup_survivors chain
+    "knn_ivf_topk",  # ANN family keeps knn_brute_topk; IVF stays in bench+log
 ]
 
 _PROMOTED = [
@@ -6021,6 +6025,9 @@ _PROMOTED = [
     "kmv_distinct_users",  # deterministic KMV distinct sketch (round 7)
     "text_quality_gate",  # histogram-threshold percentile cut (round 8)
     "events_minute_spikes",  # trailing-window anomaly detection (round 8)
+    "cdc_time_travel",  # versioned read at a past commit (round 8)
+    "q_bucketed_join",  # shuffle-free co-located bucketed join (round 8)
+    "emb_dedup_groups",  # embedding near-dup closure capstone (round 8)
 ]
 
 DRIVER_WINDOW = 50

@@ -2754,11 +2754,14 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a vocab (high OOV = gibberish, OCR noise, or a language the
     vocab misses).
 
-    Scale shape: the vocab is one map-side-combinable aggregate over
-    the token stream; the coverage join re-partitions the SAME token
-    stream on the SAME key, so the exchange is reused and raw text is
-    scanned once (the ``text_rare_bigram_score`` pattern, plan-audited
-    there). Per-doc rollup is a second bounded aggregate."""
+    Scale shape: raw text is tokenized ONCE into per-(doc, token)
+    counts — the vocab aggregate and the coverage join then both
+    consume that SAME frame repartitioned on token, so the exchanges
+    are identical and Spark computes the tokenization a single time
+    (runtime ReusedExchange, plan-pinned). Joining the raw token
+    stream against a separately-aggregated vocab instead re-scans and
+    re-tokenizes the corpus per side — at 100 TB the tokenizing scan
+    IS the cost. All later shuffles carry aggregated rows only."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
@@ -2768,20 +2771,25 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     )
+    tok_counts = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     vocab = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        tok_counts.groupBy("token")
+        .agg(F.sum("cnt").alias("_n"))
         .filter(F.col("_n") >= 5)
         .select("token", F.lit(1).alias("_in_vocab"))
     )
-    oov = F.col("_in_vocab").isNull().cast("long")
+    oov_cnt = F.when(F.col("_in_vocab").isNull(), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
     return (
-        toks.join(vocab, "token", "left")
+        tok_counts.join(vocab, "token", "left")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(oov).alias("n_oov"),
-            F.floor(F.sum(oov) * 1_000_000 / F.count(F.lit(1)))
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(oov_cnt).alias("n_oov"),
+            F.floor(F.sum(oov_cnt) * 1_000_000 / F.sum("cnt"))
             .cast("long")
             .alias("oov_pm"),
         )
@@ -5600,10 +5608,14 @@ def q_text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-quality gate (CCNet trains KenLM for the same signal); the
     cross-engine-safe version keeps counts, not log-probs.
 
-    Scale shape: bigrams come from the zero-join in-array transform;
-    the corpus LM is one map-side-combinable aggregate; the score join
-    re-partitions both sides on the SAME (w1, w2) key — exchange
-    reuse, no second scan of the raw text."""
+    Scale shape: bigrams come from the zero-join in-array transform
+    and are immediately aggregated to per-(doc, w1, w2) counts — the
+    corpus LM and the score join then both consume that SAME frame
+    repartitioned on (w1, w2), so the exchanges are identical and the
+    tokenizing scan runs ONCE (runtime ReusedExchange). Joining the
+    raw bigram stream against a separately-aggregated corpus table
+    instead re-scanned and re-tokenized the corpus per side — at
+    100 TB the tokenizing scan IS the cost."""
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(
         "doc_id",
@@ -5624,15 +5636,18 @@ def q_text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "bg.w1", "bg.w2")
     )
-    corpus = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    rare = (F.col("c") <= 2).cast("long")
+    doc_counts = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    corpus = doc_counts.groupBy("w1", "w2").agg(F.sum("cnt").alias("c"))
+    rare_cnt = F.when(F.col("c") <= 2, F.col("cnt")).otherwise(F.lit(0))
     return (
-        big.join(corpus, ["w1", "w2"])
+        doc_counts.join(corpus, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(rare).alias("n_rare"),
-            F.floor(F.sum(rare) * 1_000_000 / F.count(F.lit(1)))
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(rare_cnt).alias("n_rare"),
+            F.floor(F.sum(rare_cnt) * 1_000_000 / F.sum("cnt"))
             .cast("long")
             .alias("rare_pm"),
         )

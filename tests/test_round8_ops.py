@@ -117,6 +117,23 @@ def test_est_jaccard_single_signature_scan_via_reuse(spark, sf_dir):
     assert final.count("FileScan parquet") == 1, final
 
 
+def test_single_tokenizing_scan_via_reuse(spark, sf_dir):
+    """Corpus-statistic queries that join a stream against its own
+    aggregate must tokenize ONCE: per-(doc, gram) counts feed both the
+    corpus aggregate and the score join on the same key, so the final
+    adaptive plan shows one FileScan + a ReusedExchange. A second scan
+    here doubles the dominant cost at 100 TB."""
+    for name in ("text_vocab_coverage", "text_rare_bigram_score"):
+        df = SPARK_QUERIES[name](spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert final.count("FileScan parquet") == 1, (name, final)
+        assert "ReusedExchange" in final, (name, final)
+
+
 def test_skew_profile_share_and_skew_are_consistent(spark, sf_dir):
     """Top-20 rows are count-descending; share_ppm and skew_x1000 obey
     their integer definitions against independently computed totals."""

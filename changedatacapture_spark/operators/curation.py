@@ -280,25 +280,29 @@ def curation_funnel(
     ``3_dedup`` so the funnel reads top-down when sorted). Integer
     arithmetic only (``n_alpha * 1000 >= min_alpha_pm * n_chars``)
     keeps the predicate exact in any engine.
+
+    ONE scan, one aggregate: every stage is a conditional count over
+    the same pass (cumulative predicates; the dedup stage is a
+    ``count_distinct`` of surviving texts, which ignores the NULLs the
+    ``when`` leaves for filtered docs). The union-of-four-counts form
+    scanned the corpus once per stage — 4x the dominant cost.
     """
     t = F.col(text_col)
-    base = docs.select("doc_id", t.alias("_t"))
-    n_chars = F.length("_t")
-    n_alpha = F.length(F.regexp_replace(F.col("_t"), "[^A-Za-z]", ""))
-    s1 = base.filter(n_chars >= min_chars)
-    s2 = s1.filter(n_alpha * 1000 >= min_alpha_pm * n_chars)
-    s3 = s2.groupBy("_t").agg(F.min("doc_id"))
-
-    def count_row(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    p1 = n_chars >= min_chars
+    p2 = p1 & (n_alpha * 1000 >= min_alpha_pm * n_chars)
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(p1.cast("long")).alias("n1"),
+        F.sum(p2.cast("long")).alias("n2"),
+        F.count_distinct(F.when(p2, t)).alias("n3"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', n0, '1_minlen', n1,"
+            " '2_alpha', n2, '3_dedup', n3) AS (stage, n_docs)"
         )
-
-    return (
-        count_row(base, "0_total")
-        .unionByName(count_row(s1, "1_minlen"))
-        .unionByName(count_row(s2, "2_alpha"))
-        .unionByName(count_row(s3, "3_dedup"))
     )
 
 

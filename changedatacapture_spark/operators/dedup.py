@@ -313,9 +313,27 @@ def ngram_jaccard(
     intersection size: |A∩B| / (|A| + |B| − |A∩B|). All counting is
     integer-exact; the returned ``jaccard_pct`` is an integer
     percentage (floor), keeping cross-engine results bit-identical.
+
+    Scale shape: the exact verify only ever touches CANDIDATE docs —
+    the pair list's doc ids prune the corpus before any shingle is
+    computed, and the pruned shingle set is materialized ONCE
+    (``localCheckpoint``) because it feeds three consumers on three
+    different join keys (sizes, a-side, b-side) that no exchange reuse
+    can unify. The unpruned/unmaterialized form re-scanned and
+    re-shingled the whole corpus SEVEN times per query.
     """
-    ex = docs.select(
-        "doc_id", F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh")
+    cand = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ex = (
+        docs.join(cand, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
     sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ex_a = ex.select(F.col("doc_id").alias("doc_a"), "sh")

@@ -353,17 +353,23 @@ def boilerplate_ratio(
     in ≥ ``min_docs`` distinct documents; each document reports how
     much of it is made of such grams.
 
-    Plan: one explode of per-doc distinct gram keys, one groupBy(gram)
-    document-frequency count, one equi-join back (exchange reuse: both
-    sides are partitioned by the gram key), one per-doc aggregate.
-    Gram text never shuffles — only 16-hex keys.
+    Plan: one explode of per-doc distinct gram keys, the per-gram
+    document frequency as a WINDOW count over the gram key (the
+    aggregate-then-join-back form computed the gram keys twice:
+    column pruning made the frequency branch's exchange child differ
+    from the join side's, so nothing reused), one per-doc aggregate.
+    Gram text never shuffles — only 16-hex keys, exactly one gram
+    exchange in the whole plan.
 
     Output: ``doc_id, n_grams, n_boiler, boiler_pm`` (scaled-ppm
     integer ratio; docs shorter than ``n`` tokens emit no row).
     """
+    from pyspark.sql.window import Window
+
     grams = _staged_gram_keys(docs, text_col, n, id_col)
-    docfreq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("g_docs"))
-    flagged = grams.join(docfreq, "g")
+    flagged = grams.withColumn(
+        "g_docs", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
     is_b = (F.col("g_docs") >= min_docs).cast("long")
     return flagged.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams"),
@@ -423,16 +429,25 @@ def tfidf_top_terms(
     and bit-identical across engines; ranking order matches log-idf
     for fixed tf since ``N/df`` is monotone in ``1/df``.
 
-    Plan: one explode → (doc, term) count, one term document-frequency
-    aggregate off the same shuffle key, a broadcast single-row corpus
-    count, and a per-doc window top-k. Term strings shuffle once.
+    Plan: one explode → (doc, term) count, materialized ONCE
+    (``localCheckpoint``): the document-frequency aggregate and the
+    score join consume it with different column sets, so column
+    pruning makes their exchange children non-identical and no
+    exchange reuse is possible — without the checkpoint the
+    tokenizing scan (the dominant cost on a text corpus) ran once per
+    consumer. Then a broadcast single-row corpus count and a per-doc
+    window top-k. Term strings shuffle once.
     """
     from pyspark.sql.window import Window
 
     term_rows = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("term")
     )
-    tf = term_rows.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        term_rows.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -526,16 +541,24 @@ def winnow_overlap_pairs(
     ``max_docs_per_fp²``). Discriminative overlaps — the ones worth
     reviewing — live in rare fingerprints by definition.
 
-    Plan: fingerprint explode → fp frequency aggregate → equi-join
-    back (exchange reuse on fp) → capped self-join → pair aggregate.
+    Plan: fingerprint explode → fp-bucket size as a window count over
+    the SAME fp key the self-join shuffles on (zero extra exchanges,
+    one fingerprint scan serving both join sides via runtime exchange
+    reuse — the aggregate-then-join-back form computed the fingerprint
+    scan twice because column pruning made the two branches'
+    exchanges non-identical) → capped self-join → pair aggregate.
     Output: ``doc_a, doc_b, shared_fps``.
     """
+    from pyspark.sql.window import Window
+
     fps = winnow_fingerprints(docs, text_col, k, w, id_col)
-    freq = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("n_docs_fp"))
-    rare = freq.filter(
-        (F.col("n_docs_fp") >= 2) & (F.col("n_docs_fp") <= max_docs_per_fp)
-    ).select("fp")
-    rare_fps = fps.join(rare, "fp")
+    wspec = Window.partitionBy("fp")
+    rare_fps = (
+        fps.withColumn("_n", F.count(F.lit(1)).over(wspec))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_fp))
+        .drop("_n")
+        .hint("merge")
+    )
     a = rare_fps.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
     b = rare_fps.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
     return (

@@ -247,34 +247,35 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     wordcount-shaped shuffle with map-side partial aggregation, the
     cheapest distributed shape for per-gram modes (a per-row array
     sort+fold would keep whole documents in one expression buffer).
-    The two gram families aggregate independently and join back on
-    doc_id.
+    Both gram families ride ONE kind-tagged explode, so the corpus is
+    tokenized once and the per-doc modes come from conditional
+    aggregation — the two-independent-aggregates-joined-on-doc_id
+    form tokenized the corpus twice (column pruning blocks exchange
+    reuse between branches with different column sets).
     """
     toks = tokens(F.col(text_col))
     base = docs.select("doc_id", toks.alias("_t"))
-    bigrams = F.expr(
-        "transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
-        " (x, i) -> concat(x, ' ', element_at(_t, i + 2)))"
+    combined = F.expr(
+        "concat("
+        " transform(_t, x -> struct('t' AS kind, x AS g)),"
+        " transform(slice(_t, 1, greatest(size(_t) - 1, 0)),"
+        "  (x, i) -> struct('b' AS kind,"
+        "                   concat(x, ' ', element_at(_t, i + 2)) AS g)))"
     )
-    tok_agg = (
-        base.select("doc_id", F.explode("_t").alias("g"))
-        .groupBy("doc_id", "g")
+    counts = (
+        base.select("doc_id", F.explode(combined).alias("kg"))
+        .select("doc_id", F.col("kg.kind").alias("kind"), F.col("kg.g").alias("g"))
+        .groupBy("doc_id", "kind", "g")
         .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            F.max("c").alias("_max_tok"),
-            F.sum("c").cast("long").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_distinct"),
-        )
     )
-    bg_agg = (
-        base.select("doc_id", F.explode(bigrams).alias("g"))
-        .groupBy("doc_id", "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.max("c").alias("_max_bg"))
+    istok = F.col("kind") == "t"
+    per = counts.groupBy("doc_id").agg(
+        F.max(F.when(istok, F.col("c"))).alias("_max_tok"),
+        F.sum(F.when(istok, F.col("c"))).cast("long").alias("n_tokens"),
+        F.count(F.when(istok, F.lit(1))).alias("n_distinct"),
+        F.max(F.when(~istok, F.col("c"))).alias("_max_bg"),
     )
-    joined = tok_agg.join(bg_agg, "doc_id", "left").select(
+    joined = per.select(
         "doc_id",
         "n_tokens",
         "n_distinct",

@@ -2672,6 +2672,79 @@ def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "emb_label_centroids",
+    """
+    SELECT label, g.i - 1 AS dim_idx,
+           CAST(sum(CAST(floor(CAST(embedding[g.i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_scaled,
+           count(*) AS n_vecs
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) g(i)
+    GROUP BY label, g.i - 1
+    """,
+)
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid accumulators for a labeled embedding set:
+    component sums (scaled to exact integers BEFORE summation, so the
+    result is order-insensitive and bit-identical across engines —
+    float sums under parallel aggregation are neither) plus member
+    counts; centroid = sum_scaled / (n_vecs * 1e6) downstream. The
+    classifier-dataset profiling primitive behind class-balance and
+    cluster-drift checks.
+
+    Scale shape: one explode + one map-side-combinable aggregate into
+    labels x dims rows — the accumulator form is mergeable across any
+    partitioning, which is the property float averaging lacks."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim_idx", "x"))
+        .groupBy("label", "dim_idx")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1_000_000).cast("long")
+            ).alias("sum_scaled"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )
+
+
+@_register(
+    "events_props_typed_agg",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_props_typed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON property aggregation: parse the ``props`` payload
+    ONCE with ``from_json`` against an explicit schema and aggregate
+    the typed field — the analytics application of the engine's P2/P3
+    parse rule (one typed parse, never repeated ``get_json_object``
+    scans; reference contrast: cdc_stream.py:748-761 ran four
+    string-path extractions per row). Integer sums keep the result
+    engine-exact."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, "events", sf_dir)
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json("props", schema)["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@_register(
     "emb_quantize_int8",
     """
     WITH scaled AS (

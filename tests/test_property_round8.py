@@ -132,6 +132,61 @@ def test_quality_gate_threshold_law_on_random_scores(spark, corpus):
     assert kept == want
 
 
+_LOG = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # key
+        st.sampled_from(["u", "u", "d"]),  # op (deletes less common)
+        st.integers(min_value=-99, max_value=99),  # value
+    ),
+    min_size=1,
+    max_size=18,
+)
+
+
+@given(log=_LOG)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_time_travel_every_version_matches_prefix_fold(spark, tmp_path_factory, log):
+    """Reading AT each committed version must equal a Python fold of
+    the batch prefix up to that version — for ANY interleaving of
+    upserts and deletes split into 3 arbitrary batches."""
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    tmp = tmp_path_factory.mktemp("tt_prop")
+    t = SnapshotTable(
+        spark, str(tmp / "t"), ["k"], n_buckets=2, retain_history=4
+    )
+    third = max(len(log) // 3, 1)
+    batches = [log[:third], log[third : 2 * third], log[2 * third :]]
+    batches = [b for b in batches if b]
+    state: dict[int, int] = {}
+    expected = []
+    for bid, batch in enumerate(batches):
+        # batch-compact: last op per key within the batch wins
+        last = {}
+        for k, op, v in batch:
+            last[k] = (op, v)
+        df = spark.createDataFrame(
+            [(k, op, v) for k, (op, v) in last.items()],
+            "k long, op string, value long",
+        )
+        t.merge(df, batch_id=bid)
+        for k, (op, v) in last.items():
+            if op == "d":
+                state.pop(k, None)
+            else:
+                state[k] = v
+        expected.append(dict(state))
+    hist = t.history()
+    assert len(hist) == len(batches)
+    for entry, want in zip(hist, expected):
+        got = {
+            r.k: r.value
+            for r in t.read(at_version=entry["version"]).collect()
+        }
+        assert got == want, (entry["version"], got, want)
+
+
 _VALUES = st.lists(
     st.integers(min_value=0, max_value=40), min_size=1, max_size=50
 )

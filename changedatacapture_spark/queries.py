@@ -1299,16 +1299,22 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, score_scaled FROM scored WHERE score_scaled >= 250000
     """.format(
-        bucket=_lsh_bucket_sql("embedding", n_planes=4, dim=64),
+        bucket=_lsh_bucket_sql("embedding", n_planes=6, dim=64),
         cos=_cos_pair_sql("a.embedding", "b.embedding"),
     ),
 )
 def q_emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within LSH buckets."""
+    """Embedding-cosine near-duplicate pairs within LSH buckets
+    (6 hyperplanes = 64 buckets: the in-bucket cosine self-join scales
+    as n²/buckets, and 4 planes measured 50 s at 10x data vs 11 s with
+    6 — planes must grow as log2(corpus / target_bucket_size); see
+    ``emb_dedup_groups`` for the same note on the closure query)."""
     from changedatacapture_spark.operators.similarity import embedding_neardup_pairs
 
     return embedding_neardup_pairs(
-        load_table(spark, "embeddings", sf_dir), threshold_scaled=250_000
+        load_table(spark, "embeddings", sf_dir),
+        threshold_scaled=250_000,
+        n_planes=6,
     )
 
 

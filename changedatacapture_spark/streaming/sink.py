@@ -47,6 +47,11 @@ except Exception:  # noqa: BLE001
 _POINTER = "_LATEST"
 _LOG = "_LOG"
 
+#: last ``read_where`` pruning outcome (buckets/files kept vs total) —
+#: process-wide observability hook for bench/driver reporting; at scale
+#: the pruning ratio, not the wall time, is the number that matters
+LAST_SCAN_REPORT: dict | None = None
+
 #: zone-map width cap: per-bucket min/max is kept for the first this-many
 #: eligible scalar columns (Delta's dataSkippingNumIndexedCols analogue) —
 #: manifest size stays O(n_buckets * cap), independent of schema width
@@ -209,6 +214,7 @@ class SnapshotTable:
         broadcast_key_limit: int = 1_000_000,
         collect_stats: bool = True,
         stats_on_merge: bool = False,
+        max_records_per_file: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
@@ -237,6 +243,14 @@ class SnapshotTable:
         #: ~0.7 s per 10k-event micro-batch (~33% apply throughput), so
         #: reserve it for merge-rarely/scan-often tables.
         self.stats_on_merge = stats_on_merge
+        #: parquet file-split ceiling (``maxRecordsPerFile``): with
+        #: ``cluster_cols``, each write task streams its bucket SORTED,
+        #: so capping records per file makes every file cover a
+        #: contiguous cluster-key range — and the per-file zone maps
+        #: (``fstats`` in the pointer) then prune WITHIN a hot bucket.
+        #: None = one file per bucket per version (file-level pruning
+        #: degenerates to bucket-level; still exact).
+        self.max_records_per_file = max_records_per_file
         #: SQL expressions (usually column names; see
         #: ``operators/layout.py:zorder16`` for multi-column locality)
         #: that every bucket write sorts by. Sorted files give parquet
@@ -336,19 +350,25 @@ class SnapshotTable:
         # paths) or none (merge hot path with stats_on_merge=False —
         # absent stats never prune, so reads stay exact either way)
         prev_stats = {} if prev is None else (prev.get("stats") or {})
+        prev_fstats = {} if prev is None else (prev.get("fstats") or {})
         stats = {
             str(b): prev_stats[str(b)]
             for b, v in buckets.items()
             if v != version and str(b) in prev_stats
         }
+        fstats = {
+            str(b): prev_fstats[str(b)]
+            for b, v in buckets.items()
+            if v != version and str(b) in prev_fstats
+        }
         if fresh_stats:
-            stats.update(
-                self._collect_stats(
-                    version,
-                    [b for b, v in buckets.items() if v == version],
-                    schema_ddl,
-                )
+            new_stats, new_fstats = self._collect_stats(
+                version,
+                [b for b, v in buckets.items() if v == version],
+                schema_ddl,
             )
+            stats.update(new_stats)
+            fstats.update(new_fstats)
         entry = {
             "version": version,
             "batch_id": batch_id,
@@ -358,6 +378,7 @@ class SnapshotTable:
             "n_buckets": self.n_buckets,
             "cluster_cols": self.cluster_cols,
             "stats": stats,
+            "fstats": fstats,
         }
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
@@ -626,40 +647,68 @@ class SnapshotTable:
 
     def _collect_stats(
         self, version: int, written: list[int], schema_ddl: str
-    ) -> dict[str, dict]:
-        """Per-bucket min/max for the buckets written at ``version``.
+    ) -> tuple[dict[str, dict], dict[str, dict]]:
+        """``(bucket_stats, file_stats)`` for the buckets written at
+        ``version``.
 
-        One aggregation job over the just-written files — input bounded
-        by the batch (merges rewrite touched buckets only), output
-        bounded by ``n_buckets`` rows. The read-back (rather than
-        re-aggregating the input plan) guarantees the stats describe
-        exactly the bytes on disk."""
+        One aggregation job over the just-written files grouped by
+        ``input_file_name()`` — input bounded by the batch (merges
+        rewrite touched buckets only), output bounded by the number of
+        files written this version. Bucket bounds are merged
+        driver-side from the file bounds, so both levels come from the
+        SAME scan. The read-back (rather than re-aggregating the input
+        plan) guarantees the stats describe exactly the bytes on disk.
+
+        File-level stats are the within-bucket pruning layer: with
+        ``cluster_cols`` + ``max_records_per_file``, each file covers a
+        contiguous cluster-key range, so a selective predicate skips
+        most files of a surviving bucket — the step that matters when
+        one bucket is 1/n_buckets of 100 TB (Delta's per-file
+        ``stats`` in the transaction log; the reference always scans
+        whole tables, cdc_stream.py:664-689)."""
         from pyspark.sql.types import StructType
 
         if not self.collect_stats or not written:
-            return {}
+            return {}, {}
         schema = StructType.fromJson(json.loads(schema_ddl))
         cols = self._stats_cols(schema)
         if not cols:
-            return {}
+            return {}, {}
+        # bucket id from the physical path, not re-hashed keys: the
+        # stat must describe the directory the file actually sits in
         df = (
             self.spark.read.schema(schema)
             .parquet(*[f"{self.path}/v={version}/bucket={b}" for b in written])
-            .withColumn("bucket", self._bucket_col())
+            .withColumn(
+                "_file", F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1)
+            )
+            .withColumn(
+                "_bucket",
+                F.regexp_extract(
+                    F.input_file_name(), r"bucket=(\d+)", 1
+                ).cast("int"),
+            )
         )
         aggs = []
         for name, kind in cols:
             e = self._stat_expr(name, kind)
             aggs.append(F.min(e).alias(f"mn__{name}"))
             aggs.append(F.max(e).alias(f"mx__{name}"))
-        out: dict[str, dict] = {}
-        # bounded driver action: ≤ n_buckets rows of 2*|cols| scalars
-        for r in df.groupBy("bucket").agg(*aggs).collect():
-            d = {}
+            # non-null count disambiguates "file has no values for this
+            # column" (contributes nothing to the bucket bound) from
+            # "file has values but the bound was dropped" (unbounded)
+            aggs.append(F.count(F.col(name)).alias(f"ct__{name}"))
+        fstats: dict[str, dict] = {}
+        merged: dict[int, dict] = {}
+        # bounded driver action: ≤ files-written-this-version rows of
+        # 3*|cols| scalars
+        for r in df.groupBy("_bucket", "_file").agg(*aggs).collect():
+            b, fname = int(r["_bucket"]), r["_file"]
+            d: dict = {}
             for name, kind in cols:
+                if r[f"ct__{name}"] == 0:
+                    continue  # all-null in this file: no rows can match
                 mn, mx = r[f"mn__{name}"], r[f"mx__{name}"]
-                if mn is None and mx is None:
-                    continue
                 if kind == "str":
                     # truncated min stays a valid lower bound; a
                     # truncated max does not stay an upper bound → drop
@@ -672,11 +721,31 @@ class SnapshotTable:
                         mn = None
                     if mx is not None and mx != mx:
                         mx = None
-                    if mn is None and mx is None:
-                        continue
                 d[name] = [mn, mx]
-            out[str(r["bucket"])] = d
-        return out
+            fstats.setdefault(str(b), {})[fname] = d
+            acc = merged.setdefault(b, {})
+            for name, (fmn, fmx) in d.items():
+                if name not in acc:
+                    acc[name] = [fmn, fmx]
+                    continue
+                amn, amx = acc[name]
+                # a None file bound poisons the merged bound: one
+                # unbounded file makes the whole bucket unbounded
+                acc[name][0] = (
+                    None if (amn is None or fmn is None) else min(amn, fmn)
+                )
+                acc[name][1] = (
+                    None if (amx is None or fmx is None) else max(amx, fmx)
+                )
+        out = {
+            str(b): {
+                n: v
+                for n, v in acc.items()
+                if not (v[0] is None and v[1] is None)
+            }
+            for b, acc in merged.items()
+        }
+        return out, fstats
 
     def _prune_buckets(
         self, predicates: list[tuple]
@@ -750,13 +819,50 @@ class SnapshotTable:
         predicates are re-applied as real filters on the surviving
         buckets, so results are exact regardless of pruning. One
         pointer read governs pruning, manifest, schema, and guard —
-        never a second read that a concurrent commit could split."""
+        never a second read that a concurrent commit could split.
+
+        Within each surviving bucket, per-file zone maps (``fstats``)
+        prune again at file granularity — buckets committed without
+        file stats (older pointers, ``stats_on_merge=False`` merges)
+        fall back to the whole bucket directory. The file list comes
+        from the pointer, never a directory listing: the commit log IS
+        the authoritative file inventory (every non-empty file appears
+        in the commit-time read-back), so no object-store LIST on the
+        read path. Each call records module-level ``LAST_SCAN_REPORT``
+        (buckets/files kept vs total) — the pruning ratio IS the
+        result at 100 TB."""
         kept, every, ptr = self._prune_buckets(predicates)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(ptr["schema"]))
+        kinds = dict(self._stats_cols(schema))
         manifest = {int(b): v for b, v in ptr["buckets"].items()}
-        paths = [f"{self.path}/v={manifest[b]}/bucket={b}" for b in kept]
+        fstats_all = ptr.get("fstats") or {}
+        # buckets without file stats count as one opaque scan unit
+        files_total = sum(
+            len(fstats_all.get(str(b)) or {}) or 1 for b in every
+        )
+        paths: list[str] = []
+        files_kept = 0
+        for b in kept:
+            fmap = fstats_all.get(str(b))
+            if not fmap:
+                paths.append(f"{self.path}/v={manifest[b]}/bucket={b}")
+                files_kept += 1
+                continue
+            for fname, zone in sorted(fmap.items()):
+                if self._zone_may_match(zone, predicates, kinds):
+                    paths.append(
+                        f"{self.path}/v={manifest[b]}/bucket={b}/{fname}"
+                    )
+                    files_kept += 1
+        global LAST_SCAN_REPORT
+        LAST_SCAN_REPORT = {
+            "buckets_total": len(every),
+            "buckets_kept": len(kept),
+            "files_total": files_total,
+            "files_kept": files_kept,
+        }
         if not paths:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -836,11 +942,14 @@ class SnapshotTable:
             out = out.sortWithinPartitions(
                 F.col("bucket"), *[F.expr(c) for c in self.cluster_cols]
             )
-        (
-            out.write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(f"{self.path}/v={version}")
-        )
+        writer = out.write.mode("overwrite").partitionBy("bucket")
+        if self.max_records_per_file:
+            # split each sorted bucket into cluster-key-contiguous
+            # files so per-file zone maps have something to prune
+            writer = writer.option(
+                "maxRecordsPerFile", str(self.max_records_per_file)
+            )
+        writer.parquet(f"{self.path}/v={version}")
         return self._written_buckets(version)
 
     def _vacuum(self) -> None:

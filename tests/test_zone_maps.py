@@ -211,6 +211,106 @@ def test_timestamp_stat_value_is_exact_integer_micros():
     assert SnapshotTable._stat_value(naive, "ts") % 1_000_000 == 1
 
 
+def _build_clustered(spark, tmp_path, n_keys=400, n_buckets=2, mrpf=40):
+    """Table whose buckets each hold several files, cluster-sorted by
+    ``val`` — so every file covers a contiguous val range and per-file
+    zone maps can prune WITHIN a bucket."""
+    path = str(tmp_path / "fz")
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(n_keys)], "k long, val long"
+    )
+    t = SnapshotTable(
+        spark,
+        path,
+        ["k"],
+        n_buckets=n_buckets,
+        cluster_cols=["val"],
+        max_records_per_file=mrpf,
+    )
+    t.overwrite(df, batch_id=0)
+    return t
+
+
+def test_file_stats_written_per_file(spark, tmp_path):
+    t = _build_clustered(spark, tmp_path)
+    ptr = t._read_pointer()
+    fstats = ptr["fstats"]
+    assert set(fstats) == set(ptr["buckets"])
+    for b, fmap in fstats.items():
+        # 400 keys / 2 buckets / 40-record cap → ≥ 5 files per bucket
+        assert len(fmap) >= 5
+        for zone in fmap.values():
+            mn, mx = zone["val"]
+            assert mn is not None and mx is not None and mn <= mx
+        # cluster-sorted write: file ranges within a bucket are disjoint
+        ranges = sorted(z["val"] for z in fmap.values())
+        for (_, amx), (bmn, _) in zip(ranges, ranges[1:]):
+            assert amx < bmn
+
+
+def test_read_where_prunes_files_within_surviving_buckets(spark, tmp_path):
+    """The VERDICT-7 assertion: a selective predicate on the cluster key
+    keeps every bucket (val ranges span all buckets) but only the FILES
+    whose range intersects — file-count pruning, not just bucket-count."""
+    from changedatacapture_spark.streaming import sink as sink_mod
+
+    t = _build_clustered(spark, tmp_path)
+    pred = [("val", "between", 1000, 1200)]
+    kept_b, every_b, _ = t._prune_buckets(pred)
+    assert kept_b == every_b  # bucket level cannot help here
+    df = t.read_where(pred)
+    rep = sink_mod.LAST_SCAN_REPORT
+    assert rep["buckets_kept"] == rep["buckets_total"]
+    assert rep["files_kept"] < rep["files_total"]
+    assert len(df.inputFiles()) == rep["files_kept"]
+    got = sorted(r.k for r in df.collect())
+    assert got == [k for k in range(400) if 1000 <= k * 10 <= 1200]
+
+
+def test_file_pruning_all_files_of_a_bucket_prunable(spark, tmp_path):
+    t = _build_clustered(spark, tmp_path)
+    df = t.read_where([("val", ">", 10**9)])
+    assert df.count() == 0
+    assert df.schema == t.read().schema
+
+
+def test_merge_without_stats_falls_back_to_whole_bucket(spark, tmp_path):
+    """A hot-path merge drops the touched bucket's file stats with its
+    bucket stats; reads fall back to the whole bucket dir and stay
+    exact; untouched buckets keep file-level pruning."""
+    t = _build_clustered(spark, tmp_path)
+    key = 7
+    b = _bucket_map(spark, [key], t.n_buckets)[key]
+    t.merge(
+        spark.createDataFrame([(key, 999_999, "u")], "k long, val long, op string"),
+        batch_id=1,
+    )
+    ptr = t._read_pointer()
+    assert str(b) not in ptr["fstats"]  # dropped with the bucket stats
+    got = sorted(r.k for r in t.read_where([("val", ">=", 999_999)]).collect())
+    assert got == [key]
+    # untouched bucket still prunes at file level: its fstats survive
+    other = [x for x in ptr["fstats"] if x != str(b)]
+    assert other and all(len(ptr["fstats"][x]) >= 5 for x in other)
+
+
+def test_pointer_without_fstats_reads_whole_buckets(spark, tmp_path):
+    """Backward compat: a pointer from before file-level stats (no
+    ``fstats`` key) must read exactly as before."""
+    import json as _json
+
+    t = _build_clustered(spark, tmp_path)
+    p = t._pointer_path()
+    with open(p) as f:
+        ptr = _json.load(f)
+    ptr.pop("fstats")
+    with open(p, "w") as f:
+        _json.dump(ptr, f)
+    df = t.read_where([("val", "between", 1000, 1200)])
+    got = sorted(r.k for r in df.collect())
+    assert got == [k for k in range(400) if 1000 <= k * 10 <= 1200]
+
+
 def test_stats_disabled_keeps_everything_and_read_where_still_exact(
     spark, tmp_path
 ):

@@ -35,11 +35,70 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real codec hook — not available in this container."""
+def encode_bmp(raster: bytes, width: int, height: int) -> bytes:
+    """Real (minimal) 24-bit uncompressed BMP writer: 14-byte file
+    header + 40-byte BITMAPINFOHEADER, bottom-up rows, BGR pixels,
+    rows zero-padded to 4-byte multiples. Grayscale input: each raster
+    byte becomes an R=G=B pixel. Pure stdlib — no codec dependency."""
+    import struct
+
+    if len(raster) != width * height:
+        raise ValueError(f"raster length {len(raster)} != {width}x{height}")
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    img_size = (row_len + pad) * height
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # BMP stores rows bottom-up
+        for x in range(width):
+            v = raster[y * width + x]
+            body += bytes((v, v, v))
+        body += b"\x00" * pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Real (minimal) BMP decoder for the format ``encode_bmp`` writes
+    plus the common top-down (negative height) variant: validates the
+    magic/bpp/compression, honors the pixel-data offset from the file
+    header, strips row padding, converts BGR back to a top-down
+    grayscale raster. Returns ``(width, height, raster)``."""
+    import struct
+
+    magic, _fsize, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    _hsize, width, height, _planes, bpp, comp = struct.unpack_from(
+        "<IiiHHI", payload, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP variant: bpp={bpp} compression={comp}")
+    hgt = abs(height)
+    row_len = width * 3
+    pad = (4 - row_len % 4) % 4
+    out = bytearray(width * hgt)
+    for y in range(hgt):
+        src_row = (hgt - 1 - y) if height > 0 else y
+        base = offset + src_row * (row_len + pad)
+        for x in range(width):
+            b, g, r = payload[base + 3 * x : base + 3 * x + 3]
+            out[y * width + x] = (r + g + b) // 3
+    return width, hgt, bytes(out)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Codec dispatch over the payload's magic bytes. BMP decodes for
+    real (``decode_bmp``, pure stdlib); other formats need a codec
+    library not present in this container — the hook raises so callers
+    fall back to the deterministic fake, never silently mis-decode."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     raise NotImplementedError(
-        "image decoding requires a codec library (e.g. Pillow) not present "
-        "in this environment; wire it here when available"
+        "only BMP decodes without a codec library (e.g. Pillow); wire other "
+        "formats here when one is available"
     )
 
 
@@ -141,6 +200,70 @@ def sample_frames(
             )
 
     return media.select("media_id", payload_col).mapInPandas(batches, out_schema)
+
+
+#: width table for the synthetic BMP corpus: every divisor of 24 that
+#: yields a distinct row padding (6->pad2, 9->pad3, 12->pad0, 18->pad2,
+#: 24->pad0, 36->pad0) so the decoder's padding logic is exercised
+_BMP_WIDTHS = (2, 3, 4, 6, 8, 12)
+_BMP_PIXELS = 24
+
+
+def _bmp_raster(doc_id: int) -> bytes:
+    """Deterministic 24-pixel grayscale raster — pure arithmetic on
+    doc_id, so an ANSI-SQL oracle can state the decoded stats exactly."""
+    return bytes((doc_id * 37 + i * 101) % 256 for i in range(_BMP_PIXELS))
+
+
+def bmp_decode_stats(docs: DataFrame) -> DataFrame:
+    """REAL end-to-end image decode through Arrow batches: per document,
+    build a deterministic grayscale raster, wrap it in a genuine 24-bit
+    BMP (``encode_bmp`` — headers, bottom-up rows, row padding), then
+    decode it back via the ``decode_image`` dispatch and aggregate
+    pixel statistics per image.
+
+    Unlike ``extract_features`` (whose codec step is a fake), this path
+    round-trips actual image bytes: a decoder bug (padding, row order,
+    offset) breaks the oracle hash. Both encode and decode run inside
+    ONE ``mapInPandas`` pass, so payloads never shuffle — the plan is a
+    map-only projection, embarrassingly parallel at any scale.
+
+    Output: ``doc_id, width, height, n_px, sum_px, min_px, max_px,
+    mean_px``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_px", T.IntegerType(), False),
+            T.StructField("sum_px", T.LongType(), False),
+            T.StructField("min_px", T.IntegerType(), False),
+            T.StructField("max_px", T.IntegerType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = _BMP_WIDTHS[did % len(_BMP_WIDTHS)]
+                h = _BMP_PIXELS // w
+                payload = encode_bmp(_bmp_raster(did), w, h)
+                dw, dh, px = decode_image(payload)
+                rows["doc_id"].append(did)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_px"].append(len(px))
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["mean_px"].append(sum(px) / float(len(px)))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

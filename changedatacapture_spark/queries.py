@@ -4146,6 +4146,44 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(documents_as_media(docs), frame_bytes=16, stride=4)
 
 
+@_register(
+    "media_decode_bmp",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4
+               WHEN 3 THEN 6 WHEN 4 THEN 8 ELSE 12 END AS w
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, (d.doc_id * 37 + g.i * 101) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 23) AS g(i))
+    SELECT p.doc_id,
+           CAST(m.w AS INT) AS width,
+           CAST(24 / m.w AS INT) AS height,
+           CAST(count(*) AS INT) AS n_px,
+           CAST(sum(p.v) AS BIGINT) AS sum_px,
+           CAST(min(p.v) AS INT) AS min_px,
+           CAST(max(p.v) AS INT) AS max_px,
+           CAST(sum(p.v) AS DOUBLE) / 24 AS mean_px
+    FROM px p JOIN dims m USING (doc_id)
+    GROUP BY p.doc_id, m.w
+    """,
+)
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine image decode end-to-end: each document gets a
+    deterministic grayscale raster wrapped in a REAL 24-bit BMP
+    (headers, bottom-up rows, per-width row padding), decoded back
+    through the ``decode_image`` codec dispatch inside one Arrow
+    ``mapInPandas`` pass, and reduced to per-image pixel statistics.
+    The oracle states the decoded stats as pure arithmetic — any
+    decoder bug (padding, row order, pixel offset) breaks the hash.
+    Map-only plan: payload bytes never shuffle."""
+    from changedatacapture_spark.operators.multimodal import bmp_decode_stats
+
+    return bmp_decode_stats(load_table(spark, "documents", sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -6122,6 +6160,7 @@ _PROMOTED = [
     "cdc_time_travel",  # versioned read at a past commit (round 8)
     "q_bucketed_join",  # shuffle-free co-located bucketed join (round 8)
     "emb_dedup_groups",  # embedding near-dup closure capstone (round 8)
+    "media_decode_bmp",  # real BMP encode→decode through Arrow (round 8)
 ]
 
 DRIVER_WINDOW = 50

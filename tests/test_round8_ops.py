@@ -331,3 +331,58 @@ def test_minute_spikes_flags_handmade_burst(spark, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r.n == 100 and r.cnt_prev == 25 and r.sum_prev == 250
+
+
+def test_bmp_round_trip_all_paddings():
+    """encode->decode identity across every width in the corpus table —
+    paddings 2/3/0 bytes, heights 12..2 — plus a non-divisor width."""
+    from changedatacapture_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+        encode_bmp,
+    )
+
+    for w in (2, 3, 4, 6, 8, 12):
+        h = 24 // w
+        raster = bytes((i * 7 + w) % 256 for i in range(w * h))
+        payload = encode_bmp(raster, w, h)
+        assert payload[:2] == b"BM"
+        assert decode_bmp(payload) == (w, h, raster)
+        assert decode_image(payload) == (w, h, raster)  # dispatch route
+    # width 5 -> row 15 bytes -> pad 1: not in the corpus, still exact
+    raster = bytes(range(25))
+    assert decode_bmp(encode_bmp(raster, 5, 5)) == (5, 5, raster)
+
+
+def test_bmp_decoder_handles_top_down_variant():
+    """Negative biHeight (top-down row order) is the common 'other'
+    BMP layout; the decoder must not mirror it."""
+    import struct
+
+    from changedatacapture_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    raster = bytes(range(12))
+    up = bytearray(encode_bmp(raster, 4, 3))
+    # rewrite header height to -3 and re-order rows top-down
+    struct.pack_into("<i", up, 14 + 8, -3)
+    row = 4 * 3  # no padding at width 4
+    body = up[54:]
+    up[54:] = body[2 * row : 3 * row] + body[row : 2 * row] + body[:row]
+    assert decode_bmp(bytes(up)) == (4, 3, raster)
+
+
+def test_bmp_decoder_rejects_non_bmp_and_unsupported():
+    import pytest as _pytest
+
+    from changedatacapture_spark.operators.multimodal import (
+        decode_bmp,
+        decode_image,
+    )
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with _pytest.raises(ValueError):
+        decode_bmp(b"XX" + b"\x00" * 64)

@@ -5320,7 +5320,19 @@ def q_cdc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op") != "d"
     ).drop("op")
     work = _session_scratch_dir("cdc_pruned_")
-    table = SnapshotTable(spark, work, ["key_id"], n_buckets=8)
+    # cluster by the predicate column and cap records per file: buckets
+    # are hash-routed on key_id, so every bucket spans the full value
+    # range and BUCKET pruning alone keeps 8/8 — the FILE-level zone
+    # maps (value-sorted, ≤64-row files) are what make this scan track
+    # the predicate's selectivity instead of the table size
+    table = SnapshotTable(
+        spark,
+        work,
+        ["key_id"],
+        n_buckets=8,
+        cluster_cols=["value"],
+        max_records_per_file=64,
+    )
     table.overwrite(state, batch_id=0)
     return table.read_where(
         [("value", ">=", 100.0), ("value", "<=", 300.0)]
@@ -5408,6 +5420,74 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFram
     sink = f"sess_win_{uuid.uuid4().hex[:8]}"
     q = (
         sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+@_register(
+    "events_enriched_stream",
+    """
+    SELECT e.event_id, e.user_id,
+           c.c_mktsegment AS segment, n.n_name AS nation,
+           e.value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    """,
+)
+def q_events_enriched_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join e2e: the events replay as 4
+    time-ordered micro-batches and every batch is decorated with the
+    customer dimension (market segment) and its nation — the static
+    side is a composed two-table dim plan, broadcast per batch by
+    ``stream_static_enrich``, so the stream never shuffles and no join
+    state accumulates. The oracle is the equivalent batch join."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.streaming.pipeline import stream_static_enrich
+
+    ev = load_table(spark, "events", sf_dir)
+    lo, hi = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    raw = ev.withColumn(
+        "_b",
+        F.least(F.lit(4), F.floor((F.unix_millis("ts") - lo) / span) + 1),
+    ).select("event_id", "user_id", "value", "_b")
+    work = tempfile.mkdtemp(prefix="enrich_stream_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    dim = (
+        load_table(spark, "customer", sf_dir)
+        .join(
+            load_table(spark, "nation", sf_dir),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.col("c_custkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, value double"
+    ).option("maxFilesPerTrigger", "1").json(src)
+    enriched = stream_static_enrich(
+        stream, dim, F.col("c_custkey") == F.col("user_id")
+    ).select("event_id", "user_id", "segment", "nation", "value")
+    sink = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
         .queryName(sink)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))

@@ -525,6 +525,35 @@ def stream_interval_join(
     return joined
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | object,
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch of the stream
+    joins against a batch-side dimension table — the canonical CDC
+    pattern of decorating a change stream with slowly-changing
+    reference data (the reference joins nothing; consumers do this by
+    hand downstream, cdc_stream.py writes raw envelopes only).
+
+    Why this shape scales: Structured Streaming re-evaluates the
+    static side's LOGICAL plan each micro-batch, so the dimension stays
+    current without restarting the query, and a ``broadcast`` hint
+    (default, for the usual small-dim case) makes each batch a map-side
+    hash join — zero shuffle of the stream, state-free (unlike
+    stream-stream joins, nothing is buffered). For dimensions too big
+    to broadcast, pass ``broadcast_dim=False`` and pre-bucket both
+    sides on the join key.
+
+    ``on`` is a column-name list or a join Column; ``how`` is any join
+    type Spark allows for stream-static (inner / left_outer with the
+    stream on the left)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
 class AggView:
     """Streaming materialized aggregate view: a grouped COUNT/SUM over
     a :class:`SnapshotTable`, maintained by delta propagation from the

@@ -329,3 +329,23 @@ def test_bigram_pairs_from_in_array_transform_no_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
     assert "partial" in plan.lower(), "bigram count lost map-side combine"
+
+
+def test_stream_static_enrich_broadcasts_dim_no_stream_shuffle(spark, sf_dir):
+    """The enrichment join's contract: the dimension side is broadcast,
+    so the (potentially unbounded) stream side never shuffles. Verified
+    on the identical batch plan — stream-static joins reuse the batch
+    join physical strategies per micro-batch."""
+    from changedatacapture_spark.sources.tables import load_table
+    from changedatacapture_spark.streaming.pipeline import stream_static_enrich
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    dim = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    df = stream_static_enrich(ev, dim, F.col("c_custkey") == F.col("user_id"))
+    df.collect()
+    assert has_broadcast_join(df)
+    # only the dim broadcast exchange; the stream side stays map-only
+    plan = executed_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan

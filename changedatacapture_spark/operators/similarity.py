@@ -88,6 +88,89 @@ def cosine_topk(
     )
 
 
+def quantize_int8(vec: Column) -> Column:
+    """Symmetric int8 codes for a float vector: round(x·127/max|x|),
+    each in [-127, 127] (see ``queries.emb_quantize_int8`` for the
+    exploded oracle form). Integer codes make downstream dot products
+    EXACT integer arithmetic — bit-identical across engines and 4×
+    smaller to shuffle than float32."""
+    maxabs = F.nullif(
+        F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double")))),
+        F.lit(0.0),
+    )
+    return F.transform(
+        vec, lambda x: F.round(x.cast("double") * 127 / maxabs).cast("long")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ over integer code vectors — exact (no float folding)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_cosine_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k by cosine over int8-QUANTIZED vectors — the memory-bound
+    ANN configuration (quantized codes in the scan, full precision
+    reserved for a re-rank stage the caller owns).
+
+    Each side quantizes and computes its own squared norm ONCE before
+    the join, so the pair stage is a single exact integer dot product
+    plus one float divide — and the shuffled/broadcast payload is the
+    int8 code vector, a quarter of the float32 bytes. Zero vectors
+    (quantization undefined) are excluded identically in the oracle.
+
+    Returns ``probe_id, neighbor_id, score_scaled, rk`` with
+    ``score_scaled = floor(scale · q_cos)`` — deterministic because
+    the dot and both norms are exact integers and the divide/sqrt are
+    single IEEE-754 operations."""
+    from pyspark.sql import Window as W
+
+    def side(df: DataFrame, idn: str, qn: str, nn: str) -> DataFrame:
+        nonzero = (
+            F.array_max(
+                F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+            )
+            > 0
+        )
+        out = df.filter(nonzero).select(
+            F.col(id_col).alias(idn), quantize_int8(F.col(vec_col)).alias(qn)
+        )
+        return out.withColumn(nn, int_dot(F.col(qn), F.col(qn)))
+
+    p = side(probes, "probe_id", "pq", "pn")
+    c = side(corpus, "neighbor_id", "cq", "cn")
+    pair = c.crossJoin(F.broadcast(p)).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    cos = int_dot(F.col("pq"), F.col("cq")).cast("double") / F.sqrt(
+        (F.col("pn") * F.col("cn")).cast("double")
+    )
+    scored = pair.select(
+        "probe_id",
+        "neighbor_id",
+        F.floor(cos * scale).cast("long").alias("score_scaled"),
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "score_scaled", "rk")
+    )
+
+
 def _lcg_plane(plane: int, dim: int) -> float:
     """Deterministic pseudo-random hyperplane coefficient in [-1, 1).
 

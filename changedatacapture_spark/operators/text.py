@@ -569,3 +569,55 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
     )
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    n_features: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashed linear model scoring — the fastText-style quality
+    classifier shape of corpus curation (hash every token into a fixed
+    feature space, sum per-feature weights, threshold the score), with
+    a deterministic weight table so the oracle can restate it exactly:
+    ``w(b) = (b mod 256) - 128`` for feature bucket ``b``.
+
+    This is the INFERENCE data flow of a real hashed linear model
+    (weights would come from training; the arithmetic is identical):
+    tokenize → md5-hash each occurrence into ``n_features`` buckets →
+    integer weight sum per document. All exact integers, all JVM
+    column expressions, one map-side-combinable aggregation — at
+    100 TB the cost is the tokenizing scan, the shuffle carries one
+    row per document.
+
+    Output: ``doc_id, n_tokens, score_int, keep`` (keep = score ≥ 0).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower(text_col), "[^a-z]+", " ")),
+                " ",
+            )
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+        % n_features
+    )
+    weight = bucket % 256 - 128
+    return (
+        toks.select(F.col(id_col), weight.alias("w"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("w").alias("score_int"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score_int",
+            (F.col("score_int") >= 0).alias("keep"),
+        )
+    )

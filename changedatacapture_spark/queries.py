@@ -5693,6 +5693,170 @@ def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "knn_int8_topk",
+    """
+    WITH nz AS (
+      SELECT vec_id, embedding
+      FROM embeddings
+      WHERE list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))) > 0),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+                    list_max(list_transform(embedding,
+                                            y -> abs(CAST(y AS DOUBLE)))))
+                    AS BIGINT)) AS qv
+      FROM nz),
+    n AS (
+      SELECT vec_id, qv,
+             CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nq
+      FROM q),
+    probes AS (
+      SELECT vec_id AS probe_id, qv AS pq, nq AS pn FROM n WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             CAST(floor(
+               CAST(CAST(list_sum(list_transform(list_zip(p.pq, c.qv),
+                                                 z -> z[1] * z[2]))
+                         AS BIGINT) AS DOUBLE)
+               / sqrt(CAST(p.pn * c.nq AS DOUBLE)) * 1000000)
+               AS BIGINT) AS score_scaled
+      FROM probes p, n c
+      WHERE c.vec_id <> p.probe_id)
+    SELECT probe_id, neighbor_id, score_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY score_scaled DESC, neighbor_id) AS rk
+    FROM scored
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN scoring: brute-force cosine top-5 over int8 codes
+    (max-abs symmetric quantization) — the memory-bound configuration
+    a 100 TB vector store actually scans, with full-precision vectors
+    reserved for a re-rank stage. Dot products and norms are EXACT
+    integer arithmetic (the quantized payload is also 4x smaller to
+    broadcast/shuffle), so the ranking is bit-identical cross-engine
+    with a single IEEE divide per pair."""
+    from changedatacapture_spark.operators.similarity import int8_cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return int8_cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@_register(
+    "text_hashed_linear_score",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '))
+               AS token
+      FROM documents),
+    feat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(token), 1, 8))::BIGINT % 4096 AS b
+      FROM toks WHERE token <> '')
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           CAST(sum(b % 256 - 128) AS BIGINT) AS score_int,
+           sum(b % 256 - 128) >= 0 AS keep
+    FROM feat GROUP BY doc_id
+    """,
+)
+def q_text_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed linear quality scoring (fastText-filter shape):
+    every token occurrence hashes into a 4096-bucket feature space and
+    the document score is the integer sum of deterministic per-bucket
+    weights ``(b mod 256) - 128`` — the inference data flow of the
+    hashed linear classifiers curation pipelines gate on, exact to the
+    bit because weights and sums are integers. One tokenizing scan,
+    map-side-combinable aggregation, one row per doc shuffled."""
+    from changedatacapture_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "events_cms_user_counts",
+    """
+    WITH rs AS (SELECT unnest(generate_series(0, 3)) AS r),
+    hashed AS (
+      SELECT e.user_id, r.r,
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||
+                                 CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 64 AS c
+      FROM events e CROSS JOIN rs r),
+    counters AS (
+      SELECT r, c, count(*) AS cnt FROM hashed GROUP BY r, c),
+    key_cells AS (
+      SELECT DISTINCT user_id, r, c FROM hashed),
+    est AS (
+      SELECT kc.user_id, min(ct.cnt) AS est_cnt
+      FROM key_cells kc JOIN counters ct USING (r, c)
+      GROUP BY kc.user_id),
+    exact AS (
+      SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id)
+    SELECT e.user_id, x.exact_cnt, e.est_cnt,
+           e.est_cnt - x.exact_cnt AS overcount
+    FROM est e JOIN exact x USING (user_id)
+    """,
+)
+def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows x w=64 columns) frequency estimates
+    per user, next to the exact count as the quality loop — the
+    mergeable heavy-hitter sketch for streams where per-key state is
+    too big. Every estimate must over-count or equal (CMS guarantee:
+    ``overcount >= 0``); the md5 row-hashes make the sketch
+    engine-portable, so the oracle builds the IDENTICAL 256 counters.
+
+    Scale shape: the sketch state is d*w counters regardless of key
+    cardinality; the 4x row explode is map-local and collapses in a
+    256-cell partial aggregation before any shuffle. The estimate side
+    touches only DISTINCT keys joined to the (tiny, broadcastable)
+    counter table."""
+    ev = load_table(spark, "events", sf_dir)
+    d_rows, width = 4, 64
+    rs = spark.range(d_rows).select(F.col("id").alias("r"))
+    cell = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width
+    )
+    hashed = ev.select("user_id").crossJoin(F.broadcast(rs)).select(
+        "user_id", "r", cell.alias("c")
+    )
+    counters = hashed.groupBy("r", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    key_cells = hashed.distinct()
+    est = (
+        key_cells.join(F.broadcast(counters), ["r", "c"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+    )
+
+
+@_register(
     "text_length_histogram",
     """
     SELECT lang, least(n_chars // 200, 19) AS bucket,

@@ -436,3 +436,75 @@ def mix_weights(
         .cast("long")
         .alias("effective_tokens"),
     )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    window: int = 8,
+    mask: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): a chunk boundary falls
+    wherever the hash of the trailing ``window`` characters is 0 mod
+    ``mask`` — so chunk boundaries move WITH the content, and an
+    insertion near the start of a document re-chunks only its
+    neighborhood instead of shifting every downstream fixed-size chunk
+    (the property that makes chunk-level dedup of near-identical
+    documents work; fixed-size chunking gets zero hits after a 1-char
+    shift). Average chunk length ≈ ``mask`` characters; the textbook
+    parallel formulation (no min/max clamp — FastCDC's clamps need a
+    sequential pass by design).
+
+    Scale shape: the position explode (one row per character) is the
+    rolling-hash scan cost and is map-local; the boundary filter keeps
+    ~1/mask of it before anything shuffles. Engine-portable: the
+    rolling hash is md5 of the window substring, so an ANSI oracle
+    reproduces the exact boundary set.
+
+    Output: ``doc_id, chunk_idx, start_pos, chunk_len, chunk_md5``
+    (1-based positions; every document ends with a sentinel boundary,
+    so chunks tile the text exactly)."""
+    d = docs.filter(F.length(text_col) >= 1).select(id_col, text_col)
+    pos = d.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.length(text_col) >= window,
+                F.sequence(F.lit(window), F.length(text_col)),
+            ).otherwise(F.array())
+        ).alias("i"),
+        F.col(text_col),
+    )
+    roll = F.conv(
+        F.substring(
+            F.md5(F.expr(f"substring({text_col}, i - {window - 1}, {window})")),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bounds = pos.filter(roll % mask == 0).select(id_col, "i")
+    sentinel = d.select(id_col, F.length(text_col).alias("i"))
+    be = bounds.unionByName(sentinel).distinct()
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(id_col).orderBy("i")
+    spans = be.select(
+        id_col,
+        F.col("i").alias("end_pos"),
+        (F.coalesce(F.lag("i").over(w), F.lit(0)) + 1).alias("start_pos"),
+    )
+    out = spans.join(d, id_col).select(
+        id_col,
+        F.row_number()
+        .over(W.partitionBy(id_col).orderBy("start_pos"))
+        .alias("chunk_idx"),
+        "start_pos",
+        (F.col("end_pos") - F.col("start_pos") + 1).alias("chunk_len"),
+        F.md5(
+            F.expr(f"substring({text_col}, start_pos, end_pos - start_pos + 1)")
+        ).alias("chunk_md5"),
+    )
+    return out

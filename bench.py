@@ -117,6 +117,12 @@ SF1_SET = [
     "events_stream_join",
     "events_session_window_stream",
     "cdc_pruned_scan",
+    # round-8: the iterative-operator representative (2 PageRank
+    # iterations over the nation trade graph — edge build dominates
+    # and is linear in lineitem) and the corpus-wide collocation
+    # aggregation (linear in bigram slots)
+    "graph_pagerank_trade",
+    "text_collocations_lift",
 ]
 
 

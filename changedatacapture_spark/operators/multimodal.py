@@ -266,6 +266,64 @@ def bmp_decode_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, out_schema)
 
 
+def resize_nearest(
+    px: bytes, width: int, height: int, factor: int = 2
+) -> tuple[int, int, bytes]:
+    """Nearest-neighbor downsample of a grayscale raster by an integer
+    factor: keep the pixel at every ``factor``-th row and column.
+    Output dims are ceil(dim / factor)."""
+    out = bytes(
+        px[r * width + c]
+        for r in range(0, height, factor)
+        for c in range(0, width, factor)
+    )
+    return (width + factor - 1) // factor, (height + factor - 1) // factor, out
+
+
+def bmp_resize_stats(docs: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → RESIZE → aggregate, end-to-end through Arrow: the
+    synthetic BMP corpus (see ``bmp_decode_stats``) decodes for real,
+    then a nearest-neighbor downsample runs on the decoded raster —
+    the standard image-preprocessing step of a multimodal training
+    pipeline — and per-image statistics of the RESIZED raster come
+    back. Same map-only plan as the decode path: payloads never
+    shuffle, and the resize kernel is pure per-row compute.
+
+    Output: ``doc_id, width, height, n_px, sum_px, mean_px`` where the
+    dims are the post-resize dims.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_px", T.IntegerType(), False),
+            T.StructField("sum_px", T.LongType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = _BMP_WIDTHS[did % len(_BMP_WIDTHS)]
+                h = _BMP_PIXELS // w
+                payload = encode_bmp(_bmp_raster(did), w, h)
+                dw, dh, px = decode_image(payload)
+                rw, rh, rpx = resize_nearest(px, dw, dh, factor)
+                rows["doc_id"].append(did)
+                rows["width"].append(rw)
+                rows["height"].append(rh)
+                rows["n_px"].append(len(rpx))
+                rows["sum_px"].append(sum(rpx))
+                rows["mean_px"].append(sum(rpx) / float(len(rpx)))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM metadata aggregation (no payload decode): per mime type,
     count / total bytes / max dims — the cheap pre-decode audit pass."""

@@ -1,0 +1,133 @@
+"""Exact-portable numeric statistics: profiling and correlation.
+
+A distributed sum of doubles is order-dependent, so naive
+``stddev``/``corr`` builtins are not reproducible across engines (or
+even across runs with a different partitioning). These operators use
+the scaled-integer recipe the repo's other numeric surfaces use (see
+``operators/similarity.py`` k-means): quantize each measure to
+``floor(x * SCALE)`` as a 64-bit integer, accumulate with exact
+``DECIMAL(38,0)`` sums — associative, commutative, order-independent,
+so map-side partial aggregation stays enabled and the shuffle carries
+one row per group — then do the final O(groups) scalar math in IEEE
+doubles with an expression tree written identically in the DuckDB
+oracle. At 100 TB this is a single map-side-combinable hash aggregate:
+no second pass, no driver-side math, no float accumulation anywhere.
+
+Reference parity: the reference engine exposes no statistics surface
+beyond count/min/max (spark_client/src/cdc_stream.py caps at
+consistency counts); this module is part of the training-data
+profiling extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Fixed-point scale: six decimal digits survive quantization. The
+#: quantized statistics are deterministic and engine-identical; the
+#: quantization error on mean/stddev is bounded by 1e-6 of the raw
+#: unit, which profiling does not care about.
+SCALE = 1_000_000
+
+
+def _scaled(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(SCALE)).cast("long")
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(38,0)")
+
+
+def _dprod(a: Column, b: Column) -> Column:
+    """Exact product of two scaled-integer columns as DECIMAL(38,0).
+
+    The operands are widened to DECIMAL(19,0) BEFORE multiplying so a
+    price-magnitude measure (1e11 after scaling) squares without
+    touching int64 range; the result is exact up to 38 digits."""
+    return a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
+
+
+def numeric_profile(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group count / min / max / mean / population variance,
+    stddev and coefficient of variation.
+
+    One hash aggregate over ``(group, x, x*x)`` with decimal sums;
+    the per-group finals divide exact integers in IEEE doubles —
+    ``var = E[x^2] - E[x]^2`` clamped at zero against representation
+    jitter (``greatest`` keeps sqrt off negative inputs identically in
+    both engines).
+    """
+    x = _scaled(value_col)
+    agg = (
+        df.select(F.col(group_col), x.alias("x"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.sum(_dec(F.col("x"))).alias("sx"),
+            F.sum(_dprod(F.col("x"), F.col("x"))).alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / nd / F.lit(float(SCALE))
+    ex2 = F.col("sxx").cast("double") / nd / F.lit(float(SCALE) * float(SCALE))
+    var = F.greatest(ex2 - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    return agg.select(
+        group_col,
+        "n",
+        (F.col("min_x").cast("double") / F.lit(float(SCALE))).alias("min_value"),
+        (F.col("max_x").cast("double") / F.lit(float(SCALE))).alias("max_value"),
+        mean.alias("mean_value"),
+        var.alias("var_pop"),
+        std.alias("stddev_pop"),
+        (std / mean).alias("cv"),
+    )
+
+
+def pearson_corr(
+    df: DataFrame, group_col: str, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-group Pearson correlation and population covariance of two
+    measures, engine-portable.
+
+    Accumulates the five exact moments (sx, sy, sxx, syy, sxy) as
+    ``DECIMAL(38,0)`` sums of scaled integers in ONE map-side-
+    combinable aggregate, then forms
+
+        corr = (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) * (n*syy - sy^2))
+
+    in doubles. Per-row cross-products are formed in DECIMAL(19,0)
+    operands (price-magnitude measures square past int64), and the
+    SUMS are DECIMAL(38,0), so neither row values nor group sizes can
+    overflow.
+    """
+    x = _scaled(x_col)
+    y = _scaled(y_col)
+    agg = (
+        df.select(F.col(group_col), x.alias("x"), y.alias("y"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec(F.col("x"))).alias("sx"),
+            F.sum(_dec(F.col("y"))).alias("sy"),
+            F.sum(_dprod(F.col("x"), F.col("x"))).alias("sxx"),
+            F.sum(_dprod(F.col("y"), F.col("y"))).alias("syy"),
+            F.sum(_dprod(F.col("x"), F.col("y"))).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov_n = F.col("sxy").cast("double") * nd - sx * sy
+    varx_n = F.col("sxx").cast("double") * nd - sx * sx
+    vary_n = F.col("syy").cast("double") * nd - sy * sy
+    return agg.select(
+        group_col,
+        "n",
+        (cov_n / (nd * nd) / F.lit(float(SCALE) * float(SCALE))).alias("cov_pop"),
+        (cov_n / F.sqrt(varx_n * vary_n)).alias("corr"),
+    )

@@ -6476,6 +6476,350 @@ def q_events_minute_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_numeric_profile",
+    """
+    WITH sc AS (
+      SELECT event_type,
+             CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events),
+    agg AS (
+      SELECT event_type, count(*) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx
+      FROM sc GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(min_x AS DOUBLE) / 1000000.0 AS min_value,
+           CAST(max_x AS DOUBLE) / 1000000.0 AS max_value,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0 AS mean_value,
+           GREATEST(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
+                    0.0) AS var_pop,
+           sqrt(GREATEST(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
+                    0.0)) AS stddev_pop,
+           sqrt(GREATEST(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000000000.0
+                    - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
+                      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
+                    0.0))
+             / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS cv
+    FROM agg
+    """,
+)
+def q_events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable numeric profiling of ``value`` per event type:
+    count / min / max / mean / population variance / stddev / CV via
+    scaled-integer decimal moments in ONE map-side-combinable hash
+    aggregate (no float accumulation; float sums are order-dependent
+    and unreproducible across engines). See operators/stats.py."""
+    from changedatacapture_spark.operators.stats import numeric_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return numeric_profile(ev, "event_type", "value")
+
+
+@_register(
+    "lineitem_qty_price_corr",
+    """
+    WITH sc AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 1000000) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 1000000) AS BIGINT) AS y
+      FROM lineitem),
+    agg AS (
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS sxy
+      FROM sc GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1000000000000.0
+             AS cov_pop,
+           (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS corr
+    FROM agg
+    """,
+)
+def q_lineitem_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (and population covariance) of quantity vs
+    extended price per return flag: five exact decimal moments in one
+    aggregate, final scalar math in doubles with an expression tree
+    identical to the oracle's. See operators/stats.py."""
+    from changedatacapture_spark.operators.stats import pearson_corr
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return pearson_corr(li, "l_returnflag", "l_quantity", "l_extendedprice")
+
+
+_TRADE_EDGES_SQL = """
+    SELECT cn.n_name AS src, sn.n_name AS dst, count(*) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY cn.n_name, sn.n_name
+"""
+
+
+def _pagerank_oracle() -> str:
+    from changedatacapture_spark.operators.graph import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(_TRADE_EDGES_SQL, n_iter=2, damping_pct=85)
+
+
+@_register("graph_pagerank_trade", None)
+def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (2 fixed iterations, d=0.85) over the
+    customer-nation → supplier-nation trade graph: which nations'
+    suppliers absorb the most purchase flow. Edges aggregate once from
+    the fact join; the O(|V|) rank vector broadcasts to the edge join
+    each iteration — linear in |E| per iteration with one shuffle.
+    All arithmetic is scaled-integer (see operators/graph.py), so the
+    unrolled-CTE DuckDB oracle is bit-exact."""
+    from changedatacapture_spark.operators.graph import pagerank
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    cn = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(edges, n_iter=2, damping_pct=85)
+
+
+ORACLE_SQL["graph_pagerank_trade"] = _pagerank_oracle()
+
+
+@_register(
+    "dedup_edit_distance",
+    """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200))
+             AS edit_distance
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.n_chars // 32 = b.n_chars // 32
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(substr(a.text, 1, 200), substr(b.text, 1, 200)) <= 25
+    """,
+)
+def q_dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs: Levenshtein ≤ 25 on a
+    200-char prefix, restricted to (lang, length-bucket) blocks so the
+    join evaluates per-block-quadratic candidates, never the corpus
+    cross product. See operators/dedup.py:edit_distance_pairs for the
+    blocking contract and recall caveat."""
+    from changedatacapture_spark.operators.dedup import edit_distance_pairs
+
+    docs = load_table(spark, "documents", sf_dir)
+    return edit_distance_pairs(
+        docs, max_distance=25, len_bucket=32, prefix_chars=200
+    )
+
+
+@_register(
+    "text_collocations_lift",
+    """
+    WITH toks AS (
+      SELECT string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    big AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    counts AS (SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY 1, 2),
+    lefts AS (SELECT w1, CAST(sum(n_xy) AS BIGINT) AS c1 FROM counts GROUP BY 1),
+    rights AS (SELECT w2, CAST(sum(n_xy) AS BIGINT) AS c2 FROM counts GROUP BY 1),
+    total AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_total FROM counts)
+    SELECT w1, w2, n_xy, c1, c2,
+           (CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE))
+             / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)) AS lift
+    FROM counts JOIN lefts USING (w1) JOIN rights USING (w2), total
+    WHERE n_xy >= 5
+    ORDER BY lift DESC, w1, w2 LIMIT 100
+    """,
+)
+def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation detection: top-100 bigrams by LIFT
+    ``P(w1,w2) / (P(w1)·P(w2))`` with a min-support cut (n >= 5).
+    Counts are exact integers; lift is one IEEE double expression over
+    them (identical tree in the oracle), so ORDER BY (lift, w1, w2) is
+    deterministic — no libm log (PMI's log is monotone in lift, so the
+    RANKING is PMI's ranking without cross-engine log drift).
+
+    Scale shape: bigrams via the zero-join in-array ``transform`` (see
+    ``text_bigram_lm``); marginals and the total aggregate the ALREADY
+    AGGREGATED vocabulary-sized counts table, never raw pairs; the
+    1-row total broadcasts."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "
+        ).alias("t")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    lefts = counts.groupBy("w1").agg(F.sum("n_xy").alias("c1"))
+    rights = counts.groupBy("w2").agg(F.sum("n_xy").alias("c2"))
+    total = counts.agg(F.sum("n_xy").alias("n_total"))
+    lift = (
+        F.col("n_xy").cast("double") * F.col("n_total").cast("double")
+    ) / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+    return (
+        counts.join(lefts, "w1")
+        .join(rights, "w2")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_xy") >= 5)
+        .select("w1", "w2", "n_xy", "c1", "c2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(100)
+    )
+
+
+@_register(
+    "events_cusum_drift",
+    """
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             count(*) AS n
+      FROM events GROUP BY 1, 2),
+    k AS (
+      SELECT event_type,
+             CAST(1000 * sum(n) AS BIGINT) // count(*) AS k_milli
+      FROM m GROUP BY 1),
+    p AS (
+      SELECT m.event_type, m.minute, m.n,
+             CAST(sum(1000 * m.n - k.k_milli) OVER (
+               PARTITION BY m.event_type ORDER BY m.minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS pref
+      FROM m JOIN k USING (event_type)),
+    c AS (
+      SELECT event_type, minute, n,
+             pref - min(pref) OVER (
+               PARTITION BY event_type ORDER BY minute
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cusum_milli
+      FROM p)
+    SELECT event_type, minute, n, cusum_milli
+    FROM c WHERE cusum_milli > 0
+    """,
+)
+def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM positive-drift statistic per event type over the minute
+    series: ``s_i = max(0, s_{i-1} + (x_i - k))`` computed WITHOUT the
+    sequential recursion via the prefix-min identity
+    ``s_i = pref_i - min_{j<=i} pref_j`` — two window passes, no
+    stateful fold, engine-portable because everything is scaled
+    integers (k = floor milli-mean of the per-type rate).
+
+    Scale shape: like ``events_minute_spikes``, windows run on the
+    AGGREGATED minute series (rows = minutes × types, not events)
+    after one map-side-combinable count; the per-type reference rate
+    is a second tiny aggregate joined back by type."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    k = m.groupBy("event_type").agg(
+        F.expr("CAST(1000 * sum(n) AS BIGINT) DIV count(*)").alias("k_milli")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = m.join(k, "event_type").withColumn(
+        "pref", F.sum(1000 * F.col("n") - F.col("k_milli")).over(w)
+    )
+    c = p.withColumn("cusum_milli", F.col("pref") - F.min("pref").over(w))
+    return c.filter(F.col("cusum_milli") > 0).select(
+        "event_type", "minute", "n", "cusum_milli"
+    )
+
+
+@_register(
+    "media_resize_bmp",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4
+               WHEN 3 THEN 6 WHEN 4 THEN 8 ELSE 12 END AS w
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, g.i AS i, (d.doc_id * 37 + g.i * 101) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 23) AS g(i)),
+    kept AS (
+      SELECT p.doc_id, m.w, p.v
+      FROM px p JOIN dims m USING (doc_id)
+      WHERE (p.i // m.w) % 2 = 0 AND (p.i % m.w) % 2 = 0)
+    SELECT doc_id,
+           CAST((w + 1) // 2 AS INT) AS width,
+           CAST((24 // w + 1) // 2 AS INT) AS height,
+           CAST(count(*) AS INT) AS n_px,
+           CAST(sum(v) AS BIGINT) AS sum_px,
+           CAST(sum(v) AS DOUBLE) / count(*) AS mean_px
+    FROM kept GROUP BY doc_id, w
+    """,
+)
+def q_media_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor 2x downsample → per-image stats, all
+    through real BMP bytes inside one Arrow ``mapInPandas`` pass (see
+    ``bmp_resize_stats``). The oracle states the resize as index
+    arithmetic — keep pixel i iff row(i) and col(i) are both even — so
+    a kernel bug (row stride, column stride, ceil dims) breaks the
+    hash. Map-only plan; payloads never shuffle."""
+    from changedatacapture_spark.operators.multimodal import bmp_resize_stats
+
+    return bmp_resize_stats(load_table(spark, "documents", sf_dir), factor=2)
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

@@ -354,6 +354,26 @@ def test_bmp_round_trip_all_paddings():
     assert decode_bmp(encode_bmp(raster, 5, 5)) == (5, 5, raster)
 
 
+def test_resize_nearest_strides_and_ceil_dims():
+    """2x nearest-neighbor keeps even rows/cols; odd dims round UP
+    (ceil), and a factor larger than a dimension leaves one sample."""
+    from changedatacapture_spark.operators.multimodal import resize_nearest
+
+    # 4x3 raster, values = linear index
+    px = bytes(range(12))
+    w2, h2, out = resize_nearest(px, 4, 3, 2)
+    assert (w2, h2) == (2, 2)
+    # rows 0 and 2, cols 0 and 2 -> indices 0, 2, 8, 10
+    assert out == bytes([0, 2, 8, 10])
+    # 3x3 with factor 2: ceil(3/2)=2 per dim -> indices 0, 2, 6, 8
+    px = bytes(range(9))
+    assert resize_nearest(px, 3, 3, 2) == (2, 2, bytes([0, 2, 6, 8]))
+    # factor beyond both dims: single top-left sample survives
+    assert resize_nearest(px, 3, 3, 5) == (1, 1, bytes([0]))
+    # factor 1 is the identity
+    assert resize_nearest(px, 3, 3, 1) == (3, 3, px)
+
+
 def test_bmp_decoder_handles_top_down_variant():
     """Negative biHeight (top-down row order) is the common 'other'
     BMP layout; the decoder must not mirror it."""

@@ -1,0 +1,281 @@
+"""Round-8 extension operators: portable statistics, PageRank,
+blocked edit-distance dedup.
+
+Semantics tests replicate the exact integer/decimal recursions in
+plain Python (not approximately — the operators are DETERMINISTIC by
+design, so the tests can assert equality on the scaled integers) and
+check the float finals against numpy within quantization error.
+Plan tests pin the scale contract: one partial-aggregate shuffle for
+the moment sums, broadcast rank vector for PageRank, and no cartesian
+product in the blocked edit-distance join.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.plans.inspect import (
+    count_exchanges,
+    executed_plan,
+    has_broadcast_join,
+)
+
+
+# ---------------------------------------------------------------- stats
+
+def _events(spark, sf_dir):
+    from changedatacapture_spark.sources.tables import load_table
+
+    return load_table(spark, "events", sf_dir)
+
+
+def test_numeric_profile_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from changedatacapture_spark.operators.stats import numeric_profile
+
+    ev = _events(spark, sf_dir)
+    got = {
+        r["event_type"]: r
+        for r in numeric_profile(ev, "event_type", "value").collect()
+    }
+    rows = ev.select("event_type", "value").collect()
+    by_type: dict[str, list[float]] = {}
+    for r in rows:
+        # the operator quantizes to 1e-6 before aggregating; replicate
+        by_type.setdefault(r["event_type"], []).append(
+            math.floor(r["value"] * 1_000_000) / 1_000_000
+        )
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        a = np.array(vals)
+        g = got[t]
+        assert g["n"] == len(vals)
+        assert g["min_value"] == pytest.approx(a.min(), abs=1e-9)
+        assert g["max_value"] == pytest.approx(a.max(), abs=1e-9)
+        assert g["mean_value"] == pytest.approx(a.mean(), rel=1e-12)
+        assert g["var_pop"] == pytest.approx(a.var(), rel=1e-9)
+        assert g["stddev_pop"] == pytest.approx(a.std(), rel=1e-9)
+        assert g["cv"] == pytest.approx(a.std() / a.mean(), rel=1e-9)
+
+
+def test_numeric_profile_is_one_partial_aggregate(spark, sf_dir):
+    from changedatacapture_spark.operators.stats import numeric_profile
+
+    df = numeric_profile(_events(spark, sf_dir), "event_type", "value")
+    df.collect()
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 1, plan
+    assert "partial" in plan.lower(), "moment sums must combine map-side"
+
+
+def test_pearson_corr_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from changedatacapture_spark.operators.stats import pearson_corr
+    from changedatacapture_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    got = {
+        r["l_returnflag"]: r
+        for r in pearson_corr(
+            li, "l_returnflag", "l_quantity", "l_extendedprice"
+        ).collect()
+    }
+    rows = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    by_flag: dict[str, list[tuple[float, float]]] = {}
+    for r in rows:
+        by_flag.setdefault(r["l_returnflag"], []).append(
+            (
+                math.floor(r["l_quantity"] * 1_000_000) / 1_000_000,
+                math.floor(r["l_extendedprice"] * 1_000_000) / 1_000_000,
+            )
+        )
+    for flag, pairs in by_flag.items():
+        x = np.array([p[0] for p in pairs])
+        y = np.array([p[1] for p in pairs])
+        g = got[flag]
+        assert g["n"] == len(pairs)
+        assert g["cov_pop"] == pytest.approx(
+            ((x - x.mean()) * (y - y.mean())).mean(), rel=1e-6
+        )
+        assert g["corr"] == pytest.approx(np.corrcoef(x, y)[0, 1], rel=1e-9)
+
+
+# -------------------------------------------------------------- pagerank
+
+def _pagerank_python(edges: list[tuple[str, str, int]], n_iter=2, d=85):
+    """Reference implementation of the exact integer recursion."""
+    from changedatacapture_spark.operators.graph import RANK_SCALE
+
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    n = len(nodes)
+    base = RANK_SCALE * (100 - d) // 100 // n
+    rank = {v: RANK_SCALE // n for v in nodes}
+    outw = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    for _ in range(n_iter):
+        contrib = dict.fromkeys(nodes, 0)
+        for s, t, w in edges:
+            contrib[t] += rank[s] * w // outw[s]
+        rank = {v: base + d * contrib[v] // 100 for v in nodes}
+    return rank
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # symmetric triangle: uniform rank is the exact fixed point
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)],
+        # weighted, with a sink-ish node and a multi-out hub
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 2), ("c", "a", 5),
+         ("d", "a", 7)],
+    ],
+)
+def test_pagerank_matches_integer_reference(spark, edges):
+    from changedatacapture_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = {r["node"]: r["rank_scaled"] for r in pagerank(df, n_iter=2).collect()}
+    assert got == _pagerank_python(edges, n_iter=2)
+
+
+def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["graph_pagerank_trade"](spark, sf_dir)
+    rows = df.collect()
+    assert has_broadcast_join(df), "rank vector must broadcast to the edge join"
+    # rank mass: teleport is exact; floor division only ever LOSES mass
+    from changedatacapture_spark.operators.graph import RANK_SCALE
+
+    total = sum(r["rank_scaled"] for r in rows)
+    assert total <= RANK_SCALE
+    assert total >= RANK_SCALE * 98 // 100, "over 2% of rank mass lost"
+
+
+# -------------------------------------------------- edit-distance dedup
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, text, lang, len(text))
+            for i, (text, lang) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+
+
+def test_edit_distance_finds_in_block_pair_and_misses_cross_bucket(spark):
+    from changedatacapture_spark.operators.dedup import edit_distance_pairs
+
+    base = "the quick brown fox jumps over the lazy dog " * 3  # 135 chars
+    near = base[:-6] + "cat "  # small tail edit, same length bucket
+    far_bucket = base + "x" * 80  # same prefix family, bucket differs
+    other = "completely different content that shares nothing at all " * 3
+    docs = _docs(
+        spark,
+        [(base, "en"), (near, "en"), (far_bucket, "en"), (other, "en"),
+         (base, "de")],  # same text, different lang: must NOT pair
+    )
+    pairs = edit_distance_pairs(
+        docs, max_distance=25, len_bucket=32, prefix_chars=200
+    ).collect()
+    assert {(p["doc_a"], p["doc_b"]) for p in pairs} == {(0, 1)}
+    assert pairs[0]["edit_distance"] > 0
+
+
+def test_cusum_equals_sequential_recursion(spark, sf_dir):
+    """The prefix-min formulation must equal the textbook recursion
+    s_i = max(0, s_{i-1} + (x_i - k)) replayed sequentially."""
+    from changedatacapture_spark.queries import SPARK_QUERIES
+    from changedatacapture_spark.sources.tables import load_table
+
+    got = {
+        (r["event_type"], r["minute"]): r["cusum_milli"]
+        for r in SPARK_QUERIES["events_cusum_drift"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, "events", sf_dir)
+    series = (
+        ev.groupBy("event_type", F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in series:
+        by_type.setdefault(r["event_type"], []).append((r["minute"], r["n"]))
+    for t, rows in by_type.items():
+        rows.sort()
+        k = 1000 * sum(n for _, n in rows) // len(rows)
+        s = 0
+        for minute, n in rows:
+            s = max(0, s + 1000 * n - k)
+            if s > 0:
+                assert got[(t, minute)] == s
+            else:
+                assert (t, minute) not in got
+
+
+def test_collocations_perfect_pair_gets_max_lift(spark):
+    """A bigram that exhausts both words' occurrences has lift
+    n_total / n_xy — the maximum for its support level."""
+    docs = spark.createDataFrame(
+        [(i, "asteroid belt " + ("common filler words here ") * 3)
+         for i in range(6)],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "
+        ).alias("t")
+    )
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t)-2),"
+                    " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_xy"))
+    rows = counts.collect()
+    n_total = sum(r["n_xy"] for r in rows)
+    c1 = sum(r["n_xy"] for r in rows if r["w1"] == "asteroid")
+    c2 = sum(r["n_xy"] for r in rows if r["w2"] == "belt")
+    n_ab = next(r["n_xy"] for r in rows if (r["w1"], r["w2"]) == ("asteroid", "belt"))
+    assert n_ab == 6 and c1 == 6 and c2 == 6
+    assert n_ab * n_total / (c1 * c2) == n_total / 6
+
+
+def test_collocations_marginals_aggregate_not_raw_pairs(spark, sf_dir):
+    """The 1-row total must broadcast, and the bigram counts must
+    partial-aggregate map-side; marginals join the aggregated
+    vocabulary-sized table, never the raw pair stream."""
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["text_collocations_lift"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert has_broadcast_join(df), "1-row total should broadcast"
+    assert "partial" in plan.lower(), "bigram counts must combine map-side"
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_join_is_blocked_not_cartesian(spark, sf_dir):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["dedup_edit_distance"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, (
+        "edit-distance join must run on the (lang, length-bucket) equi key:\n"
+        + plan
+    )

@@ -508,3 +508,59 @@ def content_defined_chunks(
         ).alias("chunk_md5"),
     )
     return out
+
+
+def chunk_overlap_pairs(
+    docs: DataFrame,
+    window: int = 8,
+    mask: int = 64,
+    min_chunk_len: int = 16,
+    max_docs_per_chunk: int = 20,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level exact-substring overlap pairs — the dedup primitive
+    ``content_defined_chunks`` exists for: because boundaries move with
+    the content, two documents sharing any sufficiently long substring
+    share the full chunks inside it REGARDLESS of where the substring
+    sits in each document (fixed-stride windows only match when the
+    two occurrences happen to be grid-aligned).
+
+    Same hub-guard join shape as ``winnow_overlap_pairs``: distinct
+    (doc, chunk) rows, chunk frequency as a window count over the SAME
+    chunk key the self-join shuffles on (exchange reuse — no second
+    scan), chunks in > ``max_docs_per_chunk`` docs dropped (boilerplate
+    guard; every join group bounded at ``max_docs_per_chunk``²), tiny
+    chunks below ``min_chunk_len`` dropped as noise.
+
+    Output: ``doc_a, doc_b, shared_chunks, shared_len`` (total
+    characters of shared chunk content).
+    """
+    from pyspark.sql.window import Window as W
+
+    chunks = content_defined_chunks(docs, window, mask, text_col, id_col)
+    ch = (
+        chunks.filter(F.col("chunk_len") >= min_chunk_len)
+        .select(F.col(id_col).alias("doc_id"), "chunk_md5", "chunk_len")
+        .distinct()
+    )
+    wspec = W.partitionBy("chunk_md5")
+    rare = (
+        ch.withColumn("_n", F.count(F.lit(1)).over(wspec))
+        .filter((F.col("_n") >= 2) & (F.col("_n") <= max_docs_per_chunk))
+        .drop("_n")
+        .hint("merge")
+    )
+    a = rare.select("chunk_md5", F.col("doc_id").alias("doc_a"), "chunk_len")
+    b = rare.select("chunk_md5", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "chunk_md5")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("shared_chunks"),
+            F.sum("chunk_len").alias("shared_len"),
+        )
+        .filter(F.col("shared_chunks") >= min_shared)
+    )

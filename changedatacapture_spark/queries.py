@@ -6820,6 +6820,301 @@ def q_media_resize_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_resize_stats(load_table(spark, "documents", sf_dir), factor=2)
 
 
+@_register(
+    "dedup_chunk_pairs",
+    """
+    WITH d AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+    pos AS (
+      SELECT doc_id, text, unnest(generate_series(8, length(text))) AS i
+      FROM d WHERE length(text) >= 8),
+    bounds AS (
+      SELECT doc_id, i FROM pos
+      WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))::BIGINT
+            % 64 = 0),
+    be AS (
+      SELECT doc_id, i FROM bounds
+      UNION
+      SELECT doc_id, length(text) AS i FROM d),
+    spans AS (
+      SELECT doc_id, i AS end_pos,
+             coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+               AS start_pos
+      FROM be),
+    ch AS (
+      SELECT DISTINCT s.doc_id,
+             md5(substr(d.text, s.start_pos, s.end_pos - s.start_pos + 1))
+               AS chunk_md5,
+             s.end_pos - s.start_pos + 1 AS chunk_len
+      FROM spans s JOIN d USING (doc_id)
+      WHERE s.end_pos - s.start_pos + 1 >= 16),
+    rare AS (
+      SELECT doc_id, chunk_md5, chunk_len,
+             count(*) OVER (PARTITION BY chunk_md5) AS _n
+      FROM ch)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS shared_chunks,
+           CAST(sum(a.chunk_len) AS BIGINT) AS shared_len
+    FROM (SELECT * FROM rare WHERE _n BETWEEN 2 AND 20) a
+    JOIN (SELECT * FROM rare WHERE _n BETWEEN 2 AND 20) b
+      ON a.chunk_md5 = b.chunk_md5 AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def q_dedup_chunk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact-substring overlap pairs over content-defined
+    chunks: position-independent shared-span detection (boundaries move
+    with the content, so shared substrings share full chunks at ANY
+    offset), with the rare-chunk hub guard bounding every join group.
+    See operators/curation.py:chunk_overlap_pairs."""
+    from changedatacapture_spark.operators.curation import chunk_overlap_pairs
+
+    return chunk_overlap_pairs(load_table(spark, "documents", sf_dir))
+
+
+@_register(
+    "text_gini_diversity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')),
+               ' ')) AS tk
+      FROM documents),
+    counts AS (
+      SELECT doc_id, tk, count(*) AS c
+      FROM toks WHERE tk <> '' GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM counts GROUP BY 1)
+    SELECT doc_id, n AS n_tokens, n_distinct,
+           CAST(n * n - sc2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+    FROM agg
+    """,
+)
+def q_text_gini_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-diversity Gini impurity
+    ``1 - Σ(c_i/n)² = (n² - Σc_i²) / n²`` — an entropy-style
+    repetitiveness score with NO logarithm, so it is an exact rational
+    of integer counts and the final double division is engine-identical
+    (libm log is not bit-stable across engines). Low gini = document
+    dominated by few tokens (spam/boilerplate signal).
+
+    Scale shape: two map-side-combinable aggregates, both keyed by
+    doc_id (the second reuses the first's partitioning — one shuffle),
+    and the scalar math is O(docs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")),
+                " ",
+            )
+        ).alias("tk"),
+    ).filter(F.col("tk") != "")
+    counts = tok.groupBy("doc_id", "tk").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    nn = F.col("n") * F.col("n")
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        ((nn - F.col("sc2")).cast("double") / nn.cast("double")).alias("gini"),
+    )
+
+
+@_register(
+    "events_funnel_sequence",
+    """
+    WITH v AS (
+      SELECT user_id, min(epoch_ms(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_ms(e.ts) > v.t_view
+      GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(epoch_ms(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.t_click
+      GROUP BY 1),
+    stages AS (
+      SELECT 1 AS stage_idx, 'view' AS stage,
+             CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT 2, 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+    SELECT stage_idx, stage, n_users FROM stages
+    """,
+)
+def q_events_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered event-sequence funnel: users with a view, then
+    a click AFTER their first view, then a purchase AFTER that first
+    qualifying click — the product-analytics staple where unordered
+    set-intersection funnels overcount.
+
+    Scale shape: three per-user min-aggregates chained by equi-joins
+    on the SAME user_id key — the first shuffle's partitioning is
+    reused by every later stage (co-partitioned joins, no re-shuffle),
+    and each stage's output is strictly smaller than the last."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_millis("ts").alias("t")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click_after_view"))
+        .unionByName(stage(p, 3, "purchase_after_click"))
+    )
+
+
+@_register(
+    "events_retention_cohorts",
+    """
+    WITH w AS (
+      SELECT user_id, epoch_ms(ts) // 604800000 AS week
+      FROM events),
+    cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1),
+    active AS (
+      SELECT DISTINCT w.user_id, c.cohort_week,
+             w.week - c.cohort_week AS week_offset
+      FROM w JOIN cohort c ON w.user_id = c.user_id)
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active GROUP BY 1, 2
+    """,
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users grouped by the week of
+    their first event; ``n_users`` counts the cohort's members active
+    ``week_offset`` weeks later. Weeks are integer epoch-ms divisions
+    (604800000 ms), not calendar truncation, so bucketing is
+    engine-exact by construction.
+
+    Scale shape: every stage keys on user_id (cohort min-aggregate,
+    join-back, distinct) so one shuffle partitioning serves the whole
+    chain; the final matrix aggregate is over |users| × active-weeks
+    rows, already tiny."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id",
+        F.expr("unix_millis(ts) DIV 604800000").alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        ev.join(cohort, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+@_register(
+    "events_trimmed_mean",
+    """
+    WITH sc AS (
+      SELECT event_type, event_id,
+             CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events),
+    rk AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM sc),
+    kept AS (
+      SELECT event_type, x, n FROM rk
+      WHERE r > n * 5 // 100 AND r <= n - n * 5 // 100)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) / 1000000.0 AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+)
+def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean of ``value`` per event type: drop the exact
+    bottom and top ``floor(n·5/100)`` rows by deterministic rank
+    (scaled-integer value, event_id tiebreak) and average the rest
+    with decimal sums — the robust-location statistic outliers cannot
+    move, engine-exact end to end.
+
+    Scale note: the exact trim needs a per-group sort (one shuffle +
+    in-partition sort); when an approximate trim suffices at 100 TB,
+    the histogram-bucket cut (``text_quality_gate``'s shape) replaces
+    the sort with one aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 1_000_000).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wn = Window.partitionBy("event_type")
+    rk = ev.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = rk.filter(
+        (F.col("r") > F.expr("n * 5 DIV 100"))
+        & (F.col("r") <= F.col("n") - F.expr("n * 5 DIV 100"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        (
+            F.sum(F.col("x").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(1e6)
+        ).alias("trimmed_mean"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.
@@ -6873,6 +7168,11 @@ _DEMOTED = [
     "text_langid",  # heuristic-scoring family kept by text_repetition/_quality_gate
     "text_bpe_tokens",  # tokenization family kept by text_stats + tfidf promotion
     "dedup_simhash_pairs",  # banded-LSH family kept by dedup_minhash_pairs
+    # third round-8 rebalance: admit the session's two NEW operator
+    # families (graph algorithms, portable numeric statistics) —
+    # neither had any window representation:
+    "text_stats",  # 7 prior greens; text family keeps repetition/quality_gate/boilerplate/tfidf rows
+    "cdc_flatten",  # 5 prior greens; CDC parse family keeps prune/typemap/audit rows
 ]
 
 _PROMOTED = [
@@ -6909,6 +7209,8 @@ _PROMOTED = [
     "q9_product_profit",  # profit rollup join chain: first driver row (round 8)
     "text_boilerplate",  # corpus-frequency boilerplate lines: first driver row (round 8)
     "text_tfidf_top",  # tf-idf top terms: first driver row (round 8)
+    "graph_pagerank_trade",  # NEW family: fixed-point PageRank (round 8)
+    "events_numeric_profile",  # NEW family: portable moments profile (round 8)
 ]
 
 DRIVER_WINDOW = 50

@@ -269,6 +269,144 @@ def test_collocations_marginals_aggregate_not_raw_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_chunk_overlap_pairs_position_independent(spark):
+    """A substring shared at DIFFERENT offsets must still pair — the
+    content-defined property fixed-stride windows lack."""
+    from changedatacapture_spark.operators.curation import chunk_overlap_pairs
+
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    shared = "".join(rng.choice(alpha) for _ in range(400))
+    pre_a = "".join(rng.choice(alpha) for _ in range(90))
+    pre_b = "".join(rng.choice(alpha) for _ in range(251))  # different phase
+    noise = "".join(rng.choice(alpha) for _ in range(600))
+    docs = spark.createDataFrame(
+        [
+            (0, pre_a + shared),
+            (1, pre_b + shared),
+            (2, noise),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = chunk_overlap_pairs(docs).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(0, 1)]
+    assert pairs[0]["shared_len"] > 100  # most of the 400-char span
+
+
+def test_chunk_overlap_hub_guard_drops_boilerplate(spark):
+    """A chunk present in more than max_docs_per_chunk documents must
+    not contribute pairs (quadratic-bucket guard)."""
+    from changedatacapture_spark.operators.curation import chunk_overlap_pairs
+
+    import random
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    boiler = "".join(rng.choice(alpha) for _ in range(300))
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    got = chunk_overlap_pairs(docs, max_docs_per_chunk=5).collect()
+    assert got == []
+
+
+def test_gini_diversity_hand_values(spark):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+    import os
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="gini_")
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b", "en", 7),
+            (1, "x y z", "en", 5),
+            (2, "w w", "en", 3),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(work, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in SPARK_QUERIES["text_gini_diversity"](spark, work).collect()
+    }
+    # doc 0: n=4, counts {a:3, b:1}, gini = (16 - 10) / 16
+    assert out[0]["n_tokens"] == 4 and out[0]["n_distinct"] == 2
+    assert out[0]["gini"] == pytest.approx(6 / 16)
+    # doc 1: all unique -> (9 - 3) / 9
+    assert out[1]["gini"] == pytest.approx(6 / 9)
+    # doc 2: single repeated token -> 0
+    assert out[2]["gini"] == 0.0
+
+
+def _events_dir(spark, tmp_path, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_funnel_requires_strict_order(spark, tmp_path):
+    """A user whose click PRECEDES every view must not count at stage
+    2 — the unordered-intersection overcount the operator exists to
+    avoid."""
+    import datetime as dt
+
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(i, minute, uid, kind):
+        return (i, t0 + dt.timedelta(minutes=minute), uid, kind, 1.0)
+
+    rows = [
+        # user 1: view -> click -> purchase (all three stages)
+        ev(1, 0, 1, "view"), ev(2, 10, 1, "click"), ev(3, 20, 1, "purchase"),
+        # user 2: click BEFORE the only view (stage 1 only)
+        ev(4, 0, 2, "click"), ev(5, 10, 2, "view"),
+        # user 3: view -> click, purchase BEFORE the click (stage 2 only)
+        ev(6, 0, 3, "view"), ev(7, 5, 3, "purchase"), ev(8, 10, 3, "click"),
+    ]
+    out = {
+        r["stage"]: r["n_users"]
+        for r in SPARK_QUERIES["events_funnel_sequence"](
+            spark, _events_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out == {
+        "view": 3,
+        "click_after_view": 2,
+        "purchase_after_click": 1,
+    }
+
+
+def test_trimmed_mean_drops_exact_rank_tails(spark, tmp_path):
+    """n=40 per group -> floor(40*5/100)=2 rows trimmed per tail; one
+    huge outlier must vanish from the mean."""
+    import datetime as dt
+
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    # values 1..39 plus an outlier 1e6; trim drops {1, 2} and {39, 1e6}
+    vals = [float(i) for i in range(1, 40)] + [1e6]
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "click", v)
+        for i, v in enumerate(vals)
+    ]
+    out = SPARK_QUERIES["events_trimmed_mean"](
+        spark, _events_dir(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    kept = [v for v in vals if v not in (1.0, 2.0, 39.0, 1e6)]
+    assert out[0]["n_kept"] == 36
+    assert out[0]["trimmed_mean"] == pytest.approx(sum(kept) / len(kept))
+
+
 def test_edit_distance_join_is_blocked_not_cartesian(spark, sf_dir):
     from changedatacapture_spark.queries import SPARK_QUERIES
 

@@ -6739,9 +6739,9 @@ def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m JOIN k USING (event_type)),
     c AS (
       SELECT event_type, minute, n,
-             pref - min(pref) OVER (
+             pref - least(0, min(pref) OVER (
                PARTITION BY event_type ORDER BY minute
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
                AS cusum_milli
       FROM p)
     SELECT event_type, minute, n, cusum_milli
@@ -6752,9 +6752,12 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM positive-drift statistic per event type over the minute
     series: ``s_i = max(0, s_{i-1} + (x_i - k))`` computed WITHOUT the
     sequential recursion via the prefix-min identity
-    ``s_i = pref_i - min_{j<=i} pref_j`` — two window passes, no
-    stateful fold, engine-portable because everything is scaled
-    integers (k = floor milli-mean of the per-type rate).
+    ``s_i = pref_i - min(0, min_{j<=i} pref_j)`` — the ``min(0, ·)``
+    term is the EMPTY prefix (``pref_0 = 0``), without which a series
+    that starts above the reference rate under-scores its opening run.
+    Two window passes, no stateful fold, engine-portable because
+    everything is scaled integers (k = floor milli-mean of the
+    per-type rate).
 
     Scale shape: like ``events_minute_spikes``, windows run on the
     AGGREGATED minute series (rows = minutes × types, not events)
@@ -6777,7 +6780,10 @@ def q_events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = m.join(k, "event_type").withColumn(
         "pref", F.sum(1000 * F.col("n") - F.col("k_milli")).over(w)
     )
-    c = p.withColumn("cusum_milli", F.col("pref") - F.min("pref").over(w))
+    c = p.withColumn(
+        "cusum_milli",
+        F.col("pref") - F.least(F.lit(0).cast("long"), F.min("pref").over(w)),
+    )
     return c.filter(F.col("cusum_milli") > 0).select(
         "event_type", "minute", "n", "cusum_milli"
     )

@@ -706,6 +706,94 @@ def edit_distance_pairs(
     )
 
 
+def sorted_neighborhood_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_chars: int = 40,
+    neighborhood: int = 3,
+    max_distance: int = 25,
+    prefix_chars: int = 120,
+) -> DataFrame:
+    """Sorted-neighborhood method (SNM, Hernández/Stolfo): sort the
+    corpus by a normalized sort key and compare each document only to
+    its ``neighborhood`` successors in sort order — the classic
+    entity-resolution blocking scheme for near-dups that share a
+    PREFIX (titles, names, URLs), complementary to length-bucket
+    blocking (``edit_distance_pairs``) and content blocking (LSH).
+
+    The global rank is computed DISTRIBUTED-EXACT, not with a
+    single-partition window: ranks within each leading-character
+    bucket run in parallel, and each bucket's global offset is a
+    running sum over the (tiny, ~alphabet-sized) bucket-count
+    aggregate. The neighborhood join is then an EQUI-join on
+    ``rank + offset`` (successors enumerated per row), so nothing in
+    the plan is sequential — the one structural cost is the sort
+    itself, which is what SNM buys its linear candidate count with.
+
+    Output: ``doc_a, doc_b, rank_distance, edit_distance`` for pairs
+    within ``max_distance`` (banded Levenshtein on a
+    ``prefix_chars`` prefix).
+    """
+    from pyspark.sql.window import Window as W
+
+    key = F.lower(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", ""))
+    base = docs.select(
+        "doc_id",
+        F.substring(key, 1, key_chars).alias("k"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("p"),
+    ).withColumn("b", F.substring(F.col("k"), 1, 1))
+    # per-bucket parallel rank + broadcast running offsets = exact
+    # global rank without a one-partition window
+    local = base.withColumn(
+        "lr", F.row_number().over(W.partitionBy("b").orderBy("k", "doc_id"))
+    )
+    offsets = (
+        base.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("b", "off")
+    )
+    ranked = local.join(F.broadcast(offsets), "b").select(
+        "doc_id", "k", "p", (F.col("lr") + F.col("off")).alias("r")
+    )
+    succ = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("p").alias("p_b"),
+        F.col("r").alias("r_b"),
+    )
+    probe = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("p").alias("p_a"),
+        F.col("r").alias("r_a"),
+        F.explode(
+            F.sequence(F.col("r") + 1, F.col("r") + neighborhood)
+        ).alias("r_b"),
+    )
+    return (
+        probe.join(succ, "r_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("r_b") - F.col("r_a")).alias("rank_distance"),
+            F.levenshtein(F.col("p_a"), F.col("p_b"), max_distance).alias(
+                "edit_distance"
+            ),
+        )
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_distance") <= max_distance)
+        )
+    )
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups: fingerprint, copy count, canonical id."""
     return (

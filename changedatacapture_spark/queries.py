@@ -7121,6 +7121,169 @@ def q_events_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "kmv_set_algebra",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+    sk AS (SELECT event_type, hv FROM r WHERE rn <= 64),
+    tp AS (SELECT DISTINCT event_type FROM sk),
+    pr AS (
+      SELECT a.event_type AS ta, b.event_type AS tb
+      FROM tp a JOIN tp b ON a.event_type < b.event_type),
+    m AS (
+      SELECT ta, tb, hv,
+             max(in_a) AS in_a, max(in_b) AS in_b
+      FROM (
+        SELECT pr.ta, pr.tb, sk.hv, 1 AS in_a, 0 AS in_b
+        FROM pr JOIN sk ON sk.event_type = pr.ta
+        UNION ALL
+        SELECT pr.ta, pr.tb, sk.hv, 0, 1
+        FROM pr JOIN sk ON sk.event_type = pr.tb)
+      GROUP BY ta, tb, hv),
+    ku AS (
+      SELECT ta, tb, hv, in_a, in_b,
+             row_number() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn
+      FROM m),
+    agg AS (
+      SELECT ta, tb, count(*) AS n_u, max(hv) AS h_k,
+             CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+      FROM ku WHERE rn <= 64 GROUP BY ta, tb)
+    SELECT ta, tb, n_u, n_both,
+           CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                ELSE (63.0 * power(2.0, 60)) / CAST(h_k AS DOUBLE)
+           END AS union_est,
+           CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE) AS jaccard_est,
+           (CAST(n_both AS DOUBLE) / CAST(n_u AS DOUBLE))
+             * (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                     ELSE (63.0 * power(2.0, 60)) / CAST(h_k AS DOUBLE)
+                END) AS intersection_est
+    FROM agg
+    """,
+)
+def q_kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET ALGEBRA over the per-event-type user sketches:
+    for every type pair, the union estimate (k-min of the merged
+    sketches — valid because k-min(A∪B) ⊆ k-min(A) ∪ k-min(B)), the
+    Jaccard estimate (fraction of the merged k-min present in both
+    sketches), and the intersection estimate (their product). This is
+    the capability sketches exist for — set operations WITHOUT
+    re-scanning the raw data: once the 64-long sketches are built, any
+    of the P(n,2) pair estimates costs O(k), not O(rows).
+
+    Deterministic end to end (same 60-bit md5 hashes as
+    ``kmv_distinct_users``), so the oracle runs the identical algebra
+    bit-exactly — unlike HLL registers, which are engine-private."""
+    from pyspark.sql.window import Window
+
+    K = 64
+    ev = load_table(spark, "events", sf_dir)
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    hashes = ev.select("event_type", hv.alias("hv")).distinct()
+    # same two-level salted pre-rank as kmv_distinct_users: the first
+    # rank is bounded per (type, salt) cell, the global re-rank sees
+    # <= salts*K rows per type
+    wc = Window.partitionBy(
+        "event_type", F.pmod(F.col("hv"), F.lit(32))
+    ).orderBy("hv")
+    cand = (
+        hashes.withColumn("cell_rn", F.row_number().over(wc))
+        .filter(F.col("cell_rn") <= K)
+        .select("event_type", "hv")
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= K)
+        .select("event_type", "hv")
+    )
+    tp = sk.select("event_type").distinct()
+    pr = (
+        tp.select(F.col("event_type").alias("ta"))
+        .join(tp.select(F.col("event_type").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    rows_a = pr.join(sk, sk.event_type == pr.ta).select(
+        "ta", "tb", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    rows_b = pr.join(sk, sk.event_type == pr.tb).select(
+        "ta", "tb", "hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    m = (
+        rows_a.unionByName(rows_b)
+        .groupBy("ta", "tb", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("ta", "tb").orderBy("hv")
+    agg = (
+        m.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= K)
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n_u"),
+            F.max("hv").alias("h_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+        )
+    )
+    union_est = F.when(
+        F.col("n_u") < K, F.col("n_u").cast("double")
+    ).otherwise(F.lit(63.0 * 2.0**60) / F.col("h_k").cast("double"))
+    jacc = F.col("n_both").cast("double") / F.col("n_u").cast("double")
+    return agg.select(
+        "ta",
+        "tb",
+        "n_u",
+        "n_both",
+        union_est.alias("union_est"),
+        jacc.alias("jaccard_est"),
+        (jacc * union_est).alias("intersection_est"),
+    )
+
+
+@_register(
+    "dedup_sorted_neighborhood",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')),
+                    1, 40) AS k,
+             substr(text, 1, 120) AS p
+      FROM documents),
+    r AS (
+      SELECT doc_id, k, p,
+             row_number() OVER (ORDER BY k, doc_id) AS r
+      FROM base)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           b.r - a.r AS rank_distance,
+           levenshtein(a.p, b.p) AS edit_distance
+    FROM r a JOIN r b ON b.r BETWEEN a.r + 1 AND a.r + 3
+    WHERE levenshtein(a.p, b.p) <= 25
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup pairs: normalized 40-char sort key,
+    window of 3 successors, banded Levenshtein verify — prefix-sharing
+    near-dups that length-bucket and LSH blocking can both miss. The
+    global rank is distributed-exact (per-bucket parallel windows +
+    broadcast running offsets; see
+    operators/dedup.py:sorted_neighborhood_pairs), and the DuckDB
+    oracle's single ``row_number`` produces the identical total order
+    because the bucket key is a prefix of the sort key."""
+    from changedatacapture_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    return sorted_neighborhood_pairs(load_table(spark, "documents", sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.

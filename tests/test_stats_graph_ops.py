@@ -407,6 +407,76 @@ def test_trimmed_mean_drops_exact_rank_tails(spark, tmp_path):
     assert out[0]["trimmed_mean"] == pytest.approx(sum(kept) / len(kept))
 
 
+def test_kmv_set_algebra_small_sets_are_exact(spark, tmp_path):
+    """Below k=64 distinct users the sketches ARE the sets, so union /
+    Jaccard / intersection estimates must be exact."""
+    import datetime as dt
+
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # type A: users 0..19; type B: users 10..29  -> |A∪B|=30, |A∩B|=10
+    for u in range(20):
+        rows.append((i, t0, u, "a", 1.0)); i += 1
+    for u in range(10, 30):
+        rows.append((i, t0, u, "b", 1.0)); i += 1
+    out = SPARK_QUERIES["kmv_set_algebra"](
+        spark, _events_dir(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["ta"], r["tb"]) == ("a", "b")
+    assert r["n_u"] == 30 and r["union_est"] == 30.0
+    assert r["jaccard_est"] == pytest.approx(10 / 30)
+    assert r["intersection_est"] == pytest.approx(10.0)
+
+
+def test_sorted_neighborhood_finds_prefix_neighbors(spark):
+    """Docs sharing a long normalized prefix sort adjacent and pair;
+    the distributed rank must produce the same candidates a single
+    global sort would."""
+    from changedatacapture_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    filler = "unrelated filler content " * 4
+    docs = spark.createDataFrame(
+        [
+            (0, "Alpha Beta Gamma Delta record one!"),
+            (1, "alpha beta gamma delta record one?"),  # same normalized key
+            (2, "zzz totally different " + filler),
+            (3, "zzz totally different " + filler + "x"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (p["doc_a"], p["doc_b"]): p["rank_distance"]
+        for p in sorted_neighborhood_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1
+    assert (2, 3) in pairs
+
+
+def test_sorted_neighborhood_rank_is_not_single_partition(spark, sf_dir):
+    """The corpus-sized row_number must run hash-partitioned by the
+    leading-char bucket; the only single-partition window allowed is
+    the running-offset sum over the ~alphabet-sized bucket COUNTS."""
+    import re
+
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["dedup_sorted_neighborhood"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    # the per-document rank window is partitioned by the bucket column
+    assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+, k#", plan), plan
+    assert "Exchange hashpartitioning(b#" in plan, plan
+    # at most the offsets aggregate may funnel to one partition
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
 def test_edit_distance_join_is_blocked_not_cartesian(spark, sf_dir):
     from changedatacapture_spark.queries import SPARK_QUERIES
 

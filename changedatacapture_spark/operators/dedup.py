@@ -680,13 +680,13 @@ def edit_distance_pairs(
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang"),
-        (F.col("n_chars") / len_bucket).cast("long").alias("len_b"),
+        F.expr(f"n_chars DIV {len_bucket}").alias("len_b"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("text_a"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang"),
-        (F.col("n_chars") / len_bucket).cast("long").alias("len_b"),
+        F.expr(f"n_chars DIV {len_bucket}").alias("len_b"),
         F.substring(F.col(text_col), 1, prefix_chars).alias("text_b"),
     )
     return (

@@ -28,8 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: Total rank mass as a scaled integer; 1e12 keeps 12 digits of rank
-#: resolution while rank*weight products stay far inside int64 for
-#: per-edge weights up to ~9e6.
+#: resolution. The rank*weight product is formed in DECIMAL(38,0)
+#: (HUGEINT on the oracle side), so edge weights are NOT bounded by
+#: int64/RANK_SCALE ≈ 9e6 — at sf1000 a nation-pair lineitem count
+#: passes that bound and the old int64 product would overflow (an
+#: ANSI error in Spark 4, a silent wrap in non-ANSI Spark 3).
 RANK_SCALE = 1_000_000_000_000
 
 
@@ -37,6 +40,7 @@ def pagerank(
     edges: DataFrame,
     n_iter: int = 2,
     damping_pct: int = 85,
+    materialize: bool = True,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)`` for ``n_iter``
     fixed iterations; returns ``(node, rank_scaled, rank)``.
@@ -57,7 +61,10 @@ def pagerank(
     # aggregation (the usual case — edges are aggregated from a fact
     # table), each reference would recompute that aggregation. The
     # aggregated edge table is at most |V|^2 rows, so caching it is
-    # always cheap relative to recomputing its lineage.
+    # always cheap relative to recomputing its lineage. The cache is
+    # released before returning (see the localCheckpoint below), so
+    # repeated calls in a long-lived session do not accumulate pinned
+    # relations.
     edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -79,7 +86,14 @@ def pagerank(
             e.join(F.broadcast(ranks), e.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank * w DIV outw").alias("c"),
+                # Widen the product to DECIMAL(38,0) before the
+                # integer division: rank approaches RANK_SCALE=1e12,
+                # so an int64 product caps w at ~9.2e6 (ARITHMETIC_
+                # OVERFLOW under ANSI, silent wrap otherwise). The
+                # quotient itself is <= rank, so the DIV result fits
+                # a long exactly; the oracle widens via HUGEINT to
+                # the same integral quotient.
+                F.expr("CAST(rank AS DECIMAL(38,0)) * w DIV outw").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("contrib"))
@@ -96,11 +110,23 @@ def pagerank(
                 ).cast("long").alias("rank"),
             )
         )
-    return ranks.select(
+    result = ranks.select(
         "node",
         F.col("rank").alias("rank_scaled"),
         (F.col("rank").cast("double") / F.lit(float(RANK_SCALE))).alias("rank"),
     )
+    # Materialize the O(|V|) result eagerly (lineage-free, distributed
+    # — never a driver collect), then release the cached edge relation
+    # so callers in long-lived sessions do not leak a pinned cache per
+    # invocation. The checkpointed rank blocks are O(|V|) and are
+    # released by Spark's ContextCleaner when the returned DataFrame
+    # is garbage collected. ``materialize=False`` returns the lazy
+    # plan instead (cache stays pinned — caller releases); plan-shape
+    # tests use it because localCheckpoint truncates lineage.
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        edges.unpersist()
+    return result
 
 
 def pagerank_oracle_sql(edges_cte: str, n_iter: int = 2, damping_pct: int = 85) -> str:
@@ -121,7 +147,10 @@ def pagerank_oracle_sql(edges_cte: str, n_iter: int = 2, damping_pct: int = 85) 
     for i in range(1, n_iter + 1):
         parts.append(
             f"c{i} AS (SELECT e.dst AS node,"
-            f" CAST(sum((r.rank * e.w) // o.outw) AS BIGINT) AS contrib"
+            # HUGEINT (int128) product mirrors the Spark side's
+            # DECIMAL(38,0) widening — both floor-divide the exact
+            # product, so the BIGINT quotients are identical.
+            f" CAST(sum((CAST(r.rank AS HUGEINT) * e.w) // o.outw) AS BIGINT) AS contrib"
             f" FROM edges e JOIN {prev} r ON e.src = r.node"
             f" JOIN outw o ON e.src = o.src GROUP BY e.dst),"
         )

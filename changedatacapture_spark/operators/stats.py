@@ -84,7 +84,11 @@ def numeric_profile(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         mean.alias("mean_value"),
         var.alias("var_pop"),
         std.alias("stddev_pop"),
-        (std / mean).alias("cv"),
+        # NULLIF guard: Spark returns NULL on double x/0 while DuckDB
+        # (ieee_floating_point_ops default) returns Inf/NaN — guarding
+        # the denominator identically in BOTH trees makes a zero-mean
+        # group emit NULL in both engines instead of diverging.
+        (std / F.nullif(mean, F.lit(0.0))).alias("cv"),
     )
 
 
@@ -129,5 +133,9 @@ def pearson_corr(
         group_col,
         "n",
         (cov_n / (nd * nd) / F.lit(float(SCALE) * float(SCALE))).alias("cov_pop"),
-        (cov_n / F.sqrt(varx_n * vary_n)).alias("corr"),
+        # NULLIF guard (see numeric_profile.cv): a constant-valued x or
+        # y makes the variance product zero; Spark's x/0.0 is NULL but
+        # DuckDB's is Inf/NaN, so both trees guard the denominator and
+        # emit NULL for degenerate groups.
+        (cov_n / F.nullif(F.sqrt(varx_n * vary_n), F.lit(0.0))).alias("corr"),
     )

@@ -6506,7 +6506,7 @@ def q_events_minute_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0)
                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0),
                     0.0))
-             / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0) AS cv
+             / NULLIF(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0, 0.0) AS cv
     FROM agg
     """,
 )
@@ -6548,10 +6548,10 @@ def q_events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS cov_pop,
            (CAST(sxy AS DOUBLE) * CAST(n AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-             / sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
+             / NULLIF(sqrt((CAST(sxx AS DOUBLE) * CAST(n AS DOUBLE)
                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
                     * (CAST(syy AS DOUBLE) * CAST(n AS DOUBLE)
-                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)
              AS corr
     FROM agg
     """,

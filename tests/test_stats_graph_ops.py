@@ -145,11 +145,25 @@ def test_pagerank_matches_integer_reference(spark, edges):
 
 
 def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    from changedatacapture_spark.operators.graph import pagerank
     from changedatacapture_spark.queries import SPARK_QUERIES
 
-    df = SPARK_QUERIES["graph_pagerank_trade"](spark, sf_dir)
-    rows = df.collect()
-    assert has_broadcast_join(df), "rank vector must broadcast to the edge join"
+    # plan shape on the lazy form (the materialized default local-
+    # checkpoints, which truncates lineage and hides the join)
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("b", "c", 2), ("c", "a", 5)],
+        "src string, dst string, w long",
+    )
+    lazy = pagerank(edges, n_iter=2, materialize=False)
+    try:
+        lazy.collect()
+        assert has_broadcast_join(lazy), (
+            "rank vector must broadcast to the edge join"
+        )
+    finally:
+        edges.unpersist()
+
+    rows = SPARK_QUERIES["graph_pagerank_trade"](spark, sf_dir).collect()
     # rank mass: teleport is exact; floor division only ever LOSES mass
     from changedatacapture_spark.operators.graph import RANK_SCALE
 

@@ -167,3 +167,72 @@ def pagerank_oracle_sql(edges_cte: str, n_iter: int = 2, damping_pct: int = 85) 
         f" CAST(rank AS DOUBLE) / {float(RANK_SCALE)} AS rank FROM fin"
     )
     return "\n".join(parts)
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via degree-ordered wedge closure.
+
+    ``edges(src, dst)`` is symmetrized/deduplicated to undirected
+    edges, then ORIENTED from the (degree, node)-smaller endpoint to
+    the larger. Each triangle {a,b,c} is then generated exactly once:
+    the wedge join pairs the two out-edges of its order-minimal vertex
+    and the closure join checks the third edge in its oriented
+    direction — the classic degree-ordered formulation whose wedge
+    work per vertex is bounded by its ORIENTED out-degree, O(sqrt(|E|))
+    on skewed graphs, instead of the raw degree a hub would explode.
+
+    All joins are equi-joins on node keys (wedges share their center,
+    closure matches the (b,c) edge); the order comparison rides along
+    as a join filter, never a join condition — no cartesian, no global
+    rank. Returns ``(node, n_triangles)`` for nodes in >= 1 triangle;
+    counts are exact integers, so the DuckDB twin is bit-exact.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: (deg, node) lexicographic — a total order, so exactly
+    # one direction survives per undirected edge
+    j = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = j.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("du")).otherwise(F.col("dv")).alias("da"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    e1 = oriented.select(
+        F.col("a"), F.col("b"), F.col("db").alias("db1")
+    )
+    e2 = oriented.select(
+        F.col("a"), F.col("b").alias("c"), F.col("db").alias("db2")
+    )
+    # wedge at center a; order the two legs so each unordered leg pair
+    # appears once, with b the (deg, node)-smaller leg
+    wedges = e1.join(e2, "a").filter(
+        (F.col("db1") < F.col("db2"))
+        | ((F.col("db1") == F.col("db2")) & (F.col("b") < F.col("c")))
+    )
+    closure = oriented.select(
+        F.col("a").alias("b"), F.col("b").alias("c")
+    )
+    tri = wedges.join(closure, ["b", "c"]).select("a", "b", "c")
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

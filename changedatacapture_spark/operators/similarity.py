@@ -19,6 +19,8 @@ variants therefore rank by scaled-integer scores.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -519,4 +521,176 @@ def cosine_topk_lsh(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "score_scaled", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path.
+#
+# A dim-D vector is split into M subvectors; each subvector is encoded
+# as the index of its nearest codebook centroid (KS entries per
+# subspace), so a 64-dim float32 vector (256 bytes) becomes M=8 small
+# integer codes (8 bytes) — a 32x reduction in what the corpus scan
+# shuffles and caches. Search uses asymmetric distance computation
+# (ADC): the probe stays full precision, a per-probe lookup table of
+# probe-subvector -> centroid distances is built ONCE (M*KS entries),
+# and each corpus row's distance estimate is M table lookups summed.
+#
+# All arithmetic is SCALED-INTEGER (vectors and the codebook quantize
+# to 1e6 fixed point), so encoding, the LUT, and ADC scores are exact
+# int64 in any engine — the DuckDB oracle reproduces them bit-exactly
+# with no float-ordering caveat. Codebook entries come from the same
+# deterministic LCG as the LSH planes / IVF centroids (a stand-in for
+# the k-means artifact a production pipeline would broadcast; the plan
+# shape — tiny literal codebook, zero-shuffle encode projection — is
+# identical either way).
+#
+# No reference analog (the reference has no vector surface); this
+# extends the ANN family required by the LLM-pipeline brief.
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale shared by vectors and codebook entries
+PQ_SCALE = 1_000_000
+
+
+def _pq_centroid_scaled(sub: int, cent: int, d: int) -> int:
+    """Deterministic codebook entry, scaled to 1e6 fixed point.
+
+    Salt 3000 keeps the stream disjoint from the LSH planes (0..) and
+    IVF centroids (1000..)."""
+    return math.floor(_lcg_plane(3000 + sub * 64 + cent, d) * PQ_SCALE)
+
+
+def pq_codebook(m: int = 8, ks: int = 16, dsub: int = 8) -> list[list[list[int]]]:
+    """``m x ks x dsub`` scaled-integer codebook from the LCG."""
+    return [
+        [[_pq_centroid_scaled(j, c, d) for d in range(dsub)] for c in range(ks)]
+        for j in range(m)
+    ]
+
+
+def _pq_scaled_vec(vec_col: str, dim: int) -> str:
+    """SQL expr: float vector -> scaled int64 vector (floor(x*1e6))."""
+    return (
+        f"transform(slice({vec_col}, 1, {dim}), "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {PQ_SCALE}) AS BIGINT))"
+    )
+
+
+def _pq_dists_expr(xs_col: str, m: int, ks: int, dsub: int) -> str:
+    """SQL expr producing the ``m x ks`` array of exact squared
+    distances from each scaled subvector to each codebook centroid.
+
+    The codebook is ONE literal nested array folded with higher-order
+    functions (zip_with + aggregate), not m*ks*dsub inlined terms —
+    the same Catalyst-codegen-size lesson as ivf_cell_scores."""
+    book = pq_codebook(m, ks, dsub)
+    lit = (
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(
+                "array(" + ", ".join(f"{v}L" for v in cent) + ")"
+                for cent in sub
+            )
+            + ")"
+            for sub in book
+        )
+        + ")"
+    )
+    return (
+        f"zip_with({lit}, sequence(0, {m - 1}), (sub, j) -> "
+        f"transform(sub, cent -> "
+        f"aggregate(zip_with(slice({xs_col}, j * {dsub} + 1, {dsub}), cent, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)))"
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Encode each vector as ``m`` codebook indices (0..ks-1).
+
+    Zero-shuffle map-only projection: the codebook is a literal in the
+    expression tree, so encoding parallelizes embarrassingly across
+    the corpus scan — the property that makes PQ viable for a 100 TB
+    re-encode. Ties break to the LOWEST index (array_position returns
+    the first occurrence of the min), mirrored in the oracle.
+
+    Returns ``(id_col, codes array<int>, dist_scaled)`` where
+    ``dist_scaled`` is the total squared quantization error (exact
+    int64) — the quality metric PQ tuning watches.
+    """
+    dsub = dim // m
+    xs = F.expr(_pq_scaled_vec(vec_col, dim))
+    dists = F.expr(_pq_dists_expr("xs", m, ks, dsub))
+    codes = F.expr(
+        "transform(dl, sub -> CAST(array_position(sub, array_min(sub)) - 1 AS INT))"
+    )
+    err = F.expr("aggregate(transform(dl, sub -> array_min(sub)), 0L, (a, v) -> a + v)")
+    return (
+        emb.select(F.col(id_col), xs.alias("xs"))
+        .select(F.col(id_col), dists.alias("dl"))
+        .select(F.col(id_col), codes.alias("codes"), err.alias("dist_scaled"))
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k by PQ asymmetric distance.
+
+    The corpus side carries ONLY its codes (the 32x-smaller relation);
+    each probe carries its ``m x ks`` LUT of exact subvector-to-
+    centroid distances. The pair stage is m array lookups and an
+    integer sum — no per-pair float math at all. Probes broadcast
+    (same contract as the brute/LSH/IVF variants); at corpus scale the
+    interesting bytes are the corpus codes, which is the point.
+
+    Returns ``probe_id, neighbor_id, dist_scaled, rk`` ranked by
+    ASCENDING estimated distance (ties -> lowest neighbor_id).
+    """
+    from pyspark.sql import Window as W
+
+    dsub = dim // m
+    c = pq_encode(corpus, id_col, vec_col, m, ks, dim).select(
+        F.col(id_col).alias("neighbor_id"), "codes"
+    )
+    xs = F.expr(_pq_scaled_vec(vec_col, dim))
+    p = (
+        probes.select(F.col(id_col).alias("probe_id"), xs.alias("xs"))
+        .select(
+            "probe_id",
+            F.expr(_pq_dists_expr("xs", m, ks, dsub)).alias("lut"),
+        )
+    )
+    pair = c.crossJoin(F.broadcast(p)).filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    adc = F.expr(
+        "aggregate(zip_with(lut, codes, (sub, code) -> sub[code]), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = pair.select(
+        "probe_id", "neighbor_id", adc.alias("dist_scaled")
+    )
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("dist_scaled").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "dist_scaled", "rk")
     )

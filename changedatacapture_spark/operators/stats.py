@@ -139,3 +139,90 @@ def pearson_corr(
         # emit NULL for degenerate groups.
         (cov_n / F.nullif(F.sqrt(varx_n * vary_n), F.lit(0.0))).alias("corr"),
     )
+
+
+def mad_profile(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cutoff: float = 4.4478,
+) -> DataFrame:
+    """Robust per-group outlier profile via the median absolute
+    deviation: median, MAD, and the count/rate of values whose
+    absolute deviation exceeds ``cutoff * MAD`` (the default 4.4478 =
+    3 / 0.6745 is the classic "3 robust sigmas").
+
+    Exact distributed medians with NO buffering aggregate: each median
+    is a sort-partitioned ``row_number`` window plus an average of the
+    <= 2 middle rows — per-group sort shuffles that scale out, where a
+    ``percentile``-style aggregate would buffer whole groups in one
+    task's memory at 100 TB. Values quantize to 1e6 fixed point, so
+    the middle values are exact ints, their average is an exact
+    double, and deviations are exact doubles — the DuckDB twin
+    replays the identical arithmetic bit-for-bit.
+
+    Returns ``(group, n, median_value, mad_value, n_outliers,
+    outlier_ppm)``.
+    """
+    from pyspark.sql import Window as W
+
+    sc = df.select(
+        F.col(group_col).alias("g"), _scaled(value_col).alias("x")
+    )
+    w = W.partitionBy("g").orderBy("x")
+    ranked = sc.select(
+        "g",
+        "x",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("g")).alias("cnt"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+        )
+        .groupBy("g")
+        .agg(F.avg(F.col("x").cast("double")).alias("med"))
+    )
+    dev = sc.join(F.broadcast(med), "g").select(
+        "g", "med", F.abs(F.col("x").cast("double") - F.col("med")).alias("d")
+    )
+    wd = W.partitionBy("g").orderBy("d")
+    dranked = dev.select(
+        "g",
+        "med",
+        "d",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("g")).alias("cnt"),
+    )
+    mad = (
+        dranked.filter(
+            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
+            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+        )
+        .groupBy("g")
+        .agg(F.avg("d").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), "g").select(
+        "g",
+        "med",
+        "mad",
+        (F.col("d") > F.lit(cutoff) * F.col("mad")).cast("long").alias("is_out"),
+    )
+    return (
+        flagged.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("med"),
+            F.first("mad").alias("mad"),
+            F.sum("is_out").alias("n_outliers"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            (F.col("med") / F.lit(float(SCALE))).alias("median_value"),
+            (F.col("mad") / F.lit(float(SCALE))).alias("mad_value"),
+            "n_outliers",
+            F.expr("n_outliers * 1000000 DIV n").alias("outlier_ppm"),
+        )
+    )

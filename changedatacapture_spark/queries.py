@@ -1071,6 +1071,122 @@ def q_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = emb.filter(F.col("vec_id") < 10)
     return cosine_topk_ivf(emb, probes, k=5, n_cells=8, nprobe=2, dim=64)
 
+
+def _pq_xs_sql(vec: str = "embedding", dim: int = 64) -> str:
+    """DuckDB list expr: float vector -> 1e6-scaled int64 vector."""
+    from changedatacapture_spark.operators.similarity import PQ_SCALE
+
+    return (
+        "["
+        + ", ".join(
+            f"CAST(floor(CAST({vec}[{d + 1}] AS DOUBLE) * {PQ_SCALE}) AS BIGINT)"
+            for d in range(dim)
+        )
+        + "]"
+    )
+
+
+def _pq_d_cte(m: int = 8, ks: int = 16, dsub: int = 8) -> str:
+    """DuckDB CTE body producing one row per (vec_id, sub) with the
+    16-entry list of exact squared distances from the scaled subvector
+    to each codebook centroid — the same integers the Spark side's
+    ``_pq_dists_expr`` folds (spelled out per subspace via CASE, the
+    generated-literal style of the LSH/IVF oracles)."""
+    from changedatacapture_spark.operators.similarity import pq_codebook
+
+    book = pq_codebook(m, ks, dsub)
+    branches = []
+    for j, sub in enumerate(book):
+        cents = []
+        for cent in sub:
+            terms = " + ".join(
+                f"(x[{j * dsub + d + 1}] - ({cent[d]})) * (x[{j * dsub + d + 1}] - ({cent[d]}))"
+                for d in range(dsub)
+            )
+            cents.append(f"({terms})")
+        branches.append(f"WHEN {j} THEN [" + ", ".join(cents) + "]")
+    case = "CASE j.sub " + " ".join(branches) + " END"
+    return (
+        f"SELECT vec_id, CAST(j.sub AS INTEGER) AS sub, {case} AS dl"
+        f" FROM xs, (SELECT unnest(generate_series(0, {m - 1})) AS sub) j"
+    )
+
+
+@_register(
+    "emb_pq_codes",
+    f"""
+    WITH xs AS (SELECT vec_id, {_pq_xs_sql()} AS x FROM embeddings),
+    d AS ({_pq_d_cte()})
+    SELECT vec_id, sub,
+           CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS code,
+           list_min(dl) AS sub_dist_scaled
+    FROM d
+    """,
+)
+def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding, exploded per subspace: each
+    64-dim vector becomes 8 codebook indices (16 centroids per
+    subspace — 8 bytes of codes standing in for 256 bytes of float32,
+    the 32x memory cut that makes trillion-vector ANN feasible).
+    Zero-shuffle map-only projection; all arithmetic is 1e6-scaled
+    int64, so codes and quantization errors are engine-exact. See
+    operators/similarity.py:pq_encode."""
+    from changedatacapture_spark.operators.similarity import (
+        _pq_dists_expr,
+        _pq_scaled_vec,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return (
+        emb.select("vec_id", F.expr(_pq_scaled_vec("embedding", 64)).alias("xs"))
+        .select("vec_id", F.expr(_pq_dists_expr("xs", 8, 16, 8)).alias("dl"))
+        .select("vec_id", F.posexplode("dl").alias("sub", "sub_dists"))
+        .select(
+            "vec_id",
+            F.col("sub").cast("int").alias("sub"),
+            F.expr(
+                "CAST(array_position(sub_dists, array_min(sub_dists)) - 1 AS INT)"
+            ).alias("code"),
+            F.expr("array_min(sub_dists)").alias("sub_dist_scaled"),
+        )
+    )
+
+
+@_register(
+    "knn_pq_topk",
+    f"""
+    WITH xs AS (SELECT vec_id, {_pq_xs_sql()} AS x FROM embeddings),
+    d AS ({_pq_d_cte()}),
+    codes AS (
+      SELECT vec_id, sub, list_position(dl, list_min(dl)) AS code1
+      FROM d),
+    pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             CAST(sum(p.dl[c.code1]) AS BIGINT) AS dist_scaled
+      FROM d p JOIN codes c USING (sub)
+      WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+      GROUP BY p.vec_id, c.vec_id)
+    SELECT probe_id, neighbor_id, dist_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dist_scaled, neighbor_id) AS rk
+    FROM pairs
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 by PQ asymmetric distance: the corpus carries
+    only its 8 codes per vector, each probe carries its 8x16 lookup
+    table of exact subvector distances, and the pair stage is 8 array
+    lookups summed (exact int64 — no per-pair float math). The oracle
+    computes the identical ADC sum as a per-subspace join-aggregate.
+    See operators/similarity.py:pq_adc_topk."""
+    from changedatacapture_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, probes, k=5)
+
+
 # ---------------------------------------------------------------------------
 # Mongo/BSON path: extended-JSON normalization as column expressions
 # (replaces the reference's Python UDF, cdc_stream.py:728-739).
@@ -6523,6 +6639,310 @@ def q_events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_mad_outliers",
+    """
+    WITH sc AS (
+      SELECT event_type AS g, CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events),
+    ranked AS (
+      SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM sc),
+    med AS (
+      SELECT g, avg(CAST(x AS DOUBLE)) AS med
+      FROM ranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY g),
+    dev AS (
+      SELECT sc.g, med, abs(CAST(x AS DOUBLE) - med) AS d
+      FROM sc JOIN med USING (g)),
+    dranked AS (
+      SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
+             count(*) OVER (PARTITION BY g) AS cnt
+      FROM dev),
+    mad AS (
+      SELECT g, avg(d) AS mad
+      FROM dranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY g),
+    flag AS (
+      SELECT dev.g, dev.med, mad.mad,
+             CASE WHEN d > 4.4478 * mad THEN 1 ELSE 0 END AS is_out
+      FROM dev JOIN mad USING (g))
+    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+           any_value(med) / 1000000.0 AS median_value,
+           any_value(mad) / 1000000.0 AS mad_value,
+           CAST(sum(is_out) AS BIGINT) AS n_outliers,
+           CAST(sum(is_out) * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+    FROM flag
+    GROUP BY g
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event type: exact median, median
+    absolute deviation, and the count/ppm of values beyond 4.4478*MAD
+    (3 robust sigmas). Both medians are sort-partitioned row_number
+    windows + an average of the middle rows — distributed exact, no
+    whole-group buffering aggregate. See operators/stats.py:mad_profile."""
+    from changedatacapture_spark.operators.stats import mad_profile
+
+    ev = load_table(spark, "events", sf_dir)
+    return mad_profile(ev, "event_type", "value")
+
+
+@_register(
+    "dq_expectations",
+    """
+    WITH li AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN l_quantity IS NOT NULL
+                            AND (l_quantity < 1 OR l_quantity > 50)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity > 40
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN l_discount IS NOT NULL
+                            AND (l_discount < 0.0 OR l_discount > 0.1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(sum(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             CAST(count(*) - count(DISTINCT CASE
+                    WHEN l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+                    THEN (l_orderkey, l_linenumber) END) AS BIGINT) AS v5
+      FROM lineitem),
+    o AS (
+      SELECT count(*) AS n,
+             CAST(count(*) - count(DISTINCT CASE WHEN o_orderkey IS NOT NULL
+                    THEN o_orderkey END) AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice < 0.0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F', 'O')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      FROM orders),
+    ri AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM lineitem l
+      LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) ok
+        ON l.l_orderkey = ok.o_orderkey)
+    SELECT * FROM (
+      SELECT 'li_orderkey_not_null' AS check_id, 'not_null' AS check_type,
+             'lineitem.l_orderkey' AS target, n AS n_rows, v0 AS n_violations,
+             CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INTEGER) AS passed FROM li
+      UNION ALL SELECT 'li_qty_range', 'range', 'lineitem.l_quantity', n, v1,
+             CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM li
+      UNION ALL SELECT 'li_qty_le_40', 'range', 'lineitem.l_quantity', n, v2,
+             CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM li
+      UNION ALL SELECT 'li_discount_range', 'range', 'lineitem.l_discount', n, v3,
+             CAST(CASE WHEN v3 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM li
+      UNION ALL SELECT 'li_returnflag_accepted', 'accepted', 'lineitem.l_returnflag', n, v4,
+             CAST(CASE WHEN v4 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM li
+      UNION ALL SELECT 'li_pk_unique', 'unique', 'lineitem.l_orderkey,l_linenumber', n, v5,
+             CAST(CASE WHEN v5 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM li
+      UNION ALL SELECT 'o_pk_unique', 'unique', 'orders.o_orderkey', n, v0,
+             CAST(CASE WHEN v0 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM o
+      UNION ALL SELECT 'o_totalprice_positive', 'range', 'orders.o_totalprice', n, v1,
+             CAST(CASE WHEN v1 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM o
+      UNION ALL SELECT 'o_status_accepted', 'accepted', 'orders.o_orderstatus', n, v2,
+             CAST(CASE WHEN v2 = 0 THEN 1 ELSE 0 END AS INTEGER) FROM o
+      UNION ALL SELECT 'li_orders_ri', 'ref_integrity',
+             'lineitem.l_orderkey->orders.o_orderkey', n, v,
+             CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INTEGER) FROM ri)
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (Deequ-analog) over lineitem +
+    orders: not-null, two range rules (one intentionally tight so the
+    violation counter is exercised on real data), accepted-values
+    (one intentionally missing a live status), composite-key and
+    single-key uniqueness, and lineitem->orders referential
+    integrity. All lineitem row rules compile into ONE scan's
+    aggregate; RI is one dedup + equi-join. See operators/dq.py."""
+    from changedatacapture_spark.operators.dq import (
+        check_referential,
+        check_rules,
+        dq_report,
+    )
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li_report = check_rules(
+        li,
+        "lineitem",
+        [
+            {"id": "li_orderkey_not_null", "type": "not_null", "col": "l_orderkey"},
+            {"id": "li_qty_range", "type": "range", "col": "l_quantity",
+             "min": 1.0, "max": 50.0},
+            {"id": "li_qty_le_40", "type": "range", "col": "l_quantity",
+             "max": 40.0},
+            {"id": "li_discount_range", "type": "range", "col": "l_discount",
+             "min": 0.0, "max": 0.1},
+            {"id": "li_returnflag_accepted", "type": "accepted",
+             "col": "l_returnflag", "values": ["A", "N", "R"]},
+            {"id": "li_pk_unique", "type": "unique",
+             "cols": ["l_orderkey", "l_linenumber"]},
+        ],
+    )
+    o_report = check_rules(
+        o,
+        "orders",
+        [
+            {"id": "o_pk_unique", "type": "unique", "cols": ["o_orderkey"]},
+            {"id": "o_totalprice_positive", "type": "range",
+             "col": "o_totalprice", "min": 0.0},
+            {"id": "o_status_accepted", "type": "accepted",
+             "col": "o_orderstatus", "values": ["F", "O"]},
+        ],
+    )
+    ri = check_referential(
+        li, "l_orderkey", o, "o_orderkey",
+        "li_orders_ri", "lineitem.l_orderkey->orders.o_orderkey",
+    )
+    return dq_report([li_report, o_report, ri])
+
+
+@_register(
+    "events_ewma",
+    """
+    WITH m AS (
+      SELECT event_type, date_trunc('minute', ts) AS minute,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, minute, n,
+           CAST(n * 512
+                + lag(n, 1, CAST(0 AS BIGINT)) OVER w * 256
+                + lag(n, 2, CAST(0 AS BIGINT)) OVER w * 128
+                + lag(n, 3, CAST(0 AS BIGINT)) OVER w * 64
+                + lag(n, 4, CAST(0 AS BIGINT)) OVER w * 32
+                + lag(n, 5, CAST(0 AS BIGINT)) OVER w * 16
+                + lag(n, 6, CAST(0 AS BIGINT)) OVER w * 8
+                + lag(n, 7, CAST(0 AS BIGINT)) OVER w * 4
+                + lag(n, 8, CAST(0 AS BIGINT)) OVER w * 2
+                + lag(n, 9, CAST(0 AS BIGINT)) OVER w AS BIGINT)
+             AS ewma_scaled,
+           CAST(n * 512
+                + lag(n, 1, CAST(0 AS BIGINT)) OVER w * 256
+                + lag(n, 2, CAST(0 AS BIGINT)) OVER w * 128
+                + lag(n, 3, CAST(0 AS BIGINT)) OVER w * 64
+                + lag(n, 4, CAST(0 AS BIGINT)) OVER w * 32
+                + lag(n, 5, CAST(0 AS BIGINT)) OVER w * 16
+                + lag(n, 6, CAST(0 AS BIGINT)) OVER w * 8
+                + lag(n, 7, CAST(0 AS BIGINT)) OVER w * 4
+                + lag(n, 8, CAST(0 AS BIGINT)) OVER w * 2
+                + lag(n, 9, CAST(0 AS BIGINT)) OVER w AS DOUBLE) / 1023.0
+             AS ewma
+    FROM m
+    WINDOW w AS (PARTITION BY event_type ORDER BY minute)
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of per-minute event rates
+    with a 10-step half-life-1 kernel (weights 2^-i), computed as an
+    INTEGER weighted sum of lagged counts (x512..x1) then one final
+    divide by the exact weight total x512 (= 1023/512 normalized) —
+    every engine produces bit-identical scaled values because no float
+    accumulates. Missing leading lags pad with zero (standard zero
+    warmup). One agg shuffle + one window sort per event type."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    m = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("minute")
+    terms = F.col("n") * F.lit(512)
+    for i in range(1, 10):
+        terms = terms + F.lag("n", i, 0).over(w) * F.lit(1 << (9 - i))
+    return m.select(
+        "event_type",
+        "minute",
+        "n",
+        terms.cast("long").alias("ewma_scaled"),
+        (terms.cast("double") / F.lit(1023.0)).alias("ewma"),
+    )
+
+
+@_register(
+    "text_inverted_index",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' '))
+               AS token
+      FROM documents),
+    clean AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    df AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS df_count
+      FROM clean GROUP BY token HAVING count(*) >= 5),
+    ranked AS (
+      SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+      FROM clean)
+    SELECT r.token, d.df_count,
+           string_agg(CAST(r.doc_id AS VARCHAR), ',' ORDER BY r.doc_id)
+             AS postings
+    FROM ranked r JOIN df d USING (token)
+    WHERE r.rn <= 100
+    GROUP BY r.token, d.df_count
+    """,
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: token -> document frequency + the head of
+    the sorted posting list (the 100 smallest doc ids; df_count keeps
+    the true total). The cap is enforced by a per-token ranking window
+    BEFORE any list materializes, so no task ever buffers a stopword's
+    full posting list — the bounded-collect contract every index build
+    needs at 100 TB (same budget pattern as the KMV sketch). Postings
+    serialize as comma-joined numerically-sorted doc ids, identical in
+    both engines; tokens with df < 5 are noise and dropped."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(
+                        F.regexp_replace(F.lower("text"), "[^a-z]+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") >= 5)
+    )
+    ranked = toks.select(
+        "token",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("token").orderBy("doc_id"))
+        .alias("rn"),
+    ).filter(F.col("rn") <= 100)
+    return (
+        ranked.join(df_counts, "token")
+        .groupBy("token", "df_count")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+
+
+@_register(
     "lineitem_qty_price_corr",
     """
     WITH sc AS (
@@ -6620,6 +7040,72 @@ def q_graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SQL["graph_pagerank_trade"] = _pagerank_oracle()
+
+
+@_register(
+    "graph_triangles_trade",
+    f"""
+    WITH e0 AS ({_TRADE_EDGES_SQL}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM e0 WHERE src <> dst),
+    deg AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY node),
+    orient AS (
+      SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                  THEN v ELSE u END AS b,
+             CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
+                  THEN d2.deg ELSE d1.deg END AS db
+      FROM und JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v),
+    tri AS (
+      SELECT e1.a, e1.b, e2.b AS c
+      FROM orient e1
+      JOIN orient e2 ON e2.a = e1.a
+       AND (e1.db < e2.db OR (e1.db = e2.db AND e1.b < e2.b))
+      JOIN orient e3 ON e3.a = e1.b AND e3.b = e2.b)
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM tri, UNNEST([a, b, c]) t(node)
+    GROUP BY node
+    """,
+)
+def q_graph_triangles_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle counts over the undirected trade graph
+    (nations that exchanged >= 1 lineitem). Degree-ordered wedge
+    closure: every join is an equi-join on node keys and each triangle
+    is generated exactly once at its order-minimal vertex — the
+    formulation whose per-vertex wedge work is bounded by oriented
+    out-degree (O(sqrt|E|) on skewed graphs), so hub vertices cannot
+    explode the wedge stage at 100 TB. Exact integer counts; the
+    DuckDB twin is bit-exact. See operators/graph.py:triangle_counts."""
+    from changedatacapture_spark.operators.graph import triangle_counts
+
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                 F.col("n_name").alias("src"))),
+            F.col("c_nationkey") == F.col("cnk"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                 F.col("n_name").alias("dst"))),
+            F.col("s_nationkey") == F.col("snk"),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_counts(edges)
 
 
 @_register(

@@ -1,0 +1,312 @@
+"""Round-9 extension operators: product quantization, triangle
+counting, MAD outliers, declarative data quality, EWMA, inverted
+index.
+
+Semantics tests replicate the exact integer recursions in plain
+Python (the operators are deterministic by design); plan tests pin
+the scale contracts: PQ encode is a zero-shuffle projection, the ADC
+join broadcasts probes, triangle joins never go cartesian.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.plans.inspect import (
+    count_exchanges,
+    executed_plan,
+    has_broadcast_join,
+)
+
+
+# ------------------------------------------------------------------- PQ
+
+def _pq_python_codes(vec, m=8, ks=16, dsub=8):
+    import math
+
+    from changedatacapture_spark.operators.similarity import (
+        PQ_SCALE,
+        pq_codebook,
+    )
+
+    xs = [math.floor(float(x) * PQ_SCALE) for x in vec]
+    book = pq_codebook(m, ks, dsub)
+    codes, luts = [], []
+    for j in range(m):
+        dl = [
+            sum(
+                (xs[j * dsub + d] - book[j][c][d]) ** 2
+                for d in range(dsub)
+            )
+            for c in range(ks)
+        ]
+        codes.append(dl.index(min(dl)))
+        luts.append(dl)
+    return codes, luts
+
+
+def _vec(seed, dim=64):
+    # deterministic pseudo-vector in [-1, 1)
+    return [(((seed * 31 + d) * 2654435761) % 2000) / 1000.0 - 1.0 for d in range(dim)]
+
+
+def test_pq_encode_matches_python_reference(spark):
+    from changedatacapture_spark.operators.similarity import pq_encode
+
+    rows = [(i, _vec(i)) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in pq_encode(df).collect()}
+    for i, v in rows:
+        codes, luts = _pq_python_codes(v)
+        assert list(got[i]["codes"]) == codes, f"vec {i}"
+        assert got[i]["dist_scaled"] == sum(min(dl) for dl in luts)
+
+
+def test_pq_adc_topk_matches_python_reference(spark):
+    from changedatacapture_spark.operators.similarity import pq_adc_topk
+
+    rows = [(i, _vec(i)) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probes = df.filter("vec_id < 2")
+    got = {
+        (r["probe_id"], r["rk"]): (r["neighbor_id"], r["dist_scaled"])
+        for r in pq_adc_topk(df, probes, k=3).collect()
+    }
+    # python reference ADC
+    enc = {i: _pq_python_codes(v)[0] for i, v in rows}
+    for p in (0, 1):
+        _, lut = _pq_python_codes(rows[p][1])
+        scored = sorted(
+            (sum(lut[j][enc[i][j]] for j in range(8)), i)
+            for i, _ in rows
+            if i != p
+        )
+        for rk in (1, 2, 3):
+            d, i = scored[rk - 1]
+            assert got[(p, rk)] == (i, d)
+
+
+def test_pq_encode_is_zero_shuffle_projection(spark, sf_dir):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["emb_pq_codes"](spark, sf_dir)
+    df.collect()
+    assert count_exchanges(df) == 0, executed_plan(df)
+
+
+def test_pq_adc_broadcasts_probe_luts(spark, sf_dir):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["knn_pq_topk"](spark, sf_dir)
+    df.collect()
+    assert has_broadcast_join(df), executed_plan(df)
+
+
+# -------------------------------------------------------------- triangles
+
+def _tri(spark, edges):
+    from changedatacapture_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+
+
+def test_triangles_k4_and_path(spark):
+    # K4: every node sits in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    assert _tri(spark, k4) == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # path a-b-c-d: no triangles
+    assert _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")]) == {}
+
+
+def test_triangles_direction_and_duplicate_insensitive(spark):
+    # triangle given with mixed directions + duplicate edges + self loop
+    edges = [
+        ("a", "b"), ("b", "a"), ("c", "b"), ("a", "c"), ("a", "a"),
+        ("a", "b"),
+        ("c", "d"),  # pendant edge, not in any triangle
+    ]
+    assert _tri(spark, edges) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_plan_has_no_cartesian(spark, sf_dir):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["graph_triangles_trade"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------------------- MAD
+
+def test_mad_profile_hand_values(spark):
+    from changedatacapture_spark.operators.stats import mad_profile
+
+    vals = [float(i) for i in range(1, 10)] + [100.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    out = mad_profile(df, "grp", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    # median of 1..9,100 -> (5+6)/2 = 5.5; devs sorted -> middle 2.5
+    assert r["n"] == 10
+    assert r["median_value"] == pytest.approx(5.5)
+    assert r["mad_value"] == pytest.approx(2.5)
+    # cutoff 4.4478 * 2.5 = 11.1195 -> only |100 - 5.5| exceeds it
+    assert r["n_outliers"] == 1
+    assert r["outlier_ppm"] == 100_000
+
+
+def test_mad_profile_constant_group_no_outliers(spark):
+    from changedatacapture_spark.operators.stats import mad_profile
+
+    df = spark.createDataFrame(
+        [("g", 7.0)] * 5, "grp string, value double"
+    )
+    r = mad_profile(df, "grp", "value").collect()[0]
+    assert r["mad_value"] == 0.0 and r["n_outliers"] == 0
+
+
+# -------------------------------------------------------------------- DQ
+
+def test_dq_rules_count_violations_exactly(spark):
+    from changedatacapture_spark.operators.dq import (
+        check_referential,
+        check_rules,
+    )
+
+    rows = [
+        (1, 1, 5.0, "A"),
+        (1, 2, -3.0, "A"),   # range violation (min 0)
+        (2, 1, None, "X"),   # accepted violation; null value NOT a range hit
+        (2, 1, 2.0, "A"),    # duplicate (2, 1) key
+        (None, 1, 99.0, "A"),  # null key + range violation (max 50)
+    ]
+    df = spark.createDataFrame(rows, "k long, ln long, v double, f string")
+    rep = {
+        r["check_id"]: r
+        for r in check_rules(
+            df,
+            "t",
+            [
+                {"id": "k_nn", "type": "not_null", "col": "k"},
+                {"id": "v_rng", "type": "range", "col": "v",
+                 "min": 0.0, "max": 50.0},
+                {"id": "f_acc", "type": "accepted", "col": "f",
+                 "values": ["A", "B"]},
+                {"id": "pk", "type": "unique", "cols": ["k", "ln"]},
+            ],
+        ).collect()
+    }
+    assert rep["k_nn"]["n_violations"] == 1 and rep["k_nn"]["passed"] == 0
+    assert rep["v_rng"]["n_violations"] == 2  # -3 and 99; null not counted
+    assert rep["f_acc"]["n_violations"] == 1
+    # distinct non-null keys: (1,1),(1,2),(2,1) = 3; count_distinct
+    # drops the null-key row, so violations = 5 - 3 = 2
+    assert rep["pk"]["n_violations"] == 2
+    assert all(r["n_rows"] == 5 for r in rep.values())
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    ri = check_referential(
+        df.filter("k IS NOT NULL"), "k", parent, "pk", "ri", "t.k->p.pk"
+    ).collect()[0]
+    assert ri["n_violations"] == 0 and ri["passed"] == 1
+    parent2 = spark.createDataFrame([(1,)], "pk long")
+    ri2 = check_referential(
+        df.filter("k IS NOT NULL"), "k", parent2, "pk", "ri", "t.k->p.pk"
+    ).collect()[0]
+    assert ri2["n_violations"] == 2  # the two k=2 rows are orphans
+
+
+def test_dq_row_rules_are_one_scan(spark, sf_dir):
+    """All six lineitem rules must evaluate in a single aggregate over
+    a single scan — rule count must not multiply scans."""
+    from changedatacapture_spark.operators.dq import check_rules
+    from changedatacapture_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir)
+    rep = check_rules(
+        li,
+        "lineitem",
+        [
+            {"id": "a", "type": "not_null", "col": "l_orderkey"},
+            {"id": "b", "type": "range", "col": "l_quantity",
+             "min": 1.0, "max": 50.0},
+            {"id": "c", "type": "accepted", "col": "l_returnflag",
+             "values": ["A", "N", "R"]},
+        ],
+    )
+    rep.collect()
+    plan = executed_plan(rep)
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "partial" in plan.lower()
+
+
+# ------------------------------------------------------------------ EWMA
+
+def _events_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "events.parquet"))
+    return str(tmp_path)
+
+
+def test_ewma_weighted_lag_sum(spark, tmp_path):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    # minute m has m+1 events of type 'a': counts 1, 2, 3
+    for m in range(3):
+        for _ in range(m + 1):
+            rows.append((i, t0 + dt.timedelta(minutes=m), 1, "a", 1.0))
+            i += 1
+    out = {
+        r["minute"].minute: r
+        for r in SPARK_QUERIES["events_ewma"](
+            spark, _events_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert out[0]["ewma_scaled"] == 1 * 512
+    assert out[1]["ewma_scaled"] == 2 * 512 + 1 * 256
+    assert out[2]["ewma_scaled"] == 3 * 512 + 2 * 256 + 1 * 128
+    assert out[2]["ewma"] == pytest.approx((3 * 512 + 2 * 256 + 128) / 1023.0)
+
+
+# -------------------------------------------------------------- inverted
+
+def test_inverted_index_caps_postings_keeps_true_df(spark, tmp_path):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    docs = spark.createDataFrame(
+        [(i, "common word", "en", 11) for i in range(120)]
+        + [(200 + i, "rare thing", "en", 10) for i in range(5)]
+        + [(300, "single once", "en", 11)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {
+        r["token"]: r
+        for r in SPARK_QUERIES["text_inverted_index"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # df < 5 tokens dropped entirely
+    assert set(out) == {"common", "word", "rare", "thing"}
+    assert out["common"]["df_count"] == 120
+    postings = out["common"]["postings"].split(",")
+    assert len(postings) == 100  # capped
+    assert postings == [str(i) for i in range(100)]  # smallest, sorted
+    assert out["rare"]["postings"] == "200,201,202,203,204"

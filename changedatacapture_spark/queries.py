@@ -7033,6 +7033,182 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "curation_e2e",
+    """
+    WITH corpus AS (
+      SELECT doc_id, source, text,
+             length(text) AS nc,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents WHERE doc_id >= 100),
+    s1 AS (SELECT * FROM corpus WHERE nc >= 100 AND na * 1000 >= 500 * nc),
+    s2 AS (SELECT * FROM s1
+           QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1),
+    dsh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 40) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 39, 1) + 1)) AS i
+            FROM s2)),
+    bsh AS (
+      SELECT DISTINCT substr(text, i, 40) AS sh
+      FROM (SELECT text,
+                   unnest(range(1, greatest(length(text) - 39, 1) + 1)) AS i
+            FROM documents WHERE doc_id < 100)),
+    contaminated AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (sh)),
+    s3 AS (SELECT * FROM s2
+           WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    s4 AS (SELECT * FROM (
+             SELECT *, sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY (1000 * na // greatest(nc, 1)) DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM s3) WHERE cum <= 800),
+    s5 AS (
+      SELECT *,
+             CASE WHEN (((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 80
+                  THEN '5_train'
+                  WHEN (((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+                       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+                       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+                       + (strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 100) < 90
+                  THEN '5_val' ELSE '5_test' END AS stage
+      FROM s4)
+    SELECT '0_corpus' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens FROM corpus
+    UNION ALL SELECT '1_quality', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s1
+    UNION ALL SELECT '2_dedup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s2
+    UNION ALL SELECT '3_decontam', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s3
+    UNION ALL SELECT '4_budget', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s4
+    UNION ALL SELECT stage, CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM s5 GROUP BY stage
+    """,
+)
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline COMPOSED end-to-end — quality gate →
+    exact dedup → benchmark decontamination (8-gram overlap with the
+    held-out doc_id < 100 set) → per-source token-budget selection →
+    content-addressed split assignment — reporting surviving docs and
+    token mass after every stage. Every stage reuses the registered
+    single-operator semantics (curation_funnel, decontaminate_ngrams,
+    token_budget_select, dataset_split_assign), so this query is the
+    proof the operators compose into the pipeline a trainer actually
+    runs. The per-stage report re-derives each prefix of the chain;
+    Catalyst's exchange reuse shares the common subplans within the
+    one job."""
+    from pyspark.sql import Window as W
+
+    from changedatacapture_spark.operators.curation import split_bucket
+    from changedatacapture_spark.operators.dedup import contamination
+
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 100).select(
+        "doc_id",
+        "source",
+        "text",
+        F.length("text").alias("nc"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("na"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    s1 = corpus.filter(
+        (F.col("nc") >= 100) & (F.col("na") * 1000 >= 500 * F.col("nc"))
+    )
+    s2 = (
+        s1.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("text").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    # 40-char shingles: long enough that only substantive copying of
+    # benchmark text trips the filter (8-char shingles over this small
+    # vocabulary flag literally every document)
+    cont = contamination(s2, docs.filter(F.col("doc_id") < 100), k=40).select(
+        "doc_id"
+    )
+    s3 = s2.join(cont, "doc_id", "left_anti")
+    wb = (
+        W.partitionBy("source")
+        .orderBy(
+            F.expr("1000 * na DIV greatest(nc, 1)").desc(), F.col("doc_id")
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    # 800 tokens/source: below the ~1k-token source mass, so the
+    # greedy quality-first cut is actually exercised on the test data
+    s4 = s3.withColumn("cum", F.sum("n_tokens").over(wb)).filter(
+        F.col("cum") <= 800
+    )
+    bucket = split_bucket("CAST(doc_id AS STRING)")
+    s5 = s4.withColumn(
+        "stage",
+        F.when(bucket < 80, F.lit("5_train"))
+        .when(bucket < 90, F.lit("5_val"))
+        .otherwise(F.lit("5_test")),
+    )
+
+    def _stage(df, name):
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    split_rows = s5.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("n_tokens"),
+    )
+    out = _stage(corpus, "0_corpus")
+    for df, name in [
+        (s1, "1_quality"),
+        (s2, "2_dedup"),
+        (s3, "3_decontam"),
+        (s4, "4_budget"),
+    ]:
+        out = out.unionByName(_stage(df, name))
+    return out.unionByName(split_rows)
+
+
+@_register(
+    "privacy_k_anonymity",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, bal_bucket
+    HAVING count(*) < 5
+    """,
+)
+def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation,
+    market segment, account-balance band): every cell whose occupant
+    count is below k=5 — rows in these cells are re-identifiable by
+    the QI combination alone, the check privacy review runs before a
+    table feeds training. One map-side-combinable aggregate; both
+    engines truncate the balance-band division identically."""
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@_register(
     "lineitem_qty_price_corr",
     """
     WITH sc AS (
@@ -7918,6 +8094,22 @@ _DEMOTED = [
     # neither had any window representation:
     "text_stats",  # 7 prior greens; text family keeps repetition/quality_gate/boilerplate/tfidf rows
     "cdc_flatten",  # 5 prior greens; CDC parse family keeps prune/typemap/audit rows
+    # round-9 rebalance: 12 multi-green members rotate out so the six
+    # NEW round-9 families (PQ ANN, triangles, MAD, DQ suite, EWMA,
+    # inverted index) and six never-driver-green veterans each earn a
+    # first row. Family coverage retained in-window as noted:
+    "cdc_opsplit",  # 7 greens; P8 op-class filters run inside cdc_snapshot_merge_e2e
+    "cdc_keyrule",  # 7 greens; P9 key derivation runs inside the merge e2e path
+    "cdc_prune",  # 7 greens; P6 pruning runs inside cdc_snapshot_merge_e2e
+    "cdc_window_compact",  # 7 greens; W1 kept by cdc_window_stream_e2e (same op, streamed)
+    "q1_pricing_summary",  # 7 greens; scan+agg shape kept by q7/q9 + bench headline
+    "dedup_minhash_pairs",  # 8 greens; LSH-pair family kept by dedup_survivors chain
+    "knn_brute_topk",  # 8 greens; brute cosine runs transitively inside knn_recall_pq
+    "bson_normalize",  # 6 greens; BSON surface kept by mongo_changes_e2e
+    "csv_batch_read",  # 6 greens; source family hands the slot to orc_batch_read
+    "dataset_split_assign",  # 6 greens; curation family keeps curation_funnel + seq_packing
+    "kmeans_fit_2iter",  # 6 greens; iterative-fit pattern kept by the PQ fit queries
+    "events_range_join",  # 5 greens; interval family kept by events_stream_join
 ]
 
 _PROMOTED = [
@@ -7925,17 +8117,13 @@ _PROMOTED = [
     "cdc_snapshot_merge_e2e",
     "cdc_snapshot_merge_guarded",
     "cdc_window_stream_e2e",
-    "csv_batch_read",
-    "dataset_split_assign",
     "seq_packing_bins",
     "curation_funnel",
     "dedup_incremental",
-    "events_range_join",
     "events_stateful_sessions",
     "decontaminate_ngrams",
     "text_repetition",
     "pii_scrub",
-    "kmeans_fit_2iter",
     "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
     "cdc_scd2_history",  # Type-2 history materialization (round 6)
     "cdc_incremental_agg",  # delta-propagated materialized aggregate (round 6)
@@ -7956,6 +8144,20 @@ _PROMOTED = [
     "text_tfidf_top",  # tf-idf top terms: first driver row (round 8)
     "graph_pagerank_trade",  # NEW family: fixed-point PageRank (round 8)
     "events_numeric_profile",  # NEW family: portable moments profile (round 8)
+    # round-9 window: six NEW families...
+    "knn_pq_topk",  # NEW: fitted product-quantization ADC search (round 9)
+    "knn_recall_pq",  # NEW: PQ recall vs brute (runs brute transitively) (round 9)
+    "graph_triangles_trade",  # NEW: degree-ordered triangle counting (round 9)
+    "events_mad_outliers",  # NEW: exact median/MAD robust outliers (round 9)
+    "dq_expectations",  # NEW: declarative data-quality suite (round 9)
+    "events_ewma",  # NEW: integer-exact EWMA over lagged counts (round 9)
+    "text_inverted_index",  # NEW: bounded-postings index build (round 9)
+    # ...and six never-driver-green veterans earning first rows:
+    "q8_market_share",  # TPC-H Q8 8-way join chain: first driver row
+    "q2_min_cost_supplier",  # decorrelated min-cost subquery: first driver row
+    "text_winnow_fp",  # winnowing fingerprints (heaviest sf1 text op): first row
+    "kmv_set_algebra",  # KMV sketch union/Jaccard/intersection: first row
+    "orc_batch_read",  # ORC source format: first row (csv rotates out)
 ]
 
 DRIVER_WINDOW = 50

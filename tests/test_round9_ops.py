@@ -407,3 +407,79 @@ def test_pq_fitted_beats_lcg_recall(spark, sf_dir):
     fitted = hits(pq_fit_codebook(emb, m=32, ks=16, n_iter=2))
     lcg = hits(None)
     assert fitted > lcg, (fitted, lcg)
+
+
+# --------------------------------------------------------- curation e2e
+
+def test_curation_e2e_stage_semantics(spark, tmp_path):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    bench = ("the benchmark secret passage that nobody should train on "
+             "ever again because it is held out ") * 3
+    good_dup = "charlie delta echo foxtrot golf hotel india juliet " * 4
+    contaminated = ("prefix words here " + bench[:60]
+                    + " plus plenty of ordinary trailing words to pass the"
+                      " minimum length quality gate easily")
+    big_a = "alpha " * 300 + "x"      # 301 tokens, source sA
+    big_b = "bravo " * 600 + "y"      # 601 tokens, source sA (budget victim)
+    small_c = "whisky tango foxtrot uniform " * 8  # source sB
+
+    rows = [
+        (0, bench, "bench", "en"),            # held-out (doc_id < 100)
+        (100, "too short", "sC", "en"),       # quality: length
+        (101, "1234567890 " * 12, "sC", "en"),  # quality: alpha ratio
+        (102, good_dup, "sC", "en"),
+        (103, good_dup, "sC", "en"),          # exact dup of 102
+        (104, contaminated, "sC", "en"),      # shares a 40-gram with bench
+        (105, big_a, "sA", "en"),
+        (106, big_b, "sA", "en"),             # same source, over budget
+        (107, small_c, "sB", "en"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, s, lang, len(t)) for i, t, s, lang in rows],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "documents.parquet"))
+    out = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in SPARK_QUERIES["curation_e2e"](spark, str(tmp_path)).collect()
+    }
+    toks = {i: len(t.split(" ")) for i, t, _, _ in rows}
+
+    def mass(ids):
+        return (len(ids), sum(toks[i] for i in ids))
+
+    assert out["0_corpus"] == mass([100, 101, 102, 103, 104, 105, 106, 107])
+    assert out["1_quality"] == mass([102, 103, 104, 105, 106, 107])
+    assert out["2_dedup"] == mass([102, 104, 105, 106, 107])
+    assert out["3_decontam"] == mass([102, 105, 106, 107])
+    assert out["4_budget"] == mass([102, 105, 107])
+    split_rows = [v for k, v in out.items() if k.startswith("5_")]
+    assert sum(v[0] for v in split_rows) == out["4_budget"][0]
+    assert sum(v[1] for v in split_rows) == out["4_budget"][1]
+
+
+# --------------------------------------------------------- k-anonymity
+
+def test_k_anonymity_flags_small_cells_only(spark, tmp_path):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    rows = []
+    k = 0
+    for _ in range(4):   # cell (1, 'A', 0): 4 occupants -> flagged
+        rows.append((k, f"c{k}", 1, 500.0, "A")); k += 1
+    for _ in range(5):   # cell (2, 'B', 1): 5 occupants -> safe
+        rows.append((k, f"c{k}", 2, 1500.0, "B")); k += 1
+    rows.append((k, f"c{k}", 3, -500.0, "C")); k += 1  # negative bal -> bucket 0
+    df = spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_nationkey long,"
+              " c_acctbal double, c_mktsegment string"
+    )
+    df.write.parquet(os.path.join(str(tmp_path), "customer.parquet"))
+    out = {
+        (r["c_nationkey"], r["c_mktsegment"], r["bal_bucket"]): r["group_size"]
+        for r in SPARK_QUERIES["privacy_k_anonymity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert out == {(1, "A", 0): 4, (3, "C", 0): 1}

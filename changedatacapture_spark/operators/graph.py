@@ -169,7 +169,7 @@ def pagerank_oracle_sql(edges_cte: str, n_iter: int = 2, damping_pct: int = 85) 
     return "\n".join(parts)
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Per-node triangle counts via degree-ordered wedge closure.
 
     ``edges(src, dst)`` is symmetrized/deduplicated to undirected
@@ -194,6 +194,13 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # und is referenced by deg (twice via the union), orient, and —
+    # through oriented — the wedge and closure joins: ~6 references.
+    # If edges is an expensive upstream join (the trade graph is a
+    # 6-way lineitem chain), each reference would recompute it, so pin
+    # the deduplicated |E|-row relation and release it before
+    # returning (same lifecycle as pagerank's edge cache).
+    und = und.cache()
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -231,8 +238,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.col("a").alias("b"), F.col("b").alias("c")
     )
     tri = wedges.join(closure, ["b", "c"]).select("a", "b", "c")
-    return (
+    result = (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+    # O(|V|) result: materialize eagerly, then release the pinned edge
+    # relation (ContextCleaner frees the checkpointed blocks when the
+    # returned DataFrame is garbage collected). materialize=False
+    # returns the lazy plan for plan-shape tests (cache stays pinned —
+    # caller releases).
+    if materialize:
+        result = result.localCheckpoint(eager=True)
+        und.unpersist()
+    return result

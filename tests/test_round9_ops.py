@@ -135,14 +135,35 @@ def test_triangles_direction_and_duplicate_insensitive(spark):
     assert _tri(spark, edges) == {"a": 1, "b": 1, "c": 1}
 
 
-def test_triangles_plan_has_no_cartesian(spark, sf_dir):
+def test_triangles_plan_has_no_cartesian(spark):
+    from changedatacapture_spark.operators.graph import triangle_counts
+
+    # lazy form: the materialized default localCheckpoints, which
+    # truncates lineage and would make this assertion vacuous
+    edges = spark.createDataFrame(
+        [(a, b) for a in "abcde" for b in "abcde" if a < b],
+        "src string, dst string",
+    )
+    df = triangle_counts(edges, materialize=False)
+    try:
+        df.collect()
+        plan = executed_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoop" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_triangles_releases_edge_cache(spark, sf_dir):
     from changedatacapture_spark.queries import SPARK_QUERIES
 
-    df = SPARK_QUERIES["graph_triangles_trade"](spark, sf_dir)
-    df.collect()
-    plan = executed_plan(df)
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoop" not in plan
+    spark.catalog.clearCache()
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+    rows = SPARK_QUERIES["graph_triangles_trade"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert cache_mgr.isEmpty(), (
+        "triangle_counts must unpersist its edge cache before returning"
+    )
 
 
 # ------------------------------------------------------------------- MAD

@@ -402,3 +402,51 @@ def shard_assign(
         order_col,
     )
     return out.withColumnRenamed("bin", "shard")
+
+
+def average_hash(pixels: bytes) -> int:
+    """Perceptual average-hash of a grayscale raster: bit i is set iff
+    pixel i exceeds the image mean. The comparison is the integer
+    cross-multiplication ``px * n > sum`` — no float mean, so the hash
+    is exactly reproducible in any engine (including an ANSI-SQL
+    oracle). For real images the raster would be the 8x8 resize of the
+    decoded frame; the synthetic corpus rasters are already 24 px."""
+    n = len(pixels)
+    s = sum(pixels)
+    h = 0
+    for i, v in enumerate(pixels):
+        if v * n > s:
+            h |= 1 << i
+    return h
+
+
+def bmp_ahash(docs: DataFrame) -> DataFrame:
+    """Binary -> decode -> perceptual hash, end to end through Arrow:
+    each document's synthetic raster is wrapped in a REAL 24-bit BMP,
+    decoded back via the codec dispatch, and reduced to its average
+    hash — the content fingerprint image dedup clusters on. One
+    ``mapInPandas`` pass; payload bytes never shuffle; the downstream
+    group-by moves only (doc_id, 8-byte hash) rows.
+
+    Output: ``doc_id, ahash``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ahash", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = _BMP_WIDTHS[did % len(_BMP_WIDTHS)]
+                payload = encode_bmp(_bmp_raster(did), w, _BMP_PIXELS // w)
+                _, _, px = decode_image(payload)
+                ids.append(did)
+                hashes.append(average_hash(px))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)

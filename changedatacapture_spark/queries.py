@@ -4340,6 +4340,50 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bmp_decode_stats(load_table(spark, "documents", sf_dir))
 
 
+@_register(
+    "media_ahash_groups",
+    """
+    WITH px AS (
+      SELECT d.doc_id, g.i, (d.doc_id * 37 + g.i * 101) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 23) AS g(i)),
+    s AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_px
+          FROM px GROUP BY doc_id),
+    h AS (
+      SELECT p.doc_id,
+             CAST(sum(CASE WHEN p.v * 24 > s.sum_px
+                           THEN CAST(1 AS BIGINT) << p.i ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM px p JOIN s USING (doc_id)
+      GROUP BY p.doc_id)
+    SELECT ahash, CAST(count(*) AS BIGINT) AS n_images,
+           min(doc_id) AS first_doc
+    FROM h GROUP BY ahash
+    """,
+)
+def q_media_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image dedup by perceptual hash, end to end through the REAL
+    codec path: every document's raster round-trips an actual 24-bit
+    BMP (encode -> Arrow mapInPandas -> decode), is fingerprinted with
+    the integer-exact average hash (bit i set iff px*n > sum), and
+    identical-looking images cluster in one hash group-by. Payload
+    bytes never shuffle — only (doc_id, 8-byte hash) rows move, which
+    is what makes perceptual dedup tractable when the binary column is
+    the 100 TB. The oracle derives the same hashes arithmetically, so
+    a decoder bug anywhere in the pipeline breaks the group hash. See
+    operators/multimodal.py:bmp_ahash/average_hash."""
+    from changedatacapture_spark.operators.multimodal import bmp_ahash
+
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        bmp_ahash(docs)
+        .groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-window ordering
 # ---------------------------------------------------------------------------
@@ -7134,6 +7178,14 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id"
     )
     s3 = s2.join(cont, "doc_id", "left_anti")
+    # The report references s3 through four branches (its own stage
+    # row, the budget stage, and the split rows) — without pinning,
+    # each branch re-runs the shingle-join decontamination, the
+    # pipeline's most expensive stage (sf1: 34 s -> ~8 s with the
+    # checkpoint). Materializing the survivor set once is also what
+    # the production pipeline does (it WRITES survivors); blocks are
+    # ContextCleaner-released when the report is garbage collected.
+    s3 = s3.localCheckpoint(eager=True)
     wb = (
         W.partitionBy("source")
         .orderBy(

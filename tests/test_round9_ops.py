@@ -504,3 +504,34 @@ def test_k_anonymity_flags_small_cells_only(spark, tmp_path):
         ).collect()
     }
     assert out == {(1, "A", 0): 4, (3, "C", 0): 1}
+
+
+# ------------------------------------------------------------ aHash
+
+def test_average_hash_integer_threshold():
+    from changedatacapture_spark.operators.multimodal import average_hash
+
+    # pixels [0, 10, 20, 30]: sum 60, n 4 -> bit set iff px*4 > 60,
+    # i.e. px > mean 15: pixels 20 and 30 (bits 2 and 3)
+    assert average_hash(bytes([0, 10, 20, 30])) == 0b1100
+    # constant image: px*n == sum everywhere -> no bits (strict >)
+    assert average_hash(bytes([7] * 8)) == 0
+    # single bright pixel
+    assert average_hash(bytes([0, 0, 0, 255])) == 0b1000
+
+
+def test_bmp_ahash_roundtrip_matches_pure_python(spark):
+    from changedatacapture_spark.operators.multimodal import (
+        _bmp_raster,
+        average_hash,
+        bmp_ahash,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(12)], "doc_id long"
+    )
+    got = {r["doc_id"]: r["ahash"] for r in bmp_ahash(docs).collect()}
+    # the decode round-trip must reproduce the raster exactly — any
+    # padding/row-order bug would scramble pixel positions and flip bits
+    want = {i: average_hash(_bmp_raster(i)) for i in range(12)}
+    assert got == want

@@ -335,3 +335,41 @@ def merge_agg_state(state: DataFrame, delta: DataFrame) -> DataFrame:
         .agg(F.sum("cnt").alias("cnt"), F.sum("total").alias("total"))
         .filter(F.col("cnt") > 0)
     )
+
+
+def join_view_apply(
+    mv: DataFrame,
+    batch: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    join_cond,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a materialized equi-JOIN view
+    ``MV = fact ⋈ dim`` under one compacted CDC batch on the fact
+    side: ``MV' = (MV ⟕anti batch.keys) ∪ (batch.upserts ⋈ dim)``.
+
+    The delta rule for joins: rows of the view whose fact key the
+    batch touched are retracted (updates and deletes alike), and the
+    batch's surviving images re-join the dimension to produce the
+    assertions. The view is NEVER recomputed from the full fact table.
+
+    Plan shape at 100 TB: the retraction is an anti join against the
+    BROADCAST batch key set (batch-sized build side — the same
+    broadcast-direction reasoning as aggregate_delta: the preserved
+    side of the join is the big one, and anti joins support a
+    broadcast build); the assertion joins a batch-sized relation
+    against the dimension, so per-step work is O(view + batch ⋈ dim),
+    independent of the fact table's history. A dim-side delta is the
+    same rule transposed. In the snapshot store this pair is exactly
+    one MERGE (delete-by-key + insert).
+    """
+    keys = list(key_cols)
+    kept = mv.join(F.broadcast(batch.select(*_cols(keys))), keys, "anti")
+    upserts = batch.filter(F.col(op_col) != "d").drop(op_col)
+    # project the joined assertions back to the view's schema so the
+    # operator is closed under application (mv' has mv's columns)
+    added = upserts.join(dim, join_cond).select(
+        *[F.col(c) for c in mv.columns]
+    )
+    return kept.unionByName(added, allowMissingColumns=False)

@@ -535,3 +535,50 @@ def test_bmp_ahash_roundtrip_matches_pure_python(spark):
     # padding/row-order bug would scramble pixel positions and flip bits
     want = {i: average_hash(_bmp_raster(i)) for i in range(12)}
     assert got == want
+
+
+# ------------------------------------------------- incremental join MV
+
+def test_join_view_apply_delta_rule(spark):
+    """Updates retract the old joined row, deletes remove it, inserts
+    join the dimension — after two batches the view must equal the
+    full recompute from the final fact state."""
+    from changedatacapture_spark.operators.cdc import join_view_apply
+
+    dim = spark.createDataFrame(
+        [(1, "red"), (2, "blue"), (3, "green")], "dk long, color string"
+    )
+    cond = F.col("dk") == F.col("jk")
+    b1 = spark.createDataFrame(
+        [(10, "c", 1, 100.0), (20, "c", 2, 200.0), (30, "c", 3, 300.0)],
+        "k long, op string, jk long, v double",
+    )
+    mv = (
+        b1.filter("op <> 'd'").drop("op").join(dim, cond)
+        .select("k", "v", "color")
+    )
+    # batch 2: update 10 (moves from red to blue), delete 20, insert 40
+    b2 = spark.createDataFrame(
+        [(10, "u", 2, 111.0), (20, "d", 2, 0.0), (40, "c", 1, 400.0)],
+        "k long, op string, jk long, v double",
+    )
+    mv2 = join_view_apply(mv, b2, dim, ["k"], cond)
+    got = {(r["k"], r["v"], r["color"]) for r in mv2.collect()}
+    assert got == {
+        (10, 111.0, "blue"),
+        (30, 300.0, "green"),
+        (40, 400.0, "red"),
+    }
+
+
+def test_join_view_apply_retraction_broadcasts_batch_keys(spark):
+    from changedatacapture_spark.operators.cdc import join_view_apply
+
+    dim = spark.createDataFrame([(1, "red")], "dk long, color string")
+    mv = spark.createDataFrame([(10, 1.0, "red")], "k long, v double, color string")
+    batch = spark.createDataFrame(
+        [(10, "u", 1, 2.0)], "k long, op string, jk long, v double"
+    )
+    out = join_view_apply(mv, batch, dim, ["k"], F.col("dk") == F.col("jk"))
+    out.collect()
+    assert has_broadcast_join(out), executed_plan(out)

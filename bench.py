@@ -86,6 +86,7 @@ EXTRA = [
     # suite, and the bounded-postings index build
     "knn_pq_topk",
     "knn_recall_pq",
+    "knn_ivfpq_topk",
     "graph_triangles_trade",
     "events_mad_outliers",
     "dq_expectations",

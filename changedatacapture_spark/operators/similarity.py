@@ -779,3 +779,98 @@ def pq_fit_codebook(
         for r in means:  # empty cells keep their previous centroid
             book[r["sub"]][r["code"]][r["dd"]] = r["mean_x"]
     return book
+
+
+def pq_adc_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    book: list[list[list[int]]] | None = None,
+) -> DataFrame:
+    """IVF + PQ — the production ANN layout (FAISS ``IVFx,PQy``):
+    the corpus is coarse-partitioned into IVF cells AND carries only
+    its PQ codes; a probe searches its top-``nprobe`` cells and scores
+    candidates by exact-integer asymmetric distance.
+
+    This composes the two scale levers: the cell equi-join cuts the
+    candidate set to ~nprobe/n_cells of the corpus (no cross join at
+    all), and each candidate row the join moves is m small codes plus
+    a cell id — not the vector. At 100 TB the corpus would be
+    partitioned BY cell on disk, making the candidate read a partition
+    prune; the plan here (broadcast probe cells + equi-join) is the
+    same dataflow. Cell assignment and codes are computed in ONE
+    zero-shuffle projection over the corpus scan.
+
+    Returns ``probe_id, neighbor_id, dist_scaled, rk`` (ascending
+    estimated distance, ties to lowest neighbor id).
+    """
+    from pyspark.sql import Window as W
+
+    dsub = dim // m
+    cs = ivf_cell_scores(vec_col, n_cells, dim)
+    xs = F.expr(_pq_scaled_vec(vec_col, dim))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+            xs.alias("xs"),
+        )
+        .select(
+            "neighbor_id",
+            "cell",
+            F.expr(_pq_dists_expr("xs", m, ks, dsub, book)).alias("dl"),
+        )
+        .select(
+            "neighbor_id",
+            "cell",
+            F.expr(
+                "transform(dl, sub -> CAST(array_position(sub,"
+                " array_min(sub)) - 1 AS INT))"
+            ).alias("codes"),
+        )
+    )
+    p = (
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            cs.alias("cs"),
+            xs.alias("xs"),
+        )
+        .select(
+            "probe_id",
+            F.posexplode("cs").alias("cell", "s"),
+            F.expr(_pq_dists_expr("xs", m, ks, dsub, book)).alias("lut"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("probe_id").orderBy(
+                    F.col("s").desc(), F.col("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("probe_id", "cell", "lut")
+    )
+    pair = c.join(F.broadcast(p), "cell").filter(
+        F.col("probe_id") != F.col("neighbor_id")
+    )
+    adc = F.expr(
+        "aggregate(zip_with(lut, codes, (sub, code) -> sub[code]), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    scored = pair.select("probe_id", "neighbor_id", adc.alias("dist_scaled"))
+    w = W.partitionBy("probe_id").orderBy(
+        F.col("dist_scaled").asc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("probe_id", "neighbor_id", "dist_scaled", "rk")
+    )

@@ -4604,6 +4604,65 @@ ORACLE_SQL["knn_recall_pq"] = f"""
 
 
 @_register(
+    "knn_ivfpq_topk",
+    f"""
+    {_pq_fit_cte()},
+    base AS (
+      SELECT vec_id, {_ivf_cs_sql('embedding')} AS cs FROM embeddings),
+    ccell AS (
+      SELECT vec_id, CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER)
+               AS cell
+      FROM base),
+    probe_scored AS (
+      SELECT vec_id AS probe_id, r.cell, cs[r.cell + 1] AS s
+      FROM base, range(0, 8) r(cell)
+      WHERE vec_id < 10),
+    pcell AS (
+      SELECT probe_id, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY s DESC, cell) AS rn
+        FROM probe_scored)
+      WHERE rn <= 2),
+    cand AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id
+      FROM pcell p JOIN ccell c USING (cell)
+      WHERE c.vec_id <> p.probe_id),
+    pairs AS (
+      SELECT cand.probe_id, cand.neighbor_id,
+             CAST(sum(d.dist) AS BIGINT) AS dist_scaled
+      FROM cand
+      JOIN dfin d ON d.vec_id = cand.probe_id
+      JOIN cfin q ON q.vec_id = cand.neighbor_id
+                 AND q.sub = d.sub AND q.code = d.c
+      GROUP BY cand.probe_id, cand.neighbor_id)
+    SELECT probe_id, neighbor_id, dist_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dist_scaled, neighbor_id) AS rk
+    FROM pairs
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ combined — the production ANN layout (FAISS-style
+    ``IVF8,PQ32``): the corpus carries only an IVF cell id and its 32
+    PQ codes (one zero-shuffle projection computes both), probes
+    search their top-2 cells, and candidates are scored by exact
+    integer asymmetric distance — the cell equi-join cuts candidates
+    to ~nprobe/n_cells of the corpus AND every candidate row moves
+    codes, never vectors. The oracle composes the replayed sampled
+    codebook fit with the IVF cell argmax and the per-subspace ADC
+    join. See operators/similarity.py:pq_adc_topk_ivf."""
+    from changedatacapture_spark.operators.similarity import pq_adc_topk_ivf
+
+    emb, book = _pq_query_book(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk_ivf(
+        emb, probes, k=5, m=_PQ_M, ks=_PQ_KS,
+        n_cells=8, nprobe=2, book=book,
+    )
+
+
+@_register(
     "knn_recall_lsh",
     None,  # composed below from the registered brute/LSH oracles
 )

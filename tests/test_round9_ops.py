@@ -582,3 +582,62 @@ def test_join_view_apply_retraction_broadcasts_batch_keys(spark):
     out = join_view_apply(mv, batch, dim, ["k"], F.col("dk") == F.col("jk"))
     out.collect()
     assert has_broadcast_join(out), executed_plan(out)
+
+
+# ----------------------------------------------------------- IVF + PQ
+
+def test_ivfpq_results_respect_cell_restriction(spark, sf_dir):
+    """Every returned neighbor must live in one of its probe's top-2
+    IVF cells, and its ADC distance must match the full-PQ scorer
+    (same codebook) for that pair."""
+    from changedatacapture_spark.operators.similarity import (
+        ivf_cell_scores,
+        pq_adc_topk,
+        pq_fit_codebook,
+    )
+    from changedatacapture_spark.queries import SPARK_QUERIES
+    from changedatacapture_spark.sources.tables import load_table
+
+    out = SPARK_QUERIES["knn_ivfpq_topk"](spark, sf_dir).collect()
+    assert len(out) > 0 and all(r["rk"] <= 5 for r in out)
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cs = ivf_cell_scores("embedding", 8, 64)
+    cells = {
+        r["vec_id"]: (r["cell"], list(r["cs"]))
+        for r in emb.select(
+            "vec_id",
+            (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+            cs.alias("cs"),
+        ).collect()
+    }
+    for r in out:
+        scores = cells[r["probe_id"]][1]
+        top2 = sorted(range(8), key=lambda c: (-scores[c], c))[:2]
+        assert cells[r["neighbor_id"]][0] in top2, r
+
+    # distances agree with the unrestricted PQ scorer on shared pairs
+    book = pq_fit_codebook(
+        emb.filter("vec_id % 4 = 0"), m=32, ks=16, n_iter=2
+    )
+    full = {
+        (r["probe_id"], r["neighbor_id"]): r["dist_scaled"]
+        for r in pq_adc_topk(
+            emb, emb.filter("vec_id < 10"), k=500, m=32, ks=16, book=book
+        ).collect()
+    }
+    for r in out:
+        key = (r["probe_id"], r["neighbor_id"])
+        if key in full:
+            assert full[key] == r["dist_scaled"], r
+
+
+def test_ivfpq_plan_is_broadcast_equi_join(spark, sf_dir):
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["knn_ivfpq_topk"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert has_broadcast_join(df), plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

@@ -152,70 +152,85 @@ def mad_profile(
     absolute deviation exceeds ``cutoff * MAD`` (the default 4.4478 =
     3 / 0.6745 is the classic "3 robust sigmas").
 
-    Exact distributed medians with NO buffering aggregate: each median
-    is a sort-partitioned ``row_number`` window plus an average of the
-    <= 2 middle rows — per-group sort shuffles that scale out, where a
-    ``percentile``-style aggregate would buffer whole groups in one
-    task's memory at 100 TB. Values quantize to 1e6 fixed point, so
-    the middle values are exact ints, their average is an exact
-    double, and deviations are exact doubles — the DuckDB twin
-    replays the identical arithmetic bit-for-bit.
+    Exact distributed medians over VALUE-FREQUENCY HISTOGRAMS: the
+    first pass is a map-side-combinable ``groupBy(g, value)`` count,
+    so the shuffle carries one row per distinct value per group and
+    the per-group median sort runs on distinct values, not raw rows —
+    at 100 TB a heavy-duplicate measure collapses by orders of
+    magnitude before anything is sorted, and no task ever buffers a
+    group (the rank is a running-sum window, not a percentile
+    aggregate). The deviation median reuses the same histogram (a
+    second small aggregate), never the raw rows. Values quantize to
+    1e6 fixed point; the <= 2 middle values average in one exact
+    double operation, so the DuckDB twin is bit-identical.
 
     Returns ``(group, n, median_value, mad_value, n_outliers,
     outlier_ppm)``.
     """
     from pyspark.sql import Window as W
 
+    def freq_median(vc: DataFrame, val: str) -> DataFrame:
+        """(g, val, cnt) histogram -> (g, med): the average of the
+        values at global positions (n+1) DIV 2 and (n+2) DIV 2, found
+        by running-count containment (a row holds position p iff
+        cum-cnt < p <= cum)."""
+        r = vc.select(
+            "g",
+            val,
+            "cnt",
+            F.sum("cnt").over(W.partitionBy("g").orderBy(val)).alias("cum"),
+            F.sum("cnt").over(W.partitionBy("g")).alias("n"),
+        )
+        prev = F.col("cum") - F.col("cnt")
+        p1 = F.expr("(n + 1) DIV 2")
+        p2 = F.expr("(n + 2) DIV 2")
+        h = (
+            ((prev < p1) & (p1 <= F.col("cum"))).cast("int")
+            + ((prev < p2) & (p2 <= F.col("cum"))).cast("int")
+        )
+        return (
+            r.select("g", val, h.alias("h"))
+            .filter(F.col("h") > 0)
+            .groupBy("g")
+            .agg(
+                (
+                    F.sum(F.col(val).cast("double") * F.col("h"))
+                    / F.lit(2.0)
+                ).alias("med")
+            )
+        )
+
     sc = df.select(
         F.col(group_col).alias("g"), _scaled(value_col).alias("x")
     )
-    w = W.partitionBy("g").orderBy("x")
-    ranked = sc.select(
-        "g",
-        "x",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("g")).alias("cnt"),
-    )
-    med = (
-        ranked.filter(
-            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
+    vc = sc.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cnt"))
+    med = freq_median(vc, "x")
+    dvc = (
+        vc.join(F.broadcast(med), "g")
+        .select(
+            "g",
+            "med",
+            F.abs(F.col("x").cast("double") - F.col("med")).alias("d"),
+            "cnt",
         )
-        .groupBy("g")
-        .agg(F.avg(F.col("x").cast("double")).alias("med"))
+        .groupBy("g", "d")
+        .agg(F.sum("cnt").alias("cnt"), F.min("med").alias("med"))
     )
-    dev = sc.join(F.broadcast(med), "g").select(
-        "g", "med", F.abs(F.col("x").cast("double") - F.col("med")).alias("d")
+    mad = freq_median(dvc.select("g", "d", "cnt"), "d").withColumnRenamed(
+        "med", "mad"
     )
-    wd = W.partitionBy("g").orderBy("d")
-    dranked = dev.select(
-        "g",
-        "med",
-        "d",
-        F.row_number().over(wd).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("g")).alias("cnt"),
-    )
-    mad = (
-        dranked.filter(
-            (F.col("rn") == F.expr("(cnt + 1) DIV 2"))
-            | (F.col("rn") == F.expr("(cnt + 2) DIV 2"))
-        )
-        .groupBy("g")
-        .agg(F.avg("d").alias("mad"))
-    )
-    flagged = dev.join(F.broadcast(mad), "g").select(
-        "g",
-        "med",
-        "mad",
-        (F.col("d") > F.lit(cutoff) * F.col("mad")).cast("long").alias("is_out"),
-    )
+    flagged = dvc.join(F.broadcast(mad), "g")
     return (
         flagged.groupBy("g")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.first("med").alias("med"),
-            F.first("mad").alias("mad"),
-            F.sum("is_out").alias("n_outliers"),
+            F.sum("cnt").alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.lit(cutoff) * F.col("mad"), F.col("cnt")
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
         )
         .select(
             F.col("g").alias(group_col),

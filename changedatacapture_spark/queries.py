@@ -6924,35 +6924,50 @@ def q_events_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sc AS (
       SELECT event_type AS g, CAST(floor(value * 1000000) AS BIGINT) AS x
       FROM events),
-    ranked AS (
-      SELECT g, x, row_number() OVER (PARTITION BY g ORDER BY x) AS rn,
-             count(*) OVER (PARTITION BY g) AS cnt
-      FROM sc),
+    vc AS (
+      SELECT g, x, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY g, x),
+    mr AS (
+      SELECT g, x, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY x) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+      FROM vc),
     med AS (
-      SELECT g, avg(CAST(x AS DOUBLE)) AS med
-      FROM ranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
-      GROUP BY g),
-    dev AS (
-      SELECT sc.g, med, abs(CAST(x AS DOUBLE) - med) AS d
-      FROM sc JOIN med USING (g)),
-    dranked AS (
-      SELECT g, d, row_number() OVER (PARTITION BY g ORDER BY d) AS rn,
-             count(*) OVER (PARTITION BY g) AS cnt
-      FROM dev),
+      SELECT g, sum(CAST(x AS DOUBLE) * h) / 2.0 AS med FROM (
+        SELECT g, x,
+               (CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                     THEN 1 ELSE 0 END
+              + CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum
+                     THEN 1 ELSE 0 END) AS h
+        FROM mr)
+      WHERE h > 0 GROUP BY g),
+    dvc AS (
+      SELECT vc.g, min(med.med) AS med,
+             abs(CAST(x AS DOUBLE) - med.med) AS d,
+             CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM vc JOIN med USING (g)
+      GROUP BY vc.g, d),
+    dr AS (
+      SELECT g, d, cnt,
+             sum(cnt) OVER (PARTITION BY g ORDER BY d) AS cum,
+             sum(cnt) OVER (PARTITION BY g) AS n
+      FROM dvc),
     mad AS (
-      SELECT g, avg(d) AS mad
-      FROM dranked WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
-      GROUP BY g),
-    flag AS (
-      SELECT dev.g, dev.med, mad.mad,
-             CASE WHEN d > 4.4478 * mad THEN 1 ELSE 0 END AS is_out
-      FROM dev JOIN mad USING (g))
-    SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
-           any_value(med) / 1000000.0 AS median_value,
-           any_value(mad) / 1000000.0 AS mad_value,
-           CAST(sum(is_out) AS BIGINT) AS n_outliers,
-           CAST(sum(is_out) * 1000000 // count(*) AS BIGINT) AS outlier_ppm
-    FROM flag
+      SELECT g, sum(d * h) / 2.0 AS mad FROM (
+        SELECT g, d,
+               (CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+                     THEN 1 ELSE 0 END
+              + CASE WHEN cum - cnt < (n + 2) // 2 AND (n + 2) // 2 <= cum
+                     THEN 1 ELSE 0 END) AS h
+        FROM dr)
+      WHERE h > 0 GROUP BY g)
+    SELECT g AS event_type, CAST(sum(cnt) AS BIGINT) AS n,
+           min(dvc.med) / 1000000.0 AS median_value,
+           min(mad.mad) / 1000000.0 AS mad_value,
+           CAST(sum(CASE WHEN d > 4.4478 * mad THEN cnt ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(sum(CASE WHEN d > 4.4478 * mad THEN cnt ELSE 0 END)
+                * 1000000 // sum(cnt) AS BIGINT) AS outlier_ppm
+    FROM dvc JOIN mad USING (g)
     GROUP BY g
     """,
 )

@@ -7390,6 +7390,49 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dq_column_profile",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn0,
+             CAST(count(DISTINCT o_orderkey) AS BIGINT) AS nd0,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd1,
+             CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd2,
+             CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd3,
+             CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd4,
+             CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn5,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS nd5
+      FROM orders)
+    SELECT 'orders.o_orderkey' AS col_name, n AS n_rows, nn0 AS n_null, nd0 AS n_distinct FROM a
+    UNION ALL SELECT 'orders.o_custkey', n, nn1, nd1 FROM a
+    UNION ALL SELECT 'orders.o_orderstatus', n, nn2, nd2 FROM a
+    UNION ALL SELECT 'orders.o_totalprice', n, nn3, nd3 FROM a
+    UNION ALL SELECT 'orders.o_orderdate', n, nn4, nd4 FROM a
+    UNION ALL SELECT 'orders.o_orderpriority', n, nn5, nd5 FROM a
+    """,
+)
+def q_dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics: per-column row/null/exact-
+    distinct counts for every orders column in one aggregate pass —
+    the statistics layer a cost-based optimizer and a data-quality
+    baseline both read. See operators/dq.py:profile_columns for the
+    100 TB note (swap exact distinct for HLL at scale)."""
+    from changedatacapture_spark.operators.dq import profile_columns
+
+    o = load_table(spark, "orders", sf_dir)
+    return profile_columns(
+        o,
+        ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+         "o_orderdate", "o_orderpriority"],
+        "orders",
+    )
+
+
+@_register(
     "privacy_k_anonymity",
     """
     SELECT c_nationkey, c_mktsegment,

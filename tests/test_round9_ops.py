@@ -641,3 +641,34 @@ def test_ivfpq_plan_is_broadcast_equi_join(spark, sf_dir):
     assert has_broadcast_join(df), plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+# ------------------------------------------------------ column profile
+
+def test_profile_columns_counts(spark):
+    from changedatacapture_spark.operators.dq import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (2, "b"), (None, "b")], "k long, s string"
+    )
+    out = {
+        r["col_name"]: r
+        for r in profile_columns(df, ["k", "s"], "t").collect()
+    }
+    assert out["t.k"]["n_rows"] == 4
+    assert out["t.k"]["n_null"] == 1
+    assert out["t.k"]["n_distinct"] == 2
+    assert out["t.s"]["n_null"] == 1
+    assert out["t.s"]["n_distinct"] == 2
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    from changedatacapture_spark.operators.dq import profile_columns
+    from changedatacapture_spark.sources.tables import load_table
+
+    rep = profile_columns(
+        load_table(spark, "orders", sf_dir), ["o_orderkey", "o_custkey"], "o"
+    )
+    rep.collect()
+    plan = executed_plan(rep)
+    assert plan.count("Scan parquet") <= 1, plan

@@ -529,9 +529,11 @@ def cosine_topk_lsh(
 #
 # A dim-D vector is split into M subvectors; each subvector is encoded
 # as the index of its nearest codebook centroid (KS entries per
-# subspace), so a 64-dim float32 vector (256 bytes) becomes M=8 small
-# integer codes (8 bytes) — a 32x reduction in what the corpus scan
-# shuffles and caches. Search uses asymmetric distance computation
+# subspace), so a 64-dim float32 vector (256 bytes) becomes M small
+# integer codes — with the registered m=32/ks=16/dsub=2 layout
+# (queries.py:_PQ_M), 32 nibble codes = 16 bytes, a 16x cut in what
+# the corpus scan shuffles and caches (coarser layouts trade recall
+# for more). Search uses asymmetric distance computation
 # (ADC): the probe stays full precision, a per-probe lookup table of
 # probe-subvector -> centroid distances is built ONCE (M*KS entries),
 # and each corpus row's distance estimate is M table lookups summed.

@@ -160,7 +160,11 @@ def mad_profile(
     magnitude before anything is sorted, and no task ever buffers a
     group (the rank is a running-sum window, not a percentile
     aggregate). The deviation median reuses the same histogram (a
-    second small aggregate), never the raw rows. Values quantize to
+    second small aggregate), never the raw rows. The per-group
+    median/MAD maps join back WITHOUT a broadcast hint: a forced
+    broadcast is O(groups) on the driver, which a high-cardinality
+    group column would blow; AQE still picks broadcast at runtime
+    whenever the map side is actually small. Values quantize to
     1e6 fixed point; the <= 2 middle values average in one exact
     double operation, so the DuckDB twin is bit-identical.
 
@@ -206,7 +210,7 @@ def mad_profile(
     vc = sc.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cnt"))
     med = freq_median(vc, "x")
     dvc = (
-        vc.join(F.broadcast(med), "g")
+        vc.join(med, "g")
         .select(
             "g",
             "med",
@@ -219,7 +223,7 @@ def mad_profile(
     mad = freq_median(dvc.select("g", "d", "cnt"), "d").withColumnRenamed(
         "med", "mad"
     )
-    flagged = dvc.join(F.broadcast(mad), "g")
+    flagged = dvc.join(mad, "g")
     return (
         flagged.groupBy("g")
         .agg(

@@ -4851,6 +4851,13 @@ def q_cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_cust = cust.count()  # bounded dimension scalar
     lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    if lo is None or n_cust == 0:
+        # empty changelog or empty dimension — a production IVM job
+        # no-ops on an empty delta instead of crashing on NULL bounds
+        # or a modulo-by-zero key rule
+        return log.limit(0).select("key_id", "value").crossJoin(
+            cust.limit(0).select("c_mktsegment")
+        )
     span = max(int(hi) - int(lo) + 1, 1)
     n_batches = 3
     log = log.withColumn(
@@ -7436,7 +7443,7 @@ def q_dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "privacy_k_anonymity",
     """
     SELECT c_nationkey, c_mktsegment,
-           CAST(floor(c_acctbal) AS BIGINT) // 1000 AS bal_bucket,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
            CAST(count(*) AS BIGINT) AS group_size
     FROM customer
     GROUP BY c_nationkey, c_mktsegment, bal_bucket
@@ -7448,14 +7455,17 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     market segment, account-balance band): every cell whose occupant
     count is below k=5 — rows in these cells are re-identifiable by
     the QI combination alone, the check privacy review runs before a
-    table feeds training. One map-side-combinable aggregate; both
-    engines truncate the balance-band division identically."""
+    table feeds training. One map-side-combinable aggregate. The
+    balance band uses floor division so every band is uniformly 1000
+    wide — truncate-toward-zero would merge all negative balances
+    (~9% of TPC-H customers) into a double-width bucket 0 and
+    under-flag re-identifiable cells."""
     cust = load_table(spark, "customer", sf_dir)
     return (
         cust.groupBy(
             "c_nationkey",
             "c_mktsegment",
-            F.expr("CAST(floor(c_acctbal) AS BIGINT) DIV 1000").alias(
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias(
                 "bal_bucket"
             ),
         )

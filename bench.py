@@ -23,6 +23,9 @@ number interpretable across hosts and rounds:
 - ``sf1``: if a 10x corpus exists (``tools/gen_scale.py``, default
   ``.scaledata/sf1``), a bounded query set is timed there with row
   counts, one decade of empirical scaling above the driver's sf0.1.
+  A short single-core probe runs before EVERY sf1 query
+  (``calib_per_query``) so a mid-section contention spike is
+  attributable to the specific query it hit, not the whole section.
   Pair-emitting dedup operators report rows because their output is
   data-dependent (LSH candidate counts are hash-draw-sensitive on the
   synthetic corpus): judge them on pairs/sec, not wall alone.
@@ -140,6 +143,9 @@ SF1_SET = [
     "events_mad_outliers",
     "dq_expectations",
     "curation_e2e",
+    # round-10: the de-skewed salted two-level posting cap gets its
+    # first 10x wall
+    "text_inverted_index",
     # the embedding dedup capstone LAST: it is the single heaviest
     # entry (~1/3 of the whole section), so on a slow host the budget
     # skips it alone instead of the tail's breadth
@@ -161,6 +167,19 @@ def _busy(_):
     for i in range(10_000_000):
         s += i * i
     return s
+
+
+def _calib_probe() -> float:
+    """Short (~0.3 s quiet-host) single-core probe interleaved between
+    sf1 queries: rounds 8 and 9 both lost sf1 walls to mid-section host
+    contention that the before/after pair could bracket but not
+    attribute — a per-query probe makes a spike attributable to the
+    query it preceded instead of the whole section."""
+    t0 = time.time()
+    s = 0
+    for i in range(5_000_000):
+        s += i * i
+    return round(time.time() - t0, 3)
 
 
 def _calib_multicore(n: int) -> float:
@@ -255,6 +274,7 @@ def main() -> None:
         budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_SEC", "210"))
         sf1_t: dict[str, float] = {}
         sf1_rows: dict[str, int] = {}
+        sf1_calib: dict[str, float] = {}
         skipped: list[str] = []
         t_start = time.time()
         try:
@@ -262,6 +282,11 @@ def main() -> None:
                 if time.time() - t_start > budget:
                     skipped.append(name)
                     continue
+                # per-query contention probe: a wall spike with a flat
+                # probe is the code's; a spike with an inflated probe
+                # is the host's (attribution the before/after pair
+                # cannot give)
+                sf1_calib[name] = _calib_probe()
                 _run_set(qs, [name], SF1_DIR, sf1_t, sf1_rows)
                 if name == "cdc_pruned_scan":
                     prune_report["sf1"] = _sink.LAST_SCAN_REPORT
@@ -272,6 +297,7 @@ def main() -> None:
             "total_wall": round(sum(sf1_t.values()), 3),
             "queries": sf1_t,
             "rows": sf1_rows,
+            "calib_per_query": sf1_calib,
             "skipped": skipped,
         }
 

@@ -5631,7 +5631,6 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     must reproduce exactly."""
     import os
     import tempfile
-    import uuid
 
     from changedatacapture_spark.streaming.pipeline import stream_interval_join
 
@@ -5680,22 +5679,34 @@ def q_events_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag="interval 30 minutes",
         watermark_delay="2 hours",
     )
-    sink = f"stream_join_{uuid.uuid4().hex[:8]}"
+    # parquet scratch sink, not the memory sink: the memory sink
+    # funnels every matched pair through a driver collect, so a bench
+    # wall over it measures driver materialization, not the pipeline;
+    # the parquet sink keeps the write distributed and the read-back
+    # is a plain scan of the (small) join output
+    out = os.path.join(work, "out")
     q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
+        joined.writeStream.format("parquet")
+        .option("path", out)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
-        "click_id",
-        "purchase_id",
-        "user_id",
-        F.unix_millis("click_time").alias("click_ms"),
-        F.unix_millis("purchase_time").alias("purchase_ms"),
+    return (
+        spark.read.schema(
+            "click_id long, user_id long, click_time timestamp, "
+            "purchase_id long, purchase_time timestamp"
+        )
+        .parquet(out)
+        .select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.unix_millis("click_time").alias("click_ms"),
+            F.unix_millis("purchase_time").alias("purchase_ms"),
+        )
     )
 
 
@@ -5784,7 +5795,6 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFram
     Python in the loop."""
     import os
     import tempfile
-    import uuid
 
     ev = load_table(spark, "events", sf_dir)
     lo, hi = ev.agg(
@@ -5820,17 +5830,23 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFram
             F.unix_millis("w.end").alias("session_end_ms"),
         )
     )
-    sink = f"sess_win_{uuid.uuid4().hex[:8]}"
+    # parquet scratch sink (not memory): ~951k session rows at sf1
+    # through the memory sink turn the bench wall into a driver-collect
+    # measurement; the parquet sink keeps the emit distributed
+    out = os.path.join(work, "out")
     q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
+        sessions.writeStream.format("parquet")
+        .option("path", out)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink)
+    return spark.read.schema(
+        "user_id long, n_events long, session_start_ms long, "
+        "session_end_ms long"
+    ).parquet(out)
 
 
 @_register(
@@ -7193,10 +7209,16 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: token -> document frequency + the head of
     the sorted posting list (the 100 smallest doc ids; df_count keeps
-    the true total). The cap is enforced by a per-token ranking window
-    BEFORE any list materializes, so no task ever buffers a stopword's
-    full posting list — the bounded-collect contract every index build
-    needs at 100 TB (same budget pattern as the KMV sketch). Postings
+    the true total, from its own map-side-combinable aggregate).
+
+    The cap is a TWO-LEVEL salted rank (the same budget pattern as the
+    KMV sketch): first keep the 100 smallest doc ids per
+    (token, doc_id % 16) salt cell, then globally re-rank the <= 1600
+    survivors per token. A single per-token ranking window would hand
+    the hottest token's ENTIRE posting list — O(corpus) for a stopword
+    at 100 TB — to one task's sort (spillable, but a guaranteed
+    straggler); salting bounds every first-level sort cell to 1/16 of
+    the hot token and the second level to salts*k rows. Postings
     serialize as comma-joined numerically-sorted doc ids, identical in
     both engines; tokens with df < 5 are noise and dropped."""
     from pyspark.sql import Window as W
@@ -7222,7 +7244,15 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("df_count"))
         .filter(F.col("df_count") >= 5)
     )
-    ranked = toks.select(
+    wc = W.partitionBy("token", F.pmod(F.col("doc_id"), F.lit(16))).orderBy(
+        "doc_id"
+    )
+    cand = (
+        toks.withColumn("cell_rn", F.row_number().over(wc))
+        .filter(F.col("cell_rn") <= 100)
+        .select("token", "doc_id")
+    )
+    ranked = cand.select(
         "token",
         "doc_id",
         F.row_number()

@@ -382,3 +382,29 @@ def test_int8_topk_broadcasts_probes(spark, sf_dir):
     """Quantized ANN: probe side broadcast; corpus scanned once."""
     df = _run(spark, sf_dir, "knn_int8_topk")
     assert has_broadcast_join(df)
+
+
+def test_inverted_index_posting_cap_is_salted_two_level(spark, sf_dir):
+    """The posting cap must never hand one task a stopword's full
+    posting list: the first-level rank partitions by
+    (token, pmod(doc_id, 16)) — a salt that bounds every sort cell to
+    1/16 of the hottest token — and both rn<=100 filters push into the
+    windows as WindowGroupLimit, so rank computation stops at k inside
+    the spillable sorter. The final collect_list is bounded by the
+    rank filter (<=100 ids per token), not by corpus size."""
+    from changedatacapture_spark.plans.inspect import optimized_plan
+
+    df = _run(spark, sf_dir, "text_inverted_index")
+    logical = optimized_plan(df)
+    assert "pmod(doc_id" in logical, "posting rank not salted"
+    assert logical.count("WindowGroupLimit") >= 2, logical
+    # no single-partition-per-token sort over raw postings: every
+    # windowspec over the raw (token, doc_id) stream carries the salt
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", logical)
+    # the salt is projected as a _w<N> helper column; the first-level
+    # spec partitions by (token, salt), the second level — which sees
+    # at most salts*k rows per token — by token alone
+    salted = [s for s in specs if re.search(r"token#\d+, _w\d+", s)]
+    assert salted, f"salted first-level window missing: {specs}"

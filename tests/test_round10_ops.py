@@ -159,3 +159,79 @@ def test_mixed_decode_stats_matches_raster_arithmetic(spark):
         assert (r["width"], r["height"]) == (w, _BMP_PIXELS // w)
         assert r["sum_px"] == sum(raster)
         assert (r["min_px"], r["max_px"]) == (min(raster), max(raster))
+
+
+# ------------------------------------------- chained embedding dedup
+
+def test_chained_pairs_are_subset_of_all_pairs(spark):
+    """The chain compares a subset of the in-bucket pairs, so every
+    emitted (pair, score) must also appear in the all-pairs variant
+    with identical score."""
+    from changedatacapture_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_chained,
+    )
+
+    rows = [(i, _vec(i // 3)) for i in range(30)]  # clusters of 3 identical
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    full = {
+        (r["vec_a"], r["vec_b"]): r["score_scaled"]
+        for r in embedding_neardup_pairs(
+            df, threshold_scaled=250_000, n_planes=6
+        ).collect()
+    }
+    chained = {
+        (r["vec_a"], r["vec_b"]): r["score_scaled"]
+        for r in embedding_neardup_pairs_chained(
+            df, threshold_scaled=250_000, n_planes=6, window=4
+        ).collect()
+    }
+    assert chained, "identical triples must chain"
+    for k, v in chained.items():
+        assert full.get(k) == v, k
+
+
+def test_chained_closure_recovers_tight_cluster(spark):
+    """A cluster of identical vectors larger than the chain window
+    must still collapse into ONE group through the closure — the
+    connectivity guarantee the linear candidate volume is traded
+    against."""
+    from changedatacapture_spark.operators.dedup import connected_components
+    from changedatacapture_spark.operators.similarity import (
+        embedding_neardup_pairs_chained,
+    )
+
+    k = 12  # cluster 3x the window
+    rows = [(i, _vec(7)) for i in range(k)] + [
+        (100 + i, _vec(50 + i)) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs_chained(
+        df, threshold_scaled=250_000, n_planes=6, window=4
+    )
+    groups = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in groups.collect()
+        if r["doc_id"] < 100
+    }
+    assert set(got) == set(range(k))
+    assert set(got.values()) == {0}, got
+
+
+def test_chained_candidate_volume_is_bounded(spark):
+    """Even with EVERY vector identical (one maximal hot bucket), the
+    pre-threshold candidate count is <= n * window — the linearity
+    contract; the all-pairs variant would emit n*(n-1)/2 here."""
+    from changedatacapture_spark.operators.similarity import (
+        embedding_neardup_pairs_chained,
+    )
+
+    n, w = 40, 4
+    rows = [(i, _vec(3)) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = embedding_neardup_pairs_chained(
+        df, threshold_scaled=-2_000_000, n_planes=6, window=w
+    ).count()
+    assert out <= n * w, out
+    assert out == (n - w) * w + sum(range(w)), out  # exact chain count

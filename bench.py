@@ -95,6 +95,12 @@ EXTRA = [
     "dq_expectations",
     "text_inverted_index",
     "curation_e2e",
+    # round-10 additions: the refine stage (ADC shortlist + exact
+    # re-rank), the linear-candidate chained embedding dedup, and the
+    # mixed-codec decode path
+    "knn_pq_refine_topk",
+    "emb_dedup_groups_chained",
+    "media_decode_mixed",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -144,8 +150,10 @@ SF1_SET = [
     "dq_expectations",
     "curation_e2e",
     # round-10: the de-skewed salted two-level posting cap gets its
-    # first 10x wall
+    # first 10x wall, and the chained embedding dedup is the linear
+    # replacement for the quadratic all-pairs closure at scale
     "text_inverted_index",
+    "emb_dedup_groups_chained",
     # the embedding dedup capstone LAST: it is the single heaviest
     # entry (~1/3 of the whole section), so on a slow host the budget
     # skips it alone instead of the tail's breadth

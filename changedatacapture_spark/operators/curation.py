@@ -200,6 +200,41 @@ def stratified_sample(
     return docs.filter(bucket < rate)
 
 
+def weighted_sample(
+    docs: DataFrame,
+    total_weight: int,
+    target_k: int,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep a document with
+    probability ``min(1, target_k * weight / total_weight)`` — the
+    importance-sampling step that keeps high-quality (high-weight)
+    documents preferentially while hitting an expected sample size of
+    ``target_k`` (items with weight above ``total_weight/target_k``
+    are always kept, the standard weighted-Bernoulli behavior).
+
+    Content-addressed and EXACT-INTEGER: the acceptance test is
+    ``hash60(id) * total_weight < weight * target_k * 2^60`` computed
+    in DECIMAL(38,0) — no float probability, no RNG, so the sample is
+    stable under reordering/reruns and bit-identical in any engine
+    (DuckDB runs the same comparison in HUGEINT). ``total_weight`` is
+    passed in (one prior aggregate, a bounded scalar) so the filter
+    itself stays a zero-shuffle pure predicate over the scan.
+    """
+    h60 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("decimal(38,0)")
+    # constants ride as string literals: k * 2^60 exceeds int64, and
+    # py4j marshals a bare Python int through Long.parseLong
+    lhs = h60 * F.lit(str(int(total_weight))).cast("decimal(38,0)")
+    rhs = (
+        F.col(weight_col).cast("decimal(38,0)")
+        * F.lit(str(int(target_k) * (1 << 60))).cast("decimal(38,0)")
+    )
+    return docs.filter(lhs < rhs)
+
+
 def token_budget_select(
     docs: DataFrame,
     budget_tokens: int,

@@ -294,19 +294,27 @@ def embedding_neardup_pairs_chained(
     """
     from pyspark.sql import Window as W
 
-    bucket = lsh_bucket(vec_col, n_planes, dim)
-    ranked = corpus.select(
-        F.col(id_col).alias("vid"),
-        F.col(vec_col).alias("vec"),
-        bucket.alias("bucket"),
-    ).withColumn(
-        "lr", F.row_number().over(W.partitionBy("bucket").orderBy("vid"))
+    # the ranked relation is materialized ONCE (eager localCheckpoint)
+    # before the self-join, for two reasons: (a) without a hard
+    # barrier, Catalyst's projection collapse + self-join
+    # de-duplication nondeterministically re-binds the bucket
+    # expression against the renamed branch schema and the executor
+    # dies with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (reproduced at sf1
+    # under AQE; a DataFrame-alias-only fix still failed one run in
+    # three); (b) it makes the bucket projection + per-bucket rank
+    # window compute once instead of once per join branch. On a real
+    # cluster swap for reliable checkpoint against a checkpoint dir —
+    # the same note as connected_components.
+    ranked = (
+        corpus.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        )
+        .withColumn("bucket", lsh_bucket("vec", n_planes, dim))
+        .withColumn(
+            "lr", F.row_number().over(W.partitionBy("bucket").orderBy("vid"))
+        )
+        .localCheckpoint(eager=True)
     )
-    # DataFrame aliases, not bare branch selects: without them Catalyst
-    # collapses the two branch projections into the shared window child
-    # and re-binds the bucket expression against the renamed schema —
-    # an INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution under AQE
-    # (reproduced at sf1; sf0.01 plans happened not to collapse)
     r = ranked.alias("r")
     s = ranked.alias("s")
     probe = r.select(

@@ -621,3 +621,120 @@ def hashed_linear_score(
             (F.col("score_int") >= 0).alias("keep"),
         )
     )
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Train byte-pair-encoding merges over the corpus — the tokenizer-
+    construction step of an LLM data pipeline, run as a sequence of
+    bounded Spark aggregates (Sennrich et al. 2016 semantics: pair
+    statistics count every adjacent occurrence; merges apply greedily
+    left-to-right, so a run of k identical symbols merges at odd
+    offsets).
+
+    Scale shape: everything after the first aggregate operates on the
+    WORD-FREQUENCY table (distinct words + counts), never the corpus —
+    the same reduction every production BPE trainer makes, so a 100 TB
+    corpus costs one word-count aggregate and the iterations cost
+    O(vocabulary). Each of the ``n_merges`` iterations is: one
+    pair-count aggregate, ONE driver-collected winner row (the same
+    bounded-artifact budget as the k-means/PQ fits), and a relational
+    merge rewrite (dense re-rank + island parity for same-symbol
+    runs); symbol state is localCheckpoint-ed per iteration so the
+    plan does not grow with merge count.
+
+    Returns the learned merge table: ``step, sym_left, sym_right,
+    pair_count``
+    (1-indexed steps, ``pair_count`` = weighted adjacent-pair
+    frequency the winner had when chosen; ties break lexicographic).
+    """
+    from pyspark.sql import Window as W
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(
+            F.explode(F.split(F.col(text_col), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sym = words.select(
+        "word",
+        "n",
+        F.posexplode(F.split(F.col("word"), "(?!$)")).alias("pos", "sym"),
+    ).localCheckpoint(eager=True)
+
+    out_rows: list[tuple[int, str, str, int]] = []
+    wd = W.partitionBy("word").orderBy("pos")
+    for step in range(1, n_merges + 1):
+        dense = sym.withColumn("rn", F.row_number().over(wd))
+        p = dense.withColumn(
+            "nxt", F.lead("sym").over(W.partitionBy("word").orderBy("rn"))
+        )
+        winner = (
+            p.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "sym", "nxt")
+            .first()
+        )
+        if winner is None:
+            break
+        a, b, cnt = winner["sym"], winner["nxt"], int(winner["cnt"])
+        out_rows.append((step, a, b, cnt))
+        if a == b:
+            # greedy left-to-right on same-symbol runs: merge at even
+            # offsets within each maximal run of consecutive `a` rows
+            run = p.filter(F.col("sym") == F.lit(a)).withColumn(
+                "isl",
+                F.col("rn")
+                - F.row_number().over(W.partitionBy("word").orderBy("rn")),
+            )
+            starts = (
+                run.withColumn(
+                    "off",
+                    F.row_number().over(
+                        W.partitionBy("word", "isl").orderBy("rn")
+                    )
+                    - 1,
+                )
+                .filter(
+                    (F.col("off") % 2 == 0) & (F.col("nxt") == F.lit(b))
+                )
+                # the parity rule needs a successor INSIDE the run;
+                # nxt == a guarantees it since islands are maximal
+                .select("word", F.col("rn").alias("start_rn"))
+            )
+        else:
+            starts = p.filter(
+                (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+            ).select("word", F.col("rn").alias("start_rn"))
+        # rewrite: merged symbol at start_rn, row at start_rn+1 consumed
+        s_start = starts.withColumnRenamed("start_rn", "rn").withColumn(
+            "_merge", F.lit(1)
+        )
+        s_consumed = starts.select(
+            "word", (F.col("start_rn") + 1).alias("rn")
+        ).withColumn("_consumed", F.lit(1))
+        sym = (
+            dense.join(s_start, ["word", "rn"], "left")
+            .join(s_consumed, ["word", "rn"], "left")
+            .filter(F.col("_consumed").isNull())
+            .select(
+                "word",
+                "n",
+                F.col("rn").alias("pos"),
+                F.when(
+                    F.col("_merge") == 1, F.concat(F.lit(a), F.lit(b))
+                )
+                .otherwise(F.col("sym"))
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "step int, sym_left string, sym_right string, pair_count long",
+    )

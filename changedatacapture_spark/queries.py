@@ -3722,6 +3722,53 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(load_table(spark, "documents", sf_dir))
 
 
+def _hex60_sum_expr(instr_fn: str, arg: str) -> str:
+    """Engine-portable SQL for the first 15 md5 hex digits of ``arg``
+    as a 60-bit integer (digit-position arithmetic — DuckDB has no
+    hex-string→int cast; the sum ≤ 16^15-1 fits in BIGINT/long)."""
+    hexd = "0123456789abcdef"
+    terms = " + ".join(
+        f"({instr_fn}('{hexd}', substring(md5({arg}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (14 - i)}"
+        for i in range(15)
+    )
+    return f"({terms})"
+
+
+@_register(
+    "curation_weighted_sample",
+    f"""
+    WITH w AS (SELECT CAST(sum(n_chars) AS HUGEINT) AS tw FROM documents)
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d, w
+    WHERE CAST({_hex60_sum_expr('strpos', 'CAST(d.doc_id AS VARCHAR)')}
+               AS HUGEINT) * w.tw
+        < CAST(d.n_chars AS HUGEINT)
+          * (CAST(100 AS HUGEINT) * CAST(1152921504606846976 AS HUGEINT))
+    """,
+)
+def q_curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted Bernoulli sample (importance sampling
+    for curation): keep each document with probability
+    ``min(1, k * weight / total_weight)`` with weight = n_chars and
+    target k = 100 — longer documents are kept preferentially while
+    the expected sample size stays k. The acceptance test is pure
+    integer arithmetic (``hash60(id) * Σw < w * k * 2^60`` in
+    DECIMAL(38,0) / HUGEINT), so the sample is content-addressed —
+    stable under reordering, reruns, and appends — and bit-identical
+    in both engines; no RNG, no float probability. The one prior
+    total-weight aggregate is a bounded scalar; the filter itself is
+    a zero-shuffle predicate over the scan. See
+    operators/curation.py:weighted_sample."""
+    from changedatacapture_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    tw = int(docs.agg(F.sum("n_chars")).first()[0])
+    return weighted_sample(docs, total_weight=tw, target_k=100).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 @_register(
     "events_stateful_sessions",
     """
@@ -5168,6 +5215,88 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return tfidf_top_terms(docs, top_k=3)
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    """DuckDB CTE chain replaying the BPE merge training relationally:
+    word-frequency seed, then per merge step a pair-count aggregate,
+    a deterministic argmax (count desc, pair lexicographic), greedy
+    left-to-right merge application (island parity for same-symbol
+    runs) — the identical recursion
+    operators/text.py:bpe_learn_merges runs, so every learned merge
+    and count is engine-exact."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
+        " SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+        " WHERE word <> '' GROUP BY word),",
+        "sf0 AS MATERIALIZED (SELECT word, n, unnest(range(1, length(word) + 1)) AS pos"
+        " FROM w0),",
+        "s0 AS MATERIALIZED (SELECT word, n, CAST(pos AS BIGINT) AS pos,"
+        " substr(word, CAST(pos AS INT), 1) AS sym FROM sf0),",
+    ]
+    for t in range(1, n_merges + 1):
+        prev = f"s{t - 1}"
+        parts += [
+            f"d{t} AS MATERIALIZED (SELECT word, n, sym,"
+            f" row_number() OVER (PARTITION BY word ORDER BY pos) AS rn"
+            f" FROM {prev}),",
+            f"p{t} AS MATERIALIZED (SELECT *, lead(sym) OVER ("
+            f" PARTITION BY word ORDER BY rn) AS nxt FROM d{t}),",
+            f"m{t} AS MATERIALIZED (SELECT sym AS a, nxt AS b,"
+            f" CAST(sum(n) AS BIGINT) AS cnt"
+            f" FROM p{t} WHERE nxt IS NOT NULL GROUP BY 1, 2"
+            f" ORDER BY cnt DESC, a, b LIMIT 1),",
+            f"st{t} AS MATERIALIZED ("
+            f" SELECT p.word, p.rn FROM p{t} p, m{t} m"
+            f" WHERE m.a <> m.b AND p.sym = m.a AND p.nxt = m.b"
+            f" UNION ALL"
+            f" SELECT word, rn FROM ("
+            f"  SELECT q.word, q.rn, q.nxt, q.b,"
+            f"   row_number() OVER (PARTITION BY q.word, q.isl"
+            f"    ORDER BY q.rn) - 1 AS off"
+            f"  FROM (SELECT p.word, p.rn, p.nxt, m.b,"
+            f"        p.rn - row_number() OVER ("
+            f"         PARTITION BY p.word ORDER BY p.rn) AS isl"
+            f"        FROM p{t} p, m{t} m"
+            f"        WHERE m.a = m.b AND p.sym = m.a) q)"
+            f" WHERE off % 2 = 0 AND nxt = b),",
+            f"s{t} AS MATERIALIZED ("
+            f" SELECT d.word, d.n, d.rn AS pos,"
+            f"  CASE WHEN st.rn IS NOT NULL THEN m.a || m.b"
+            f"       ELSE d.sym END AS sym"
+            f" FROM d{t} d CROSS JOIN m{t} m"
+            f" LEFT JOIN st{t} st ON st.word = d.word AND st.rn = d.rn"
+            f" LEFT JOIN st{t} cons"
+            f"  ON cons.word = d.word AND cons.rn = d.rn - 1"
+            f" WHERE cons.rn IS NULL),",
+        ]
+    final = "\nUNION ALL ".join(
+        f"SELECT {t} AS step, a AS sym_left, b AS sym_right,"
+        f" cnt AS pair_count FROM m{t}"
+        for t in range(1, n_merges + 1)
+    )
+    return "WITH " + "\n".join(parts)[:-1] + "\n" + final
+
+
+@_register("text_bpe_merges", _bpe_oracle_sql(6))
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding tokenizer TRAINING over the corpus — the
+    vocabulary-construction step of an LLM data pipeline, distributed:
+    one corpus word-count aggregate, then 6 merge iterations over the
+    WORD-FREQUENCY table (O(vocabulary) state, never the corpus).
+    Sennrich semantics: overlapping pair statistics, greedy
+    left-to-right merges (same-symbol runs merge at even offsets via
+    island parity), ties to the lexicographically-smallest pair. Per
+    iteration the only driver materialization is the single winning
+    pair (the bounded-artifact budget of the k-means/PQ fits). The
+    oracle replays the full recursion relationally — every learned
+    merge and its weighted count is engine-exact. Differentially
+    tested against a pure-Python Sennrich implementation. See
+    operators/text.py:bpe_learn_merges."""
+    from changedatacapture_spark.operators.text import bpe_learn_merges
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_learn_merges(docs, n_merges=6)
 
 
 @_register(

@@ -235,3 +235,127 @@ def test_chained_candidate_volume_is_bounded(spark):
     ).count()
     assert out <= n * w, out
     assert out == (n - w) * w + sum(range(w)), out  # exact chain count
+
+
+# ---------------------------------------------------------------- BPE
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python Sennrich et al. (2016) trainer: overlapping pair
+    statistics over the word-frequency table, greedy left-to-right
+    merge application, ties to the lexicographically smallest pair."""
+    vocab = {tuple(w): n for w, n in word_counts.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        pairs = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_sennrich_reference(spark):
+    """The distributed trainer must learn the identical merge table
+    (pairs, order, weighted counts) as the sequential reference,
+    including a same-symbol run ('aaaa') that exercises the
+    island-parity greedy rule."""
+    from changedatacapture_spark.operators.text import bpe_learn_merges
+
+    texts = [
+        "low low lower lowest",
+        "new newer newest new",
+        "aaaa aaab baaa",
+        "low new aaaa",
+    ]
+    counts = {}
+    for t in texts:
+        for w in t.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _bpe_reference(counts, 5)
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r["step"], r["sym_left"], r["sym_right"], r["pair_count"])
+        for r in bpe_learn_merges(docs, n_merges=5).orderBy("step").collect()
+    ]
+    assert got == want, (got, want)
+
+
+def test_bpe_same_symbol_run_merges_at_even_offsets(spark):
+    """'aaaaa' contributes 4 overlapping ('a','a') pairs to the count
+    but only 2 greedy merges apply (positions 0-1 and 2-3) — the
+    Sennrich asymmetry the island-parity rewrite must reproduce."""
+    from changedatacapture_spark.operators.text import bpe_learn_merges
+
+    docs = spark.createDataFrame([("aaaaa",)], "text string")
+    out = bpe_learn_merges(docs, n_merges=2).orderBy("step").collect()
+    assert (out[0]["sym_left"], out[0]["sym_right"], out[0]["pair_count"]) == (
+        "a", "a", 4,
+    )
+    # after merging: ['aa', 'aa', 'a'] -> both ('aa','aa') and
+    # ('aa','a') count 1; the lexicographic tie-break picks ('aa','a')
+    assert (out[1]["sym_left"], out[1]["sym_right"], out[1]["pair_count"]) == (
+        "aa", "a", 1,
+    )
+
+
+# ------------------------------------------------- weighted sampling
+
+
+def test_weighted_sample_matches_python_predicate(spark):
+    """The Spark filter must accept exactly the ids the pure-Python
+    integer predicate accepts (content-addressed: no RNG anywhere)."""
+    import hashlib
+
+    from changedatacapture_spark.operators.curation import weighted_sample
+
+    rows = [(i, (i * 37) % 500 + 1) for i in range(300)]
+    tw = sum(w for _, w in rows)
+    k = 30
+    want = {
+        i
+        for i, w in rows
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) * tw
+        < w * k * (1 << 60)
+    }
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(df, total_weight=tw, target_k=k).collect()
+    }
+    assert got == want
+    # sanity: the expected-size math holds loosely (Bernoulli sum)
+    assert 0 < len(got) < 300
+
+
+def test_weighted_sample_always_keeps_heavy_items(spark):
+    """Items with weight >= total_weight / k have acceptance
+    probability clamped to 1 — they must ALWAYS survive."""
+    from changedatacapture_spark.operators.curation import weighted_sample
+
+    rows = [(1, 1_000_000)] + [(i, 1) for i in range(2, 200)]
+    tw = sum(w for _, w in rows)
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    kept = {
+        r["doc_id"]
+        for r in weighted_sample(df, total_weight=tw, target_k=5).collect()
+    }
+    assert 1 in kept

@@ -623,32 +623,12 @@ def hashed_linear_score(
     )
 
 
-def bpe_learn_merges(
-    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
-) -> DataFrame:
-    """Train byte-pair-encoding merges over the corpus — the tokenizer-
-    construction step of an LLM data pipeline, run as a sequence of
-    bounded Spark aggregates (Sennrich et al. 2016 semantics: pair
-    statistics count every adjacent occurrence; merges apply greedily
-    left-to-right, so a run of k identical symbols merges at odd
-    offsets).
-
-    Scale shape: everything after the first aggregate operates on the
-    WORD-FREQUENCY table (distinct words + counts), never the corpus —
-    the same reduction every production BPE trainer makes, so a 100 TB
-    corpus costs one word-count aggregate and the iterations cost
-    O(vocabulary). Each of the ``n_merges`` iterations is: one
-    pair-count aggregate, ONE driver-collected winner row (the same
-    bounded-artifact budget as the k-means/PQ fits), and a relational
-    merge rewrite (dense re-rank + island parity for same-symbol
-    runs); symbol state is localCheckpoint-ed per iteration so the
-    plan does not grow with merge count.
-
-    Returns the learned merge table: ``step, sym_left, sym_right,
-    pair_count``
-    (1-indexed steps, ``pair_count`` = weighted adjacent-pair
-    frequency the winner had when chosen; ties break lexicographic).
-    """
+def _bpe_train(
+    docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Shared BPE training core: returns (merge rows, final symbol
+    table ``word, n, pos, sym``). See :func:`bpe_learn_merges` for the
+    algorithm and scale-shape contract."""
     from pyspark.sql import Window as W
 
     spark = docs.sparkSession
@@ -734,7 +714,187 @@ def bpe_learn_merges(
             )
             .localCheckpoint(eager=True)
         )
-    return spark.createDataFrame(
+    return out_rows, sym
+
+
+def bpe_learn_merges(
+    docs: DataFrame, n_merges: int = 6, text_col: str = "text"
+) -> DataFrame:
+    """Train byte-pair-encoding merges over the corpus — the tokenizer-
+    construction step of an LLM data pipeline, run as a sequence of
+    bounded Spark aggregates (Sennrich et al. 2016 semantics: pair
+    statistics count every adjacent occurrence; merges apply greedily
+    left-to-right, so a run of k identical symbols merges at odd
+    offsets).
+
+    Scale shape: everything after the first aggregate operates on the
+    WORD-FREQUENCY table (distinct words + counts), never the corpus —
+    the same reduction every production BPE trainer makes, so a 100 TB
+    corpus costs one word-count aggregate and the iterations cost
+    O(vocabulary). Each of the ``n_merges`` iterations is: one
+    pair-count aggregate, ONE driver-collected winner row (the same
+    bounded-artifact budget as the k-means/PQ fits), and a relational
+    merge rewrite (dense re-rank + island parity for same-symbol
+    runs); symbol state is localCheckpoint-ed per iteration so the
+    plan does not grow with merge count.
+
+    Returns the learned merge table: ``step, sym_left, sym_right,
+    pair_count``
+    (1-indexed steps, ``pair_count`` = weighted adjacent-pair
+    frequency the winner had when chosen; ties break lexicographic).
+    """
+    out_rows, _ = _bpe_train(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
         out_rows,
         "step int, sym_left string, sym_right string, pair_count long",
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    n_merges: int = 6,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Train BPE, then ENCODE the corpus under the learned vocabulary
+    and report per-source compression: ``source, n_docs, total_words,
+    total_chars, total_bpe_tokens`` (all exact integers; the token/char
+    ratio is the tokenizer-fertility metric data teams track per
+    source).
+
+    Encoding costs nothing extra at corpus scale: training already
+    rewrote the word-frequency symbol table, so tokens-per-word is one
+    count over that O(vocabulary) table, joined back to per-doc word
+    multiplicities (broadcast — the vocabulary is tiny relative to the
+    corpus). The corpus is scanned exactly twice (word-count seed +
+    per-doc multiplicities), never per merge step.
+    """
+    _, sym = _bpe_train(docs, n_merges, text_col)
+    tokens_per_word = sym.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_sym")
+    )
+    doc_words = (
+        docs.select(
+            F.col("doc_id"),
+            F.col(source_col).alias("source"),
+            F.explode(F.split(F.col(text_col), " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "source", "word")
+        .agg(F.count(F.lit(1)).alias("mult"))
+    )
+    per_doc = doc_words.join(F.broadcast(tokens_per_word), "word").groupBy(
+        "doc_id", "source"
+    ).agg(
+        F.sum("mult").alias("words"),
+        F.sum(F.col("mult") * F.length("word")).alias("chars"),
+        F.sum(F.col("mult") * F.col("n_sym")).alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("chars").alias("total_chars"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term query — the relevance
+    scorer behind corpus search / RAG shortlist / quality-by-query
+    curation (Robertson-Sparck Jones weighting, k1 = 1.2, b = 0.75 as
+    exact rationals 6/5 and 3/4).
+
+    ENGINE-EXACT SCORING: no floats anywhere. With N docs, L total
+    tokens, dl the doc length and tf the term frequency, the classic
+    term partial idf * (k1+1)*tf / (tf + k1*(1-b+b*dl/avgdl)) is
+    multiplied through by 20L (avgdl = L/N) into the integer fraction
+    ``idf2 * 44*tf*L / (20*tf*L + 6*L + 18*dl*N)`` evaluated in
+    DECIMAL(38,0)/HUGEINT with a per-term floor at 10^4 scale; the doc
+    score is the exact integer sum of term partials. idf2 is the
+    log2-QUANTIZED Lucene idf ln((N+1)/(df+0.5)) — computed as
+    ``max(1, floor(log2(2N+2)) - floor(log2(2df+1)) + 1)`` via
+    binary-string length (exact for any integer, portable to any
+    engine); the +1/clamp keeps every matched term at weight >= 1,
+    preserving BM25's matching-any-term-beats-none property under
+    quantization.
+
+    Scale shape: tf/df/dl are plain map-side-combinable aggregates;
+    the corpus constants (N, L) ride as a broadcast single-row join,
+    never a driver collect; top-k is a distributed TakeOrdered, not a
+    global sort. The tf aggregate is pre-filtered to the query terms,
+    so the shuffle carries O(|query| * n_docs) rows max.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_tot")
+    )
+    q = [t for t in query_terms if t]
+    tf = (
+        toks.filter(F.col("term").isin(q))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    def blen(c: Column) -> Column:
+        # floor(log2(k)) for positive integer k, via binary length
+        return (F.length(F.bin(c)) - 1).cast("long")
+
+    d38 = lambda c: c.cast("decimal(38,0)")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf2",
+            F.greatest(
+                F.lit(1).cast("long"),
+                blen(F.lit(2) * F.col("n_docs") + 2)
+                - blen(F.lit(2) * F.col("df") + 1)
+                + 1,
+            ),
+        )
+        .withColumn(
+            "_num",
+            d38(F.col("idf2"))
+            * d38(F.lit(44) * F.col("tf"))
+            * d38(F.col("l_tot"))
+            * d38(F.lit(10_000)),
+        )
+        .withColumn(
+            "_den",
+            d38(F.lit(20) * F.col("tf")) * d38(F.col("l_tot"))
+            + d38(F.lit(6)) * d38(F.col("l_tot"))
+            + d38(F.lit(18) * F.col("dl")) * d38(F.col("n_docs")),
+        )
+        # `div` = exact integral division on DECIMAL (the repo's
+        # PageRank idiom) — decimal `/` would round at scale 6 before
+        # a floor could run
+        .withColumn("partial", F.expr("_num div _den").cast("long"))
+    )
+    from pyspark.sql import Window as W
+
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("partial").alias("score_scaled"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    # orderBy + limit lowers to TakeOrderedAndProject (per-partition
+    # top-k + k-row driver merge); the rank window then runs over k
+    # rows only — never a global single-partition sort of all docs
+    top = agg.orderBy(F.col("score_scaled").desc(), "doc_id").limit(top_k)
+    rk = F.row_number().over(
+        W.orderBy(F.col("score_scaled").desc(), F.col("doc_id"))
+    )
+    return top.withColumn("rk", rk).select(
+        "doc_id", "score_scaled", "n_terms_hit", "rk"
     )

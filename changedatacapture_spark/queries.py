@@ -5217,14 +5217,75 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, top_k=3)
 
 
-def _bpe_oracle_sql(n_merges: int = 6) -> str:
+_BM25_TERMS = ("dup", "stream", "merge", "query")
+
+
+@_register(
+    "text_bm25_rank",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) WHERE term <> ''),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM tk GROUP BY doc_id),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS l_tot FROM dl),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+           WHERE term IN {str(tuple(_BM25_TERMS))}
+           GROUP BY doc_id, term),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    parts AS (
+      SELECT t.doc_id,
+             CAST(greatest(1, length(bin(2 * n_docs + 2))
+                              - length(bin(2 * df + 1)) + 1) AS HUGEINT)
+             * (CAST(44 AS HUGEINT) * tf * l_tot * 10000)
+             // (CAST(20 AS HUGEINT) * tf * l_tot
+                 + CAST(6 AS HUGEINT) * l_tot
+                 + CAST(18 AS HUGEINT) * d.dl * n_docs) AS partial
+      FROM tf t JOIN dfq USING (term)
+      JOIN dl d ON d.doc_id = t.doc_id, tot),
+    agg AS (SELECT doc_id, CAST(sum(partial) AS BIGINT) AS score_scaled,
+                   CAST(count(*) AS BIGINT) AS n_terms_hit
+            FROM parts GROUP BY doc_id)
+    SELECT doc_id, score_scaled, n_terms_hit,
+           row_number() OVER (ORDER BY score_scaled DESC, doc_id) AS rk
+    FROM agg
+    QUALIFY rk <= 10
+    """,
+)
+def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1 = 6/5, b = 3/4 as exact rationals)
+    for the fixed query ``dup stream merge query`` — the relevance
+    scorer behind corpus search / RAG shortlisting. Scoring is
+    ENGINE-EXACT: the classic term partial is multiplied through by
+    20L into one integer fraction evaluated with DECIMAL(38,0)
+    ``div`` (HUGEINT ``//`` in the oracle), and the idf is the
+    log2-quantized Lucene idf computed via binary-string length —
+    exact integer arithmetic end to end, no floating log anywhere.
+    tf/df/dl are map-side-combinable aggregates; corpus constants
+    ride a broadcast single-row join; top-10 lowers to
+    TakeOrderedAndProject, never a global window sort. See
+    operators/text.py:bm25_topk."""
+    from changedatacapture_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bm25_topk(docs, list(_BM25_TERMS), top_k=10)
+
+
+def _bpe_oracle_sql(n_merges: int = 6, tail: str | None = None) -> str:
     """DuckDB CTE chain replaying the BPE merge training relationally:
     word-frequency seed, then per merge step a pair-count aggregate,
     a deterministic argmax (count desc, pair lexicographic), greedy
     left-to-right merge application (island parity for same-symbol
     runs) — the identical recursion
     operators/text.py:bpe_learn_merges runs, so every learned merge
-    and count is engine-exact."""
+    and count is engine-exact. ``tail`` overrides the final SELECT
+    (default: the merge table) — the encode query selects from the
+    final symbol table ``s{n_merges}`` instead. CTEs are MATERIALIZED
+    so each step computes once (inlining would re-open the parquet
+    scan per reference and exhaust file handles)."""
     parts = [
         "w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n FROM ("
         " SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
@@ -5270,12 +5331,52 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
             f"  ON cons.word = d.word AND cons.rn = d.rn - 1"
             f" WHERE cons.rn IS NULL),",
         ]
-    final = "\nUNION ALL ".join(
+    final = tail or "\nUNION ALL ".join(
         f"SELECT {t} AS step, a AS sym_left, b AS sym_right,"
         f" cnt AS pair_count FROM m{t}"
         for t in range(1, n_merges + 1)
     )
     return "WITH " + "\n".join(parts)[:-1] + "\n" + final
+
+
+_BPE_ENCODE_TAIL = """
+, tpw AS (SELECT word, CAST(count(*) AS BIGINT) AS n_sym
+          FROM s6 GROUP BY word)
+, dw AS (SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS mult
+         FROM (SELECT doc_id, source,
+                      unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE word <> '' GROUP BY doc_id, source, word)
+, per_doc AS (
+    SELECT doc_id, source,
+           CAST(sum(mult) AS BIGINT) AS words,
+           CAST(sum(mult * length(word)) AS BIGINT) AS chars,
+           CAST(sum(mult * n_sym) AS BIGINT) AS bpe_tokens
+    FROM dw JOIN tpw USING (word) GROUP BY doc_id, source)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS total_words,
+       CAST(sum(chars) AS BIGINT) AS total_chars,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM per_doc GROUP BY source
+"""
+
+
+@_register("text_bpe_encode", _bpe_oracle_sql(6, tail=_BPE_ENCODE_TAIL))
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus under the 6-merge BPE vocabulary learned by
+    text_bpe_merges and report per-source compression — source,
+    n_docs, total_words, total_chars, total_bpe_tokens (the
+    tokenizer-fertility metric data teams track per source, all exact
+    integers). Encoding is free at corpus scale: training already
+    rewrote the word-frequency symbol table, so tokens-per-word is a
+    count over the O(vocabulary) table broadcast-joined to per-doc
+    word multiplicities; the corpus is scanned exactly twice total.
+    The oracle replays training AND encoding relationally from the
+    same CTE chain. See operators/text.py:bpe_encode_stats."""
+    from changedatacapture_spark.operators.text import bpe_encode_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    return bpe_encode_stats(docs, n_merges=6)
 
 
 @_register("text_bpe_merges", _bpe_oracle_sql(6))

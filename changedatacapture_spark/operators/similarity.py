@@ -1029,3 +1029,124 @@ def pq_adc_topk_ivf(
         .filter(F.col("rk") <= k)
         .select("probe_id", "neighbor_id", "dist_scaled", "rk")
     )
+
+
+def semdedup_stats(
+    emb: DataFrame,
+    n_cells: int = 8,
+    dim: int = 64,
+    threshold_scaled: int = 250_000,
+    window: int = 4,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with k-means, find semantic
+    duplicates WITHIN each cluster by cosine similarity, keep one
+    representative per duplicate group (canonically the member with
+    the LOWEST centroid affinity — the paper keeps low
+    similarity-to-centroid examples to preserve diversity). Returns
+    per-cluster prune accounting: ``cell, n_members, n_dup_members,
+    n_groups, n_survivors`` (``n_survivors = n_members -
+    n_dup_members + n_groups``: singletons plus one per group).
+
+    Scale design: the fit is :func:`kmeans_fit` (bounded
+    n_cells×dim integer collect, the standard distributed-k-means
+    artifact); assignment is a zero-shuffle codegen projection against
+    the broadcast literal centroid matrix; and the within-cluster
+    pair search is CHAINED, not all-pairs — members rank by
+    (centroid-affinity, id) inside their cell, and each compares only
+    to its ``window`` rank-successors, so candidates are <= window·n
+    (linear) while near-duplicates — which necessarily have
+    near-equal centroid affinity — stay adjacent in rank order and
+    connect through the closure. All cluster arithmetic is
+    scaled-integer (engine-exact); only the final cosine uses the
+    repo-standard floor(cos·1e6) comparison.
+    """
+    from pyspark.sql import Window as W
+
+    from changedatacapture_spark.operators.dedup import connected_components
+
+    fit = kmeans_fit(emb, n_iter=n_iter, n_cells=n_cells, dim=dim,
+                     vec_col=vec_col, scale=scale)
+    by_cell: dict[int, list[int]] = {}
+    for r in fit.collect():
+        by_cell.setdefault(r["cell"], [0] * dim)[r["d"]] = r["mean_scaled"]
+    cents = sorted(by_cell.items())
+    ids_sql = ", ".join(str(c) for c, _ in cents)
+    xv = F.expr(
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {scale}) AS BIGINT))"
+    )
+    base = emb.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), xv.alias("_v")
+    ).withColumn("_cs", _int_cell_scores("_v", [w for _, w in cents]))
+    assigned = base.select(
+        "vid",
+        "vec",
+        F.expr(
+            f"element_at(array({ids_sql}), "
+            f"CAST(array_position(_cs, array_max(_cs)) AS INT))"
+        ).alias("cell"),
+        F.array_max("_cs").alias("affinity"),
+    )
+    # same eager-checkpoint barrier as embedding_neardup_pairs_chained:
+    # one materialization of the rank window, no self-join rebind
+    ranked = assigned.withColumn(
+        "lr",
+        F.row_number().over(W.partitionBy("cell").orderBy("affinity", "vid")),
+    ).localCheckpoint(eager=True)
+    r = ranked.alias("r")
+    s = ranked.alias("s")
+    probe = r.select(
+        F.col("r.vid").alias("vec_a"),
+        F.col("r.vec").alias("va"),
+        F.col("r.cell").alias("cell"),
+        F.explode(
+            F.sequence(F.col("r.lr") + 1, F.col("r.lr") + window)
+        ).alias("lr_b"),
+    )
+    succ = s.select(
+        F.col("s.vid").alias("vec_b"),
+        F.col("s.vec").alias("vb"),
+        F.col("s.cell").alias("cell"),
+        F.col("s.lr").alias("lr_b"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(l2_norm_sq(F.col("va"))) * F.sqrt(l2_norm_sq(F.col("vb")))
+    )
+    pairs = (
+        probe.join(succ, ["cell", "lr_b"])
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(cos * scale).cast("long").alias("score_scaled"),
+        )
+        .filter(F.col("score_scaled") >= threshold_scaled)
+    )
+    groups = connected_components(pairs, a_col="vec_a", b_col="vec_b")
+    dup_stats = (
+        ranked.join(groups, ranked["vid"] == groups["doc_id"])
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_members"),
+            F.countDistinct("group_id").alias("n_groups"),
+        )
+    )
+    members = ranked.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(dup_stats, "cell", "left")
+        .select(
+            "cell",
+            "n_members",
+            F.coalesce("n_dup_members", F.lit(0)).alias("n_dup_members"),
+            F.coalesce("n_groups", F.lit(0)).alias("n_groups"),
+            (
+                F.col("n_members")
+                - F.coalesce("n_dup_members", F.lit(0))
+                + F.coalesce("n_groups", F.lit(0))
+            ).alias("n_survivors"),
+        )
+    )

@@ -7280,6 +7280,110 @@ def q_emb_dedup_groups_chained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "emb_semdedup_stats",
+    """
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding, {cs} AS cs
+      FROM embeddings),
+    vx AS (
+      SELECT vec_id, r.d AS d,
+             CAST(floor(CAST(embedding[r.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
+               AS x
+      FROM embeddings, range(0, 64) r(d)),
+    a1 AS (
+      SELECT vec_id, CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+      FROM base),
+    c1 AS (
+      SELECT cell, d, CAST(sum(x) AS BIGINT) // count(*) AS m
+      FROM a1 JOIN vx USING (vec_id)
+      GROUP BY cell, d),
+    dots AS (
+      SELECT v.vec_id, c.cell, CAST(sum(v.x * c.m) AS BIGINT) AS s
+      FROM vx v JOIN c1 c ON c.d = v.d
+      GROUP BY v.vec_id, c.cell),
+    a2 AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM dots)
+      WHERE rn = 1),
+    c2 AS (
+      SELECT cell, d, CAST(sum(x) AS BIGINT) // count(*) AS m
+      FROM a2 JOIN vx USING (vec_id)
+      GROUP BY cell, d),
+    dots2 AS (
+      SELECT v.vec_id, c.cell, CAST(sum(v.x * c.m) AS BIGINT) AS s
+      FROM vx v JOIN c2 c ON c.d = v.d
+      GROUP BY v.vec_id, c.cell),
+    a3 AS (
+      SELECT vec_id, cell, s AS affinity FROM (
+        SELECT vec_id, cell, s,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY s DESC, cell) AS rn
+        FROM dots2)
+      WHERE rn = 1),
+    ranked AS (
+      SELECT e.vec_id, e.embedding, a.cell, a.affinity,
+             row_number() OVER (PARTITION BY a.cell
+                                ORDER BY a.affinity, a.vec_id) AS lr
+      FROM embeddings e JOIN a3 a USING (vec_id)),
+    scored AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             CAST(floor(({cos}) * 1000000) AS BIGINT) AS score_scaled
+      FROM ranked a JOIN ranked b
+        ON b.cell = a.cell AND b.lr BETWEEN a.lr + 1 AND a.lr + 4),
+    pairs AS (SELECT vec_a, vec_b FROM scored WHERE score_scaled >= 250000),
+    edges AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+      WHERE e.v <> r.u),
+    grp AS (
+      SELECT u AS vec_id, least(u, min(v)) AS group_id
+      FROM reach GROUP BY u),
+    dupst AS (
+      SELECT r.cell, CAST(count(*) AS BIGINT) AS n_dup_members,
+             CAST(count(DISTINCT g.group_id) AS BIGINT) AS n_groups
+      FROM grp g JOIN ranked r USING (vec_id)
+      GROUP BY r.cell)
+    SELECT r.cell, CAST(count(*) AS BIGINT) AS n_members,
+           coalesce(max(d.n_dup_members), 0) AS n_dup_members,
+           coalesce(max(d.n_groups), 0) AS n_groups,
+           CAST(count(*) AS BIGINT) - coalesce(max(d.n_dup_members), 0)
+             + coalesce(max(d.n_groups), 0) AS n_survivors
+    FROM ranked r LEFT JOIN dupst d ON d.cell = r.cell
+    GROUP BY r.cell
+    """.format(
+        cs=_ivf_cs_sql("embedding"),
+        cos=_cos_pair_sql("a.embedding", "b.embedding"),
+    ),
+)
+def q_emb_semdedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication accounting (Abbas et al.
+    2023): k-means-cluster the embeddings (2 exact-integer Lloyd
+    iterations), find within-cluster semantic duplicates, count
+    survivors keeping one representative per duplicate group. The
+    within-cluster search is CHAINED by (centroid-affinity, id) rank —
+    each member compares to 4 rank-successors only, so candidates stay
+    linear while near-duplicates (which have near-equal centroid
+    affinity) remain rank-adjacent and connect through the closure.
+    The oracle unrolls the full fit + assignment + rank-chain +
+    recursive-CTE closure relationally — engine-exact because every
+    cluster step is scaled-integer. See
+    operators/similarity.py:semdedup_stats."""
+    from changedatacapture_spark.operators.similarity import semdedup_stats
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    return semdedup_stats(emb, n_cells=8, dim=64, threshold_scaled=250_000,
+                          window=4, n_iter=2)
+
+
+@_register(
     "events_minute_spikes",
     """
     WITH m AS (

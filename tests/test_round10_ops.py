@@ -359,3 +359,38 @@ def test_weighted_sample_always_keeps_heavy_items(spark):
         for r in weighted_sample(df, total_weight=tw, target_k=5).collect()
     }
     assert 1 in kept
+
+
+# ----------------------------------------------------------- semdedup
+
+
+def test_semdedup_collapses_identical_vectors(spark):
+    """A corpus of one repeated vector is a single duplicate group:
+    every member lands in one cell, the rank chain connects them all,
+    and exactly one survivor remains."""
+    from changedatacapture_spark.operators.similarity import semdedup_stats
+
+    rows = [(i, _vec(7)) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_stats(df, n_cells=4, threshold_scaled=999_000).collect()
+    occupied = [r for r in out if r["n_members"] > 0]
+    assert len(occupied) == 1
+    r = occupied[0]
+    assert r["n_members"] == 30
+    assert r["n_dup_members"] == 30
+    assert r["n_groups"] == 1
+    assert r["n_survivors"] == 1
+
+
+def test_semdedup_keeps_distinct_vectors(spark):
+    """Dissimilar vectors produce no duplicate pairs: survivors equal
+    members in every cell and the survivor identity is vacuous."""
+    from changedatacapture_spark.operators.similarity import semdedup_stats
+
+    rows = [(i, _vec(i * 13 + 1)) for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup_stats(df, n_cells=4, threshold_scaled=999_999).collect()
+    assert sum(r["n_members"] for r in out) == 24
+    for r in out:
+        assert r["n_dup_members"] == 0 and r["n_groups"] == 0
+        assert r["n_survivors"] == r["n_members"]

@@ -101,6 +101,10 @@ EXTRA = [
     "knn_pq_refine_topk",
     "emb_dedup_groups_chained",
     "media_decode_mixed",
+    # mid-round additions: BM25 retrieval, BPE train+encode, SemDeDup
+    "text_bm25_rank",
+    "text_bpe_encode",
+    "emb_semdedup_stats",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

@@ -8964,6 +8964,13 @@ _DEMOTED = [
     "pii_scrub",  # 7 greens; scrub stays oracle-paired; projection shape kept by text family
     "curation_funnel",  # 7 greens; the full funnel composes into curation_e2e (promoted)
     "events_stream_join",  # 3 greens; stream family hands the slot to events_session_window_stream
+    # round-10 second rotation: five veterans hand slots to the five
+    # new-operator first-evers added mid-round
+    "cdc_audit",  # 9 greens; SQL-history audit shape stays oracle-paired every round
+    "knn_pq_topk",  # green r9; ADC search runs transitively inside knn_pq_refine_topk (in window)
+    "knn_recall_pq",  # green r9; recall family kept by knn_recall_pq_refine (in window)
+    "emb_dedup_groups",  # green r8/r9; embedding-closure family kept by emb_semdedup_stats + dedup_survivors
+    "text_tfidf_top",  # green r9; tf/df scoring runs transitively inside text_bm25_rank (in window)
 ]
 
 _PROMOTED = [
@@ -8983,17 +8990,13 @@ _PROMOTED = [
     "events_minute_spikes",  # trailing-window anomaly detection (round 8)
     "cdc_time_travel",  # versioned read at a past commit (round 8)
     "q_bucketed_join",  # shuffle-free co-located bucketed join (round 8)
-    "emb_dedup_groups",  # embedding near-dup closure capstone (round 8)
     "media_decode_bmp",  # real BMP encode→decode through Arrow (round 8)
     "q7_nation_pair_revenue",  # 6-way join chain: first driver row (round 8)
     "q9_product_profit",  # profit rollup join chain: first driver row (round 8)
     "text_boilerplate",  # corpus-frequency boilerplate lines: first driver row (round 8)
-    "text_tfidf_top",  # tf-idf top terms: first driver row (round 8)
     "graph_pagerank_trade",  # NEW family: fixed-point PageRank (round 8)
     "events_numeric_profile",  # NEW family: portable moments profile (round 8)
     # round-9 window: six NEW families...
-    "knn_pq_topk",  # NEW: fitted product-quantization ADC search (round 9)
-    "knn_recall_pq",  # NEW: PQ recall vs brute (runs brute transitively) (round 9)
     "graph_triangles_trade",  # NEW: degree-ordered triangle counting (round 9)
     "events_mad_outliers",  # NEW: exact median/MAD robust outliers (round 9)
     "dq_expectations",  # NEW: declarative data-quality suite (round 9)
@@ -9020,6 +9023,12 @@ _PROMOTED = [
     "doc_cdc_chunks",  # incremental chunk re-embedding feed: first row
     "dedup_edit_distance",  # blocked Levenshtein near-dup verify: first row
     "media_frame_sample",  # strided frame sampling through Arrow: first row
+    # round-10 mid-round additions, all first-ever:
+    "text_bpe_merges",  # NEW: distributed Sennrich BPE merge training (round 10)
+    "text_bpe_encode",  # NEW: BPE corpus encode + per-source fertility (round 10)
+    "text_bm25_rank",  # NEW: engine-exact BM25 ranked retrieval (round 10)
+    "emb_semdedup_stats",  # NEW: SemDeDup cluster-then-prune accounting (round 10)
+    "curation_weighted_sample",  # NEW: exact-integer weighted Bernoulli sample (round 10)
 ]
 
 DRIVER_WINDOW = 50

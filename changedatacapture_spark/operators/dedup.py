@@ -521,6 +521,67 @@ def contamination(
     )
 
 
+def contamination_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 8,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of corpus
+    sources, the number of distinct ``k``-gram shingles they share and
+    the scaled-integer Jaccard of their shingle sets — the
+    corpus-level leakage audit run before mixing sources into a
+    training set (the per-document variant is :func:`contamination`).
+
+    Output: ``source_a, source_b, n_shared_shingles, n_a, n_b,
+    jaccard_scaled`` for ``source_a < source_b`` with at least one
+    shared shingle; ``jaccard_scaled = shared * scale DIV
+    (n_a + n_b - shared)`` — exact integer division, engine-portable.
+
+    Scale: each side reduces to DISTINCT (source, shingle) before the
+    self-join, so a shingle's join fanout is bounded by the NUMBER OF
+    SOURCES (constant), not its corpus frequency — a stopword 8-gram
+    contributes one row per source, never one per occurrence. The
+    matrix itself is <= sources² rows. Shuffles carry k-byte shingle
+    keys, never document text.
+    """
+    src_sh = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh"),
+    ).distinct()
+    per_src = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = src_sh.select(F.col("source").alias("source_a"), "sh")
+    b = src_sh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+    na = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_a")
+    )
+    nb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        shared.join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_shingles",
+            "n_a",
+            "n_b",
+            F.expr(
+                f"(n_shared_shingles * CAST({scale} AS BIGINT)) DIV "
+                "(n_a + n_b - n_shared_shingles)"
+            ).alias("jaccard_scaled"),
+        )
+    )
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round: every node connects its STRICTLY LARGER
     neighbors to the minimum of its closed neighborhood."""

@@ -4147,6 +4147,46 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "decontaminate_matrix",
+    """
+    WITH src_sh AS (
+      SELECT DISTINCT source, substr(text, i, 8) AS sh
+      FROM (SELECT source, text,
+                   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+            FROM documents)),
+    per_src AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+      FROM src_sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_shared_shingles
+      FROM src_sh a JOIN src_sh b
+        ON b.sh = a.sh AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared_shingles,
+           na.n_sh AS n_a, nb.n_sh AS n_b,
+           (n_shared_shingles * CAST(1000000 AS BIGINT))
+             // (na.n_sh + nb.n_sh - n_shared_shingles) AS jaccard_scaled
+    FROM shared
+    JOIN per_src na ON na.source = shared.source_a
+    JOIN per_src nb ON nb.source = shared.source_b
+    """,
+)
+def q_decontaminate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: distinct shared 8-gram
+    shingles and exact-integer Jaccard for every source pair — the
+    corpus-level leakage audit before mixing sources into a training
+    set. Each side reduces to DISTINCT (source, shingle) first, so a
+    shingle's join fanout is bounded by the source count, never its
+    corpus frequency; the matrix is <= sources² rows. See
+    operators/dedup.py:contamination_matrix."""
+    from changedatacapture_spark.operators.dedup import contamination_matrix
+
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_matrix(docs, k=8)
+
+
+@_register(
     "dataset_stratified_sample",
     f"""
     SELECT doc_id, source

@@ -394,3 +394,63 @@ def test_semdedup_keeps_distinct_vectors(spark):
     for r in out:
         assert r["n_dup_members"] == 0 and r["n_groups"] == 0
         assert r["n_survivors"] == r["n_members"]
+
+
+# --------------------------------------- contamination matrix / BM25
+
+
+def test_contamination_matrix_counts_shared_shingles(spark):
+    """Two sources sharing one document's text overlap in exactly its
+    distinct 8-grams; a disjoint third source appears in no pair."""
+    from changedatacapture_spark.operators.dedup import contamination_matrix
+
+    shared_text = "abcdefghij"  # 3 distinct 8-grams
+    rows = [
+        (0, "s0", shared_text),
+        (1, "s1", shared_text + " xxxxxxxxxx"),
+        (2, "s2", "qqqqqqqqqqqq"),  # 1 distinct 8-gram, disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r["source_a"], r["source_b"]): r
+        for r in contamination_matrix(df, k=8).collect()
+    }
+    assert set(out) == {("s0", "s1")}
+    r = out[("s0", "s1")]
+    assert r["n_shared_shingles"] == 3
+    assert r["n_a"] == 3
+    # jaccard = 3 / (3 + n_b - 3)
+    assert r["jaccard_scaled"] == 3 * 1_000_000 // r["n_b"]
+
+
+def test_bm25_prefers_rare_term_and_shorter_docs(spark):
+    """A doc containing the rare query term must outrank docs with
+    only common terms; among equal-tf docs the shorter one scores
+    higher (length normalization)."""
+    from changedatacapture_spark.operators.text import bm25_topk
+
+    filler = "pad " * 30
+    rows = [
+        (0, "needle common"),              # rare term, short
+        (1, "common common " + filler),    # common term only, long
+        (2, "common common"),              # common term, short
+        (3, filler.strip()),               # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bm25_topk(df, ["needle", "common"], top_k=4).collect()}
+    assert 3 not in out  # no matching term, no row
+    assert out[0]["rk"] == 1  # rare term wins
+    assert out[2]["score_scaled"] > out[1]["score_scaled"]  # shorter doc
+
+
+def test_bm25_plan_is_take_ordered_not_global_sort(spark, sf_dir):
+    """Top-k must lower to TakeOrderedAndProject over the scored
+    aggregate — a global single-partition window sort of every doc
+    would be the inverted-index skew bug all over again."""
+    from changedatacapture_spark.plans.inspect import executed_plan
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    df = SPARK_QUERIES["text_bm25_rank"](spark, sf_dir)
+    df.collect()
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan

@@ -491,7 +491,7 @@ def test_k_anonymity_flags_small_cells_only(spark, tmp_path):
         rows.append((k, f"c{k}", 1, 500.0, "A")); k += 1
     for _ in range(5):   # cell (2, 'B', 1): 5 occupants -> safe
         rows.append((k, f"c{k}", 2, 1500.0, "B")); k += 1
-    rows.append((k, f"c{k}", 3, -500.0, "C")); k += 1  # negative bal -> bucket 0
+    rows.append((k, f"c{k}", 3, -500.0, "C")); k += 1  # negative bal -> bucket -1 (floor div)
     df = spark.createDataFrame(
         rows, "c_custkey long, c_name string, c_nationkey long,"
               " c_acctbal double, c_mktsegment string"
@@ -503,7 +503,9 @@ def test_k_anonymity_flags_small_cells_only(spark, tmp_path):
             spark, str(tmp_path)
         ).collect()
     }
-    assert out == {(1, "A", 0): 4, (3, "C", 0): 1}
+    # floor division (the ADVICE band-width fix) puts negative
+    # balances in their own uniform 1000-wide band below zero
+    assert out == {(1, "A", 0): 4, (3, "C", -1): 1}
 
 
 # ------------------------------------------------------------ aHash

@@ -4496,6 +4496,44 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_decode_wav",
+    """
+    WITH n AS (
+      SELECT doc_id, 20 + CAST(doc_id % 5 AS INT) * 10 AS ns
+      FROM documents),
+    s AS (
+      SELECT d.doc_id, n.ns,
+             CAST((d.doc_id * 73 + g.i * 129) % 4096 - 2048 AS BIGINT) AS v
+      FROM documents d JOIN n USING (doc_id)
+      CROSS JOIN generate_series(0, 59) AS g(i)
+      WHERE g.i < n.ns)
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(ns AS INT) AS n_samples,
+           CAST(ns * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(sum(v) AS BIGINT) AS sum_s,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id, ns
+    """,
+)
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine AUDIO decode end-to-end: each document synthesizes a
+    deterministic 16-bit PCM signal, wraps it in a real RIFF/WAVE file
+    (canonical fmt/data chunks, word alignment), decodes it back
+    through the chunk-walking ``decode_audio`` dispatch inside one
+    Arrow ``mapInPandas`` pass, and reduces to exact-integer sample
+    statistics (sum, sum of squares, peak, integer-DIV duration). The
+    oracle states the decoded stats as pure arithmetic — any parser
+    bug (chunk sizes, endianness, sign handling) breaks the hash.
+    Map-only plan: payload bytes never shuffle. See
+    operators/multimodal.py:wav_decode_stats."""
+    from changedatacapture_spark.operators.multimodal import wav_decode_stats
+
+    return wav_decode_stats(load_table(spark, "documents", sf_dir))
+
+
+@_register(
     "media_decode_mixed",
     """
     WITH dims AS (

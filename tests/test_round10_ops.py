@@ -454,3 +454,86 @@ def test_bm25_plan_is_take_ordered_not_global_sort(spark, sf_dir):
     df.collect()
     plan = executed_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ------------------------------------------------------------ WAV codec
+
+
+def test_wav_roundtrip_all_lengths():
+    """encode_wav -> decode_wav is the identity for every sample-count
+    class the corpus generator produces, including odd byte counts'
+    word alignment."""
+    from changedatacapture_spark.operators.multimodal import (
+        _WAV_RATE,
+        _wav_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    for did in range(10):
+        s = _wav_samples(did)
+        rate, got = decode_wav(encode_wav(s, _WAV_RATE))
+        assert (rate, got) == (_WAV_RATE, s)
+
+
+def test_wav_decoder_walks_unknown_chunks():
+    """A LIST chunk inserted before data must be skipped by declared
+    size — the property that distinguishes a chunk walker from a
+    fixed-offset slicer."""
+    import struct
+
+    from changedatacapture_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = [-2048, 0, 2047, 5]
+    raw = encode_wav(s, 8000)
+    # splice a LIST chunk between fmt and data
+    fmt_end = raw.index(b"data")
+    # odd-sized chunk body: the walker must skip declared size PLUS
+    # the RIFF word-alignment pad byte
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = raw[:fmt_end] + extra + raw[fmt_end:]
+    spliced = spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == (8000, s)
+
+
+def test_wav_decoder_rejects_malformed():
+    import struct
+
+    import pytest as _pytest
+
+    from changedatacapture_spark.operators.multimodal import (
+        decode_audio,
+        decode_wav,
+        encode_wav,
+    )
+
+    good = encode_wav([1, 2, 3], 8000)
+    with _pytest.raises(ValueError, match="not a RIFF"):
+        decode_wav(b"RIFX" + good[4:])
+    with _pytest.raises(ValueError, match="truncated RIFF"):
+        decode_wav(good[:-2])
+    stereo = good.replace(
+        struct.pack("<HH", 1, 1), struct.pack("<HH", 1, 2), 1
+    )
+    with _pytest.raises(ValueError, match="PCM mono"):
+        decode_wav(stereo)
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04....")
+
+
+def test_wav_stats_match_signal_arithmetic(spark):
+    from changedatacapture_spark.operators.multimodal import (
+        _wav_samples,
+        wav_decode_stats,
+    )
+
+    docs = spark.range(10).withColumnRenamed("id", "doc_id")
+    got = {r["doc_id"]: r for r in wav_decode_stats(docs).collect()}
+    for i in range(10):
+        s = _wav_samples(i)
+        r = got[i]
+        assert r["n_samples"] == len(s)
+        assert r["sum_s"] == sum(s)
+        assert r["sum_sq"] == sum(x * x for x in s)
+        assert r["peak"] == max(abs(x) for x in s)
+        assert r["duration_ms"] == len(s) * 1000 // 8000

@@ -898,3 +898,86 @@ def bm25_topk(
     return top.withColumn("rk", rk).select(
         "doc_id", "score_scaled", "n_terms_hit", "rk"
     )
+
+
+#: Gopher-rule stopword set (Rae et al. 2021 Appendix A).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, Appendix A — the
+    public heuristic suite C4/Gopher/FineWeb-style pipelines apply
+    before training), each as an EXACT-INTEGER predicate (ratios
+    multiplied through, no float division):
+
+    - ``r_word_count``: 50 <= words <= 100,000
+    - ``r_mean_word_len``: mean word length in [3, 10] chars
+      (``3·words <= Σlen <= 10·words``)
+    - ``r_symbol_ratio``: (# '#' chars + # '...' occurrences) <= 0.1·words
+    - ``r_alpha_words``: >= 80% of words contain a letter
+    - ``r_stopwords``: >= 2 of the 8 Gopher stopwords present
+    - ``r_bullet_lines``: <= 90% of lines start with a bullet mark
+    - ``r_ellipsis_lines``: <= 30% of lines end with '...'
+
+    One zero-shuffle projection over the scan — every rule is a
+    whole-stage-codegen column expression; at 100 TB this is a
+    map-only pass with full column pruning.
+    """
+    t = F.col(text_col)
+    tk = F.split(t, " ")
+    n_words = F.size(tk)
+    sum_len = F.expr(
+        f"aggregate(transform(split({text_col}, ' '), x -> length(x)), "
+        f"0, (a, x) -> a + x)"
+    )
+    n_alpha_words = F.size(F.expr(
+        f"filter(split({text_col}, ' '), x -> x rlike '[A-Za-z]')"
+    ))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    n_stop = sum(
+        F.array_contains(tk, s).cast("int") for s in GOPHER_STOPWORDS
+    )
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_bullet = F.size(F.expr(
+        f"filter(split({text_col}, '\\n'), "
+        "x -> x like '- %' or x like '* %')"
+    ))
+    n_ell_end = F.size(F.expr(
+        f"filter(split({text_col}, '\\n'), x -> x like '%...')"
+    ))
+    rules = {
+        "r_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "r_mean_word_len": (F.lit(3) * n_words <= sum_len)
+        & (sum_len <= F.lit(10) * n_words),
+        "r_symbol_ratio": (n_hash + n_ellipsis.cast("long")) * 10 <= n_words,
+        "r_alpha_words": F.lit(5) * n_alpha_words >= F.lit(4) * n_words,
+        "r_stopwords": n_stop >= F.lit(2),
+        "r_bullet_lines": F.lit(10) * n_bullet <= F.lit(9) * n_lines,
+        "r_ellipsis_lines": F.lit(10) * n_ell_end <= F.lit(3) * n_lines,
+    }
+    cols = [F.col("doc_id")]
+    if "source" in docs.columns:
+        cols.append(F.col("source"))
+    cols += [v.alias(k) for k, v in rules.items()]
+    passes = None
+    for v in rules.values():
+        passes = v if passes is None else (passes & v)
+    return docs.select(*cols, passes.alias("passes_all"))
+
+
+def gopher_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source Gopher-rule report: document counts, per-rule FAIL
+    counts, and the all-rules pass count — the corpus health dashboard
+    a curation team reads before choosing filter thresholds. One scan,
+    one map-side-combinable aggregate."""
+    flags = gopher_quality(docs, text_col)
+    rule_cols = [c for c in flags.columns if c.startswith("r_")]
+    aggs = [F.count(F.lit(1)).alias("n_docs")] + [
+        F.sum((~F.col(c)).cast("long")).alias(f"fail_{c[2:]}")
+        for c in rule_cols
+    ] + [F.sum(F.col("passes_all").cast("long")).alias("n_pass_all")]
+    return flags.groupBy("source").agg(*aggs)

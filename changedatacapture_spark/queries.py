@@ -5295,6 +5295,83 @@ def q_text_tfidf_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, top_k=3)
 
 
+@_register(
+    "text_gopher_report",
+    """
+    WITH f AS (
+      SELECT source,
+        len(string_split(text, ' ')) AS n_words,
+        CAST(list_aggregate(list_transform(string_split(text, ' '),
+                                           x -> length(x)), 'sum') AS BIGINT)
+          AS sum_len,
+        len(list_filter(string_split(text, ' '),
+                        x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) // 3 AS n_ellipsis,
+        (CASE WHEN list_contains(string_split(text, ' '), 'the') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'be') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'to') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'of') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'and') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'that') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'have') THEN 1 ELSE 0 END
+         + CASE WHEN list_contains(string_split(text, ' '), 'with') THEN 1 ELSE 0 END)
+          AS n_stop,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(list_filter(string_split(text, chr(10)),
+                        x -> x LIKE '- %' OR x LIKE '* %')) AS n_bullet,
+        len(list_filter(string_split(text, chr(10)),
+                        x -> x LIKE '%...')) AS n_ell_end
+      FROM documents),
+    r AS (
+      SELECT source,
+        (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        (3 * n_words <= sum_len AND sum_len <= 10 * n_words)
+          AS r_mean_word_len,
+        ((n_hash + n_ellipsis) * 10 <= n_words) AS r_symbol_ratio,
+        (5 * n_alpha_words >= 4 * n_words) AS r_alpha_words,
+        (n_stop >= 2) AS r_stopwords,
+        (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+        (10 * n_ell_end <= 3 * n_lines) AS r_ellipsis_lines
+      FROM f)
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN r_word_count THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_word_count,
+      CAST(sum(CASE WHEN r_mean_word_len THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_mean_word_len,
+      CAST(sum(CASE WHEN r_symbol_ratio THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_symbol_ratio,
+      CAST(sum(CASE WHEN r_alpha_words THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_alpha_words,
+      CAST(sum(CASE WHEN r_stopwords THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_stopwords,
+      CAST(sum(CASE WHEN r_bullet_lines THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_bullet_lines,
+      CAST(sum(CASE WHEN r_ellipsis_lines THEN 0 ELSE 1 END) AS BIGINT)
+        AS fail_ellipsis_lines,
+      CAST(sum(CASE WHEN r_word_count AND r_mean_word_len AND r_symbol_ratio
+                     AND r_alpha_words AND r_stopwords AND r_bullet_lines
+                     AND r_ellipsis_lines THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_pass_all
+    FROM r GROUP BY source
+    """,
+)
+def q_text_gopher_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule report (Rae et al. 2021 Appendix A — the
+    public heuristic suite Gopher/FineWeb-style pipelines run before
+    training): per source, document counts, per-rule FAIL counts
+    (word-count bounds, mean word length, symbol ratio, alpha-word
+    share, stopword presence, bullet/ellipsis line ratios), and the
+    all-rules pass count. Every rule is an exact-integer predicate
+    (ratios multiplied through) in one zero-shuffle codegen projection
+    + one map-side-combinable aggregate. See
+    operators/text.py:gopher_quality."""
+    from changedatacapture_spark.operators.text import gopher_report
+
+    docs = load_table(spark, "documents", sf_dir)
+    return gopher_report(docs)
+
+
 _BM25_TERMS = ("dup", "stream", "merge", "query")
 
 

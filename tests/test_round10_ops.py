@@ -537,3 +537,104 @@ def test_wav_stats_match_signal_arithmetic(spark):
         assert r["sum_sq"] == sum(x * x for x in s)
         assert r["peak"] == max(abs(x) for x in s)
         assert r["duration_ms"] == len(s) * 1000 // 8000
+
+
+# -------------------------------------------------------- Gopher rules
+
+
+def test_gopher_rules_flag_crafted_violations(spark):
+    """Each crafted document violates exactly one rule; the clean
+    50-word document passes all seven."""
+    from changedatacapture_spark.operators.text import gopher_quality
+
+    clean = "the be to of and " + "word " * 45
+    rows = [
+        (0, "s", clean.strip()),                             # passes all
+        (1, "s", "the be short text"),                       # word count < 50
+        (2, "s", "the be " + "a " * 60),                     # mean len < 3
+        (3, "s", "the be " + "#### " * 30 + "w " * 30),      # symbols + mean-len
+        (4, "s", "the be " + "123 " * 60),                   # alpha-words (+mean len)
+        (5, "s", "zz " + "word " * 60),                      # < 2 stopwords
+        (6, "s", "the be " + "word " * 48 + "\n".join("- b" for _ in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out[0]["passes_all"], dict(out[0].asDict())
+    assert not out[1]["r_word_count"]
+    assert not out[2]["r_mean_word_len"]
+    assert not out[3]["r_symbol_ratio"]
+    assert not out[4]["r_alpha_words"]
+    assert not out[5]["r_stopwords"]
+    assert not out[6]["r_bullet_lines"]
+
+
+def _bm25_reference(texts, query_terms, top_k):
+    """Pure-Python replica of the bm25_topk contract (log2-quantized
+    Lucene idf, rational k1/b folded to one integer fraction)."""
+    toks = {i: [w for w in t.split(" ") if w] for i, t in texts}
+    dl = {i: len(ws) for i, ws in toks.items()}
+    n_docs = len(dl)
+    l_tot = sum(dl.values())
+    tf = {}
+    for i, ws in toks.items():
+        for w in ws:
+            if w in query_terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df_ = {}
+    for (_i, w) in tf:
+        df_[w] = df_.get(w, 0) + 1
+    scores, hits = {}, {}
+    for (i, w), f in tf.items():
+        idf2 = max(
+            1,
+            (2 * n_docs + 2).bit_length() - (2 * df_[w] + 1).bit_length() + 1,
+        )
+        num = idf2 * 44 * f * l_tot * 10_000
+        den = 20 * f * l_tot + 6 * l_tot + 18 * dl[i] * n_docs
+        scores[i] = scores.get(i, 0) + num // den
+        hits[i] = hits.get(i, 0) + 1
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return [
+        (i, s, hits[i], rk + 1) for rk, (i, s) in enumerate(ranked)
+    ]
+
+
+from hypothesis import given as _given, settings as _settings
+from hypothesis import strategies as _st
+
+
+@_settings(max_examples=12, deadline=None)
+@_given(
+    _st.lists(
+        _st.lists(
+            _st.sampled_from(["alpha", "beta", "gamma", "delta", "pad"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=9,
+    )
+)
+def _bm25_differential(docs_words):
+    spark = _bm25_differential._spark
+    texts = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    from changedatacapture_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = [
+        (r["doc_id"], r["score_scaled"], r["n_terms_hit"], r["rk"])
+        for r in bm25_topk(df, ["alpha", "beta", "gamma"], top_k=5)
+        .orderBy("rk")
+        .collect()
+    ]
+    want = _bm25_reference(texts, {"alpha", "beta", "gamma"}, 5)
+    assert got == want, (got, want)
+
+
+def test_bm25_matches_python_reference(spark):
+    """Differential: the Spark BM25 must equal the pure-Python replica
+    on random corpora — scores, hit counts, and ranking. (The
+    hypothesis body lives in an uncollected helper because @given
+    can't take pytest fixtures; the session binds via attribute.)"""
+    _bm25_differential._spark = spark
+    _bm25_differential()

@@ -3855,6 +3855,87 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_stream_rate_limit",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    w AS (
+      SELECT user_id, (ts_us // 3600000000) * 3600000000 AS window_start,
+             ts_us,
+             row_number() OVER (
+               PARTITION BY user_id, ts_us // 3600000000
+               ORDER BY ts_us) AS rn
+      FROM e)
+    SELECT user_id, window_start,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(least(count(*), 5) AS BIGINT) AS n_admitted,
+           CAST(count(*) - least(count(*), 5) AS BIGINT) AS n_dropped,
+           CAST(max(CASE WHEN rn <= 5 THEN ts_us END) AS BIGINT)
+             AS last_admitted_ts
+    FROM w GROUP BY user_id, window_start
+    """,
+)
+def q_events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second custom stateful streaming operator end-to-end: per-user
+    ADMISSION CONTROL (at most 5 events per epoch-aligned hour, the
+    first 5 by event time; the rest counted as dropped) replayed as 4
+    time-ordered micro-batches through ``applyInPandasWithState``,
+    folded to final (user, window) rows — which must equal one global
+    batch pass (the oracle) regardless of where the micro-batch cuts
+    fall. State is ONE open window per key (closed windows flush on
+    the next window's first event), so state size is O(keys), not
+    O(keys × windows); equal timestamps admit by value so the k-th
+    order statistic emitted is tie-order-independent. See
+    streaming/stateful.py:stateful_rate_limit."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.streaming.stateful import stateful_rate_limit
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    work = tempfile.mkdtemp(prefix="stateful_rate_")
+    src = os.path.join(work, "src")
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    batched = ev.withColumn(
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
+    )
+    _write_ordered_batches(batched, src, work, 4)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    sink = f"stateful_rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_rate_limit(stream, window_seconds=3600, cap=5)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(sink)
+    # every measure is monotone within a window; the per-(user, window)
+    # max is the final extent
+    return emitted.groupBy("user_id", "window_start").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.max("n_admitted").alias("n_admitted"),
+        (F.max("n_seen") - F.max("n_admitted")).alias("n_dropped"),
+        F.max("last_admitted_ts").alias("last_admitted_ts"),
+    ).select(
+        "user_id", "window_start", "n_seen", "n_admitted", "n_dropped",
+        "last_admitted_ts",
+    )
+
+
+@_register(
     "events_range_join",
     """
     WITH w AS (

@@ -94,3 +94,93 @@ def stateful_sessionize(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+#: Output of :func:`stateful_rate_limit` — one row per (key, window)
+#: per emission; update-mode semantics, downstream folds by max.
+RATE_OUTPUT_DDL = (
+    "user_id long, window_start long, n_seen long, n_admitted long, "
+    "last_admitted_ts long"
+)
+
+#: Per-key state: the OPEN window only (tumbling windows close in
+#: event-time order per key, so one window of state per key suffices —
+#: the property that keeps state O(keys), not O(keys × windows)).
+RATE_STATE_DDL = "window_start long, n_seen long, last_admitted_ts long"
+
+
+def _fold_rate(
+    key: tuple,
+    pdf_iter: Iterator[pd.DataFrame],
+    state: GroupState,
+    window_us: int,
+    cap: int,
+) -> Iterator[pd.DataFrame]:
+    (uid,) = key
+    if state.exists:
+        wstart, n_seen, last_adm = state.get
+    else:
+        wstart, n_seen, last_adm = None, 0, None
+    out: list[tuple[Any, ...]] = []
+    # whole-batch sort for the same chunk-boundary reason as
+    # _fold_session; equal timestamps admit by value, so the k-th
+    # order statistic (the emitted last_admitted_ts) is deterministic
+    # regardless of tie order
+    for t in sorted(int(v) for pdf in pdf_iter for v in pdf["ts_us"]):
+        w = (t // window_us) * window_us
+        if wstart is not None and w != wstart:
+            out.append((uid, wstart, n_seen, min(n_seen, cap), last_adm))
+            wstart, n_seen, last_adm = None, 0, None
+        if wstart is None:
+            wstart = w
+        n_seen += 1
+        if n_seen <= cap:
+            last_adm = t
+    state.update((wstart, n_seen, last_adm))
+    if wstart is not None:
+        out.append((uid, wstart, n_seen, min(n_seen, cap), last_adm))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "window_start",
+            "n_seen",
+            "n_admitted",
+            "last_admitted_ts",
+        ],
+    )
+
+
+def stateful_rate_limit(
+    changes: DataFrame,
+    window_seconds: int = 3600,
+    cap: int = 5,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+) -> DataFrame:
+    """Per-key admission control over a stream: within each epoch-
+    aligned tumbling window a key may emit at most ``cap`` events (the
+    FIRST ``cap`` by event time); the rest are counted as dropped —
+    the ingest-protection primitive in front of a hot-key-prone sink.
+
+    Batching-invariant by construction: counts are associative and the
+    admitted set is "the cap smallest timestamps of the window", so
+    any micro-batch cut yields the same final (key, window) rows as
+    one global pass — the oracle checks exactly that. State is one
+    open window per key (closed windows flush as soon as a later
+    window's event arrives for the key), sharded by key hash across
+    executors, checkpointed with the query. Output mode: update;
+    downstream folds by max per (key, window) since every emitted
+    measure is monotone within a window.
+    """
+    window_us = window_seconds * 1_000_000
+    grouped = changes.select(
+        changes[key_col].alias("user_id"), changes[ts_us_col].alias("ts_us")
+    ).groupBy("user_id")
+    return grouped.applyInPandasWithState(
+        lambda key, it, state: _fold_rate(key, it, state, window_us, cap),
+        outputStructType=RATE_OUTPUT_DDL,
+        stateStructType=RATE_STATE_DDL,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

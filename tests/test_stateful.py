@@ -129,3 +129,76 @@ def test_fold_sorts_across_arrow_chunks():
         4,
     )
     assert state.get == (50, 200, 4)
+
+
+# ------------------------------------------------------- rate limiter
+
+
+def _run_rate_stream(spark, src, ckpt, out_table, window_seconds=100, cap=2):
+    from changedatacapture_spark.streaming.stateful import stateful_rate_limit
+
+    schema = StructType.fromDDL("user_id long, ts_us long")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        stateful_rate_limit(stream, window_seconds=window_seconds, cap=cap)
+        .writeStream.format("memory")
+        .queryName(out_table)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    return {
+        (r["user_id"], r["window_start"]): (
+            r["n_seen"], r["n_admitted"], r["last_admitted_ts"]
+        )
+        for r in spark.table(out_table)
+        .groupBy("user_id", "window_start")
+        .agg(
+            F.max("n_seen").alias("n_seen"),
+            F.max("n_admitted").alias("n_admitted"),
+            F.max("last_admitted_ts").alias("last_admitted_ts"),
+        )
+        .collect()
+    }
+
+
+def test_rate_limit_invariant_to_batch_cuts(spark, tmp_path):
+    """The same events split at different micro-batch boundaries must
+    fold to identical (user, window) rows — the batching-invariance
+    contract. Window 100s, cap 2; user 1 sends 4 events in window 0
+    and 1 in window 1."""
+    us = 1_000_000
+    events = [(1, 5 * us), (1, 10 * us), (1, 20 * us), (1, 30 * us),
+              (1, 150 * us), (2, 12 * us)]
+    expect = {
+        (1, 0): (4, 2, 10 * us),
+        (1, 100 * us): (1, 1, 150 * us),
+        (2, 0): (1, 1, 12 * us),
+    }
+    for cut in (1, 3, 5):
+        src = str(tmp_path / f"src{cut}")
+        _write_batch(src, "b1", events[:cut])
+        _write_batch(src, "b2", events[cut:])
+        got = _run_rate_stream(
+            spark, src, str(tmp_path / f"ck{cut}"), f"rate_cut_{cut}"
+        )
+        assert got == expect, (cut, got)
+
+
+def test_rate_limit_tied_timestamps_admit_by_value(spark, tmp_path):
+    """With cap 2 and three equal timestamps, the emitted
+    last_admitted_ts is the 2nd-smallest VALUE — deterministic no
+    matter which of the tied events 'wins' admission."""
+    us = 1_000_000
+    src = str(tmp_path / "src_tie")
+    _write_batch(src, "b1", [(7, 4 * us), (7, 4 * us), (7, 4 * us)])
+    got = _run_rate_stream(spark, src, str(tmp_path / "ck_tie"), "rate_tie")
+    assert got == {(7, 0): (3, 2, 4 * us)}

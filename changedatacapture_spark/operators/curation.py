@@ -599,3 +599,87 @@ def chunk_overlap_pairs(
         )
         .filter(F.col("shared_chunks") >= min_shared)
     )
+
+
+def token_waterfill(
+    docs: DataFrame,
+    budget_num: int = 3,
+    budget_den: int = 5,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Water-filling token allocation across sources: given a global
+    token budget ``B = total * budget_num DIV budget_den``, find the
+    common cap level ``L`` such that ``Σ min(tokens_s, L)`` spends the
+    budget — small sources keep everything, large sources are capped
+    at the same level — the fair-share mixing algorithm used to stop
+    one giant crawl from dominating a training mix.
+
+    Exact integers throughout: sources sort ascending by token count,
+    the valid prefix ``m`` is the largest rank whose source fits under
+    its candidate level ``(B - prefix_m) DIV (n - m)``, and the final
+    level divides the residual budget among the capped sources.
+    Candidate levels are guarded to non-negative operands so truncating
+    DIV (Spark) and flooring ``//`` (DuckDB) agree.
+
+    Scale: one map-side-combinable token-count aggregate over the
+    corpus; everything after operates on the SOURCES table (bounded —
+    tens of rows at any corpus size), so the windows and cross joins
+    are driver-trivial by construction.
+
+    Output: ``source, n_tokens, allocated, capped``.
+    """
+    from pyspark.sql import Window as W
+
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("t")
+    )
+    wr = W.orderBy("t", "source")
+    r = (
+        per.withColumn("k", F.row_number().over(wr))
+        .withColumn(
+            "prefix",
+            F.sum("t").over(wr.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    tot = r.agg(
+        F.max("k").alias("n"), F.sum("t").alias("t_tot")
+    ).withColumn("b", F.expr(f"t_tot * {budget_num} DIV {budget_den}"))
+    j = r.crossJoin(F.broadcast(tot))
+    cand = j.withColumn(
+        "l_k",
+        F.expr("CASE WHEN n > k AND b >= prefix THEN (b - prefix) DIV (n - k) END"),
+    )
+    sel = cand.agg(
+        F.max(F.expr("CASE WHEN t <= l_k THEN k END")).alias("m"),
+        F.max(F.expr("CASE WHEN t <= l_k THEN prefix END")).alias("prefix_m"),
+    ).select(
+        F.coalesce("m", F.lit(0)).alias("m"),
+        F.coalesce("prefix_m", F.lit(0)).alias("prefix_m"),
+    )
+    lvl = (
+        sel.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                "CASE WHEN b >= t_tot THEN NULL "
+                "WHEN n > m THEN (b - prefix_m) DIV (n - m) END"
+            ).alias("lvl"),
+            "b",
+            "t_tot",
+        )
+    )
+    return (
+        r.crossJoin(F.broadcast(lvl))
+        .select(
+            "source",
+            F.col("t").alias("n_tokens"),
+            F.expr(
+                "CASE WHEN b >= t_tot OR lvl IS NULL THEN t "
+                "ELSE least(t, lvl) END"
+            ).alias("allocated"),
+            F.expr(
+                "CASE WHEN b >= t_tot OR lvl IS NULL THEN false "
+                "ELSE t > lvl END"
+            ).alias("capped"),
+        )
+    )

@@ -4741,6 +4741,61 @@ def _mix_target_case_sql() -> str:
 
 
 @_register(
+    "mix_waterfill",
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY source),
+    r AS (
+      SELECT source, t,
+             row_number() OVER (ORDER BY t, source) AS k,
+             CAST(sum(t) OVER (ORDER BY t, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS prefix
+      FROM per),
+    tot AS (
+      SELECT CAST(max(k) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS t_tot,
+             CAST(sum(t) * 3 // 5 AS BIGINT) AS b
+      FROM r),
+    cand AS (
+      SELECT r.*, n, b, t_tot,
+             CASE WHEN n > k AND b >= prefix
+                  THEN (b - prefix) // (n - k) END AS l_k
+      FROM r, tot),
+    sel AS (
+      SELECT coalesce(max(CASE WHEN t <= l_k THEN k END), 0) AS m,
+             coalesce(max(CASE WHEN t <= l_k THEN prefix END), 0) AS prefix_m
+      FROM cand),
+    lvl AS (
+      SELECT CASE WHEN b >= t_tot THEN NULL
+                  WHEN n > m THEN (b - prefix_m) // (n - m) END AS lvl,
+             b, t_tot
+      FROM sel, tot)
+    SELECT source, t AS n_tokens,
+           CAST(CASE WHEN b >= t_tot OR lvl IS NULL THEN t
+                     ELSE least(t, lvl) END AS BIGINT) AS allocated,
+           CASE WHEN b >= t_tot OR lvl IS NULL THEN false
+                ELSE t > lvl END AS capped
+    FROM r, lvl
+    """,
+)
+def q_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling token allocation across sources for a 60% global
+    budget (B = total * 3 DIV 5): small sources keep all their tokens,
+    large sources are capped at one common level chosen so the budget
+    is spent — the fair-share mixing algorithm that stops one giant
+    crawl from dominating a training mix. Exact integers end to end
+    (candidate levels guarded to non-negative operands so truncating
+    DIV and flooring // agree); after one corpus token-count aggregate
+    everything operates on the bounded SOURCES table. See
+    operators/curation.py:token_waterfill."""
+    from changedatacapture_spark.operators.curation import token_waterfill
+
+    docs = load_table(spark, "documents", sf_dir)
+    return token_waterfill(docs, budget_num=3, budget_den=5)
+
+
+@_register(
     "mix_weights",
     f"""
     WITH per AS (

@@ -638,3 +638,46 @@ def test_bm25_matches_python_reference(spark):
     can't take pytest fixtures; the session binds via attribute.)"""
     _bm25_differential._spark = spark
     _bm25_differential()
+
+
+# ------------------------------------------------------- water-filling
+
+
+def test_waterfill_invariants(spark):
+    """Budget is spent to within level granularity, never exceeded;
+    uncapped sources keep everything; capped sources share one level."""
+    from changedatacapture_spark.operators.curation import token_waterfill
+
+    sizes = {"a": 5, "b": 40, "c": 400, "d": 4000, "e": 90}
+    rows = []
+    did = 0
+    for s, n in sizes.items():
+        rows.append((did, s, " ".join(["w"] * n)))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in token_waterfill(df, 3, 5).collect()}
+    total = sum(sizes.values())
+    budget = total * 3 // 5
+    spent = sum(r["allocated"] for r in out.values())
+    assert spent <= budget
+    assert budget - spent < len(sizes)  # residual below level granularity
+    capped_levels = {r["allocated"] for r in out.values() if r["capped"]}
+    assert len(capped_levels) <= 1  # one common cap level
+    for s, n in sizes.items():
+        r = out[s]
+        assert r["n_tokens"] == n
+        if not r["capped"]:
+            assert r["allocated"] == n
+        else:
+            assert r["allocated"] < n
+
+
+def test_waterfill_budget_covers_everything(spark):
+    """With budget >= total, every source keeps all tokens uncapped."""
+    from changedatacapture_spark.operators.curation import token_waterfill
+
+    rows = [(0, "a", "x y z"), (1, "b", "p q")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r for r in token_waterfill(df, 5, 5).collect()}
+    assert out["a"]["allocated"] == 3 and not out["a"]["capped"]
+    assert out["b"]["allocated"] == 2 and not out["b"]["capped"]

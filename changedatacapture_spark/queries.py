@@ -9262,6 +9262,11 @@ _DEMOTED = [
     "knn_recall_pq",  # green r9; recall family kept by knn_recall_pq_refine (in window)
     "emb_dedup_groups",  # green r8/r9; embedding-closure family kept by emb_semdedup_stats + dedup_survivors
     "text_tfidf_top",  # green r9; tf/df scoring runs transitively inside text_bm25_rank (in window)
+    # third rotation: three more veterans hand slots to the stateful
+    # rate limiter, the WAV codec path, and the Gopher rule suite
+    "events_resample",  # 7 greens; time-series family keeps ewma + minute_spikes in-window
+    "kmv_distinct_users",  # 7 greens; KMV sketch family kept by kmv_set_algebra (in window)
+    "doc_chunks",  # 6 greens; chunking family kept by doc_cdc_chunks (in window)
 ]
 
 _PROMOTED = [
@@ -9273,10 +9278,7 @@ _PROMOTED = [
     "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
     "cdc_scd2_history",  # Type-2 history materialization (round 6)
     "cdc_incremental_agg",  # delta-propagated materialized aggregate (round 6)
-    "doc_chunks",  # sliding-window chunking (round 6)
     "dedup_survivors",  # pairs→components→survivor capstone (round 6)
-    "events_resample",  # dense-spine gap-fill + forward fill (round 7)
-    "kmv_distinct_users",  # deterministic KMV distinct sketch (round 7)
     "text_quality_gate",  # histogram-threshold percentile cut (round 8)
     "events_minute_spikes",  # trailing-window anomaly detection (round 8)
     "cdc_time_travel",  # versioned read at a past commit (round 8)
@@ -9320,6 +9322,9 @@ _PROMOTED = [
     "text_bm25_rank",  # NEW: engine-exact BM25 ranked retrieval (round 10)
     "emb_semdedup_stats",  # NEW: SemDeDup cluster-then-prune accounting (round 10)
     "curation_weighted_sample",  # NEW: exact-integer weighted Bernoulli sample (round 10)
+    "events_stream_rate_limit",  # NEW: stateful admission control, stream == batch (round 10)
+    "media_decode_wav",  # NEW: real RIFF/WAVE chunk-walking decode (round 10)
+    "text_gopher_report",  # NEW: Gopher Appendix-A rule suite (round 10)
 ]
 
 DRIVER_WINDOW = 50

@@ -7406,6 +7406,41 @@ def q_dedup_minhash_est_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_skew_split_join",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT)
+             AS sum_value_milli
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-dimension join: the 100 heaviest user keys
+    take a broadcast path (only THEIR dimension rows broadcast — a
+    bounded artifact by construction) while the remaining keys take
+    the ordinary shuffle path; the union is provably the plain inner
+    join, which is exactly what the oracle states. The manual form of
+    AQE's skew split, for known-hot-entity workloads and
+    AQE-disabled streaming micro-batches. See
+    operators/joins.py:skew_split_join."""
+    from changedatacapture_spark.operators.joins import skew_split_join
+
+    ev = load_table(spark, "events", sf_dir).select("user_id", "value")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = skew_split_join(ev, cust, "user_id", "c_custkey", hot_keys=100)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).alias(
+            "sum_value_milli"
+        ),
+    )
+
+
+@_register(
     "q_join_skew_profile",
     """
     WITH k AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),

@@ -408,3 +408,40 @@ def test_inverted_index_posting_cap_is_salted_two_level(spark, sf_dir):
     # at most salts*k rows per token — by token alone
     salted = [s for s in specs if re.search(r"token#\d+, _w\d+", s)]
     assert salted, f"salted first-level window missing: {specs}"
+
+
+def test_skew_split_join_has_both_paths(spark, sf_dir):
+    """The skew split must materialize BOTH join strategies: a
+    broadcast hash join for the hot keys (explicit hint) and a
+    shuffle join for the cold remainder, unioned. Auto-broadcast is
+    disabled for the check because at test scale AQE would broadcast
+    the tiny cold side too — at 100 TB it cannot; the hint-driven hot
+    path is what the operator guarantees."""
+    from changedatacapture_spark.plans.inspect import executed_plan
+    from changedatacapture_spark.queries import SPARK_QUERIES
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe_thr = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        # sf0.01, not the sf0.001 fixture: at sf0.001 every user fits
+        # in the top-100 hot set, the cold branch is empty, and AQE
+        # (correctly) prunes the union — both paths only coexist once
+        # key cardinality exceeds hot_keys
+        df = SPARK_QUERIES["q_skew_split_join"](spark, "/root/testdata/sf0.01")
+        df.collect()
+        plan = executed_plan(df)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        assert "Union" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        if old_aqe_thr is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thr
+            )

@@ -105,6 +105,15 @@ EXTRA = [
     "text_bm25_rank",
     "text_bpe_encode",
     "emb_semdedup_stats",
+    # late round-10 additions: contamination matrix, Gopher rules,
+    # water-filling mix, WAV decode, skew-split join, stateful rate
+    # limiter (stream replay)
+    "decontaminate_matrix",
+    "text_gopher_report",
+    "mix_waterfill",
+    "media_decode_wav",
+    "q_skew_split_join",
+    "events_stream_rate_limit",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

@@ -114,6 +114,10 @@ EXTRA = [
     "media_decode_wav",
     "q_skew_split_join",
     "events_stream_rate_limit",
+    # exact-algorithms-from-sketches pair: All-Pairs prefix join and
+    # MG candidate-then-verify heavy hitters
+    "dedup_jaccard_prefix_join",
+    "events_heavy_hitters",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

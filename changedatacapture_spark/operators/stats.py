@@ -245,3 +245,77 @@ def mad_profile(
             F.expr("n_outliers * 1000000 DIV n").alias("outlier_ppm"),
         )
     )
+
+
+def exact_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 400,
+    capacity: int = 512,
+) -> DataFrame:
+    """EXACT heavy hitters — every key with ``count · k > total`` —
+    WITHOUT shuffling the key universe (the Misra-Gries
+    candidate-then-verify pattern; mergeable-summaries form of
+    Agarwal et al. 2012).
+
+    Pass 1 builds a bounded Misra-Gries summary per partition inside
+    ``mapInPandas`` (pandas ``value_counts`` per Arrow chunk, then the
+    vectorized merge: sum counters, subtract the (capacity+1)-th
+    largest, drop non-positives — C-speed throughout, never a per-row
+    Python loop). A key with global frequency above ``total/k`` must
+    be locally frequent in some partition (pigeonhole), and MG with
+    ``capacity + 1 > k`` guarantees locally-frequent keys survive —
+    so the candidate union (≤ capacity rows per partition) provably
+    contains every true heavy hitter. Pass 2 recounts ONLY the
+    candidates exactly (broadcast semi-join + map-side-combinable
+    count) and applies the exact integer threshold, discarding false
+    candidates — so the OUTPUT is deterministic and partitioning-
+    independent even though the intermediate summaries are not.
+
+    Why it matters at 100 TB: a plain groupBy-count shuffles one row
+    per DISTINCT KEY (billions for user-id-like columns); this
+    shuffles ``capacity × n_partitions`` candidate rows plus one
+    filtered count over the scan.
+
+    Output: ``key, n_rows, total_rows, share_ppm`` (exact integers).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    if capacity <= k:
+        raise ValueError("capacity must exceed k for the MG guarantee")
+
+    def mg_summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc = pd.Series(dtype="int64")
+        for pdf in it:
+            vc = pdf[key_col].value_counts()
+            acc = acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > capacity:
+                cut = acc.nlargest(capacity + 1).iloc[-1]
+                acc = (acc - cut)[lambda s: s > 0]
+        yield pd.DataFrame({"key": acc.index.astype("int64")})
+
+    cands = (
+        df.select(key_col)
+        .mapInPandas(mg_summaries, "key long")
+        .distinct()
+    )
+    total = df.agg(F.count(F.lit(1)).alias("total_rows"))
+    counted = (
+        df.join(
+            F.broadcast(cands), df[key_col] == F.col("key"), "left_semi"
+        )
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") * k > F.col("total_rows"))
+    )
+    return counted.select(
+        F.col(key_col).alias("key"),
+        "n_rows",
+        "total_rows",
+        F.expr("(n_rows * CAST(1000000 AS BIGINT)) DIV total_rows").alias(
+            "share_ppm"
+        ),
+    )

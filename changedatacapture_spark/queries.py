@@ -4228,6 +4228,44 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_jaccard_prefix_join",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))) AS tk
+      FROM documents)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS n_inter,
+           CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS INT)
+             AS n_union,
+           (CAST(len(list_intersect(a.tk, b.tk)) AS BIGINT) * 1000000)
+             // len(list_distinct(list_concat(a.tk, b.tk)))
+             AS jaccard_scaled
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.tk, b.tk)) * 100
+          >= 95 * len(list_distinct(list_concat(a.tk, b.tk)))
+    """,
+)
+def q_dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard >= 0.95 on distinct
+    tokens) by All-Pairs prefix filtering: tokens order rarest-first,
+    candidates must share a token inside both documents' prefixes
+    (|A| - ceil(t|A|) + 1, a completeness theorem), and every
+    candidate is verified by the exact integer Jaccard test. The
+    oracle runs the O(n²) brute-force DEFINITION — the algorithm must
+    reproduce it exactly, no LSH approximation anywhere. The Spark
+    side never materializes the cross product: the candidate shuffle
+    keys on the RAREST tokens (short posting lists by construction);
+    stopword-frequency tokens stay in suffixes. See
+    operators/dedup.py:jaccard_prefix_join."""
+    from changedatacapture_spark.operators.dedup import jaccard_prefix_join
+
+    docs = load_table(spark, "documents", sf_dir)
+    return jaccard_prefix_join(docs, t_pct=95)
+
+
+@_register(
     "decontaminate_matrix",
     """
     WITH src_sh AS (
@@ -7438,6 +7476,35 @@ def q_skew_split_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_milli"
         ),
     )
+
+
+@_register(
+    "events_heavy_hitters",
+    """
+    WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total_rows FROM events)
+    SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows,
+           t.total_rows,
+           (CAST(count(*) AS BIGINT) * 1000000) // t.total_rows AS share_ppm
+    FROM events, t
+    GROUP BY user_id, t.total_rows
+    HAVING count(*) * 400 > t.total_rows
+    """,
+)
+def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (every user with more than 1/400 of all
+    events) via the Misra-Gries candidate-then-verify pattern: bounded
+    mergeable summaries per partition (pandas-vectorized inside
+    mapInPandas), then an exact recount of the provably-complete
+    candidate set. The oracle is the plain groupBy definition — the
+    sketch phase may over-generate but the exact verify phase makes
+    the output identical and partitioning-independent. At 100 TB this
+    replaces a shuffle of one row per distinct key with capacity x
+    n_partitions candidate rows + one filtered count. See
+    operators/stats.py:exact_heavy_hitters."""
+    from changedatacapture_spark.operators.stats import exact_heavy_hitters
+
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    return exact_heavy_hitters(ev, "user_id", k=400, capacity=512)
 
 
 @_register(

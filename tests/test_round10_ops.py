@@ -681,3 +681,67 @@ def test_waterfill_budget_covers_everything(spark):
     out = {r["source"]: r for r in token_waterfill(df, 5, 5).collect()}
     assert out["a"]["allocated"] == 3 and not out["a"]["capped"]
     assert out["b"]["allocated"] == 2 and not out["b"]["capped"]
+
+
+# ------------------------------------ prefix join / heavy hitters
+
+
+def test_jaccard_prefix_join_equals_brute_force(spark):
+    """The All-Pairs prefix algorithm must reproduce the O(n²)
+    brute-force definition exactly on a corpus with graded overlap."""
+    from changedatacapture_spark.operators.dedup import jaccard_prefix_join
+
+    base = ["red", "blue", "green", "gold", "iron", "clay", "moss", "salt"]
+    rows = []
+    for i in range(24):
+        toks = base[: 4 + i % 4] + [f"u{i // 3}"]  # shared core + group token
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_inter"], r["n_union"])
+        for r in jaccard_prefix_join(df, t_pct=80).collect()
+    }
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a in range(24):
+        for b in range(a + 1, 24):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * 100 >= 80 * uni:
+                want[(a, b)] = (inter, uni)
+    assert got == want
+    assert want, "threshold must admit some pairs for the test to bite"
+
+
+def test_heavy_hitters_exact_and_partitioning_independent(spark):
+    """A key above total/k must always be found with its exact count,
+    a key just below must not, and the output must not depend on how
+    the input is partitioned (the sketch phase does; the verify phase
+    erases it)."""
+    from changedatacapture_spark.operators.stats import exact_heavy_hitters
+
+    rows = [(99,)] * 300 + [(7,)] * 26 + [(i, ) for i in range(1000, 1674)]
+    total = len(rows)  # 1000 rows; k=40 -> threshold 25
+    df = spark.createDataFrame(rows, "user_id long")
+    outs = []
+    for nparts in (1, 7, 32):
+        got = {
+            r["key"]: (r["n_rows"], r["total_rows"])
+            for r in exact_heavy_hitters(
+                df.repartition(nparts), "user_id", k=40, capacity=64
+            ).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1] == outs[2]
+    got = outs[0]
+    assert got == {99: (300, total), 7: (26, total)}, got
+
+
+def test_heavy_hitters_rejects_bad_capacity(spark):
+    import pytest as _pytest
+
+    from changedatacapture_spark.operators.stats import exact_heavy_hitters
+
+    df = spark.createDataFrame([(1,)], "user_id long")
+    with _pytest.raises(ValueError, match="capacity"):
+        exact_heavy_hitters(df, "user_id", k=64, capacity=64)

@@ -114,9 +114,11 @@ EXTRA = [
     "media_decode_wav",
     "q_skew_split_join",
     "events_stream_rate_limit",
-    # exact-algorithms-from-sketches pair: All-Pairs prefix join and
-    # MG candidate-then-verify heavy hitters
-    "dedup_jaccard_prefix_join",
+    # MG candidate-then-verify heavy hitters (the All-Pairs prefix
+    # join is NOT benched: its output is corpus-inherently quadratic
+    # on the 31-token synthetic vocabulary — 191k verified pairs /
+    # 100 s at sf0.1 — so its wall measures output volume, not the
+    # algorithm; see PERF_r10.md §7 and its sf0.01 oracle contract)
     "events_heavy_hitters",
 ]
 

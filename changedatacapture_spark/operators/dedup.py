@@ -928,12 +928,21 @@ def jaccard_prefix_join(
         )
         .distinct()
     )
-    sets = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_sort(
-            F.array_distinct(F.split(F.col(text_col), " "))
-        ).alias("tk"),
-    ).withColumn("tk", F.array_remove("tk", ""))
+    # filter len(tk) > 0 EXPLICITLY (mirrored in the oracle): a
+    # zero-token document can never reach the prefix join, but without
+    # the shared filter the brute-force oracle would admit
+    # empty-vs-empty pairs (0 >= t·0) and then divide by n_union = 0 —
+    # a latent parity break on corpora with empty texts.
+    sets = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_sort(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("tk"),
+        )
+        .withColumn("tk", F.array_remove("tk", ""))
+        .filter(F.size("tk") > 0)
+    )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("ta"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tb"))
     verified = (

@@ -282,9 +282,17 @@ def exact_heavy_hitters(
     from collections.abc import Iterator
 
     import pandas as pd
+    from pyspark.sql import types as T
 
     if capacity <= k:
         raise ValueError("capacity must exceed k for the MG guarantee")
+
+    # candidate schema follows the key column's ACTUAL type (long,
+    # string, ...) — hardcoding 'key long' would break or silently
+    # coerce non-integer keys inside mapInPandas despite the generic
+    # key_col signature
+    key_type = df.schema[key_col].dataType
+    cand_schema = T.StructType([T.StructField("key", key_type)])
 
     def mg_summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = pd.Series(dtype="int64")
@@ -294,11 +302,14 @@ def exact_heavy_hitters(
             if len(acc) > capacity:
                 cut = acc.nlargest(capacity + 1).iloc[-1]
                 acc = (acc - cut)[lambda s: s > 0]
-        yield pd.DataFrame({"key": acc.index.astype("int64")})
+        # index dtype is whatever pandas inferred from the Arrow batch
+        # (int64 for integral keys, object for strings) — hand it back
+        # untouched; Arrow converts it to cand_schema's type
+        yield pd.DataFrame({"key": acc.index.to_numpy()})
 
     cands = (
         df.select(key_col)
-        .mapInPandas(mg_summaries, "key long")
+        .mapInPandas(mg_summaries, cand_schema)
         .distinct()
     )
     total = df.agg(F.count(F.lit(1)).alias("total_rows"))

@@ -4230,11 +4230,13 @@ def q_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_jaccard_prefix_join",
     """
-    WITH s AS (
+    WITH s0 AS (
       SELECT doc_id,
              list_sort(list_distinct(
                list_filter(string_split(text, ' '), x -> x <> ''))) AS tk
-      FROM documents)
+      FROM documents),
+    s AS (
+      SELECT doc_id, tk FROM s0 WHERE len(tk) > 0)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.tk, b.tk)) AS INT) AS n_inter,
            CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS INT)

@@ -128,6 +128,17 @@ def _fold_rate(
     # regardless of tie order
     for t in sorted(int(v) for pdf in pdf_iter for v in pdf["ts_us"]):
         w = (t // window_us) * window_us
+        if wstart is not None and w < wstart:
+            # LATE event (window already flushed): drop it rather than
+            # corrupt the open window's counters — re-opening the old
+            # window would reset n_seen and emit undercounted rows that
+            # the downstream max-fold keeps. The single-open-window
+            # state contract requires per-key in-window-order arrival
+            # across micro-batches; see the docstring. The
+            # transformWithStateInPandas port (stateful_v2.py) keeps
+            # bounded multi-window MapState instead and counts late
+            # events exactly.
+            continue
         if wstart is not None and w != wstart:
             out.append((uid, wstart, n_seen, min(n_seen, cap), last_adm))
             wstart, n_seen, last_adm = None, 0, None
@@ -163,10 +174,17 @@ def stateful_rate_limit(
     FIRST ``cap`` by event time); the rest are counted as dropped —
     the ingest-protection primitive in front of a hot-key-prone sink.
 
-    Batching-invariant by construction: counts are associative and the
-    admitted set is "the cap smallest timestamps of the window", so
-    any micro-batch cut yields the same final (key, window) rows as
-    one global pass — the oracle checks exactly that. State is one
+    Batching-invariant by construction — GIVEN per-key window-ordered
+    arrival across micro-batches (a log-compacted source's contract):
+    counts are associative and the admitted set is "the cap smallest
+    timestamps of the window", so any micro-batch cut yields the same
+    final (key, window) rows as one global pass — the oracle checks
+    exactly that. An event for an already-flushed window (late data)
+    is DROPPED, never folded into the open window — the late-data
+    policy that keeps emitted counts monotone; use the
+    ``transformWithStateInPandas`` port (``stateful_v2.py``), which
+    keeps bounded multi-window state, when late arrivals must be
+    counted exactly. State is one
     open window per key (closed windows flush as soon as a later
     window's event arrives for the key), sharded by key hash across
     executors, checkpointed with the query. Output mode: update;

@@ -3935,6 +3935,224 @@ def q_events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _with_rocksdb_state(spark: SparkSession):
+    """Context manager: RocksDB state store for the enclosed streaming
+    query start (transformWithStateInPandas' multi-column-family state
+    requires it), restoring the prior provider after."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prior = spark.conf.get(key, None)
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            yield
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+
+    return cm()
+
+
+@_register(
+    "events_tws_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    o AS (
+      SELECT user_id, ts_us,
+             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+      FROM e),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev IS NULL OR ts_us - prev > 21600000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM o),
+    s AS (
+      SELECT user_id, ts_us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM flagged)
+    SELECT user_id, min(ts_us) AS session_start, max(ts_us) AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_events_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state API **v2** sessionization end-to-end: the same
+    6 h-gap semantics as ``events_stateful_sessions``, re-implemented
+    on Spark 4's ``transformWithStateInPandas`` with typed ValueState
+    and EVENT-TIME TIMERS (timeMode=EventTime, RocksDB state store) —
+    idle keys close from ``handleExpiredTimer`` when the watermark
+    passes ``last_ts + gap``, a row the legacy ``applyInPandasWithState``
+    operator can only emit on the key's NEXT event. Timer firing is
+    provably safe under time-range-bucketed replay (an unseen
+    same-session event would have to be both newer than the batch's
+    max and older than the watermark — impossible), so the folded
+    final sessions equal one global batch pass: the SAME oracle as the
+    legacy twin, making this a differential port check as well. Falls
+    back to the legacy operator only on hosts with no protobuf runtime
+    (pytest pins the timer rows, so the v2 path itself is evidenced).
+    See streaming/stateful_v2.py:SessionProcessor."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.compat import has_tws_support
+    from changedatacapture_spark.streaming.stateful_v2 import tws_sessionize
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    work = tempfile.mkdtemp(prefix="tws_sess_")
+    src = os.path.join(work, "src")
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    batched = ev.withColumn(
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
+    )
+    _write_ordered_batches(batched, src, work, 4)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+    )
+    sink = f"tws_sessions_{uuid.uuid4().hex[:8]}"
+    if has_tws_support(spark):
+        out = tws_sessionize(stream, gap_seconds=21600, delay_seconds=1)
+    else:  # pragma: no cover - sandbox always has the protobuf shim
+        from changedatacapture_spark.streaming.stateful import (
+            stateful_sessionize,
+        )
+
+        out = stateful_sessionize(
+            stream.select("user_id", F.unix_micros("ts").alias("ts_us")),
+            gap_seconds=21600,
+        )
+    with _with_rocksdb_state(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.table(sink)
+    # closed-by-timer rows carry the same extent as the last open
+    # emission, so the per-(user, start) max fold is timer-timing-
+    # invariant — the property that makes the oracle valid
+    return emitted.groupBy("user_id", "session_start").agg(
+        F.max("session_end").alias("session_end"),
+        F.max("n_events").alias("n_events"),
+    )
+
+
+@_register(
+    "events_tws_rate_limit",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+    w AS (
+      SELECT user_id, (ts_us // 3600000000) * 3600000000 AS window_start,
+             ts_us,
+             row_number() OVER (
+               PARTITION BY user_id, ts_us // 3600000000
+               ORDER BY ts_us) AS rn
+      FROM e)
+    SELECT user_id, window_start,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(least(count(*), 5) AS BIGINT) AS n_admitted,
+           CAST(max(CASE WHEN rn <= 5 THEN ts_us END) AS BIGINT)
+             AS last_admitted_ts
+    FROM w GROUP BY user_id, window_start
+    """,
+)
+def q_events_tws_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state API v2 admission accounting under ADVERSARIAL
+    replay: events are micro-batched by HASH (xxhash64 mod 4), not by
+    time, so nearly every key sees out-of-order arrival across
+    batches — the case the legacy single-open-window operator's
+    late-data policy must DROP. The v2 operator keeps per-window
+    stats in a typed MapState (window_start → n_seen + the cap
+    smallest timestamps, a bounded top-k that is commutative under
+    arrival order), so the folded final rows still equal the global
+    batch definition EXACTLY — same oracle as the in-order legacy
+    query, now proven order-independent. Downstream fold picks each
+    (key, window)'s row of max n_seen (n_seen strictly increases per
+    touch; last_admitted_ts itself is not monotone under disorder).
+    See streaming/stateful_v2.py:RateLimitProcessor."""
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from changedatacapture_spark.compat import has_tws_support
+    from changedatacapture_spark.streaming.stateful_v2 import tws_rate_limit
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    if not has_tws_support(spark):  # pragma: no cover
+        raise RuntimeError(
+            "events_tws_rate_limit needs the v2 state API: the legacy "
+            "operator cannot reproduce out-of-order exactness"
+        )
+    work = tempfile.mkdtemp(prefix="tws_rate_")
+    src = os.path.join(work, "src")
+    batched = ev.withColumn(
+        "_b", F.pmod(F.xxhash64("user_id", "ts_us"), F.lit(4)) + 1
+    )
+    _write_ordered_batches(batched, src, work, 4)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    sink = f"tws_rate_{uuid.uuid4().hex[:8]}"
+    with _with_rocksdb_state(spark):
+        q = (
+            tws_rate_limit(stream, window_seconds=3600, cap=5)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    emitted = spark.table(sink)
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "window_start").orderBy(
+                    F.desc("n_seen")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "window_start", "n_seen", "n_admitted",
+            "last_admitted_ts",
+        )
+    )
+    return final
+
+
 @_register(
     "events_range_join",
     """

@@ -87,3 +87,236 @@ def test_rate_limit_drops_late_window_events(spark):
     # window 0 keeps its flushed counts (late 30 dropped); window HOUR
     # accumulates 3 + 1 = 4 seen, 2 admitted
     assert got == {0: (2, 2), HOUR: (4, 2)}, got
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas (arbitrary-state API v2) port
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+import tempfile as _tempfile
+import uuid as _uuid
+
+import pytest
+
+
+def _tws_available(spark):
+    from changedatacapture_spark.compat import has_tws_support
+
+    return has_tws_support(spark)
+
+
+def _write_batches(batches, name_prefix="b"):
+    work = _tempfile.mkdtemp(prefix="tws_test_")
+    src = _os.path.join(work, "src")
+    _os.makedirs(src)
+    for i, b in enumerate(batches):
+        p = _os.path.join(src, f"{name_prefix}{i}.json")
+        with open(p, "w") as f:
+            for uid, ts in b:
+                f.write(_json.dumps({"user_id": uid, "ts_us": ts}) + "\n")
+        _os.utime(p, (1_000_000 + i * 10, 1_000_000 + i * 10))
+    return work, src
+
+
+def _run_stream(spark, df, work, fmt_sink=None):
+    sink = fmt_sink or f"tws_t_{_uuid.uuid4().hex[:8]}"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", _os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    return spark.table(sink)
+
+
+def test_tws_sessionize_parity_with_legacy(spark):
+    """v2 (timers, ValueState) and legacy (applyInPandasWithState) must
+    fold to IDENTICAL final sessions on the same time-ordered replay —
+    the differential port check."""
+    if not _tws_available(spark):
+        pytest.skip("no protobuf runtime for the v2 state API")
+    from changedatacapture_spark.streaming.stateful import stateful_sessionize
+    from changedatacapture_spark.streaming.stateful_v2 import tws_sessionize
+
+    DAY = 86_400_000_000
+    BASE = 1_700_000_000_000_000  # 2023 epoch-us: clear of the initial watermark
+    batches = [
+        [(1, BASE), (1, BASE + 100), (2, BASE + 50)],
+        [(2, BASE + DAY), (1, BASE + DAY + 7)],
+        [(3, BASE + 2 * DAY)],
+        [(1, BASE + 3 * DAY), (2, BASE + 3 * DAY + 5)],
+    ]
+    gap = 21600  # 6 h
+
+    def fold(emitted):
+        return sorted(
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in emitted.groupBy("user_id", "session_start")
+            .agg(
+                F.max("session_end").alias("session_end"),
+                F.max("n_events").alias("n_events"),
+            )
+            .collect()
+        )
+
+    work1, src1 = _write_batches(batches)
+    s1 = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src1)
+    )
+    legacy = fold(_run_stream(spark, stateful_sessionize(s1, gap), work1))
+
+    work2, src2 = _write_batches(batches)
+    s2 = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src2)
+        .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+    )
+    v2 = fold(_run_stream(spark, tws_sessionize(s2, gap, delay_seconds=1), work2))
+    assert legacy == v2 and len(v2) >= 6, (legacy, v2)
+
+
+def test_tws_sessionize_timer_closes_idle_key(spark):
+    """The v2-only feature: a key with NO further events still gets its
+    session CLOSED (via handleExpiredTimer) once other keys advance
+    the watermark past last_ts + gap."""
+    if not _tws_available(spark):
+        pytest.skip("no protobuf runtime for the v2 state API")
+    from changedatacapture_spark.streaming.stateful_v2 import tws_sessionize
+
+    H = 3_600_000_000
+    BASE = 1_700_000_000_000_000
+    # user 7 events in batch 0 only; user 9 marches on, advancing the
+    # watermark far past user 7's last_ts + gap
+    batches = [
+        [(7, BASE), (7, BASE + 100), (9, BASE + 50)],
+        [(9, BASE + 10 * H)],
+        [(9, BASE + 20 * H)],
+    ]
+    work, src = _write_batches(batches)
+    s = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+        .select("user_id", F.timestamp_micros("ts_us").alias("ts"))
+    )
+    emitted = _run_stream(spark, tws_sessionize(s, gap_seconds=3600), work)
+    timer_rows = [
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in emitted.filter("via_timer AND closed").collect()
+    ]
+    assert (7, BASE, BASE + 100, 2) in timer_rows, timer_rows
+    # and no event-driven close exists for user 7 (no later events)
+    assert not [
+        r
+        for r in emitted.filter(
+            "user_id = 7 AND closed AND NOT via_timer"
+        ).collect()
+    ]
+
+
+def test_tws_rate_limit_exact_under_disorder(spark):
+    """Out-of-order arrival across batches folds into the RIGHT
+    windows with the event-time-smallest admitted set — the exactness
+    the legacy operator's drop-late policy cannot provide."""
+    if not _tws_available(spark):
+        pytest.skip("no protobuf runtime for the v2 state API")
+    from changedatacapture_spark.streaming.stateful_v2 import tws_rate_limit
+    from pyspark.sql import Window as W
+
+    H = 3_600_000_000
+    B = 1_700_000_000_000_000
+    batches = [
+        [(1, B + H + 50), (1, B + 10), (2, B + 20)],
+        [(1, B + 30), (1, B + 5), (1, B + H + 10)],
+        [(1, B + 40), (2, B + H + 1), (1, B + 15)],
+    ]
+    work, src = _write_batches(batches)
+    s = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    emitted = _run_stream(spark, tws_rate_limit(s, window_seconds=3600, cap=2), work)
+    final = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id", "window_start").orderBy(F.desc("n_seen"))
+            ),
+        )
+        .filter("rn = 1")
+        .collect()
+    )
+    got = {
+        (r["user_id"], r["window_start"]): (
+            r["n_seen"],
+            r["n_admitted"],
+            r["last_admitted_ts"],
+        )
+        for r in final
+    }
+    exp = {
+        (1, (B + 10) // H * H): (5, 2, B + 10),
+        (1, (B + H + 50) // H * H): (2, 2, B + H + 50),
+        (2, (B + 20) // H * H): (1, 1, B + 20),
+        (2, (B + H + 1) // H * H): (1, 1, B + H + 1),
+    }
+    assert got == exp, (got, exp)
+
+
+def test_tws_rate_limit_bounded_state_counts_late(spark):
+    """With lateness_windows bounded, windows behind the key's horizon
+    evict from MapState and a too-late event is COUNTED in
+    n_late_dropped instead of corrupting closed windows."""
+    if not _tws_available(spark):
+        pytest.skip("no protobuf runtime for the v2 state API")
+    from changedatacapture_spark.streaming.stateful_v2 import tws_rate_limit
+
+    H = 3_600_000_000
+    B = 1_700_000_000_000_000 // H * H  # hour-aligned base
+    batches = [
+        [(1, B + 10), (1, B + 20)],
+        [(1, B + 10 * H)],          # horizon jumps 10 windows ahead -> w0 evicts
+        [(1, B + 30)],              # too late for w0: dropped + counted
+        [(1, B + 10 * H + 5)],      # in-horizon event still exact
+    ]
+    work, src = _write_batches(batches)
+    s = (
+        spark.readStream.schema("user_id long, ts_us long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    emitted = _run_stream(
+        spark,
+        tws_rate_limit(s, window_seconds=3600, cap=5, lateness_windows=2),
+        work,
+    )
+    rows = emitted.collect()
+    # w0's stats froze at eviction: no emission for w0 with n_seen > 2
+    w0 = [r for r in rows if r["window_start"] == B]
+    assert max(r["n_seen"] for r in w0) == 2, w0
+    # the late event was counted
+    assert max(r["n_late_dropped"] for r in rows) == 1, rows
+    # the live window kept exact counts
+    w10 = [r for r in rows if r["window_start"] == B + 10 * H]
+    assert max(r["n_seen"] for r in w10) == 2, w10

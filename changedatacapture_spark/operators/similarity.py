@@ -218,6 +218,8 @@ def embedding_neardup_pairs(
     n_planes: int = 4,
     dim: int = 64,
     scale: int = 1_000_000,
+    max_bucket_size: int | None = None,
+    window: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analogue of
     MinHash dedup): candidate pairs share an LSH sign-pattern bucket,
@@ -227,19 +229,77 @@ def embedding_neardup_pairs(
     key; the O(n²) cross product never materializes. Recall/cost trades
     via ``n_planes`` exactly as in :func:`cosine_topk_lsh`.
 
+    ``max_bucket_size`` is the HUB GUARD (the discipline
+    ``lsh_candidate_pairs`` applies to MinHash bands): with it set,
+    only buckets of at most that size run the exhaustive in-bucket
+    self-join; HOT buckets fall back to the rank-successor CHAIN
+    (each member vs its ``window`` successors — the
+    :func:`embedding_neardup_pairs_chained` move), so total candidate
+    volume is ≤ n·max(max_bucket_size/2, window): LINEAR in the corpus
+    by construction. Without a cap the in-bucket all-pairs emission is
+    Θ(Σ bucket²) — measured QUADRATIC on clustered corpora (8.9M
+    in-bucket pairs at 20k vectors → 895M at 200k, PERF_r10 §3),
+    which is why every registered query sets the cap. Unlike the
+    MinHash guard, nothing is dropped: hot buckets keep chain
+    connectivity for the downstream closure, and
+    :func:`embedding_hot_buckets` is the audit of which buckets took
+    which path.
+
     Output: ``vec_a, vec_b, score_scaled`` (vec_a < vec_b).
     """
     bucket = lsh_bucket(vec_col, n_planes, dim)
     tagged = corpus.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"), bucket.alias("bucket")
     )
-    a = tagged.select(
-        F.col("vid").alias("vec_a"), F.col("vec").alias("va"), "bucket"
-    )
-    b = tagged.select(
-        F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
-    )
-    pair = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    if max_bucket_size is None:
+        a = tagged.select(
+            F.col("vid").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+        )
+        b = tagged.select(
+            F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+        )
+        pair = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    else:
+        from pyspark.sql import Window as W
+
+        # bucket census is ≤ 2^n_planes rows — broadcast; the barrier
+        # (eager localCheckpoint) prevents the self-join
+        # attribute-rebinding failure documented in the chained
+        # variant and computes the bucket projection + rank once
+        counts = tagged.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+        ranked = (
+            tagged.join(F.broadcast(counts), "bucket")
+            .withColumn(
+                "lr", F.row_number().over(W.partitionBy("bucket").orderBy("vid"))
+            )
+            .localCheckpoint(eager=True)
+        )
+        small = ranked.filter(F.col("bn") <= max_bucket_size)
+        sa = small.select(
+            F.col("vid").alias("vec_a"), F.col("vec").alias("va"), "bucket"
+        )
+        sb = small.select(
+            F.col("vid").alias("vec_b"), F.col("vec").alias("vb"), "bucket"
+        )
+        pair_small = sa.join(sb, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
+        hot = ranked.filter(F.col("bn") > max_bucket_size)
+        probe = hot.select(
+            F.col("vid").alias("vec_a"),
+            F.col("vec").alias("va"),
+            "bucket",
+            F.explode(
+                F.sequence(F.col("lr") + 1, F.col("lr") + window)
+            ).alias("lr_b"),
+        )
+        succ = hot.select(
+            F.col("vid").alias("vec_b"),
+            F.col("vec").alias("vb"),
+            "bucket",
+            F.col("lr").alias("lr_b"),
+        )
+        pair_hot = probe.join(succ, ["bucket", "lr_b"])
+        cols = ["vec_a", "va", "vec_b", "vb"]
+        pair = pair_small.select(cols).unionByName(pair_hot.select(cols))
     cos = dot(F.col("va"), F.col("vb")) / (
         F.sqrt(l2_norm_sq(F.col("va"))) * F.sqrt(l2_norm_sq(F.col("vb")))
     )
@@ -250,6 +310,53 @@ def embedding_neardup_pairs(
             F.floor(cos * scale).cast("long").alias("score_scaled"),
         )
         .filter(F.col("score_scaled") >= threshold_scaled)
+    )
+
+
+def embedding_hot_buckets(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    max_bucket_size: int = 20,
+    window: int = 4,
+) -> DataFrame:
+    """Audit of the embedding hub guard: per LSH bucket, its size, the
+    comparison mode :func:`embedding_neardup_pairs` takes for it under
+    ``max_bucket_size`` (``allpairs`` vs ``chained``), and the EXACT
+    candidate-pair count that mode emits — the report a pipeline
+    publishes instead of silently changing dedup coverage (the same
+    contract as ``lsh_hot_buckets`` for MinHash bands).
+
+    Chained count per bucket: Σ_members min(window, bn - rank)
+    = w·bn - w(w+1)/2 when bn > w, else the full bn(bn-1)/2.
+    """
+    bucket = lsh_bucket(vec_col, n_planes, dim)
+    w = window
+    return (
+        corpus.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "bucket",
+            "n_members",
+            F.when(F.col("n_members") <= max_bucket_size, F.lit("allpairs"))
+            .otherwise(F.lit("chained"))
+            .alias("mode"),
+            F.when(
+                F.col("n_members") <= max_bucket_size,
+                (F.col("n_members") * (F.col("n_members") - 1)) / 2,
+            )
+            .otherwise(
+                F.when(
+                    F.col("n_members") > w,
+                    w * F.col("n_members") - w * (w + 1) / 2,
+                ).otherwise((F.col("n_members") * (F.col("n_members") - 1)) / 2)
+            )
+            .cast("long")
+            .alias("n_candidates"),
+        )
     )
 
 
@@ -755,7 +862,8 @@ def pq_adc_topk(
 ) -> DataFrame:
     """Approximate top-k by PQ asymmetric distance.
 
-    The corpus side carries ONLY its codes (the 32x-smaller relation);
+    The corpus side carries ONLY its codes (a 16x payload cut under
+    the registered m=8 layout — 8 one-byte codes vs 64 int16 values);
     each probe carries its ``m x ks`` LUT of exact subvector-to-
     centroid distances. The pair stage is m array lookups and an
     integer sum — no per-pair float math at all. Probes broadcast

@@ -320,3 +320,64 @@ def test_tws_rate_limit_bounded_state_counts_late(spark):
     # the live window kept exact counts
     w10 = [r for r in rows if r["window_start"] == B + 10 * H]
     assert max(r["n_seen"] for r in w10) == 2, w10
+
+
+# ---------------------------------------------------------------------------
+# embedding hub guard (round-10 weak closed)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_neardup_hub_guard_modes(spark):
+    """With the cap above every bucket size the hybrid must equal the
+    unguarded all-pairs output; with a binding cap, hot buckets chain
+    (bounded candidates) while small buckets stay exhaustive."""
+    import numpy as np
+
+    from changedatacapture_spark.operators.similarity import (
+        embedding_hot_buckets,
+        embedding_neardup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    # 3 tight clusters of 12 + 20 singletons, dim 64, int16-ish values
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = rng.randint(-100, 100, 64)
+        for _ in range(12):
+            rows.append((vid, [int(v) for v in center + rng.randint(-2, 3, 64)]))
+            vid += 1
+    for _ in range(20):
+        rows.append((vid, [int(v) for v in rng.randint(-100, 100, 64)]))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<int>")
+
+    def pairset(out):
+        return {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+
+    uncapped = pairset(
+        embedding_neardup_pairs(df, threshold_scaled=250_000, n_planes=4)
+    )
+    loose = pairset(
+        embedding_neardup_pairs(
+            df, threshold_scaled=250_000, n_planes=4, max_bucket_size=1000
+        )
+    )
+    assert loose == uncapped and uncapped, (len(uncapped), len(loose))
+
+    tight = pairset(
+        embedding_neardup_pairs(
+            df, threshold_scaled=250_000, n_planes=4, max_bucket_size=5, window=4
+        )
+    )
+    # chained pairs are a subset of all-pairs (same scoring, fewer
+    # candidates), and clusters must stay represented
+    assert tight <= uncapped and tight
+
+    audit = {
+        r["mode"]
+        for r in embedding_hot_buckets(
+            df, n_planes=4, max_bucket_size=5, window=4
+        ).collect()
+    }
+    assert audit == {"allpairs", "chained"}, audit

@@ -965,3 +965,100 @@ def jaccard_prefix_join(
             "jaccard_scaled"
         ),
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_grams: bool = False,
+) -> DataFrame:
+    """EXACT cross-document substring-duplication spans — the
+    suffix-array dedup of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better") in its relational form.
+
+    A character position is part of a duplicated region iff some
+    length-``k`` substring covering it also occurs in ANOTHER
+    document; equivalently the duplicated region set is the interval
+    union of ``[i, i+k)`` over every position ``i`` whose k-gram is
+    cross-document shared. That identity turns the suffix-array scan
+    into three data-parallel relational steps, with NO candidate pair
+    enumeration anywhere (document pairs never appear — cost is
+    linear in corpus characters, not in pair count):
+
+    1. emit one row per k-gram position (explode over a per-doc
+       position ``sequence`` — docs shorter than ``k`` contribute
+       nothing, mirrored in the oracle);
+    2. per distinct gram, count distinct source documents (map-side-
+       combinable agg keyed on the gram) and keep positions whose
+       gram's count is ≥ 2 — a shuffle keyed by gram, the analogue of
+       the suffix sort, except partitionable and spillable;
+    3. per doc, merge surviving ``[i, i+k)`` intervals into maximal
+       spans (the islands pattern: sorted window per doc, a new span
+       starts where ``i`` exceeds the previous position + k).
+
+    ``hash_grams=True`` swaps the gram string for ``xxhash64(gram)``
+    as the shuffle key — an 8-byte key instead of ``k`` bytes, the
+    100 TB deployment setting (collision odds ~ positions²/2⁶⁴; a
+    collision can only ADD a span, never lose one). The registered
+    query keeps exact grams so the DuckDB oracle is definitionally
+    identical.
+
+    Output: ``doc_id, span_start, span_end, span_len`` — 1-based
+    start, exclusive end, one row per maximal duplicated span.
+
+    Reference parity: the reference has no substring dedup (its dedup
+    surface is row-identity only); this is part of the
+    training-data-pipeline extension surface.
+    """
+    from pyspark.sql import Window as W
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).filter(F.length("text") >= k)
+    pos = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (k - 1))
+        ).alias("i"),
+        "text",
+    ).select("doc_id", "i", F.expr(f"substring(text, i, {k})").alias("gram"))
+    key = F.xxhash64("gram").alias("gk") if hash_grams else F.col("gram").alias("gk")
+    pos = pos.select("doc_id", "i", key)
+    shared = (
+        pos.groupBy("gk")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gk")
+    )
+    hits = pos.join(shared, "gk").select("doc_id", "i")
+    w = W.partitionBy("doc_id").orderBy("i")
+    spans = (
+        hits.withColumn("prev", F.lag("i").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("i") > F.col("prev") + k),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+        .groupBy("doc_id", "span_id")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + k).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+        )
+    )
+    return spans

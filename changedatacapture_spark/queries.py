@@ -4485,6 +4485,118 @@ def q_dedup_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_join(docs, t_pct=95)
 
 
+#: shared CTE chain for the substring-dedup family (Lee et al. 2022):
+#: k-gram positions → cross-doc-shared grams → per-doc interval union.
+_SUBSTRING_SPANS_SQL = """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 25),
+    pos AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(text, CAST(i AS INT), 25) AS gram
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) - 23)) AS i
+            FROM base)),
+    shared AS (
+      SELECT gram FROM pos GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2),
+    hits AS (
+      SELECT doc_id, i FROM pos JOIN shared USING (gram)),
+    flagged AS (
+      SELECT doc_id, i,
+             CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       IS NULL
+                    OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                         + 25
+                  THEN 1 ELSE 0 END AS ns
+      FROM hits),
+    numbered AS (
+      SELECT doc_id, i,
+             sum(ns) OVER (PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS sid
+      FROM flagged),
+    spans AS (
+      SELECT doc_id, min(i) AS span_start, max(i) + 25 AS span_end,
+             max(i) + 25 - min(i) AS span_len
+      FROM numbered GROUP BY doc_id, sid)
+"""
+
+
+@_register(
+    "dedup_substring_spans",
+    _SUBSTRING_SPANS_SQL
+    + """
+    SELECT doc_id, span_start, span_end, span_len FROM spans
+    """,
+)
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every maximal span
+    covered by a ≥25-char substring that also occurs in ANOTHER
+    document — the removal ranges ExactSubstr would emit. The
+    suffix-array scan is re-expressed as its relational identity
+    (duplicated region = interval union of [i, i+k) over positions
+    whose k-gram is cross-doc shared): k-gram position explode →
+    distinct-doc count per gram (map-side-combinable, keyed on the
+    gram — the partitionable, spillable analogue of the suffix sort)
+    → per-doc islands merge. No document-pair enumeration anywhere;
+    cost is linear in corpus characters. See
+    operators/dedup.py:substring_dup_spans."""
+    from changedatacapture_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = substring_dup_spans(docs, k=25)
+    return out.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("span_len").cast("long").alias("span_len"),
+    )
+
+
+@_register(
+    "dedup_substring_stats",
+    _SUBSTRING_SPANS_SQL
+    + """
+    , per_doc AS (
+      SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS dup_chars
+      FROM spans GROUP BY doc_id)
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+           COALESCE(p.dup_chars, 0) AS dup_chars,
+           (COALESCE(p.dup_chars, 0) * CAST(1000000 AS BIGINT))
+             // length(d.text) AS dup_ppm
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def q_dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document substring-duplication accounting over the span
+    table: duplicated characters and exact-integer ppm of each doc
+    that is cross-document duplicated text — the statistic that
+    drives the keep/trim/drop policy decision in a production corpus
+    (Lee et al. report it corpus-wide before choosing cut thresholds).
+    Docs with no spans (or shorter than k) report 0."""
+    from changedatacapture_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, "documents", sf_dir)
+    spans = substring_dup_spans(docs, k=25)
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum("span_len").cast("long").alias("dup_chars")
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("long").alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("dup_chars"), F.lit(0)).alias("dup_chars"),
+            F.expr(
+                "(coalesce(dup_chars, CAST(0 AS BIGINT)) * "
+                "CAST(1000000 AS BIGINT)) DIV n_chars"
+            ).alias("dup_ppm"),
+        )
+    )
+
+
 @_register(
     "decontaminate_matrix",
     """

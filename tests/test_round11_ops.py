@@ -381,3 +381,37 @@ def test_embedding_neardup_hub_guard_modes(spark):
         ).collect()
     }
     assert audit == {"allpairs", "chained"}, audit
+
+
+# ---------------------------------------------------------------------------
+# substring dedup (Lee et al. 2022 ExactSubstr, relational form)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dup_spans_semantics(spark):
+    """Cross-doc shared k-grams produce merged maximal spans; intra-doc
+    repeats alone do NOT count; docs shorter than k contribute
+    nothing; hash_grams mode agrees with exact grams."""
+    from changedatacapture_spark.operators.dedup import substring_dup_spans
+
+    shared = "0123456789"  # k=6 grams inside this are cross-doc shared
+    rows = [
+        (0, "aaa" + shared + "zzz"),
+        (1, "b" + shared + "yy"),
+        (2, "ccccc"),              # shorter than k
+        (3, "ddddddddddddd"),      # intra-doc repeats only (no partner)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in substring_dup_spans(df, k=6).collect()
+    }
+    # doc 0: shared occupies positions 4..13 -> grams at 4..8 -> span [4, 14)
+    # doc 1: positions 2..11 -> grams at 2..6 -> span [2, 12)
+    assert out == {0: (4, 14, 10), 1: (2, 12, 10)}, out
+
+    hashed = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in substring_dup_spans(df, k=6, hash_grams=True).collect()
+    }
+    assert hashed == out

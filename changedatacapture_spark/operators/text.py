@@ -981,3 +981,111 @@ def gopher_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
         for c in rule_cols
     ] + [F.sum(F.col("passes_all").cast("long")).alias("n_pass_all")]
     return flags.groupBy("source").agg(*aggs)
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fit_pct: int = 30,
+    scale: int = 1000,
+) -> DataFrame:
+    """CCNet-style perplexity quality bucketing (Wenzek et al. 2020):
+    fit a bigram LM on a held-out corpus slice, score every OTHER
+    document's per-token surprisal under it, and cut the scored set
+    into head/middle/tail tertiles — the standard "keep the head,
+    maybe the middle, drop the tail" pretraining filter.
+
+    Exactness across engines: the FIT/SCORE split is the repo's
+    content-addressed md5 bucket (first ``fit_pct``% of buckets fit
+    the LM; the rest are scored — DISJOINT by construction, so no
+    document scores under a model that saw it). Probabilities are
+    add-one-smoothed ratios of exact integer counts,
+    P(w2|w1) = (c(w1,w2)+1) / (c(w1)+V); per-bigram surprisal is the
+    scaled-integer log ``floor(scale · ln((c(w1)+V)/(c(w1,w2)+1)))``
+    — the ln argument is one IEEE double division of two exact
+    integers, identical in any engine, and the 1000-step quantization
+    makes a last-ulp ln() difference crossing a floor boundary
+    vanishingly unlikely (verified hash-exact vs DuckDB at sf0.01).
+    Doc score = integer mean surprisal (milli-nats/bigram);
+    buckets = ntile(3) over the deterministic (score, id) total order.
+
+    Scale shape: the LM fit is two map-side-combinable aggregations
+    over the fit slice only; scoring joins the per-doc bigram stream
+    against the AGGREGATED LM relations (bigram table then prefix
+    table, both shuffles keyed by LM vocabulary — bounded by vocab²,
+    not corpus size); V is a 1-row broadcast scalar. The final ntile
+    is a single-partition window over one row per SCORED DOC — at
+    100 TB swap for the histogram-quantile cut (``text_quality_gate``
+    pattern); the tertile boundary is the only global state.
+
+    Output: ``doc_id, n_bigrams, ppl_milli, bucket`` for every scored
+    doc with ≥ 1 bigram; bucket ∈ head (most fluent) /middle/tail.
+    """
+    from pyspark.sql import Window as W
+
+    from changedatacapture_spark.operators.curation import split_bucket
+
+    b = split_bucket(f"CAST({id_col} AS STRING)")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        b.alias("_b"),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(text_col), "[^a-z]+", " ")), " "
+        ).alias("t"),
+    ).filter(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        "_b",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t)-2),"
+                " i -> struct(t[i] AS w1, t[i+1] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "_b", "bg.w1", "bg.w2")
+
+    fit = bigrams.filter(F.col("_b") < fit_pct)
+    lm = fit.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_b"))
+    prefix = lm.groupBy("w1").agg(F.sum("n_b").alias("n_p"))
+    vocab = lm.agg((F.count_distinct("w2") + 1).alias("v"))
+
+    scored = (
+        bigrams.filter(F.col("_b") >= fit_pct)
+        .join(lm, ["w1", "w2"], "left")
+        .join(prefix, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                scale
+                * F.log(
+                    (F.coalesce(F.col("n_p"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                    / (F.coalesce(F.col("n_b"), F.lit(0)) + 1).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("sum(s) DIV count(1)").alias("ppl_milli"),
+    )
+    nt = F.ntile(3).over(W.orderBy("ppl_milli", "doc_id"))
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "ppl_milli",
+        nt.alias("_t"),
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "ppl_milli",
+        F.when(F.col("_t") == 1, F.lit("head"))
+        .when(F.col("_t") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

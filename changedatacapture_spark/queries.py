@@ -7623,6 +7623,62 @@ def q_text_rare_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_ppl_buckets",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             {_hash_bucket_expr('strpos', 'CAST(doc_id AS VARCHAR)')} AS b,
+             string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ') AS t
+      FROM documents),
+    big AS MATERIALIZED (
+      SELECT doc_id, b, t[i] AS w1, t[i+1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2),
+    lm AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_b
+      FROM big WHERE b < 30 GROUP BY 1, 2),
+    prefix AS MATERIALIZED (
+      SELECT w1, CAST(sum(n_b) AS BIGINT) AS n_p FROM lm GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) + 1 AS BIGINT) AS v FROM lm),
+    scored AS (
+      SELECT s.doc_id,
+             CAST(floor(1000 * ln(
+               CAST(COALESCE(p.n_p, 0) + v.v AS DOUBLE)
+               / (COALESCE(l.n_b, 0) + 1))) AS BIGINT) AS s
+      FROM big s
+      LEFT JOIN lm l ON l.w1 = s.w1 AND l.w2 = s.w2
+      LEFT JOIN prefix p ON p.w1 = s.w1
+      CROSS JOIN v
+      WHERE s.b >= 30),
+    per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(s) // count(*) AS BIGINT) AS ppl_milli
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, n_bigrams, ppl_milli,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM (SELECT *, ntile(3) OVER (ORDER BY ppl_milli, doc_id) AS nt
+          FROM per_doc)
+    """,
+)
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity quality buckets (Wenzek et al. 2020):
+    bigram LM fit on the md5-bucket held-out 30% slice, every OTHER
+    document scored by scaled-integer mean surprisal under it
+    (milli-nats/bigram; fit and scored slices DISJOINT by the
+    content-addressed split), tertiled head/middle/tail — the
+    standard pretraining quality gate, exact enough to hash-match
+    across engines. All surprisal sums are non-negative (prefix count
+    ≥ bigram count, V ≥ 2 ⇒ every ln argument > 1), so Spark DIV and
+    DuckDB // agree. See operators/text.py:ppl_buckets."""
+    from changedatacapture_spark.operators.text import ppl_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ppl_buckets(docs, fit_pct=30, scale=1000)
+
+
+@_register(
     "text_quality_gate",
     """
     WITH sc AS (

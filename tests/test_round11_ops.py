@@ -415,3 +415,23 @@ def test_substring_dup_spans_semantics(spark):
         for r in substring_dup_spans(df, k=6, hash_grams=True).collect()
     }
     assert hashed == out
+
+
+def test_ppl_buckets_fit_score_disjoint(spark, sf_dir):
+    """CCNet bucketing contract: no scored document may come from the
+    LM fit slice (md5 buckets < 30), and the tertile labels must cover
+    the scored set in thirds."""
+    from changedatacapture_spark.operators.curation import split_bucket
+    from changedatacapture_spark.operators.text import ppl_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ppl_buckets(docs, fit_pct=30)
+    joined = out.join(
+        docs.select("doc_id", split_bucket("CAST(doc_id AS STRING)").alias("b")),
+        "doc_id",
+    )
+    assert joined.filter("b < 30").count() == 0
+    counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"head", "middle", "tail"}
+    assert max(counts.values()) - min(counts.values()) <= 1, counts

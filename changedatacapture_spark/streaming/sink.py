@@ -322,6 +322,7 @@ class SnapshotTable:
         guard: dict | None = None,
         expected_base: int | None = None,
         fresh_stats: bool = True,
+        stale_stats_buckets: set[int] | None = None,
     ) -> None:
         # concurrent-writer detection (commit-pointer CAS): the table is
         # single-writer by design, but a second writer must fail LOUDLY,
@@ -351,15 +352,26 @@ class SnapshotTable:
         # absent stats never prune, so reads stay exact either way)
         prev_stats = {} if prev is None else (prev.get("stats") or {})
         prev_fstats = {} if prev is None else (prev.get("fstats") or {})
+        # stale_stats_buckets: a REBASE commit (conflict retry) points
+        # some buckets at files written under an EARLIER version number
+        # than this commit, so the v != version carry test would adopt
+        # the winning writer's stats for content this writer replaced —
+        # those buckets must drop their carried stats instead (absent
+        # stats never prune, so reads stay exact)
+        def _carry(b: int, v: int) -> bool:
+            if v == version:
+                return False
+            return stale_stats_buckets is None or b not in stale_stats_buckets
+
         stats = {
             str(b): prev_stats[str(b)]
             for b, v in buckets.items()
-            if v != version and str(b) in prev_stats
+            if _carry(b, v) and str(b) in prev_stats
         }
         fstats = {
             str(b): prev_fstats[str(b)]
             for b, v in buckets.items()
-            if v != version and str(b) in prev_fstats
+            if _carry(b, v) and str(b) in prev_fstats
         }
         if fresh_stats:
             new_stats, new_fstats = self._collect_stats(
@@ -901,10 +913,24 @@ class SnapshotTable:
         except FileNotFoundError:
             return []
 
-    def _write_buckets(self, df: DataFrame, version: int) -> list[int]:
+    def _write_buckets(
+        self, df: DataFrame, version: int, dynamic: bool = False
+    ) -> list[int]:
         """Write ``df`` (bucket column included) partitioned by bucket
         under ``v=<version>``; returns the buckets actually written
         (empty buckets produce no directory).
+
+        ``dynamic=True`` (the merge hot path) switches this write to
+        dynamic partition overwrite: only the ``bucket=`` partitions
+        this job produces are replaced, so a concurrent writer's
+        disjoint buckets in the same version directory survive (the
+        precondition for the optimistic-concurrency rebase) and a
+        crashed attempt's re-run replaces exactly what it rewrites.
+        Callers in dynamic mode must NOT adopt listed buckets they did
+        not touch (stale crash leftovers may linger unreferenced).
+        The maintenance paths (overwrite/compact/rebucket) keep the
+        static full-directory wipe — a full rewrite WANTS the clean
+        slate.
 
         With ``cluster_cols``, rows sort within each write task by
         (bucket, cluster exprs) — a local sort, no extra shuffle — so
@@ -943,6 +969,8 @@ class SnapshotTable:
                 F.col("bucket"), *[F.expr(c) for c in self.cluster_cols]
             )
         writer = out.write.mode("overwrite").partitionBy("bucket")
+        if dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         if self.max_records_per_file:
             # split each sorted bucket into cluster-key-contiguous
             # files so per-file zone maps have something to prune
@@ -1002,6 +1030,7 @@ class SnapshotTable:
         batch_id: int | None = None,
         evolve_schema: bool = True,
         guard_cols: list[str] | None = None,
+        retry_conflicts: int = 0,
     ) -> None:
         """Apply a compacted micro-batch (≤1 row per key) as one merge.
 
@@ -1023,6 +1052,24 @@ class SnapshotTable:
         order-guarded mode — see :meth:`_merge_ordered`. Default mode
         is last-batch-wins, matching the reference
         (cdc_stream.py:664-689 applies batches independently).
+
+        ``retry_conflicts`` (default 0 = the original fail-loudly
+        contract) bounds OPTIMISTIC-CONCURRENCY retries on
+        :class:`ConcurrentWriteError` — the Delta conflict-resolution
+        semantics. A merge that loses the commit race but finds the
+        intervening commits touched a DISJOINT bucket set (same
+        schema, same bucket count, its files intact — the merge write
+        uses per-partition dynamic overwrite precisely so a racing
+        winner's write to the same version directory does not wipe
+        them) REBASES: a pure manifest-overlay commit, no Spark job
+        re-runs, sound because the losing writer's bucket contents
+        were computed from bucket files the winner provably didn't
+        change. Overlapping buckets, schema/layout drift, or a loss
+        detected before any file was written force a FULL REPLAN
+        against the winner's committed state. Either way both
+        writers' batches end up applied, one commit per writer in the
+        history, until the retry budget is exhausted — then the
+        original loud failure.
         """
         if batch_id is not None and batch_id == self.last_batch_id():
             return
@@ -1032,6 +1079,30 @@ class SnapshotTable:
                 evolve_schema,
             )
             return
+        for attempt in range(retry_conflicts + 1):
+            try:
+                self._merge_once(
+                    compacted, op_col, delete_op, batch_id, evolve_schema,
+                    try_rebase=retry_conflicts > 0,
+                )
+                return
+            except ConcurrentWriteError:
+                if attempt == retry_conflicts:
+                    raise
+
+    def _merge_once(
+        self,
+        compacted: DataFrame,
+        op_col: str,
+        delete_op: str,
+        batch_id: int | None,
+        evolve_schema: bool,
+        try_rebase: bool = False,
+    ) -> None:
+        """One optimistic merge attempt against the current pointer;
+        raises :class:`ConcurrentWriteError` when it loses the race
+        and (if ``try_rebase``) the cheap manifest rebase was not
+        applicable — the caller's loop replans."""
         if not self.exists():
             self.overwrite(
                 compacted.filter(F.col(op_col) != delete_op).drop(op_col), batch_id
@@ -1048,6 +1119,7 @@ class SnapshotTable:
         )
 
         manifest = {int(b): v for b, v in ptr["buckets"].items()}
+        base_manifest = dict(manifest)  # pre-overlay snapshot for rebase
         # committed key types govern hash routing — see _align_key_types
         aligned = _align_key_types(compacted, table_schema, self.key_cols)
         # persist once: the batch plan (parse + compact shuffle) feeds
@@ -1088,7 +1160,20 @@ class SnapshotTable:
             else:
                 new_data = upserts
 
-            written = self._write_buckets(new_data, version)
+            # dynamic partition overwrite + manifest adoption restricted
+            # to THIS batch's touched buckets: a racing writer's files
+            # in the same version directory survive (each write replaces
+            # only its own bucket= partitions — what makes the
+            # disjoint-bucket rebase in _rebase_commit sound), and any
+            # stale bucket directory a crashed attempt left outside the
+            # touched set is excluded from the manifest instead of
+            # adopted with unknown content
+            touched_set = set(touched)
+            written = [
+                b
+                for b in self._write_buckets(new_data, version, dynamic=True)
+                if b in touched_set
+            ]
         finally:
             source.unpersist()
         for b in touched:
@@ -1097,15 +1182,89 @@ class SnapshotTable:
             manifest[b] = version
 
         merged_schema = StructType(evolved_fields)
-        self._commit(
-            version,
-            batch_id,
-            manifest,
-            json.dumps(merged_schema.jsonValue()),
-            expected_base=base,
-            fresh_stats=self.stats_on_merge,
-        )
+        schema_json = json.dumps(merged_schema.jsonValue())
+        try:
+            self._commit(
+                version,
+                batch_id,
+                manifest,
+                schema_json,
+                expected_base=base,
+                fresh_stats=self.stats_on_merge,
+            )
+        except ConcurrentWriteError:
+            if not (
+                try_rebase
+                and self._rebase_commit(
+                    base_manifest, touched, written, version, batch_id,
+                    schema_json,
+                )
+            ):
+                # overlapping buckets / schema drift / clobbered files /
+                # third writer: the caller's retry loop replans from
+                # the winner's committed state
+                raise
         self._vacuum()
+
+    def _rebase_commit(
+        self,
+        base_manifest: dict[int, int],
+        touched: list[int],
+        written: list[int],
+        version_written: int,
+        batch_id: int | None,
+        schema_json: str,
+    ) -> bool:
+        """Attempt the cheap optimistic-concurrency rebase after a lost
+        commit race: re-point the already-written bucket files at the
+        winner's pointer, WITHOUT re-running any Spark job.
+
+        Sound iff the winner(s) provably did not change anything this
+        merge read or wrote: every bucket this merge TOUCHED must have
+        the same manifest entry now as at planning time (disjoint
+        write sets — the Delta conflict rule), the schema and bucket
+        count must be unchanged (layout drift invalidates routing and
+        column alignment), and this writer's orphaned files must still
+        exist (a winner whose commit left ``v=version_written``
+        unreferenced lets vacuum collect them). Returns False on any
+        doubt — the caller replans from scratch, which is always
+        correct. Carried zone-map stats for the rebased buckets are
+        dropped via ``stale_stats_buckets`` (they would otherwise
+        describe the winner's view of content this writer replaced).
+        """
+        ptr = self._read_pointer()
+        if ptr is None:
+            return False
+        cur = int(ptr["version"])
+        if int(ptr.get("n_buckets") or self.n_buckets) != self.n_buckets:
+            return False
+        if json.loads(ptr["schema"]) != json.loads(schema_json):
+            return False
+        cur_manifest = {int(b): v for b, v in ptr["buckets"].items()}
+        for b in touched:
+            if cur_manifest.get(b) != base_manifest.get(b):
+                return False
+        for b in written:
+            if not os.path.isdir(f"{self.path}/v={version_written}/bucket={b}"):
+                return False
+        new_manifest = dict(cur_manifest)
+        for b in touched:
+            new_manifest.pop(b, None)
+        for b in written:
+            new_manifest[b] = version_written
+        try:
+            self._commit(
+                cur + 1,
+                batch_id,
+                new_manifest,
+                schema_json,
+                expected_base=cur,
+                fresh_stats=self.stats_on_merge,
+                stale_stats_buckets=set(touched) | set(written),
+            )
+        except ConcurrentWriteError:
+            return False
+        return True
 
     def _merge_ordered(
         self,

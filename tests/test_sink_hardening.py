@@ -219,7 +219,7 @@ def test_interleaved_writers_fail_loudly(spark, tmp_path, monkeypatch):
     orig = SnapshotTable._write_buckets
     fired = []
 
-    def hook(self, df, version):
+    def hook(self, df, version, dynamic=False):
         if self is t1 and not fired:
             fired.append(True)
             t2.merge(  # concurrent writer lands first
@@ -228,7 +228,7 @@ def test_interleaved_writers_fail_loudly(spark, tmp_path, monkeypatch):
                 ),
                 batch_id=100,
             )
-        return orig(self, df, version)
+        return orig(self, df, version, dynamic)
 
     monkeypatch.setattr(SnapshotTable, "_write_buckets", hook)
     with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
@@ -317,3 +317,137 @@ def test_delta_sink_raises_without_delta(spark):
         pytest.skip("delta-spark present")
     with pytest.raises(ImportError):
         sink_mod.DeltaTableSink(spark, "/p", ["k"])
+
+
+# -- optimistic-concurrency retry (round-11) ------------------------------
+
+
+def _bucket_of(spark, t, k):
+    import pyspark.sql.functions as F
+
+    return (
+        spark.createDataFrame([(k,)], "k long")
+        .select(F.pmod(F.hash("k"), F.lit(t.n_buckets)).alias("b"))
+        .first()["b"]
+    )
+
+
+def _race(spark, tmp_path, monkeypatch, k1, k2, retry):
+    """Seed a table, then have t2 commit k2 while t1's merge of k1 is
+    mid-write. Returns (t1, write_calls_by_t1)."""
+    path = str(tmp_path / "t")
+    seed = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    seed.merge(
+        spark.createDataFrame(
+            [(k1, "c", 10), (k2, "c", 20)], "k long, op string, v long"
+        ),
+        batch_id=0,
+    )
+    t1 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    t2 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+
+    orig = SnapshotTable._write_buckets
+    fired = []
+    t1_writes = []
+
+    def hook(self, df, version, dynamic=False):
+        if self is not t1:
+            return orig(self, df, version, dynamic)
+        t1_writes.append(version)
+        out = orig(self, df, version, dynamic)
+        if not fired:
+            # the winner lands AFTER the loser's files are on disk but
+            # BEFORE its commit — the commit-time race the rebase covers
+            fired.append(True)
+            t2.merge(
+                spark.createDataFrame(
+                    [(k2, "u", 99)], "k long, op string, v long"
+                ),
+                batch_id=100,
+            )
+        return out
+
+    monkeypatch.setattr(SnapshotTable, "_write_buckets", hook)
+    t1.merge(
+        spark.createDataFrame([(k1, "u", 11)], "k long, op string, v long"),
+        batch_id=1,
+        retry_conflicts=retry,
+    )
+    return t1, t1_writes
+
+
+def test_retry_disjoint_buckets_rebases_without_recompute(
+    spark, tmp_path, monkeypatch
+):
+    """Racing merges to DISJOINT buckets must both commit; the loser
+    rebases its already-written files (manifest overlay, no second
+    Spark write job) and the history records both versions."""
+    probe = SnapshotTable(spark, str(tmp_path / "probe"), ["k"], n_buckets=2)
+    k1 = 0
+    k2 = next(
+        k for k in range(1, 50)
+        if _bucket_of(spark, probe, k) != _bucket_of(spark, probe, k1)
+    )
+
+    t1, writes = _race(spark, tmp_path, monkeypatch, k1, k2, retry=1)
+    assert _rows(t1) == [(k1, 11), (k2, 99)]
+    assert len(writes) == 1, "disjoint rebase must not re-run the write job"
+    hist = t1.history()
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    assert [e["batch_id"] for e in hist] == [0, 100, 1]
+
+
+def test_retry_overlapping_buckets_replans_and_succeeds(
+    spark, tmp_path, monkeypatch
+):
+    """Racing merges to the SAME bucket: the loser replans against the
+    winner's committed state and succeeds; both commits appear."""
+    probe = SnapshotTable(spark, str(tmp_path / "probe"), ["k"], n_buckets=2)
+    # two keys in the SAME bucket
+    k1 = 0
+    k2 = next(
+        k for k in range(1, 50)
+        if _bucket_of(spark, probe, k) == _bucket_of(spark, probe, k1)
+    )
+    t1, writes = _race(spark, tmp_path, monkeypatch, k1, k2, retry=1)
+    # loser replanned: its anti-join ran against the winner's v, so the
+    # winner's update to k2 survives alongside the loser's to k1
+    assert _rows(t1) == [(k1, 11), (k2, 99)]
+    assert len(writes) == 2, "overlap must force a full replan write"
+    hist = t1.history()
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    assert [e["batch_id"] for e in hist] == [0, 100, 1]
+
+
+def test_retry_exhausted_still_raises(spark, tmp_path, monkeypatch):
+    """retry_conflicts bounds the loop: with enough racing winners the
+    merge still fails loudly."""
+    path = str(tmp_path / "t")
+    seed = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    seed.merge(
+        spark.createDataFrame([(0, "c", 1)], "k long, op string, v long"),
+        batch_id=0,
+    )
+    t1 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    t2 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    orig = SnapshotTable._write_buckets
+    n = [0]
+
+    def hook(self, df, version, dynamic=False):
+        if self is t1:
+            n[0] += 1
+            t2.merge(  # a winner lands before EVERY attempt
+                spark.createDataFrame(
+                    [(0, "u", 100 + n[0])], "k long, op string, v long"
+                ),
+                batch_id=100 + n[0],
+            )
+        return orig(self, df, version, dynamic)
+
+    monkeypatch.setattr(SnapshotTable, "_write_buckets", hook)
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge(
+            spark.createDataFrame([(0, "u", 7)], "k long, op string, v long"),
+            batch_id=1,
+            retry_conflicts=2,
+        )

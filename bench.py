@@ -173,9 +173,15 @@ SF1_SET = [
     # replacement for the quadratic all-pairs closure at scale
     "text_inverted_index",
     "emb_dedup_groups_chained",
-    # the embedding dedup capstone LAST: it is the single heaviest
-    # entry (~1/3 of the whole section), so on a slow host the budget
-    # skips it alone instead of the tail's breadth
+    # round-11: first 10x walls for the substring-dedup scan (linear in
+    # corpus characters by construction) and the CCNet perplexity
+    # bucketing (LM join keyed by vocabulary, not corpus size)
+    "dedup_substring_spans",
+    "text_ppl_buckets",
+    # the embedding dedup capstone LAST — round 11 bounded it with the
+    # hub guard (all-pairs only in ≤20-member buckets, chained above),
+    # so this wall now evidences the LINEAR capped hybrid, not the
+    # retired Σ bucket² all-pairs emission
     "emb_dedup_groups",
 ]
 

@@ -9813,28 +9813,31 @@ _DEMOTED = [
     "events_resample",  # 7 greens; time-series family keeps ewma + minute_spikes in-window
     "kmv_distinct_users",  # 7 greens; KMV sketch family kept by kmv_set_algebra (in window)
     "doc_chunks",  # 6 greens; chunking family kept by doc_cdc_chunks (in window)
+    # round-11 rebalance: sixteen multi-green members hand slots to the
+    # six NEW round-11 queries and ten never-driver-green veterans.
+    # Family coverage retained in-window as noted:
+    "cdc_schema_evolution",  # 7 greens; U1 schema evolution also exercised by cdc_snapshot_merge_e2e's evolve path + oracle log
+    "cdc_snapshot_merge_guarded",  # 7 greens; K3 guarded merge stays oracle-paired; merge family keeps cdc_snapshot_merge_e2e
+    "events_stateful_sessions",  # 7 greens; superseded in-window by events_tws_sessions (same oracle, v2 state API)
+    "cdc_scd2_history",  # 5 greens; SCD2 windowing shape kept by events_user_deltas + oracle log
+    "cdc_incremental_agg",  # 5 greens; delta-propagated agg shape kept by dq_expectations + oracle log
+    "dedup_survivors",  # 5 greens; closure family keeps emb_dedup_groups_chained (promoted, same connected-components core)
+    "text_quality_gate",  # 3 greens; quality-gating family hands the slot to text_ppl_buckets (promoted)
+    "events_minute_spikes",  # 3 greens; time-series family keeps events_ewma + events_mad_outliers in-window
+    "cdc_time_travel",  # 3 greens; versioned-read family hands the slot to cdc_change_feed (promoted)
+    "q_bucketed_join",  # 3 greens; co-located join shape stays in bench + oracle log; join chains keep q8/q21/q20
+    "media_decode_bmp",  # 3 greens; codec family keeps media_decode_mixed in-window + media_ahash_groups promoted
+    "q7_nation_pair_revenue",  # 3 greens; join-chain family keeps q8_market_share + q21 in-window
+    "q9_product_profit",  # 3 greens; profit-rollup shape kept by q8/q20 + oracle log
+    "text_boilerplate",  # 3 greens; corpus-frequency family keeps bm25/bpe/gopher rows in-window
+    "graph_pagerank_trade",  # 3 greens; graph family keeps graph_triangles_trade in-window
+    "events_numeric_profile",  # 3 greens; moments family keeps events_mad_outliers in-window
 ]
 
 _PROMOTED = [
-    "cdc_schema_evolution",
     "cdc_snapshot_merge_e2e",
-    "cdc_snapshot_merge_guarded",
     "cdc_window_stream_e2e",
-    "events_stateful_sessions",
     "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
-    "cdc_scd2_history",  # Type-2 history materialization (round 6)
-    "cdc_incremental_agg",  # delta-propagated materialized aggregate (round 6)
-    "dedup_survivors",  # pairs→components→survivor capstone (round 6)
-    "text_quality_gate",  # histogram-threshold percentile cut (round 8)
-    "events_minute_spikes",  # trailing-window anomaly detection (round 8)
-    "cdc_time_travel",  # versioned read at a past commit (round 8)
-    "q_bucketed_join",  # shuffle-free co-located bucketed join (round 8)
-    "media_decode_bmp",  # real BMP encode→decode through Arrow (round 8)
-    "q7_nation_pair_revenue",  # 6-way join chain: first driver row (round 8)
-    "q9_product_profit",  # profit rollup join chain: first driver row (round 8)
-    "text_boilerplate",  # corpus-frequency boilerplate lines: first driver row (round 8)
-    "graph_pagerank_trade",  # NEW family: fixed-point PageRank (round 8)
-    "events_numeric_profile",  # NEW family: portable moments profile (round 8)
     # round-9 window: six NEW families...
     "graph_triangles_trade",  # NEW: degree-ordered triangle counting (round 9)
     "events_mad_outliers",  # NEW: exact median/MAD robust outliers (round 9)
@@ -9871,6 +9874,24 @@ _PROMOTED = [
     "events_stream_rate_limit",  # NEW: stateful admission control, stream == batch (round 10)
     "media_decode_wav",  # NEW: real RIFF/WAVE chunk-walking decode (round 10)
     "text_gopher_report",  # NEW: Gopher Appendix-A rule suite (round 10)
+    # round-11 window: six NEW queries and ten never-driver-green
+    # veterans earn first rows; sixteen multi-green members rotate out
+    "events_tws_sessions",  # NEW: transformWithStateInPandas sessionization w/ event-time timers (round 11)
+    "events_tws_rate_limit",  # NEW: v2 MapState admission control, exact under out-of-order replay (round 11)
+    "dedup_substring_spans",  # NEW: Lee et al. exact substring dedup spans (round 11)
+    "dedup_substring_stats",  # NEW: per-doc substring-duplication accounting (round 11)
+    "text_ppl_buckets",  # NEW: CCNet perplexity head/middle/tail buckets (round 11)
+    "emb_hot_buckets",  # NEW: embedding hub-guard audit - the capped emb_dedup_groups' coverage report (round 11)
+    "cdc_change_feed",  # never-green veteran: version-to-version change feed
+    "decontaminate_matrix",  # never-green veteran: cross-source contamination matrix
+    "dedup_minhash_pairs_capped",  # never-green veteran: LSH hub guard active, min-surviving-band emission
+    "emb_dedup_groups_chained",  # never-green veteran: linear chained embedding closure
+    "events_stream_dedup",  # never-green veteran: dropDuplicatesWithinWatermark e2e
+    "media_ahash_groups",  # never-green veteran: perceptual-hash duplicate groups
+    "privacy_k_anonymity",  # never-green veteran: k-anonymity generalization bands
+    "q20_heavy_red_suppliers",  # never-green veteran: TPC-H Q20 nested-exists chain
+    "text_collocations_lift",  # never-green veteran: integer-exact PMI collocations
+    "token_budget_select",  # never-green veteran: greedy token-budget selection
 ]
 
 DRIVER_WINDOW = 50

@@ -445,3 +445,35 @@ def test_skew_split_join_has_both_paths(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe_thr
             )
+
+
+def test_substring_spans_no_pair_join(spark, sf_dir):
+    """The substring-dedup scan must contain NO document-pair join and
+    no cartesian product: cost is linear in corpus characters (gram
+    agg keyed on the gram + one position join back + per-doc window)."""
+    df = _run(spark, sf_dir, "dedup_substring_spans")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    # islands merge is one window per doc over surviving positions
+    assert "Window" in plan
+
+
+def test_ppl_buckets_lm_joins_stay_vocab_keyed(spark, sf_dir):
+    """The perplexity scorer joins the per-doc bigram stream against
+    AGGREGATED LM relations; the vocabulary scalar must arrive as a
+    1-row broadcast, never a shuffle of the corpus."""
+    df = _run(spark, sf_dir, "text_ppl_buckets")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan
+    assert has_broadcast_join(df), "V scalar / LM side should broadcast"
+
+
+def test_emb_dedup_capped_no_unbounded_bucket_join(spark, sf_dir):
+    """The capped embedding dedup must keep its bucket census broadcast
+    (≤ 2^n_planes rows) and produce no cartesian product; the hot path
+    joins on (bucket, rank) equi-keys only."""
+    df = _run(spark, sf_dir, "emb_dedup_groups")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan

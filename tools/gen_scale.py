@@ -82,11 +82,56 @@ def replicate(df: DataFrame, mult: int, shifts: dict[str, int]) -> DataFrame:
     return out
 
 
+def open_vocab_text(text_col: str = "text", variants: int = 1600) -> F.Column:
+    """Rewrite a document's text with an OPEN (realistic) vocabulary.
+
+    Why: the synthetic corpus has a 31-token vocabulary, which makes
+    every exact similarity join's OUTPUT quadratic (near-identical
+    distinct-token sets everywhere) and masks prefix/LSH selectivity
+    (PERF_r10 §7). This map splits each base token into up to
+    ``variants`` context-addressed variants (~31 × 1600 ≈ 50k distinct
+    tokens) with a Zipf-like frequency profile, while PRESERVING
+    duplicate structure: the variant of an occurrence is a
+    deterministic function of its (prev, tok, next) trigram, so
+    identical passages — the actual near-dups — map identically and
+    keep their shared tokens/shingles, but unrelated documents that
+    merely share common words no longer collide.
+
+    Zipf-like: variant = floor(variants^u) with u uniform from the
+    trigram hash ⇒ P(variant = v) ∝ 1/v (exponent-1 Zipf), the
+    natural-language frequency shape.
+    """
+    return F.expr(
+        f"""
+        array_join(
+          transform(split({text_col}, ' '), (tk, i) ->
+            CASE WHEN tk = '' THEN tk ELSE concat(
+              tk, '~',
+              CAST(floor(pow({variants},
+                pmod(xxhash64(
+                  element_at(split({text_col}, ' '), greatest(i, 1)),
+                  tk,
+                  element_at(split({text_col}, ' '),
+                    least(i + 2, size(split({text_col}, ' ')))),
+                  42), 1000000) / 1000000.0)) AS BIGINT)) END),
+          ' ')
+        """
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, ".scaledata", "sf1"))
+    ap.add_argument(
+        "--vocab",
+        choices=["closed", "open"],
+        default="closed",
+        help="open = context-addressed Zipfian ~50k-token vocabulary "
+        "for documents.text (similarity-join realism); closed = the "
+        "original 31-token corpus",
+    )
     args = ap.parse_args()
 
     from changedatacapture_spark.session import get_spark
@@ -131,9 +176,10 @@ def main() -> int:
                 cases = F.when(
                     F.col("_rep") == i, F.translate(F.col("text"), src, dst)
                 ).otherwise(cases)
-            rep = rep.withColumn("text", cases).withColumn(
-                "n_chars", F.length("text")
-            )
+            rep = rep.withColumn("text", cases)
+            if args.vocab == "open":
+                rep = rep.withColumn("text", open_vocab_text("text"))
+            rep = rep.withColumn("n_chars", F.length("text"))
         elif t == "embeddings":
             # per-replica orthogonal map: circular shift of dimensions
             # by a replica-dependent stride plus deterministic sign

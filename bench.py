@@ -120,6 +120,14 @@ EXTRA = [
     # 100 s at sf0.1 — so its wall measures output volume, not the
     # algorithm; see PERF_r10.md §7 and its sf0.01 oracle contract)
     "events_heavy_hitters",
+    # round-11 second batch: temperature mixing (bounded SOURCES
+    # table), z-order pruning audit (3 layout sorts), engine-exact
+    # HLL (map-combinable register maxes), DSIR importance selection
+    # (bounded 1024-bucket feature shuffle + broadcast weight table)
+    "mix_temperature",
+    "events_zorder_scan",
+    "events_hll_distinct",
+    "text_dsir_select",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -178,6 +186,10 @@ SF1_SET = [
     # bucketing (LM join keyed by vocabulary, not corpus size)
     "dedup_substring_spans",
     "text_ppl_buckets",
+    # round-11 second batch: HLL's wall should be scan-bound (constant
+    # 64-register state), DSIR's scan+bounded-shuffle likewise
+    "events_hll_distinct",
+    "text_dsir_select",
     # the embedding dedup capstone LAST — round 11 bounded it with the
     # hub guard (all-pairs only in ≤20-member buckets, chained above),
     # so this wall now evidences the LINEAR capped hybrid, not the

@@ -683,3 +683,131 @@ def token_waterfill(
             ).alias("capped"),
         )
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-based source sampling weights at alpha = 1/2: the
+    multilingual/multi-source mixing rule (p_s proportional to
+    (n_s/N)^alpha) that flattens the natural distribution so small
+    sources are upsampled relative to giant crawls — the standard
+    sampling scheme of multilingual pretraining (XLM-R-style), sitting
+    between natural sampling (alpha=1) and uniform (alpha=0).
+
+    Exactness across engines: alpha = 1/2 makes the unnormalized
+    weight an integer square root, computed EXACTLY — the double
+    ``sqrt`` is corrected by one integer comparison on each side
+    (``(s+1)^2 <= n`` / ``s^2 > n``), so the result is floor(sqrt(n))
+    bit-for-bit on any engine regardless of libm. Normalization is
+    scaled-ppm integer floor division over the exact BIGINT sum of
+    roots. For arbitrary alpha at scale the weight becomes one double
+    ``pow`` per SOURCE (a bounded relation), not per row.
+
+    Scale: one map-side-combinable token-count aggregate over the
+    corpus (the only full scan); everything after operates on the
+    bounded SOURCES table, and the 1-row total joins back as a
+    broadcast — no second scan, no driver collect.
+
+    Output: ``source, n_tokens, natural_ppm, temp_ppm, boost_milli,
+    effective_tokens`` — ``boost_milli`` > 1000 means the source is
+    upsampled vs natural; ``effective_tokens`` is its share of the
+    unchanged global token budget under temperature sampling.
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
+    )
+    isqrt = F.expr(
+        "CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)"
+        "          * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)"
+        "          <= n_tokens"
+        "     THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1 "
+        "     WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+        "          * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
+        "          > n_tokens"
+        "     THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1 "
+        "     ELSE CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) END"
+    )
+    rooted = per.withColumn("s", isqrt)
+    tot = rooted.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("s").alias("tot_s")
+    )
+    return (
+        rooted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 DIV tot_tokens").alias("natural_ppm"),
+            F.expr("s * 1000000 DIV tot_s").alias("temp_ppm"),
+            F.expr("tot_tokens * (s * 1000000 DIV tot_s) DIV 1000000").alias(
+                "effective_tokens"
+            ),
+        )
+        .withColumn(
+            "boost_milli",
+            F.expr("temp_ppm * 1000 DIV greatest(natural_ppm, 1)"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "natural_ppm",
+            "temp_ppm",
+            "boost_milli",
+            "effective_tokens",
+        )
+    )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    groups: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Duplicate-cluster-atomic train/val/test assignment: hash the
+    duplicate GROUP's canonical id (not the document's own) into the
+    split bucket, so every member of a near-dup cluster lands in the
+    same split — the guard against train/test leakage through
+    near-duplicates that plain per-document splitting
+    (``split_assign``) cannot give. Documents in no cluster are their
+    own singleton group (left join + coalesce), so the split remains
+    total and content-addressed.
+
+    ``groups`` is any (doc_id, group_id) relation — typically the
+    MinHash→LSH→connected-components closure (``dedup_groups``) or
+    the embedding closure; the operator is representation-agnostic.
+
+    Scale: one doc_id-keyed equi-join (the groups relation is tiny
+    relative to the corpus — only clustered docs appear) and a pure
+    md5 bucket expression; no window, no extra shuffle beyond the
+    join.
+
+    Output: ``doc_id, group_id, bucket, split``.
+    """
+    g = groups.select(
+        F.col(id_col).alias("_gid_doc"), F.col("group_id").alias("_gid")
+    )
+    assigned = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(g, F.col("doc_id") == F.col("_gid_doc"), "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_gid"), F.col("doc_id")).alias("group_id"),
+        )
+    )
+    bucket = split_bucket("CAST(group_id AS STRING)")
+    return assigned.select(
+        "doc_id",
+        F.col("group_id").cast("long").alias("group_id"),
+        bucket.alias("bucket"),
+    ).withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN bucket < {train_pct} THEN 'train' "
+            f"WHEN bucket < {train_pct + val_pct} THEN 'val' "
+            "ELSE 'test' END"
+        ),
+    )

@@ -330,3 +330,107 @@ def exact_heavy_hitters(
             "share_ppm"
         ),
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
+    p=6 (m=64 registers), built from engine-portable exact integer
+    arithmetic so a DuckDB oracle reproduces every register and the
+    estimate bit-for-bit — unlike ``approx_count_distinct``, whose
+    HLL++ register layout is engine-private.
+
+    Mechanics: 48-bit md5-derived hash per key; low 6 bits pick the
+    register, the remaining 42-bit field w contributes rank
+    ``43 - bitlen(w)`` (leading zeros + 1; w=0 → 43). The register
+    value is ``max(rank)`` — idempotent, so no pre-distinct is needed
+    and the aggregation is map-side combinable: THE HLL scale
+    property (64 longs of state per group at any input size, mergeable
+    across partitions/streams). The harmonic mean is kept exact by
+    scaling: ``s_scaled = Σ_j 2^(43 - M_j)`` is an exact BIGINT, and
+    the estimate is one double division of exact integers (identical
+    IEEE result on any engine). Small-range correction: linear
+    counting ``floor(m·ln(m/V))`` when the raw estimate ≤ 2.5m and
+    empty registers exist — the standard regime switch.
+
+    bitlen is computed relationally (``size(filter(sequence(0,41),
+    k -> w >= 2^k))``), no log2 floor at power-of-two boundaries.
+
+    Output per group: ``grp, m, n_zero, s_scaled, est_hll, est,
+    exact_keys, err_ppm`` (exact count alongside as the quality loop;
+    err floor'd via double so both engines agree on negatives).
+    """
+    m, B = 64, 42  # p=6; 48-bit hash = 6 register bits + 42-bit field
+    hv = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    ranks = df.select(
+        F.col(group_col).alias("grp"),
+        (hv % m).alias("j"),
+        (hv / m).cast("long").alias("w"),
+    ).withColumn(
+        "r",
+        F.expr(
+            f"CAST({B + 1} - size(filter(sequence(0, {B - 1}),"
+            " k -> w >= shiftleft(CAST(1 AS BIGINT), k))) AS BIGINT)"
+        ),
+    )
+    maxes = ranks.groupBy("grp", "j").agg(F.max("r").alias("mj"))
+    allregs = (
+        ranks.select("grp")
+        .distinct()
+        .select("grp", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"))
+    )
+    regs = allregs.join(maxes, ["grp", "j"], "left").select(
+        "grp", "j", F.coalesce("mj", F.lit(0)).alias("mj")
+    )
+    summ = regs.groupBy("grp").agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {B + 1} - mj)")
+        ).alias("s_scaled"),
+        F.sum(F.expr("CASE WHEN mj = 0 THEN 1 ELSE 0 END")).alias("n_zero"),
+    )
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(key_col).alias("exact_keys")
+    )
+    # alpha_m for m=64 as ppm: 0.7213/(1+1.079/64) = 0.709341.
+    # Every literal is cast to DOUBLE explicitly: bare decimal literals
+    # parse as DECIMAL on both engines and the product overflows
+    # DECIMAL(18) — and decimal vs double arithmetic would round
+    # differently anyway.
+    c = (
+        "(CAST(709341 AS DOUBLE) * CAST(4096 AS DOUBLE)"
+        " * CAST(8796093022208 AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+    )
+    return (
+        summ.join(exact, "grp")
+        .withColumn(
+            "est_hll",
+            F.expr(f"CAST(floor({c} / s_scaled) AS BIGINT)"),
+        )
+        .withColumn(
+            "est",
+            F.expr(
+                f"CASE WHEN est_hll <= {5 * m // 2} AND n_zero > 0 "
+                f"THEN CAST(floor(CAST({m} AS DOUBLE)"
+                f" * ln(CAST({m} AS DOUBLE) / n_zero)) AS BIGINT) "
+                "ELSE est_hll END"
+            ),
+        )
+        .select(
+            "grp",
+            F.lit(m).cast("long").alias("m"),
+            "n_zero",
+            "s_scaled",
+            "est_hll",
+            "est",
+            "exact_keys",
+            F.expr(
+                "CAST(floor((est - exact_keys) * CAST(1000000 AS DOUBLE)"
+                " / exact_keys) AS BIGINT)"
+            ).alias("err_ppm"),
+        )
+    )

@@ -1089,3 +1089,123 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target_cond: Column,
+    n_features: int = 1024,
+    scale: int = 1000,
+    keep_num: int = 1,
+    keep_den: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023): score every RAW document by how much more likely its hashed
+    n-gram features are under the TARGET domain's distribution than
+    under the raw distribution, then keep the top slice. This is the
+    production recipe for "find the Wikipedia-like fraction of the
+    crawl": fit two bag-of-hashed-ngrams multinomials (add-one
+    smoothed), importance log-weight = Σ_features c_doc[b] ·
+    (ln p_target[b] − ln p_raw[b]).
+
+    ``target_cond`` partitions the corpus: rows where it holds fit the
+    target distribution; all OTHER rows fit the raw distribution and
+    are the scored/selected population (fit and scored populations for
+    the raw side coincide, as in the paper — q̂ is the raw corpus's own
+    distribution).
+
+    Exactness: features are md5-hashed unigram+bigram occurrences
+    (engine-portable); each per-feature weight is
+    ``floor(scale · (ln((ct+1)/(T+m)) − ln((cr+1)/(R+m))))`` — two
+    IEEE-double logs of exact-integer ratios, identical cross-engine —
+    and doc scores are exact integer sums of those weights. Selection
+    keeps the top ``keep_num/keep_den`` of scored docs by the
+    deterministic (score DESC, id) total order.
+
+    Scale shape: one tokenizing corpus scan → feature-count shuffle
+    keyed by the BOUNDED feature space (m buckets, not vocab); totals
+    are a broadcast 1-row aggregate; the m-row weight table BROADCASTS
+    back onto the occurrence stream (no corpus-sized shuffle on the
+    scoring side); per-doc sum is map-side combinable. The final
+    rank is a single-partition window over one row per scored doc —
+    at 100 TB swap for the histogram-quantile cut (the
+    ``text_quality_gate`` pattern); the selection threshold is the
+    only global state.
+
+    Output: ``doc_id, n_feats, logw_milli, sel_rank, selected`` for
+    every scored (raw) doc.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_cond.cast("int").alias("is_tgt"),
+        F.split(
+            F.trim(F.regexp_replace(F.lower(text_col), "[^a-z]+", " ")), " "
+        ).alias("t"),
+    ).filter(F.size("t") >= 1)
+    feats = toks.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(
+            F.expr(
+                # sequence(0, n) is DESCENDING for n < 0, so the bigram
+                # arm must be gated on size >= 2, not clamped
+                "concat(filter(t, x -> x <> ''),"
+                " CASE WHEN size(t) >= 2"
+                " THEN transform(sequence(0, size(t) - 2),"
+                "                i -> concat(t[i], ' ', t[i+1]))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END)"
+            )
+        ).alias("feat"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("feat")), 1, 8), 16, 10).cast("long")
+        % n_features
+    )
+    occ = feats.select("doc_id", "is_tgt", b.alias("b"))
+    counts = occ.groupBy("b").agg(
+        F.sum("is_tgt").alias("ct"),
+        F.sum(F.expr("1 - is_tgt")).alias("cr"),
+    )
+    tot = counts.agg(
+        F.sum("ct").alias("t_tot"), F.sum("cr").alias("r_tot")
+    )
+    weights = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(floor({scale} * ("
+            f"ln(CAST(ct + 1 AS DOUBLE) / CAST(t_tot + {n_features} AS DOUBLE))"
+            f" - ln(CAST(cr + 1 AS DOUBLE) / CAST(r_tot + {n_features} AS DOUBLE))"
+            ")) AS BIGINT)"
+        ).alias("w"),
+    )
+    scored = (
+        occ.filter(F.col("is_tgt") == 0)
+        .join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").alias("logw_milli"),
+        )
+    )
+    wk = W.orderBy(F.col("logw_milli").desc(), "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "n_feats",
+        "logw_milli",
+        F.row_number().over(wk).alias("sel_rank"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_scored"),
+    )
+    return ranked.select(
+        "doc_id",
+        "n_feats",
+        "logw_milli",
+        F.col("sel_rank").cast("long").alias("sel_rank"),
+        F.expr(
+            f"sel_rank <= (n_scored * {keep_num} + {keep_den - 1})"
+            f" DIV {keep_den}"
+        ).alias("selected"),
+    )

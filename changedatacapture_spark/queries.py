@@ -5202,6 +5202,334 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mix_temperature",
+    """
+    WITH per AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source),
+    rooted AS (
+      SELECT source, n_tokens,
+             CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                       * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
+                       <= n_tokens
+                  THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1
+                  WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                       * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                       > n_tokens
+                  THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1
+                  ELSE CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) END
+               AS s
+      FROM per),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+             CAST(sum(s) AS BIGINT) AS tot_s
+      FROM rooted)
+    SELECT source, n_tokens,
+           CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS natural_ppm,
+           CAST(s * 1000000 // tot_s AS BIGINT) AS temp_ppm,
+           CAST((s * 1000000 // tot_s) * 1000
+                // greatest(n_tokens * 1000000 // tot_tokens, 1) AS BIGINT)
+             AS boost_milli,
+           CAST(tot_tokens * (s * 1000000 // tot_s) // 1000000 AS BIGINT)
+             AS effective_tokens
+    FROM rooted, tot
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source sampling (alpha = 1/2): the
+    multilingual-pretraining mixing rule p_s ~ (n_s/N)^alpha that
+    upsamples small sources relative to giant crawls. The alpha=1/2
+    weight is an EXACT integer square root (double sqrt corrected by
+    one integer comparison each side), so both engines agree
+    bit-for-bit; normalization is scaled-ppm integer floor division.
+    One corpus token-count aggregate, then everything runs on the
+    bounded SOURCES table with a broadcast 1-row total. See
+    operators/curation.py:temperature_mix."""
+    from changedatacapture_spark.operators.curation import temperature_mix
+
+    docs = load_table(spark, "documents", sf_dir)
+    return temperature_mix(docs)
+
+
+def _zorder8_arith_sql(a: str, b: str) -> str:
+    """Arithmetic Morton interleave of two 8-bit non-negative ints —
+    the engine-portable twin of layout.zorder16 (bit i of ``a`` lands
+    on even position 2i, of ``b`` on odd 2i+1; disjoint bits make +
+    equal to OR)."""
+    terms = [
+        f"(({a} // {1 << i}) % 2) * {1 << (2 * i)}"
+        f" + (({b} // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@_register(
+    "events_zorder_scan",
+    f"""
+    WITH base AS (
+      SELECT event_id AS eid,
+             (user_id * 37) % 256 AS bx,
+             greatest(CAST(floor(value * 100) AS BIGINT), 0) % 256 AS by_
+      FROM events),
+    zd AS (
+      SELECT eid, bx, by_,
+             CAST({_zorder8_arith_sql('bx', 'by_')} AS BIGINT) AS zv
+      FROM base),
+    lay AS (
+      SELECT l.layout, zd.eid, zd.bx, zd.by_,
+             CASE l.layout WHEN 'natural' THEN 0
+                           WHEN 'single' THEN zd.bx ELSE zd.zv END AS k1
+      FROM zd CROSS JOIN (VALUES ('natural'), ('single'), ('zorder'))
+                 AS l(layout)),
+    rn AS (
+      SELECT layout, bx, by_,
+             row_number() OVER (PARTITION BY layout ORDER BY k1, eid) AS rn,
+             count(*) OVER (PARTITION BY layout) AS n
+      FROM lay),
+    files AS (
+      SELECT layout, bx, by_, (rn - 1) // ((n + 63) // 64) AS f
+      FROM rn),
+    stats AS (
+      SELECT layout, f,
+             min(bx) AS min_bx, max(bx) AS max_bx,
+             min(by_) AS min_by, max(by_) AS max_by,
+             count(*) AS cnt
+      FROM files GROUP BY 1, 2),
+    agg AS (
+      SELECT layout,
+             CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(CASE WHEN min_bx <= 47 AND max_bx >= 32
+                            AND min_by <= 47 AND max_by >= 32
+                           THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+             CAST(sum(CASE WHEN min_bx <= 47 AND max_bx >= 32
+                            AND min_by <= 47 AND max_by >= 32
+                           THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned
+      FROM stats GROUP BY layout),
+    tr AS (
+      SELECT CAST(sum(CASE WHEN bx BETWEEN 32 AND 47
+                            AND by_ BETWEEN 32 AND 47
+                           THEN 1 ELSE 0 END) AS BIGINT) AS true_rows
+      FROM base)
+    SELECT a.layout, a.n_files, a.files_scanned, a.rows_scanned, t.true_rows
+    FROM agg a CROSS JOIN tr t
+    """,
+)
+def q_events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order data-skipping audit (the measurement behind Delta's
+    ``OPTIMIZE ZORDER BY``): lay the events table out three ways —
+    insertion order, single-column sort, Morton z-curve of
+    (user bucket, value bucket) — split into 64 equal files with
+    per-file min/max zone stats, and count files/rows a 2-D box
+    predicate scans under each. The z-curve layout is the one
+    SnapshotTable's ``cluster_cols=[zorder16_sql(...)]`` writes at
+    scale; this query makes the pruning win measurable and
+    hash-exact (pure integer interleave arithmetic on both engines).
+    See operators/layout.py:layout_scan_compare."""
+    from changedatacapture_spark.operators.layout import layout_scan_compare
+
+    ev = load_table(spark, "events", sf_dir)
+    # multiplier/centi-scaling spread both dimensions across the full
+    # 8-bit cell range at every scale factor (raw user_id spans only
+    # 0..14 at sf0.001, which would leave the probe box empty)
+    return layout_scan_compare(
+        ev,
+        x=(F.col("user_id") * 37) % 256,
+        y=F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(0))
+        % 256,
+        order_col="event_id",
+    )
+
+
+@_register(
+    "events_hll_distinct",
+    """
+    WITH hashed AS (
+      SELECT event_type AS grp,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+               AS hv
+      FROM events),
+    ranks AS (
+      SELECT grp, hv % 64 AS j, hv // 64 AS w,
+             CAST(43 - len(list_filter(generate_series(0, 41),
+                  k -> (hv // 64) >= (CAST(1 AS BIGINT) << k))) AS BIGINT)
+               AS r
+      FROM hashed),
+    maxes AS (
+      SELECT grp, j, max(r) AS mj FROM ranks GROUP BY 1, 2),
+    allregs AS (
+      SELECT grp, unnest(generate_series(0, 63)) AS j
+      FROM (SELECT DISTINCT grp FROM hashed)),
+    regs AS (
+      SELECT a.grp, a.j, coalesce(m.mj, 0) AS mj
+      FROM allregs a LEFT JOIN maxes m ON a.grp = m.grp AND a.j = m.j),
+    summ AS (
+      SELECT grp,
+             CAST(sum(CAST(1 AS BIGINT) << (43 - mj)) AS BIGINT) AS s_scaled,
+             CAST(sum(CASE WHEN mj = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+      FROM regs GROUP BY grp),
+    ex AS (
+      SELECT event_type AS grp,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS exact_keys
+      FROM events GROUP BY 1),
+    est0 AS (
+      SELECT s.grp, s.n_zero, s.s_scaled, e.exact_keys,
+             CAST(floor((CAST(709341 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                         * CAST(8796093022208 AS DOUBLE)
+                         / CAST(1000000 AS DOUBLE))
+                        / s.s_scaled) AS BIGINT) AS est_hll
+      FROM summ s JOIN ex e ON s.grp = e.grp),
+    est1 AS (
+      SELECT *,
+             CASE WHEN est_hll <= 160 AND n_zero > 0
+                  THEN CAST(floor(CAST(64 AS DOUBLE)
+                                  * ln(CAST(64 AS DOUBLE) / n_zero))
+                            AS BIGINT)
+                  ELSE est_hll END AS est
+      FROM est0)
+    SELECT grp, CAST(64 AS BIGINT) AS m, n_zero, s_scaled, est_hll, est,
+           exact_keys,
+           CAST(floor((est - exact_keys) * CAST(1000000 AS DOUBLE)
+                      / exact_keys) AS BIGINT) AS err_ppm
+    FROM est1
+    """,
+)
+def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog (p=6) distinct users per event type next to the
+    exact count — the mergeable constant-state cardinality sketch
+    (Flajolet et al. 2007) completing the sketch family (KMV,
+    count-min, Bloom). Every register and the estimate are exact
+    integer/single-division arithmetic, so the DuckDB oracle is
+    bit-exact; the register max is map-side combinable with NO
+    distinct shuffle — 64 longs of state per group at any corpus
+    size. See operators/stats.py:hll_distinct."""
+    from changedatacapture_spark.operators.stats import hll_distinct
+
+    ev = load_table(spark, "events", sf_dir)
+    return hll_distinct(ev, group_col="event_type", key_col="user_id")
+
+
+@_register(
+    "text_dsir_select",
+    """
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS is_tgt,
+             string_split(
+               trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')), ' ')
+               AS t
+      FROM documents),
+    feats AS MATERIALIZED (
+      SELECT doc_id, is_tgt,
+             unnest(list_concat(
+               list_filter(t, x -> x <> ''),
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(generate_series(1, len(t) - 1),
+                                        i -> t[i] || ' ' || t[i + 1])
+                    ELSE [] END)) AS feat
+      FROM toks),
+    occ AS MATERIALIZED (
+      SELECT doc_id, is_tgt,
+             ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS b
+      FROM feats),
+    counts AS MATERIALIZED (
+      SELECT b, CAST(sum(is_tgt) AS BIGINT) AS ct,
+             CAST(sum(1 - is_tgt) AS BIGINT) AS cr
+      FROM occ GROUP BY b),
+    tot AS (
+      SELECT CAST(sum(ct) AS BIGINT) AS t_tot,
+             CAST(sum(cr) AS BIGINT) AS r_tot
+      FROM counts),
+    weights AS (
+      SELECT b,
+             CAST(floor(1000 * (
+               ln(CAST(ct + 1 AS DOUBLE) / CAST(t_tot + 1024 AS DOUBLE))
+               - ln(CAST(cr + 1 AS DOUBLE) / CAST(r_tot + 1024 AS DOUBLE))))
+               AS BIGINT) AS w
+      FROM counts, tot),
+    scored AS (
+      SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(w.w) AS BIGINT) AS logw_milli
+      FROM occ o JOIN weights w USING (b)
+      WHERE o.is_tgt = 0 GROUP BY o.doc_id),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (ORDER BY logw_milli DESC, doc_id)
+               AS sel_rank,
+             count(*) OVER () AS n_scored
+      FROM scored)
+    SELECT doc_id, n_feats, logw_milli,
+           CAST(sel_rank AS BIGINT) AS sel_rank,
+           sel_rank <= (n_scored + 4) // 5 AS selected
+    FROM ranked
+    """,
+)
+def q_text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): every non-English
+    document scored by the hashed-ngram importance log-ratio between
+    the English (target) and raw distributions, top 20% selected — the
+    production "find the target-domain-like slice of the crawl"
+    selector. Feature counts shuffle on the BOUNDED 1024-bucket
+    feature space, the weight table broadcasts back, per-doc sums are
+    map-side combinable; scores are exact integer sums of
+    double-log-derived milli-weights, hash-exact cross-engine. See
+    operators/text.py:dsir_select."""
+    from changedatacapture_spark.operators.text import dsir_select
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_select(docs, target_cond=F.col("lang") == "en")
+
+
+def _leakage_split_oracle() -> str:
+    from changedatacapture_spark.operators.curation import _hash_bucket_expr
+
+    bucket = _hash_bucket_expr("strpos", "CAST(group_id AS VARCHAR)")
+    return f"""
+    WITH groups AS ({ORACLE_SQL["dedup_groups"]}),
+    assigned AS (
+      SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN groups g ON g.doc_id = d.doc_id),
+    b AS (
+      SELECT doc_id, CAST(group_id AS BIGINT) AS group_id,
+             CAST({bucket} AS BIGINT) AS bucket
+      FROM assigned)
+    SELECT doc_id, group_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """
+
+
+@_register("dataset_leakage_safe_split", None)
+def q_dataset_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the md5 split bucket hashes
+    the near-dup CLUSTER's canonical id (MinHash→LSH→connected
+    components, the ``dedup_groups`` closure), so every member of a
+    duplicate cluster lands in the same split — closing the
+    train/test-leakage hole a per-document split leaves open.
+    Singleton docs hash their own id; the assignment stays
+    content-addressed and append-stable. One doc_id equi-join plus a
+    pure bucket expression on top of the closure. See
+    operators/curation.py:leakage_safe_split."""
+    from changedatacapture_spark.operators.curation import leakage_safe_split
+    from changedatacapture_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=4, k=5)
+    groups = connected_components(lsh_candidate_pairs(sigs, n_hashes=4, bands=2))
+    return leakage_safe_split(docs, groups)
+
+
+ORACLE_SQL["dataset_leakage_safe_split"] = _leakage_split_oracle()
+
+
+@_register(
     "cdc_scd2_history",
     """
     WITH log AS (
@@ -9840,15 +10168,18 @@ _PROMOTED = [
     "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
     # round-9 window: six NEW families...
     "graph_triangles_trade",  # NEW: degree-ordered triangle counting (round 9)
-    "events_mad_outliers",  # NEW: exact median/MAD robust outliers (round 9)
     "dq_expectations",  # NEW: declarative data-quality suite (round 9)
-    "events_ewma",  # NEW: integer-exact EWMA over lagged counts (round 9)
     "text_inverted_index",  # NEW: bounded-postings index build (round 9)
-    # ...and six never-driver-green veterans earning first rows:
-    "q8_market_share",  # TPC-H Q8 8-way join chain: first driver row
     "q2_min_cost_supplier",  # decorrelated min-cost subquery: first driver row
-    "text_winnow_fp",  # winnowing fingerprints (heaviest sf1 text op): first row
     "kmv_set_algebra",  # KMV sketch union/Jaccard/intersection: first row
+    # round-11 second batch: four NEW families take the slots of four
+    # 2-green members whose families stay in-window (events family:
+    # ewma/mad rotate out, tws_* + hourly coverage stays; TPC-H: q8
+    # out, q21/q_cube/q2 stay; text: winnow_fp out, 6 text rows stay):
+    "mix_temperature",  # NEW: alpha=1/2 source sampling, exact integer sqrt (round 11)
+    "events_zorder_scan",  # NEW: z-order vs linear zone-map pruning audit (round 11)
+    "events_hll_distinct",  # NEW: engine-exact HyperLogLog p=6 registers (round 11)
+    "text_dsir_select",  # NEW: DSIR hashed-ngram importance selection (round 11)
     "orc_batch_read",  # ORC source format: first row (csv rotates out)
     # round-10 window: the three NEW queries...
     "knn_pq_refine_topk",  # NEW: ADC shortlist + exact re-rank, recall 0.90 (round 10)

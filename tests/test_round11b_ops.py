@@ -1,0 +1,193 @@
+"""Round-11 second-batch operator tests: temperature mixing, z-order
+scan audit, HyperLogLog, and DSIR importance selection."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pyspark.sql.functions as F
+
+
+def test_temperature_mix_exact_isqrt(spark):
+    """The alpha=1/2 weight must be the exact integer square root —
+    including at perfect squares and one-off-square counts where a
+    naive double sqrt can land on the wrong side of floor."""
+    from changedatacapture_spark.operators.curation import temperature_mix
+
+    # token counts: 1, 4 (square), 5 (square+1), 99 (square-1... 10^2-1)
+    rows = [
+        ("s1", "a"),
+        ("s2", "a b c d"),
+        ("s3", "a b c d e"),
+        ("s4", " ".join(["t"] * 99)),
+    ]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {r["source"]: r for r in temperature_mix(docs).collect()}
+    n = {"s1": 1, "s2": 4, "s3": 5, "s4": 99}
+    tot_s = sum(math.isqrt(v) for v in n.values())
+    tot_n = sum(n.values())
+    for s, cnt in n.items():
+        assert got[s]["n_tokens"] == cnt
+        assert got[s]["temp_ppm"] == math.isqrt(cnt) * 1_000_000 // tot_s
+        assert got[s]["natural_ppm"] == cnt * 1_000_000 // tot_n
+    # temperature flattens: smallest source upsampled, largest downsampled
+    assert got["s1"]["boost_milli"] > 1000 > got["s4"]["boost_milli"]
+
+
+def test_layout_scan_compare_zorder_prunes(spark, sf_dir):
+    """Under the 2-D box predicate the natural layout must scan every
+    file while the z-order layout prunes; every layout's scanned rows
+    must cover the true matches."""
+    from changedatacapture_spark.operators.layout import layout_scan_compare
+    from changedatacapture_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    out = {
+        r["layout"]: r
+        for r in layout_scan_compare(
+            ev,
+            x=(F.col("user_id") * 37) % 256,
+            y=F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(0))
+            % 256,
+            order_col="event_id",
+        ).collect()
+    }
+    assert set(out) == {"natural", "single", "zorder"}
+    true_rows = out["natural"]["true_rows"]
+    n = ev.count()
+    # ceil split: the last row range may be empty, so <= 64 files,
+    # but the same count under every layout
+    n_files = out["natural"]["n_files"]
+    assert 32 <= n_files <= 64
+    for r in out.values():
+        assert r["n_files"] == n_files
+        assert r["true_rows"] == true_rows
+        assert r["rows_scanned"] >= true_rows
+    # the probe box must actually select something at this SF
+    assert 0 < true_rows < n
+    # unsorted data has no locality; the z-curve must prune strictly
+    assert out["zorder"]["files_scanned"] < out["natural"]["files_scanned"]
+    assert out["zorder"]["rows_scanned"] <= out["natural"]["rows_scanned"]
+
+
+def test_hll_distinct_matches_reference_registers(spark):
+    """Registers and the scaled harmonic sum must equal a pure-python
+    HLL replaying the identical md5 arithmetic; exact counts exact."""
+    from changedatacapture_spark.operators.stats import hll_distinct
+
+    keys = list(range(500))
+    df = spark.createDataFrame(
+        [("g", k) for k in keys], "grp_in string, key long"
+    )
+    row = hll_distinct(df, "grp_in", "key").collect()[0]
+    regs = [0] * 64
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:12], 16)
+        j, w = h % 64, h // 64
+        rank = 43 - w.bit_length()
+        regs[j] = max(regs[j], rank)
+    s_scaled = sum(1 << (43 - m) for m in regs)
+    assert row["s_scaled"] == s_scaled
+    assert row["n_zero"] == sum(1 for m in regs if m == 0)
+    assert row["exact_keys"] == 500
+    # HLL with m=64 has ~13% std error; 500 distinct is far past the
+    # linear-counting regime, so est == est_hll and within 3 sigma
+    assert abs(row["est"] - 500) < 500 * 0.4
+
+
+def test_hll_map_side_combinable_partition_invariant(spark):
+    """The register max must be partitioning-independent (the property
+    that makes HLL mergeable with no distinct shuffle)."""
+    from changedatacapture_spark.operators.stats import hll_distinct
+
+    rows = [("g", k % 37) for k in range(1000)]  # heavy duplication
+    df = spark.createDataFrame(rows, "grp_in string, key long")
+    a = hll_distinct(df.coalesce(1), "grp_in", "key").collect()[0]
+    b = hll_distinct(df.repartition(32), "grp_in", "key").collect()[0]
+    assert a["s_scaled"] == b["s_scaled"]
+    assert a["est"] == b["est"]
+    assert a["exact_keys"] == 37
+
+
+def test_dsir_select_ranks_target_like_docs_first(spark):
+    """Raw docs sharing the target's n-grams must outscore raw docs
+    that don't; selection keeps the top ceil(n/5); a single-token doc
+    contributes exactly one (unigram) feature — the descending
+    sequence(0,-1) pitfall."""
+    from changedatacapture_spark.operators.text import dsir_select
+
+    rows = (
+        # target (fits p): distinctive phrase
+        [(i, "en", "alpha beta alpha beta gamma") for i in range(5)]
+        # raw, target-like
+        + [(10 + i, "de", "alpha beta gamma alpha") for i in range(2)]
+        # raw, off-distribution
+        + [(20 + i, "de", "omega psi chi phi omega psi") for i in range(7)]
+        # raw, single token (bigram arm must emit nothing)
+        + [(30, "de", "omega")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r["doc_id"]: r for r in dsir_select(docs, F.col("lang") == "en").collect()}
+    assert set(out) == {10, 11, 20, 21, 22, 23, 24, 25, 26, 30}
+    assert out[30]["n_feats"] == 1
+    # target-like raw docs take ranks 1-2 and the selected flag
+    assert {out[10]["sel_rank"], out[11]["sel_rank"]} == {1, 2}
+    assert out[10]["selected"] and out[11]["selected"]
+    # 10 scored docs -> top ceil(10/5) = 2 selected
+    assert sum(1 for r in out.values() if r["selected"]) == 2
+    assert all(
+        out[d]["logw_milli"] < out[10]["logw_milli"] for d in (20, 30)
+    )
+
+
+def test_dsir_weight_table_broadcasts(spark):
+    """The scoring join must broadcast the bounded weight table, not
+    shuffle the occurrence stream."""
+    from changedatacapture_spark.operators.text import dsir_select
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c"), (2, "de", "a c d")],
+        "doc_id long, lang string, text string",
+    )
+    plan = (
+        dsir_select(docs, F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
+    """No duplicate cluster may straddle splits, the assignment must
+    cover every document exactly once, and the split must be the md5
+    bucket of the GROUP id (not the member's own id)."""
+    from changedatacapture_spark.operators.curation import (
+        leakage_safe_split,
+        split_bucket,
+    )
+    from changedatacapture_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from changedatacapture_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    sigs = minhash_signatures(docs, n_hashes=4, k=5)
+    groups = connected_components(lsh_candidate_pairs(sigs, n_hashes=4, bands=2))
+    out = leakage_safe_split(docs, groups)
+    assert out.count() == docs.count()
+    straddlers = (
+        out.groupBy("group_id")
+        .agg(F.count_distinct("split").alias("ns"))
+        .filter("ns > 1")
+        .count()
+    )
+    assert straddlers == 0
+    # bucket column really is md5(group_id), not md5(doc_id)
+    mismatch = out.withColumn(
+        "expect", split_bucket("CAST(group_id AS STRING)")
+    ).filter("bucket <> expect").count()
+    assert mismatch == 0

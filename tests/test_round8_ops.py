@@ -177,15 +177,19 @@ def test_emb_dedup_groups_closure_on_handmade_chain(spark):
 def test_emb_dedup_groups_consistent_with_pairs(spark, sf_dir):
     """Every near-dup pair's two members land in the same group, and
     every group_id is a member of its own group (canonical ids are
-    real vectors, component minima)."""
+    real vectors, component minima). Pairs use the SAME hub-guard
+    parameters as the registered query (round 11 capped the groups
+    query's candidate generation — max_bucket_size=20, window=4 — so
+    unguarded all-pairs output is a SUPERSET whose extra hot-bucket
+    pairs the capped closure legitimately need not merge)."""
     from changedatacapture_spark.operators.similarity import (
         embedding_neardup_pairs,
     )
 
     emb = load_table(spark, "embeddings", sf_dir)
-    # n_planes=6: must match the registered query's bucketing
+    # params must match the registered query's candidate generation
     pairs = embedding_neardup_pairs(
-        emb, threshold_scaled=250_000, n_planes=6
+        emb, threshold_scaled=250_000, n_planes=6, max_bucket_size=20, window=4
     ).collect()
     groups = {
         r.vec_id: r.group_id

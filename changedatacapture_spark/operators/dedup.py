@@ -640,6 +640,15 @@ def connected_components(
     (swap for reliable ``checkpoint`` against a checkpoint dir on a
     real cluster) so the plan doesn't grow with iterations. Edges
     shuffle by node id; boilerplate-heavy components skew-split via AQE.
+
+    Block-retention caveat: each round's ``localCheckpoint`` blocks
+    are reclaimed by Spark's async ContextCleaner only after their
+    Python wrappers are garbage-collected, so many closure runs
+    back-to-back in one JVM without an intervening ``gc.collect()``
+    can see inflated walls from storage pressure (measured at sf1:
+    13.5 s steady with a GC cycle between runs vs 95 s without —
+    PERF_r11 §9). Retention is bounded (one round's edge set each)
+    and self-heals; long-lived services should gc between closures.
     """
     # ONE materialization of the (possibly expensive) pair input: the
     # id projection is checkpointed before anything else reads it, and

@@ -332,36 +332,23 @@ def exact_heavy_hitters(
     )
 
 
-def hll_distinct(
+def hll_partial_registers(
     df: DataFrame,
     group_col: str,
     key_col: str,
 ) -> DataFrame:
-    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
-    p=6 (m=64 registers), built from engine-portable exact integer
-    arithmetic so a DuckDB oracle reproduces every register and the
-    estimate bit-for-bit — unlike ``approx_count_distinct``, whose
-    HLL++ register layout is engine-private.
+    """Per-group HyperLogLog partial registers: ``(grp, j, mj)`` with
+    ``mj = max(rank)`` over the rows seen — the mergeable state of the
+    sketch. Partials from ANY row subsets (partitions, micro-batches,
+    days) merge by another ``max`` per ``(grp, j)``: max is
+    idempotent, commutative, and associative, which is the entire HLL
+    scale story (64 longs per group at any input size, no distinct
+    shuffle anywhere).
 
-    Mechanics: 48-bit md5-derived hash per key; low 6 bits pick the
-    register, the remaining 42-bit field w contributes rank
-    ``43 - bitlen(w)`` (leading zeros + 1; w=0 → 43). The register
-    value is ``max(rank)`` — idempotent, so no pre-distinct is needed
-    and the aggregation is map-side combinable: THE HLL scale
-    property (64 longs of state per group at any input size, mergeable
-    across partitions/streams). The harmonic mean is kept exact by
-    scaling: ``s_scaled = Σ_j 2^(43 - M_j)`` is an exact BIGINT, and
-    the estimate is one double division of exact integers (identical
-    IEEE result on any engine). Small-range correction: linear
-    counting ``floor(m·ln(m/V))`` when the raw estimate ≤ 2.5m and
-    empty registers exist — the standard regime switch.
-
-    bitlen is computed relationally (``size(filter(sequence(0,41),
-    k -> w >= 2^k))``), no log2 floor at power-of-two boundaries.
-
-    Output per group: ``grp, m, n_zero, s_scaled, est_hll, est,
-    exact_keys, err_ppm`` (exact count alongside as the quality loop;
-    err floor'd via double so both engines agree on negatives).
+    48-bit md5-derived hash; low 6 bits pick the register, the 42-bit
+    remainder w contributes rank ``43 - bitlen(w)`` (leading zeros +
+    1; w=0 → 43). bitlen is relational (``size(filter(...))``) — no
+    float log2 at power-of-two boundaries.
     """
     m, B = 64, 42  # p=6; 48-bit hash = 6 register bits + 42-bit field
     hv = F.conv(
@@ -378,9 +365,25 @@ def hll_distinct(
             " k -> w >= shiftleft(CAST(1 AS BIGINT), k))) AS BIGINT)"
         ),
     )
-    maxes = ranks.groupBy("grp", "j").agg(F.max("r").alias("mj"))
+    return ranks.groupBy("grp", "j").agg(F.max("r").alias("mj"))
+
+
+def hll_finalize(partials: DataFrame, exact: DataFrame) -> DataFrame:
+    """Fold partial registers (max per ``(grp, j)``), fill the 64-slot
+    register file, and compute the HLL estimate with the standard
+    linear-counting small-range correction — one double division /
+    log of exact integers, bit-identical on any engine. ``exact`` is
+    the ``(grp, exact_keys)`` quality-loop relation the caller
+    computes however it likes (batch count-distinct, or a one-shot
+    batch read over a replayed stream source).
+
+    Output per group: ``grp, m, n_zero, s_scaled, est_hll, est,
+    exact_keys, err_ppm``.
+    """
+    m, B = 64, 42
+    maxes = partials.groupBy("grp", "j").agg(F.max("mj").alias("mj"))
     allregs = (
-        ranks.select("grp")
+        maxes.select("grp")
         .distinct()
         .select("grp", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j"))
     )
@@ -392,9 +395,6 @@ def hll_distinct(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {B + 1} - mj)")
         ).alias("s_scaled"),
         F.sum(F.expr("CASE WHEN mj = 0 THEN 1 ELSE 0 END")).alias("n_zero"),
-    )
-    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
-        F.count_distinct(key_col).alias("exact_keys")
     )
     # alpha_m for m=64 as ppm: 0.7213/(1+1.079/64) = 0.709341.
     # Every literal is cast to DOUBLE explicitly: bare decimal literals
@@ -434,3 +434,28 @@ def hll_distinct(
             ).alias("err_ppm"),
         )
     )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with
+    p=6 (m=64 registers), built from engine-portable exact integer
+    arithmetic so a DuckDB oracle reproduces every register and the
+    estimate bit-for-bit — unlike ``approx_count_distinct``, whose
+    HLL++ register layout is engine-private.
+
+    Composition of :func:`hll_partial_registers` (mergeable per-group
+    register maxes — map-side combinable, no pre-distinct) and
+    :func:`hll_finalize` (register fill + harmonic estimate + linear
+    counting), with the exact count alongside as the quality loop.
+    The streaming twin merges the SAME partials across micro-batches
+    (``events_stream_hll``), so batch == stream by construction.
+    """
+    partials = hll_partial_registers(df, group_col, key_col)
+    exact = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count_distinct(key_col).alias("exact_keys")
+    )
+    return hll_finalize(partials, exact)

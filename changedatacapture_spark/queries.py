@@ -5411,6 +5411,71 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, group_col="event_type", key_col="user_id")
 
 
+@_register("events_stream_hll", None)
+def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the events replay as 4 HASH-bucketed
+    micro-batches (event_id mod 4 — deliberately NOT time-ordered),
+    each batch emits its mergeable partial registers
+    (``hll_partial_registers``) through ``foreachBatch`` into a
+    parquet scratch sink, and the finalize step folds them with
+    another per-(grp, j) max — proving the sketch's merge law (max is
+    idempotent/commutative/associative) on a real stream. The folded
+    summary must equal the one-pass batch sketch bit-for-bit, so this
+    shares ``events_hll_distinct``'s oracle: stream == batch is the
+    correctness statement. Per-batch state is 64 longs per group —
+    the streaming cardinality pattern that needs no watermark and no
+    growing state store. See operators/stats.py:hll_partial_registers."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.operators.stats import (
+        hll_finalize,
+        hll_partial_registers,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    raw = ev.withColumn("_b", (F.col("event_id") % 4 + 1).cast("int"))
+
+    work = tempfile.mkdtemp(prefix="stream_hll_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    partials_dir = os.path.join(work, f"partials_{uuid.uuid4().hex[:8]}")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+
+    def sink_batch(bdf: DataFrame, batch_id: int) -> None:
+        hll_partial_registers(bdf, "event_type", "user_id").write.mode(
+            "append"
+        ).parquet(partials_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(partials_dir)
+    exact = (
+        spark.read.schema("event_id long, event_type string, user_id long")
+        .json(src)
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(F.count_distinct("user_id").alias("exact_keys"))
+    )
+    return hll_finalize(partials, exact)
+
+
+ORACLE_SQL["events_stream_hll"] = ORACLE_SQL["events_hll_distinct"]
+
+
 @_register(
     "text_dsir_select",
     """

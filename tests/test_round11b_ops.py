@@ -191,3 +191,32 @@ def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
         "expect", split_bucket("CAST(group_id AS STRING)")
     ).filter("bucket <> expect").count()
     assert mismatch == 0
+
+
+def test_hll_partials_merge_law(spark):
+    """Partial registers from arbitrary row subsets folded by max must
+    give the identical summary as the one-pass sketch — the merge law
+    the streaming twin (events_stream_hll) relies on."""
+    from changedatacapture_spark.operators.stats import (
+        hll_distinct,
+        hll_finalize,
+        hll_partial_registers,
+    )
+
+    rows = [("g", k % 211) for k in range(2000)]
+    df = spark.createDataFrame(rows, "grp_in string, key long")
+    whole = hll_distinct(df, "grp_in", "key").collect()[0]
+    parts = [
+        hll_partial_registers(
+            df.filter(F.col("key") % 3 == i), "grp_in", "key"
+        )
+        for i in range(3)
+    ]
+    merged = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    exact = df.groupBy(F.col("grp_in").alias("grp")).agg(
+        F.count_distinct("key").alias("exact_keys")
+    )
+    folded = hll_finalize(merged, exact).collect()[0]
+    assert folded["s_scaled"] == whole["s_scaled"]
+    assert folded["est"] == whole["est"]
+    assert folded["exact_keys"] == whole["exact_keys"] == 211

@@ -85,14 +85,20 @@ def layout_scan_compare(
     arithmetic — ranks are deterministic via the (key, order_col)
     total order, file id is ``(rn-1) DIV ceil(n/n_files)``.
 
-    Scale: the per-layout rank is a window over the full relation — a
-    real layout rewrite IS a global sort, and at cluster scale the
-    file assignment comes from ``repartitionByRange`` + in-partition
-    ranks (the two-phase prefix-sum used by
-    ``curation.pack_sequences``); production writes cluster per bucket
-    via ``SnapshotTable(cluster_cols=[zorder16_sql(...)])`` with no
-    global window at all. The audit keeps the deterministic window so
-    the DuckDB oracle reproduces file boundaries bit-for-bit.
+    Scale: the exact global rank is a TWO-PHASE prefix sum, never a
+    single-partition window over the whole relation. Every layout's
+    sort key is bounded by construction (z-value < 2^16, single
+    column < 2^8; the natural order chunks on ``order_col DIV 4096``,
+    monotone in the key), so per-(layout, bucket) row counts — a
+    map-side-combinable aggregate over a BOUNDED bucket space — feed
+    a prefix-sum window over that small bucket relation, offsets join
+    back (AQE broadcasts them), and the per-row rank is a window
+    partitioned by (layout, bucket): parallel across buckets, exactly
+    equal to the global ``row_number`` because bucket order extends
+    the (key, order_col) total order. Production writes cluster per
+    bucket via ``SnapshotTable(cluster_cols=[zorder16_sql(...)])``
+    with no rank at all; the audit needs the rank only to make file
+    boundaries deterministic for the DuckDB oracle.
 
     Output: one row per layout — ``layout, n_files, files_scanned,
     rows_scanned, true_rows``.
@@ -115,14 +121,38 @@ def layout_scan_compare(
             "CASE layout WHEN 'natural' THEN CAST(0 AS BIGINT) "
             "WHEN 'single' THEN CAST(bx AS BIGINT) ELSE zv END"
         ),
+    ).withColumn(
+        # coarse bucket, monotone in (k1, eid): the bounded sort key
+        # itself where one exists, an order-chunk where k1 is constant
+        "bkt",
+        F.expr(
+            "CASE WHEN layout = 'natural' THEN eid DIV 4096 ELSE k1 END"
+        ),
     )
-    w = W.partitionBy("layout").orderBy("k1", "eid")
-    ranked = lay.select(
+    bucket_counts = lay.groupBy("layout", "bkt").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_bkt = (
+        W.partitionBy("layout")
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    offsets = bucket_counts.select(
         "layout",
-        "bx",
-        "by_",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy("layout")).alias("n"),
+        "bkt",
+        (F.sum("bn").over(w_bkt) - F.col("bn")).alias("off"),
+        F.sum("bn").over(W.partitionBy("layout")).alias("n"),
+    )
+    w_local = W.partitionBy("layout", "bkt").orderBy("k1", "eid")
+    ranked = (
+        lay.join(offsets, ["layout", "bkt"])
+        .select(
+            "layout",
+            "bx",
+            "by_",
+            (F.col("off") + F.row_number().over(w_local)).alias("rn"),
+            "n",
+        )
     )
     files = ranked.select(
         "layout",

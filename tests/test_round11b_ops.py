@@ -220,3 +220,32 @@ def test_hll_partials_merge_law(spark):
     assert folded["s_scaled"] == whole["s_scaled"]
     assert folded["est"] == whole["est"]
     assert folded["exact_keys"] == whole["exact_keys"] == 211
+
+
+def test_layout_rank_is_two_phase(spark, sf_dir):
+    """The per-row rank window must partition by (layout, bucket) —
+    never a whole-layout single partition (the 100 TB straggler)."""
+    from changedatacapture_spark.operators.layout import layout_scan_compare
+    from changedatacapture_spark.sources.tables import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    plan = (
+        layout_scan_compare(
+            ev,
+            x=(F.col("user_id") * 37) % 256,
+            y=F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(0))
+            % 256,
+            order_col="event_id",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    row_windows = [
+        ln for ln in plan.splitlines() if "row_number()" in ln
+    ]
+    assert row_windows, plan
+    for ln in row_windows:
+        assert "bkt" in ln, ln

@@ -776,7 +776,9 @@ def leakage_safe_split(
     own singleton group (left join + coalesce), so the split remains
     total and content-addressed.
 
-    ``groups`` is any (doc_id, group_id) relation — typically the
+    ``groups`` is any (doc_id, group_id) relation with AT MOST ONE
+    row per doc_id (connected components guarantees this; a
+    many-rowed relation would fan the join out) — typically the
     MinHash→LSH→connected-components closure (``dedup_groups``) or
     the embedding closure; the operator is representation-agnostic.
 

@@ -349,11 +349,19 @@ def hll_partial_registers(
     remainder w contributes rank ``43 - bitlen(w)`` (leading zeros +
     1; w=0 → 43). bitlen is relational (``size(filter(...))``) — no
     float log2 at power-of-two boundaries.
+
+    NULL keys are dropped up front (matching ``count_distinct``'s
+    NULL semantics): without the filter a NULL hash would park a
+    phantom rank in register ``j = NULL``, and a group consisting
+    ONLY of NULL keys would reach the finalize divide with
+    ``exact_keys = 0`` — where Spark's x/0.0 is NULL but DuckDB's is
+    Inf, an engine divergence.
     """
     m, B = 64, 42  # p=6; 48-bit hash = 6 register bits + 42-bit field
     hv = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10
     ).cast("long")
+    df = df.filter(F.col(key_col).isNotNull())
     ranks = df.select(
         F.col(group_col).alias("grp"),
         (hv % m).alias("j"),

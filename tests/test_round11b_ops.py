@@ -249,3 +249,24 @@ def test_layout_rank_is_two_phase(spark, sf_dir):
     assert row_windows, plan
     for ln in row_windows:
         assert "bkt" in ln, ln
+
+
+def test_hll_null_keys_ignored(spark):
+    """NULL keys must not perturb registers, and a group of only NULL
+    keys must be omitted (count_distinct semantics) rather than reach
+    the estimate divide with exact_keys = 0."""
+    from changedatacapture_spark.operators.stats import hll_distinct
+
+    rows = [("g", k) for k in range(100)] + [("g", None)] * 5 + [
+        ("allnull", None)
+    ] * 3
+    df = spark.createDataFrame(rows, "grp_in string, key long")
+    clean = spark.createDataFrame(
+        [("g", k) for k in range(100)], "grp_in string, key long"
+    )
+    got = {r["grp"]: r for r in hll_distinct(df, "grp_in", "key").collect()}
+    want = hll_distinct(clean, "grp_in", "key").collect()[0]
+    assert set(got) == {"g"}
+    assert got["g"]["s_scaled"] == want["s_scaled"]
+    assert got["g"]["est"] == want["est"]
+    assert got["g"]["exact_keys"] == 100

@@ -128,6 +128,9 @@ EXTRA = [
     "events_zorder_scan",
     "events_hll_distinct",
     "text_dsir_select",
+    # z-order clustering exercised through the SnapshotTable store
+    # itself (write clustered on the curve, 2-D box read_where)
+    "events_zorder_pruned_scan",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

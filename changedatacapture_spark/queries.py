@@ -5343,6 +5343,65 @@ def q_events_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_zorder_pruned_scan",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             (user_id * 37) % 256 AS bx,
+             greatest(CAST(floor(value * 100) AS BIGINT), 0) % 256 AS by_
+      FROM events)
+    SELECT event_id, user_id, value, bx, by_
+    FROM base
+    WHERE bx BETWEEN 32 AND 47 AND by_ BETWEEN 32 AND 47
+    """,
+)
+def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering through the engine's OWN store: events are
+    written to a SnapshotTable whose ``cluster_cols`` is the Morton
+    interleave of the two cell columns (every bucket write sorts by
+    the curve, ≤64-row files), then ``read_where`` a 2-D box — the
+    per-file zone maps on BOTH dimensions stay tight because of the
+    curve, so file-level skipping tracks the box's selectivity where
+    a single-column sort would only prune one dimension
+    (``events_zorder_scan`` is the side-by-side audit of exactly this
+    effect; tests/test_round11b_ops.py pins the clustered scan's kept
+    file count strictly below the unclustered twin's). Exactness is
+    independent of pruning — predicates re-apply on survivors. See
+    operators/layout.py:zorder16_sql, streaming/sink.py:read_where."""
+    from changedatacapture_spark.operators.layout import zorder16_sql
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    state = ev.withColumn(
+        "bx", ((F.col("user_id") * 37) % 256).cast("long")
+    ).withColumn(
+        "by_",
+        F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(0))
+        % 256,
+    )
+    work = _session_scratch_dir("zorder_scan_")
+    # corpus-aware file size: ~2k files at any scale (64-row floor
+    # keeps the sf0.01 fixture multi-file so pruning is observable);
+    # a fixed tiny cap would write 156k files at sf1 — a small-files
+    # problem, not a layout demo
+    n = ev.count()
+    table = SnapshotTable(
+        spark,
+        work,
+        ["event_id"],
+        n_buckets=8,
+        cluster_cols=[zorder16_sql("bx", "by_")],
+        max_records_per_file=max(64, n // 2048),
+    )
+    table.overwrite(state, batch_id=0)
+    return table.read_where(
+        [("bx", "between", 32, 47), ("by_", "between", 32, 47)]
+    ).select("event_id", "user_id", "value", "bx", "by_")
+
+
+@_register(
     "events_hll_distinct",
     """
     WITH hashed AS (

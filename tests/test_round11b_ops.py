@@ -270,3 +270,45 @@ def test_hll_null_keys_ignored(spark):
     assert got["g"]["s_scaled"] == want["s_scaled"]
     assert got["g"]["est"] == want["est"]
     assert got["g"]["exact_keys"] == 100
+
+
+def test_zorder_clustered_store_prunes_files(spark, sf_dir, tmp_path):
+    """A SnapshotTable clustered on the Morton curve must keep strictly
+    fewer files for a 2-D box read_where than an unclustered twin of
+    identical content, and both reads must return identical rows."""
+    from changedatacapture_spark.operators.layout import zorder16_sql
+    from changedatacapture_spark.sources.tables import load_table
+    from changedatacapture_spark.streaming import sink as sink_mod
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    state = ev.withColumn(
+        "bx", ((F.col("user_id") * 37) % 256).cast("long")
+    ).withColumn(
+        "by_",
+        F.greatest(F.floor(F.col("value") * 100).cast("long"), F.lit(0)) % 256,
+    )
+    preds = [("bx", "between", 32, 47), ("by_", "between", 32, 47)]
+    reports, results = {}, {}
+    for tag, cluster in (("zorder", [zorder16_sql("bx", "by_")]), ("flat", None)):
+        t = SnapshotTable(
+            spark,
+            str(tmp_path / tag),
+            ["event_id"],
+            n_buckets=4,
+            cluster_cols=cluster,
+            max_records_per_file=32,
+        )
+        t.overwrite(state, batch_id=0)
+        results[tag] = sorted(
+            tuple(r) for r in t.read_where(preds).select(
+                "event_id", "bx", "by_"
+            ).collect()
+        )
+        reports[tag] = dict(sink_mod.LAST_SCAN_REPORT)
+    assert results["zorder"] == results["flat"]
+    assert len(results["zorder"]) > 0
+    assert reports["zorder"]["files_total"] == reports["flat"]["files_total"]
+    assert reports["zorder"]["files_kept"] < reports["flat"]["files_kept"], reports

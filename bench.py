@@ -246,7 +246,14 @@ def _calib_multicore(n: int) -> float:
     return round(time.time() - t0, 3)
 
 
-def _run_set(qs, names, sf_dir, timings: dict, rows: dict | None = None) -> None:
+def _run_set(
+    qs,
+    names,
+    sf_dir,
+    timings: dict,
+    rows: dict | None = None,
+    scan_reports: dict | None = None,
+) -> None:
     for name in names:
         if name not in qs:
             continue
@@ -256,6 +263,15 @@ def _run_set(qs, names, sf_dir, timings: dict, rows: dict | None = None) -> None
         timings[name] = round(time.time() - t0, 3)
         if rows is not None:
             rows[name] = n
+        if scan_reports is not None and name in (
+            "cdc_pruned_scan",
+            "events_zorder_pruned_scan",
+        ):
+            # snapshot PER QUERY: LAST_SCAN_REPORT is a module global
+            # that any later read_where caller in the set overwrites
+            from changedatacapture_spark.streaming import sink as _sink
+
+            scan_reports[name] = dict(_sink.LAST_SCAN_REPORT)
         print(f"# {name}@{sf_dir}: {timings[name]}s rows={n}", file=sys.stderr)
 
 
@@ -290,12 +306,16 @@ def main() -> None:
     _run_set(qs, names, SF_DIR, steady)
 
     extra_timings: dict[str, float] = {}
-    _run_set(qs, EXTRA, SF_DIR, extra_timings)
-    # the pruned scan's pruning ratio IS its result: wall time on a
+    # the pruned scans' pruning ratios ARE their result: wall time on a
     # local corpus is noise, buckets/files skipped is the 100 TB story
+    scan_reports: dict[str, dict] = {}
+    _run_set(qs, EXTRA, SF_DIR, extra_timings, scan_reports=scan_reports)
     from changedatacapture_spark.streaming import sink as _sink
 
-    prune_report = {"sf": _sink.LAST_SCAN_REPORT}
+    prune_report = {
+        "sf": scan_reports.get("cdc_pruned_scan"),
+        "sf_zorder": scan_reports.get("events_zorder_pruned_scan"),
+    }
 
     # streaming CDC apply throughput (BASELINE.md 'Measured' workload),
     # reported alongside the per-query walls

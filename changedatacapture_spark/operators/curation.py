@@ -685,6 +685,22 @@ def token_waterfill(
     )
 
 
+def isqrt_sql(arg: str) -> str:
+    """Engine-portable EXACT integer square root of a non-negative
+    BIGINT expression: the double ``sqrt`` corrected by one integer
+    comparison on each side, so the result is ``floor(sqrt(n))``
+    bit-for-bit on any engine regardless of libm (shared by
+    :func:`temperature_mix`, its DuckDB oracle, and the hypothesis
+    property test — one source of truth, the ``zorder16_sql``
+    pattern)."""
+    s0 = f"CAST(floor(sqrt(CAST({arg} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"CASE WHEN ({s0} + 1) * ({s0} + 1) <= {arg} THEN {s0} + 1 "
+        f"WHEN {s0} * {s0} > {arg} THEN {s0} - 1 "
+        f"ELSE {s0} END"
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     text_col: str = "text",
@@ -715,22 +731,18 @@ def temperature_mix(
     effective_tokens`` — ``boost_milli`` > 1000 means the source is
     upsampled vs natural; ``effective_tokens`` is its share of the
     unchanged global token budget under temperature sampling.
+    ``effective_tokens`` splits its product as
+    ``(tot DIV 1e6)·ppm + ((tot % 1e6)·ppm) DIV 1e6`` — algebraically
+    EQUAL to ``floor(tot·ppm/1e6)`` but overflow-free to the full
+    BIGINT token range (the naive product wraps past ~9.2e12 total
+    tokens). The per-source ppm ratios remain exact to ~9.2e12 tokens
+    PER SOURCE (the ``n·1e6`` numerator); past that, widen them to
+    DECIMAL(38,0) — same bound as ``mix_weights``.
     """
     per = docs.groupBy(F.col(source_col).alias("source")).agg(
         F.sum(F.size(F.split(F.col(text_col), " "))).alias("n_tokens")
     )
-    isqrt = F.expr(
-        "CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)"
-        "          * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)"
-        "          <= n_tokens"
-        "     THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1 "
-        "     WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
-        "          * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
-        "          > n_tokens"
-        "     THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1 "
-        "     ELSE CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) END"
-    )
-    rooted = per.withColumn("s", isqrt)
+    rooted = per.withColumn("s", F.expr(isqrt_sql("n_tokens")))
     tot = rooted.agg(
         F.sum("n_tokens").alias("tot_tokens"), F.sum("s").alias("tot_s")
     )
@@ -739,23 +751,22 @@ def temperature_mix(
         .select(
             "source",
             "n_tokens",
+            "tot_tokens",
             F.expr("n_tokens * 1000000 DIV tot_tokens").alias("natural_ppm"),
             F.expr("s * 1000000 DIV tot_s").alias("temp_ppm"),
-            F.expr("tot_tokens * (s * 1000000 DIV tot_s) DIV 1000000").alias(
-                "effective_tokens"
-            ),
-        )
-        .withColumn(
-            "boost_milli",
-            F.expr("temp_ppm * 1000 DIV greatest(natural_ppm, 1)"),
         )
         .select(
             "source",
             "n_tokens",
             "natural_ppm",
             "temp_ppm",
-            "boost_milli",
-            "effective_tokens",
+            F.expr("temp_ppm * 1000 DIV greatest(natural_ppm, 1)").alias(
+                "boost_milli"
+            ),
+            F.expr(
+                "(tot_tokens DIV 1000000) * temp_ppm"
+                " + ((tot_tokens % 1000000) * temp_ppm) DIV 1000000"
+            ).alias("effective_tokens"),
         )
     )
 

@@ -69,6 +69,7 @@ def layout_scan_compare(
     order_col: str,
     n_files: int = 64,
     box: tuple[int, int, int, int] = (32, 47, 32, 47),
+    natural_chunk: int = 4096,
 ):
     """Data-skipping audit: simulate writing the table under three
     physical layouts — ``natural`` (insertion order), ``single``
@@ -86,16 +87,20 @@ def layout_scan_compare(
     total order, file id is ``(rn-1) DIV ceil(n/n_files)``.
 
     Scale: the exact global rank is a TWO-PHASE prefix sum, never a
-    single-partition window over the whole relation. Every layout's
-    sort key is bounded by construction (z-value < 2^16, single
-    column < 2^8; the natural order chunks on ``order_col DIV 4096``,
-    monotone in the key), so per-(layout, bucket) row counts — a
-    map-side-combinable aggregate over a BOUNDED bucket space — feed
-    a prefix-sum window over that small bucket relation, offsets join
-    back (AQE broadcasts them), and the per-row rank is a window
-    partitioned by (layout, bucket): parallel across buckets, exactly
-    equal to the global ``row_number`` because bucket order extends
-    the (key, order_col) total order. Production writes cluster per
+    single-partition window over the whole relation. The zorder and
+    single layouts bucket on their sort key, bounded by construction
+    (z-value < 2^16, single column < 2^8); the natural layout — whose
+    key is constant — chunks on ``order_col DIV natural_chunk``, so
+    its bucket relation is n/natural_chunk rows: METADATA-scale, not
+    bounded — size ``natural_chunk`` so that stays small (the same
+    knob and rationale as ``curation.pack_by_weight``'s chunk_size;
+    the default 4096 suits the test fixtures, a 1e12-row table wants
+    ~1e7). Per-(layout, bucket) row counts — a map-side-combinable
+    aggregate — feed a prefix-sum window over the bucket relation,
+    offsets join back (AQE broadcasts them), and the per-row rank is
+    a window partitioned by (layout, bucket): parallel across
+    buckets, exactly equal to the global ``row_number`` because
+    bucket order extends the (key, order_col) total order. Production writes cluster per
     bucket via ``SnapshotTable(cluster_cols=[zorder16_sql(...)])``
     with no rank at all; the audit needs the rank only to make file
     boundaries deterministic for the DuckDB oracle.
@@ -126,7 +131,8 @@ def layout_scan_compare(
         # itself where one exists, an order-chunk where k1 is constant
         "bkt",
         F.expr(
-            "CASE WHEN layout = 'natural' THEN eid DIV 4096 ELSE k1 END"
+            f"CASE WHEN layout = 'natural' THEN eid DIV {natural_chunk} "
+            "ELSE k1 END"
         ),
     )
     bucket_counts = lay.groupBy("layout", "bkt").agg(

@@ -1135,7 +1135,12 @@ def dsir_select(
     only global state.
 
     Output: ``doc_id, n_feats, logw_milli, sel_rank, selected`` for
-    every scored (raw) doc.
+    every raw doc with AT LEAST ONE alphabetic feature — a doc whose
+    text yields no [a-z] tokens (NULL/empty/all-digit) has no
+    evidence to score and is EXCLUDED from both the output and the
+    top-``keep_num/keep_den`` quota's denominator (the DuckDB oracle
+    behaves identically); callers wanting one row per raw doc should
+    left-join this back to the corpus.
     """
     from pyspark.sql import Window as W
 

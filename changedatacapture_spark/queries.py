@@ -5201,25 +5201,16 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mix_weights(docs, group_col="lang", target_ppm=_MIX_TARGET_PPM)
 
 
-@_register(
-    "mix_temperature",
-    """
+def _mix_temperature_oracle() -> str:
+    from changedatacapture_spark.operators.curation import isqrt_sql
+
+    return f"""
     WITH per AS (
       SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                AS n_tokens
       FROM documents GROUP BY source),
     rooted AS (
-      SELECT source, n_tokens,
-             CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
-                       * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)
-                       <= n_tokens
-                  THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1
-                  WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
-                       * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
-                       > n_tokens
-                  THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1
-                  ELSE CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) END
-               AS s
+      SELECT source, n_tokens, CAST({isqrt_sql('n_tokens')} AS BIGINT) AS s
       FROM per),
     tot AS (
       SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
@@ -5231,10 +5222,17 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((s * 1000000 // tot_s) * 1000
                 // greatest(n_tokens * 1000000 // tot_tokens, 1) AS BIGINT)
              AS boost_milli,
-           CAST(tot_tokens * (s * 1000000 // tot_s) // 1000000 AS BIGINT)
+           CAST((tot_tokens // 1000000) * (s * 1000000 // tot_s)
+                + ((tot_tokens % 1000000) * (s * 1000000 // tot_s)) // 1000000
+                AS BIGINT)
              AS effective_tokens
     FROM rooted, tot
-    """,
+    """
+
+
+@_register(
+    "mix_temperature",
+    _mix_temperature_oracle(),
 )
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source sampling (alpha = 1/2): the
@@ -5405,10 +5403,13 @@ def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_hll_distinct",
     """
     WITH hashed AS (
+      -- NULL keys dropped to mirror hll_partial_registers: without
+      -- this, an all-NULL-key group would emit an oracle row (est=0,
+      -- exact=0) that the Spark side correctly omits
       SELECT event_type AS grp,
              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
                AS hv
-      FROM events),
+      FROM events WHERE user_id IS NOT NULL),
     ranks AS (
       SELECT grp, hv % 64 AS j, hv // 64 AS w,
              CAST(43 - len(list_filter(generate_series(0, 41),

@@ -78,19 +78,11 @@ def test_zorder16_matches_python_interleave(spark, pairs):
 )
 @_SETTINGS
 def test_corrected_isqrt_matches_math_isqrt(spark, values):
-    # the exact expression temperature_mix uses, applied to raw values
+    # the PRODUCTION expression (shared helper), not a copy of it
+    from changedatacapture_spark.operators.curation import isqrt_sql
+
     df = spark.createDataFrame([(v,) for v in values], "n_tokens long")
-    isqrt = F.expr(
-        "CASE WHEN (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)"
-        "          * (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1)"
-        "          <= n_tokens"
-        "     THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) + 1 "
-        "     WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
-        "          * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"
-        "          > n_tokens"
-        "     THEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) - 1 "
-        "     ELSE CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) END"
-    )
+    isqrt = F.expr(isqrt_sql("n_tokens"))
     got = {
         r["n_tokens"]: r["s"]
         for r in df.select("n_tokens", isqrt.alias("s")).collect()

@@ -131,6 +131,9 @@ EXTRA = [
     # z-order clustering exercised through the SnapshotTable store
     # itself (write clustered on the curve, 2-D box read_where)
     "events_zorder_pruned_scan",
+    # Matryoshka truncated-dim search: skinny-prefix coarse pass +
+    # point-lookup exact re-rank (codebook-free PQ alternative)
+    "knn_mrl_topk",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

@@ -1258,3 +1258,91 @@ def semdedup_stats(
             ).alias("n_survivors"),
         )
     )
+
+
+def cosine_topk_mrl(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Matryoshka-representation two-stage search (MRL, Kusupati et
+    al. 2022): embeddings trained with nested prefixes let a COARSE
+    pass run on just the first ``prefix_dim`` dimensions — a 4x
+    skinnier scan at prefix 16/64 — keeping the top-``shortlist``
+    candidates per probe, which an EXACT full-dimension pass then
+    re-ranks to top-``k``. The modern alternative to PQ for
+    memory-bound ANN: no codebook to fit, the truncation IS the
+    compression.
+
+    Scale shape (the ``pq_refine_topk`` discipline): the coarse stage
+    scans a SKINNY prefix relation (at a real deployment this is its
+    own column/file — here a ``slice``, which still prunes the
+    arithmetic 4x); the exact stage is a point-lookup equi-join of
+    ``shortlist x probes`` candidate ids back to the full-vector
+    table plus a broadcast of the probes — never a second full-dim
+    corpus pass. All scores are scaled integers folded in index
+    order, so ranking is engine-exact.
+
+    Output: ``probe_id, neighbor_id, score_scaled, rk`` (exact
+    full-dim cosine, top-k).
+    """
+    from pyspark.sql import Window as W
+
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("probe_pre"),
+    )
+    cpre = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.slice(F.col(vec_col), 1, prefix_dim).alias("corpus_pre"),
+    )
+    coarse_cos = dot(F.col("probe_pre"), F.col("corpus_pre")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_pre")))
+        * F.sqrt(l2_norm_sq(F.col("corpus_pre")))
+    )
+    coarse = (
+        cpre.crossJoin(F.broadcast(p.select("probe_id", "probe_pre")))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(coarse_cos * scale).cast("long").alias("coarse_scaled"),
+        )
+    )
+    wc = W.partitionBy("probe_id").orderBy(
+        F.col("coarse_scaled").desc(), F.col("neighbor_id")
+    )
+    short = (
+        coarse.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= shortlist)
+        .select("probe_id", "neighbor_id")
+    )
+    full = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("corpus_vec"),
+        ),
+        "neighbor_id",
+    ).join(F.broadcast(p.select("probe_id", "probe_vec")), "probe_id")
+    exact_cos = dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_vec")))
+        * F.sqrt(l2_norm_sq(F.col("corpus_vec")))
+    )
+    we = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        full.select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(exact_cos * scale).cast("long").alias("score_scaled"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+    )

@@ -312,3 +312,25 @@ def test_zorder_clustered_store_prunes_files(spark, sf_dir, tmp_path):
     assert len(results["zorder"]) > 0
     assert reports["zorder"]["files_total"] == reports["flat"]["files_total"]
     assert reports["zorder"]["files_kept"] < reports["flat"]["files_kept"], reports
+
+
+def test_mrl_full_prefix_equals_brute(spark, sf_dir):
+    """With prefix_dim = the full dimension, the coarse pass IS the
+    exact score, so the 50-candidate shortlist contains the true
+    top-5 and the MRL result must equal brute force row for row."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_mrl,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    cols = ["probe_id", "neighbor_id", "score_scaled", "rk"]
+    brute = sorted(tuple(r) for r in cosine_topk(emb, probes, k=5).select(*cols).collect())
+    mrl = sorted(
+        tuple(r)
+        for r in cosine_topk_mrl(
+            emb, probes, k=5, shortlist=50, prefix_dim=64
+        ).select(*cols).collect()
+    )
+    assert mrl == brute

@@ -6025,6 +6025,145 @@ def q_knn_recall_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "knn_prefilter_topk",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')}) * 1000000)
+                  AS BIGINT) AS score_scaled
+      FROM probes p, embeddings c
+      WHERE c.vec_id <> p.probe_id AND c.label = 3)
+    SELECT probe_id, neighbor_id, score_scaled,
+           row_number() OVER (PARTITION BY probe_id
+                              ORDER BY score_scaled DESC, neighbor_id) AS rk
+    FROM scored
+    QUALIFY rk <= 5
+    """,
+)
+def q_knn_prefilter_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN, done right: the metadata predicate (label = 3,
+    ~10% of the corpus) applies BEFORE scoring, so the exact top-5 is
+    computed over eligible vectors only — recall is 1.0 by
+    construction and the scan shrinks to the filter's selectivity
+    (the predicate reaches the parquet scan). The ground truth
+    against which ``knn_recall_postfilter`` quantifies the
+    shortlist-then-filter trap."""
+    from changedatacapture_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(emb.filter(F.col("label") == 3), probes, k=5)
+
+
+@_register(
+    "knn_recall_postfilter",
+    f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pv
+      FROM embeddings WHERE vec_id < 10),
+    coarse AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             CAST(floor(({_cos_pair_sql('list_slice(p.pv, 1, 16)',
+                                        'list_slice(c.embedding, 1, 16)')})
+                        * 1000000) AS BIGINT) AS coarse_scaled
+      FROM probes p, embeddings c
+      WHERE c.vec_id <> p.probe_id),
+    short AS (
+      SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY coarse_scaled DESC, neighbor_id)
+               AS crk
+      FROM coarse QUALIFY crk <= 50),
+    exact AS (
+      SELECT s.probe_id, s.neighbor_id, c.label,
+             CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')}) * 1000000)
+                  AS BIGINT) AS score_scaled
+      FROM short s
+      JOIN probes p ON p.probe_id = s.probe_id
+      JOIN embeddings c ON c.vec_id = s.neighbor_id),
+    post5 AS (
+      SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY score_scaled DESC, neighbor_id)
+               AS prk
+      FROM exact WHERE label = 3
+      QUALIFY prk <= 5),
+    truth AS (
+      SELECT p.probe_id, c.vec_id AS neighbor_id,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')})
+                                   * 1000000) AS BIGINT) DESC, c.vec_id)
+               AS rk
+      FROM probes p, embeddings c
+      WHERE c.vec_id <> p.probe_id AND c.label = 3
+      QUALIFY rk <= 5)
+    SELECT t.probe_id,
+           count(f.neighbor_id) AS n_hits,
+           CAST(5 AS BIGINT) AS k
+    FROM truth t
+    LEFT JOIN post5 f
+      ON f.probe_id = t.probe_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY t.probe_id
+    """,
+)
+def q_knn_recall_postfilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filtered-ANN production trap, quantified: post-filtering an
+    index shortlist (MRL top-50, THEN label = 3) leaves ~10% of 50
+    candidates before the final top-5, so recall against the exact
+    pre-filtered search collapses — the measurement that tells you a
+    selective metadata filter must reach the index (pre-filter or a
+    label-partitioned index), not the result list. Shares machinery
+    with knn_mrl_topk/knn_prefilter_topk."""
+    from pyspark.sql import Window as W
+
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_mrl,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = cosine_topk(emb.filter(F.col("label") == 3), probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    post = (
+        cosine_topk_mrl(emb, probes, k=50, shortlist=50, prefix_dim=16)
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .filter(F.col("label") == 3)
+    )
+    wp = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    post5 = (
+        post.withColumn("prk", F.row_number().over(wp))
+        .filter(F.col("prk") <= 5)
+        .select(
+            F.col("probe_id").alias("f_probe"),
+            F.col("neighbor_id").alias("f_neighbor"),
+        )
+    )
+    return (
+        truth.join(
+            post5,
+            (F.col("probe_id") == F.col("f_probe"))
+            & (F.col("neighbor_id") == F.col("f_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("f_neighbor").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
+
 ORACLE_SQL["knn_recall_mrl"] = f"""
     WITH brute_full AS ({ORACLE_SQL["knn_brute_topk"]}),
     mrl_full AS ({ORACLE_SQL["knn_mrl_topk"]})

@@ -467,3 +467,221 @@ def hll_distinct(
         F.count_distinct(key_col).alias("exact_keys")
     )
     return hll_finalize(partials, exact)
+
+
+def welch_exprs() -> dict[str, str]:
+    """Shared Welch t-test formula trees, written ONCE and used
+    textually by both the Spark projection and the DuckDB oracle so
+    every IEEE operation matches bit-for-bit. Inputs are the exact
+    decimal moments ``n_a, sx_a, sxx_a, n_b, sx_b, sxx_b`` of
+    1e6-scaled integer values."""
+
+    def mean(g: str) -> str:
+        return f"(CAST(sx_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE) / 1000000.0)"
+
+    def var(g: str) -> str:
+        ex2 = (
+            f"(CAST(sxx_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE)"
+            " / 1000000000000.0)"
+        )
+        # sample variance = population variance * n/(n-1)
+        return (
+            f"(GREATEST({ex2} - {mean(g)} * {mean(g)}, 0.0)"
+            f" * CAST(n_{g} AS DOUBLE) / (CAST(n_{g} AS DOUBLE) - 1.0))"
+        )
+
+    va, vb = var("a"), var("b")
+    sea = f"({va} / CAST(n_a AS DOUBLE))"
+    seb = f"({vb} / CAST(n_b AS DOUBLE))"
+    se2 = f"({sea} + {seb})"
+    t = f"(({mean('a')} - {mean('b')}) / NULLIF(sqrt({se2}), 0.0))"
+    df = (
+        f"(({se2} * {se2}) / NULLIF("
+        f"{sea} * {sea} / (CAST(n_a AS DOUBLE) - 1.0)"
+        f" + {seb} * {seb} / (CAST(n_b AS DOUBLE) - 1.0), 0.0))"
+    )
+    return {
+        "mean_a": mean("a"),
+        "mean_b": mean("b"),
+        "var_a": va,
+        "var_b": vb,
+        "t_stat": t,
+        "df_welch": df,
+    }
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between two groups —
+    the A/B-testing staple — from ONE map-side-combinable aggregate of
+    exact decimal moments (scaled-integer sums, no float
+    accumulation), finalized in IEEE doubles whose formula trees
+    (:func:`welch_exprs`) are shared textually with the DuckDB
+    oracle. Includes the Welch-Satterthwaite degrees of freedom and a
+    two-sided 5% significance flag (|t| > 1.96 — the normal
+    approximation, appropriate at the sample sizes where a
+    distributed engine is in play).
+
+    Output: one row — ``n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, df_welch, significant``.
+    """
+    x = _scaled(value_col)
+    sc = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        (F.col(group_col) == group_a).cast("int").alias("ia"),
+        x.alias("x"),
+    )
+    agg = sc.agg(
+        F.sum("ia").cast("long").alias("n_a"),
+        F.sum(F.expr("1 - ia")).cast("long").alias("n_b"),
+        F.sum(F.expr("CASE WHEN ia = 1 THEN CAST(x AS DECIMAL(38,0)) END"))
+        .cast("decimal(38,0)")
+        .alias("sx_a"),
+        F.sum(F.expr("CASE WHEN ia = 0 THEN CAST(x AS DECIMAL(38,0)) END"))
+        .cast("decimal(38,0)")
+        .alias("sx_b"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ia = 1 THEN CAST(x AS DECIMAL(19,0))"
+                " * CAST(x AS DECIMAL(19,0)) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx_a"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ia = 0 THEN CAST(x AS DECIMAL(19,0))"
+                " * CAST(x AS DECIMAL(19,0)) END"
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sxx_b"),
+    )
+    e = welch_exprs()
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr(e["mean_a"]).alias("mean_a"),
+        F.expr(e["mean_b"]).alias("mean_b"),
+        F.expr(e["var_a"]).alias("var_a"),
+        F.expr(e["var_b"]).alias("var_b"),
+        F.expr(e["t_stat"]).alias("t_stat"),
+        F.expr(e["df_welch"]).alias("df_welch"),
+        F.expr(f"abs({e['t_stat']}) > 1.96").alias("significant"),
+    )
+
+
+#: cumulative Poisson(1) pmf thresholds in ppm: a uniform md5 bucket
+#: below threshold[k] means bootstrap weight <= k (weights 0..4, the
+#: >=5 tail folded into 4 — probability 0.37%, negligible for CI use
+#: and identical on both engines by construction)
+POISSON1_PPM = (367879, 735758, 919698, 981011)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_replicates: int = 100,
+    lo_rank: int = 5,
+    hi_rank: int = 95,
+) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-group mean —
+    the one-pass distributed bootstrap (each row draws an independent
+    Poisson(1) weight per replicate, approximating multinomial
+    resampling without materializing resamples). Weights are
+    DETERMINISTIC: an md5 bucket of (replicate, ``id_col``),
+    thresholded at the exact cumulative Poisson(1) ppm constants — so
+    the whole CI is reproducible and oracle-exact, unlike
+    rand()-based resampling, and duplicate values still resample
+    independently because the hash keys on the row id.
+
+    Scale shape: the replicate dimension multiplies the scan by
+    ``n_replicates`` (explode) but every aggregate stays map-side
+    combinable with one row per (group, replicate) shuffled; the CI
+    rank is a window over ``n_replicates`` rows per group. At 100 TB
+    you run this on a subset per the Bag-of-Little-Bootstraps recipe
+    (s subsets x r replicates, same machinery) rather than 100x the
+    full corpus — the operator is the BLB inner loop.
+
+    Output per group: ``grp, n_rows, n_replicates, mean_scaled,
+    ci_lo_scaled, ci_hi_scaled`` (1e6-scaled integer means; lo/hi are
+    the ``lo_rank``-th / ``hi_rank``-th of the replicate means —
+    a 90% percentile interval at the defaults).
+    """
+    from pyspark.sql import Window as W
+
+    x = _scaled(value_col)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        x.alias("x"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    rep = base.select(
+        "grp",
+        "x",
+        "rid",
+        F.explode(F.expr(f"sequence(0, {n_replicates - 1})")).alias("r"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("rid"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    t0, t1, t2, t3 = POISSON1_PPM
+    w = F.expr(
+        f"CASE WHEN b < {t0} THEN 0 WHEN b < {t1} THEN 1 "
+        f"WHEN b < {t2} THEN 2 WHEN b < {t3} THEN 3 ELSE 4 END"
+    )
+    weighted = rep.withColumn("b", bucket).withColumn("w", w)
+    per_rep = weighted.groupBy("grp", "r").agg(
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * x")).alias("swx"),
+        F.sum("w").cast("long").alias("sw"),
+    )
+    rep_means = per_rep.select(
+        "grp",
+        "r",
+        F.expr(
+            "CAST(floor(CAST(swx AS DOUBLE) / NULLIF(sw, 0)) AS BIGINT)"
+        ).alias("m_scaled"),
+    ).filter(F.col("m_scaled").isNotNull())
+    wr = W.partitionBy("grp").orderBy("m_scaled", "r")
+    ranked = rep_means.withColumn("rk", F.row_number().over(wr))
+    ci = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.max(F.expr(f"CASE WHEN rk = {lo_rank} THEN m_scaled END")).alias(
+            "ci_lo_scaled"
+        ),
+        F.max(F.expr(f"CASE WHEN rk = {hi_rank} THEN m_scaled END")).alias(
+            "ci_hi_scaled"
+        ),
+    )
+    # double-floor, not decimal DIV: Spark's IntegralDivide on decimals
+    # rounds the intermediate quotient before truncating (observed +1
+    # vs DuckDB's flooring //); the double path is identical on both
+    # engines, like the replicate means above
+    point = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(1)) AS BIGINT)"
+        ).alias("mean_scaled"),
+    )
+    return point.join(ci, "grp").select(
+        "grp",
+        "n_rows",
+        "n_replicates",
+        "mean_scaled",
+        "ci_lo_scaled",
+        "ci_hi_scaled",
+    )

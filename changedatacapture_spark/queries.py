@@ -5471,6 +5471,123 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(ev, group_col="event_type", key_col="user_id")
 
 
+def _welch_oracle() -> str:
+    from changedatacapture_spark.operators.stats import welch_exprs
+
+    e = welch_exprs()
+    return f"""
+    WITH sc AS (
+      SELECT CAST(event_type = 'click' AS INTEGER) AS ia,
+             CAST(floor(value * 1000000) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'view')),
+    agg AS (
+      SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+             CAST(sum(1 - ia) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN ia = 1 THEN CAST(x AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS sx_a,
+             CAST(sum(CASE WHEN ia = 0 THEN CAST(x AS DECIMAL(38,0)) END)
+                  AS DECIMAL(38,0)) AS sx_b,
+             CAST(sum(CASE WHEN ia = 1 THEN CAST(x AS DECIMAL(19,0))
+                                            * CAST(x AS DECIMAL(19,0)) END)
+                  AS DECIMAL(38,0)) AS sxx_a,
+             CAST(sum(CASE WHEN ia = 0 THEN CAST(x AS DECIMAL(19,0))
+                                            * CAST(x AS DECIMAL(19,0)) END)
+                  AS DECIMAL(38,0)) AS sxx_b
+      FROM sc)
+    SELECT n_a, n_b,
+           {e['mean_a']} AS mean_a, {e['mean_b']} AS mean_b,
+           {e['var_a']} AS var_a, {e['var_b']} AS var_b,
+           {e['t_stat']} AS t_stat, {e['df_welch']} AS df_welch,
+           abs({e['t_stat']}) > 1.96 AS significant
+    FROM agg
+    """
+
+
+@_register("events_ab_welch", None)
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test between the 'click'
+    and 'view' cohorts' values — the A/B-testing staple — from one
+    map-side-combinable aggregate of exact decimal moments, finalized
+    in IEEE doubles whose formula trees are SHARED textually between
+    the Spark projection and the DuckDB oracle
+    (operators/stats.py:welch_exprs), so t, the Welch-Satterthwaite
+    df, and the significance flag are bit-identical cross-engine."""
+    from changedatacapture_spark.operators.stats import welch_ttest
+
+    ev = load_table(spark, "events", sf_dir)
+    return welch_ttest(ev, "event_type", "value", "click", "view")
+
+
+ORACLE_SQL["events_ab_welch"] = _welch_oracle()
+
+
+@_register(
+    "events_bootstrap_ci",
+    """
+    WITH base AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 1000000) AS BIGINT) AS x,
+             CAST(event_id AS VARCHAR) AS rid
+      FROM events),
+    rep AS (
+      SELECT grp, x, rid, unnest(generate_series(0, 99)) AS r FROM base),
+    wtd AS (
+      SELECT grp, x, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || rid), 1, 8))
+               ::BIGINT % 1000000 AS b
+      FROM rep),
+    ww AS (
+      SELECT grp, x, r,
+             CASE WHEN b < 367879 THEN 0 WHEN b < 735758 THEN 1
+                  WHEN b < 919698 THEN 2 WHEN b < 981011 THEN 3
+                  ELSE 4 END AS w
+      FROM wtd),
+    per_rep AS (
+      SELECT grp, r,
+             CAST(sum(CAST(w AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS swx,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM ww GROUP BY 1, 2),
+    means AS (
+      SELECT grp, r,
+             CAST(floor(CAST(swx AS DOUBLE) / NULLIF(sw, 0)) AS BIGINT)
+               AS m_scaled
+      FROM per_rep),
+    ranked AS (
+      SELECT grp, r, m_scaled,
+             row_number() OVER (PARTITION BY grp ORDER BY m_scaled, r) AS rk
+      FROM means WHERE m_scaled IS NOT NULL),
+    ci AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_replicates,
+             max(CASE WHEN rk = 5 THEN m_scaled END) AS ci_lo_scaled,
+             max(CASE WHEN rk = 95 THEN m_scaled END) AS ci_hi_scaled
+      FROM ranked GROUP BY grp),
+    point AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(floor(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+                        / count(*)) AS BIGINT)
+               AS mean_scaled
+      FROM base GROUP BY grp)
+    SELECT p.grp, p.n_rows, c.n_replicates, p.mean_scaled,
+           c.ci_lo_scaled, c.ci_hi_scaled
+    FROM point p JOIN ci c USING (grp)
+    """,
+)
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap 90% confidence interval for the
+    per-event-type mean value: 100 one-pass replicates whose per-row
+    Poisson(1) weights are md5 buckets of (replicate, event_id)
+    thresholded at the exact cumulative pmf — reproducible and
+    oracle-exact, unlike rand() resampling. Every aggregate is
+    map-side combinable (one row per (group, replicate) shuffled);
+    the CI rank is a window over 100 rows per group. At 100 TB this
+    is the Bag-of-Little-Bootstraps inner loop over subsets, not a
+    100x full-corpus blowup. See operators/stats.py:bootstrap_ci."""
+    from changedatacapture_spark.operators.stats import bootstrap_ci
+
+    ev = load_table(spark, "events", sf_dir)
+    return bootstrap_ci(ev, "event_type", "value", "event_id")
+
+
 @_register("events_stream_hll", None)
 def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog: the events replay as 4 HASH-bucketed

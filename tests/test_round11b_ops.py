@@ -334,3 +334,50 @@ def test_mrl_full_prefix_equals_brute(spark, sf_dir):
         ).select(*cols).collect()
     )
     assert mrl == brute
+
+
+def test_welch_ttest_matches_python_reference(spark):
+    """t statistic and Welch-Satterthwaite df must match a pure-python
+    computation over the same quantized values."""
+    import math
+
+    from changedatacapture_spark.operators.stats import welch_ttest
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [2.5, 2.6, 2.4, 2.5, 2.7, 2.5]
+    rows = [("click", v) for v in a] + [("view", v) for v in b]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = welch_ttest(df, "event_type", "value", "click", "view").collect()[0]
+
+    def q(vals):
+        return [math.floor(v * 1_000_000) / 1_000_000 for v in vals]
+
+    qa, qb = q(a), q(b)
+    ma, mb = sum(qa) / len(qa), sum(qb) / len(qb)
+    va = sum((v - ma) ** 2 for v in qa) / (len(qa) - 1)
+    vb = sum((v - mb) ** 2 for v in qb) / (len(qb) - 1)
+    se2 = va / len(qa) + vb / len(qb)
+    t = (ma - mb) / math.sqrt(se2)
+    dof = se2 * se2 / (
+        (va / len(qa)) ** 2 / (len(qa) - 1) + (vb / len(qb)) ** 2 / (len(qb) - 1)
+    )
+    assert got["n_a"] == 5 and got["n_b"] == 6
+    assert abs(got["t_stat"] - t) < 1e-9
+    assert abs(got["df_welch"] - dof) < 1e-9
+    assert got["significant"] == (abs(t) > 1.96)
+
+
+def test_bootstrap_ci_deterministic_and_ordered(spark):
+    """The CI must be identical under any partitioning (deterministic
+    md5 weights), lo <= hi, and built from exactly 100 replicates."""
+    from changedatacapture_spark.operators.stats import bootstrap_ci
+
+    rows = [("g", i, 10.0 + (i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, "grp string, event_id long, value double")
+    a = bootstrap_ci(df.coalesce(1), "grp", "value", "event_id").collect()[0]
+    b = bootstrap_ci(df.repartition(16), "grp", "value", "event_id").collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a["n_replicates"] == 100
+    assert a["ci_lo_scaled"] <= a["ci_hi_scaled"]
+    # point estimate of 10..16 cycle sits inside the interval
+    assert a["ci_lo_scaled"] <= a["mean_scaled"] <= a["ci_hi_scaled"]

@@ -134,6 +134,10 @@ EXTRA = [
     # Matryoshka truncated-dim search: skinny-prefix coarse pass +
     # point-lookup exact re-rank (codebook-free PQ alternative)
     "knn_mrl_topk",
+    # statistical inference: exact-moment Welch t-test (one aggregate)
+    # and the 100-replicate deterministic Poisson bootstrap
+    "events_ab_welch",
+    "events_bootstrap_ci",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

@@ -416,6 +416,20 @@ def main() -> None:
     if prune_report.get("sf") or prune_report.get("sf1"):
         out["pruned_scan"] = prune_report
     print(json.dumps(out))
+    # the driver keeps only the last ~2000 chars of output: repeat the
+    # cross-round comparables in one compact trailer line so they
+    # survive tail truncation of the (much longer) full JSON above
+    print(json.dumps({
+        "bench_summary": {
+            "metric": out["metric"],
+            "value": out["value"],
+            "unit": out["unit"],
+            "sf": out["sf"],
+            "stream_events_per_sec": stream["events_per_sec"],
+            "calib_single_core_sec": calib_after,
+            "calib_multi_core_wall_sec": mcore_after,
+        }
+    }))
 
 
 if __name__ == "__main__":

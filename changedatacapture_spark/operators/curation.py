@@ -692,10 +692,21 @@ def isqrt_sql(arg: str) -> str:
     bit-for-bit on any engine regardless of libm (shared by
     :func:`temperature_mix`, its DuckDB oracle, and the hypothesis
     property test — one source of truth, the ``zorder16_sql``
-    pattern)."""
+    pattern).
+
+    Overflow guards at the top of the BIGINT range: the ``+1`` probe
+    is gated on ``s0 < 3037000499`` (the largest s where ``(s+1)^2``
+    fits int64) — past it the square would wrap negative in non-ANSI
+    Spark and silently return ``s0 + 1`` off by one. And for n within
+    ~2.1e9 of 2^63-1 the double sqrt itself can land at 3037000500,
+    whose own square also overflows — but floor(sqrt(n)) ≤ 3037000499
+    for EVERY int64 n, so that case IS the answer, short-circuited
+    before either multiply."""
     s0 = f"CAST(floor(sqrt(CAST({arg} AS DOUBLE))) AS BIGINT)"
     return (
-        f"CASE WHEN ({s0} + 1) * ({s0} + 1) <= {arg} THEN {s0} + 1 "
+        f"CASE WHEN {s0} > 3037000499 THEN CAST(3037000499 AS BIGINT) "
+        f"WHEN {s0} < 3037000499 "
+        f"AND ({s0} + 1) * ({s0} + 1) <= {arg} THEN {s0} + 1 "
         f"WHEN {s0} * {s0} > {arg} THEN {s0} - 1 "
         f"ELSE {s0} END"
     )

@@ -484,10 +484,14 @@ def welch_exprs() -> dict[str, str]:
             f"(CAST(sxx_{g} AS DOUBLE) / CAST(n_{g} AS DOUBLE)"
             " / 1000000000000.0)"
         )
-        # sample variance = population variance * n/(n-1)
+        # sample variance = population variance * n/(n-1); the (n-1)
+        # denominator rides NULLIF so a degenerate 1-row cohort yields
+        # NULL on BOTH engines (bare /0.0 is NULL in Spark but Inf/NaN
+        # in DuckDB — the same divergence the HLL code works around)
         return (
             f"(GREATEST({ex2} - {mean(g)} * {mean(g)}, 0.0)"
-            f" * CAST(n_{g} AS DOUBLE) / (CAST(n_{g} AS DOUBLE) - 1.0))"
+            f" * CAST(n_{g} AS DOUBLE)"
+            f" / NULLIF(CAST(n_{g} AS DOUBLE) - 1.0, 0.0))"
         )
 
     va, vb = var("a"), var("b")
@@ -497,8 +501,8 @@ def welch_exprs() -> dict[str, str]:
     t = f"(({mean('a')} - {mean('b')}) / NULLIF(sqrt({se2}), 0.0))"
     df = (
         f"(({se2} * {se2}) / NULLIF("
-        f"{sea} * {sea} / (CAST(n_a AS DOUBLE) - 1.0)"
-        f" + {seb} * {seb} / (CAST(n_b AS DOUBLE) - 1.0), 0.0))"
+        f"{sea} * {sea} / NULLIF(CAST(n_a AS DOUBLE) - 1.0, 0.0)"
+        f" + {seb} * {seb} / NULLIF(CAST(n_b AS DOUBLE) - 1.0, 0.0), 0.0))"
     )
     return {
         "mean_a": mean("a"),

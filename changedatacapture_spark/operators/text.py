@@ -1014,10 +1014,12 @@ def ppl_buckets(
     over the fit slice only; scoring joins the per-doc bigram stream
     against the AGGREGATED LM relations (bigram table then prefix
     table, both shuffles keyed by LM vocabulary — bounded by vocab²,
-    not corpus size); V is a 1-row broadcast scalar. The final ntile
-    is a single-partition window over one row per SCORED DOC — at
-    100 TB swap for the histogram-quantile cut (``text_quality_gate``
-    pattern); the tertile boundary is the only global state.
+    not corpus size); V is a 1-row broadcast scalar. The tertile cut
+    is ntile(3)-exact but SHUFFLE-BOUNDED: a two-phase prefix-sum
+    rank (per-score counts → metadata-scale offsets, broadcast back;
+    row-level window partitioned by score) replaces the
+    single-partition global sort — no task ever sees more than one
+    score's docs.
 
     Output: ``doc_id, n_bigrams, ppl_milli, bucket`` for every scored
     doc with ≥ 1 bigram; bucket ∈ head (most fluent) /middle/tail.
@@ -1074,20 +1076,51 @@ def ppl_buckets(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.expr("sum(s) DIV count(1)").alias("ppl_milli"),
     )
-    nt = F.ntile(3).over(W.orderBy("ppl_milli", "doc_id"))
-    return per_doc.select(
-        "doc_id",
-        "n_bigrams",
+    # tertile cut WITHOUT a single-partition global sort: the exact
+    # rank over the (ppl_milli, doc_id) total order via the repo's
+    # two-phase prefix sum (operators/layout.py pattern). Per-score
+    # counts (map-side-combinable) feed a prefix-sum window over the
+    # SCORE relation — metadata-scale: distinct milli-nat values, not
+    # docs — offsets broadcast back, and the row-level window
+    # partitions by ppl_milli (parallel across scores; a pathological
+    # all-one-score corpus degrades to the sort this replaces). The
+    # boundary ranks reproduce ntile(3) exactly: bucket sizes differ
+    # by ≤1 with the larger buckets first, so head ends at
+    # ceil(N/3) = (N+2) DIV 3 and middle at (2N+2) DIV 3 — the DuckDB
+    # oracle keeps its literal ntile and hashes identical.
+    bucket_counts = per_doc.groupBy("ppl_milli").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    w_score = W.orderBy("ppl_milli").rowsBetween(W.unboundedPreceding, 0)
+    offsets = bucket_counts.select(
         "ppl_milli",
-        nt.alias("_t"),
-    ).select(
-        "doc_id",
-        "n_bigrams",
-        "ppl_milli",
-        F.when(F.col("_t") == 1, F.lit("head"))
-        .when(F.col("_t") == 2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
-        .alias("bucket"),
+        (F.sum("bn").over(w_score) - F.col("bn")).alias("off"),
+    )
+    totals = bucket_counts.agg(F.sum("bn").alias("n_docs"))
+    w_local = W.partitionBy("ppl_milli").orderBy("doc_id")
+    return (
+        per_doc.join(offsets, "ppl_milli")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "ppl_milli",
+            (F.col("off") + F.row_number().over(w_local)).alias("_rn"),
+            "n_docs",
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "ppl_milli",
+            F.when(
+                F.expr("_rn <= (n_docs + 2) DIV 3"), F.lit("head")
+            )
+            .when(
+                F.expr("_rn <= (2 * n_docs + 2) DIV 3"), F.lit("middle")
+            )
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
     )
 
 

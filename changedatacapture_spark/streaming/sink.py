@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import secrets
 import shutil
 import time
 
@@ -176,9 +177,15 @@ class SnapshotTable:
 
     Layout::
 
-        <path>/v=<n>/bucket=<b>/part-*.parquet
+        <path>/v=<id>/bucket=<b>/part-*.parquet
         <path>/_LATEST   # JSON: {"version", "batch_id", "schema",
-                         #        "buckets": {bucket: version-last-written}}
+                         #        "buckets": {bucket: physical-id-last-written}}
+
+    Logical versions (the pointer/history ``version`` field) are
+    sequential ints; each write attempt's files land under a
+    writer-unique PHYSICAL id (``_new_data_version``), which is what
+    the bucket manifest references — so racing writers can never
+    overwrite each other's files (see :meth:`merge`).
 
     The pointer's bucket manifest is the Delta-transaction-log analogue:
     each bucket records the version whose files hold its current rows,
@@ -269,6 +276,13 @@ class SnapshotTable:
         #: version entries, so commit cost stays O(retention), not
         #: O(total commits), on long-running streams
         self.log_compact_bytes = 4 * 1024 * 1024
+        #: grace window (seconds) before _vacuum may collect a version
+        #: dir the commit log has never referenced: such a dir is
+        #: either a crashed attempt's orphan (collect eventually) or a
+        #: CONCURRENT writer's in-flight staging dir (must survive its
+        #: write job + commit). Size it above the longest plausible
+        #: single merge write; tests shrink it to exercise collection.
+        self.vacuum_grace_s = 600.0
         # the bucket count is a PHYSICAL property of the committed
         # files: an existing table's persisted value overrides the
         # constructor arg, otherwise a reader constructed with a
@@ -323,7 +337,13 @@ class SnapshotTable:
         expected_base: int | None = None,
         fresh_stats: bool = True,
         stale_stats_buckets: set[int] | None = None,
+        data_version: int | None = None,
     ) -> None:
+        # data_version: the writer-unique PHYSICAL directory id this
+        # commit's fresh files were written under (see
+        # _new_data_version). Logical pointer versions stay sequential;
+        # manifest values are physical ids. None = the two coincide
+        # (pre-existing tables / callers that never write files).
         # concurrent-writer detection (commit-pointer CAS): the table is
         # single-writer by design, but a second writer must fail LOUDLY,
         # not silently last-write-wins. Each write op captures the
@@ -358,8 +378,10 @@ class SnapshotTable:
         # the winning writer's stats for content this writer replaced —
         # those buckets must drop their carried stats instead (absent
         # stats never prune, so reads stay exact)
+        wv = version if data_version is None else data_version
+
         def _carry(b: int, v: int) -> bool:
-            if v == version:
+            if v == wv:
                 return False
             return stale_stats_buckets is None or b not in stale_stats_buckets
 
@@ -375,8 +397,8 @@ class SnapshotTable:
         }
         if fresh_stats:
             new_stats, new_fstats = self._collect_stats(
-                version,
-                [b for b, v in buckets.items() if v == version],
+                wv,
+                [b for b, v in buckets.items() if v == wv],
                 schema_ddl,
             )
             stats.update(new_stats)
@@ -913,50 +935,79 @@ class SnapshotTable:
         except FileNotFoundError:
             return []
 
+    def _new_data_version(self) -> int:
+        """Writer-unique PHYSICAL directory id for one write attempt.
+
+        Every write attempt stages its files under its own ``v=<id>``
+        directory — never a path any other writer (committed or
+        in-flight) could touch. This is what makes a true commit race
+        safe: under the old shared ``v=base+1`` scheme, a loser whose
+        dynamic-partition-overwrite job was still in flight when the
+        winner committed would physically REPLACE the winner's
+        committed bucket files, and the loser's subsequent replan would
+        then read its own stale content as if it were the winner's —
+        silently dropping the winner's batch. With unique staging dirs
+        the clobber is impossible by construction; losers replan from
+        files only the winner ever wrote. Logical pointer versions stay
+        sequential (history/time-travel are unchanged); the bucket
+        manifest maps bucket → physical id.
+
+        Time-ordered high bits keep directory listings debuggable; the
+        salt makes same-nanosecond cross-process collisions (already
+        implausible) negligible.
+        """
+        return (time.time_ns() << 10) | secrets.randbits(10)
+
     def _write_buckets(
-        self, df: DataFrame, version: int, dynamic: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        dynamic: bool = False,
+        expected_base: int | None = None,
     ) -> list[int]:
         """Write ``df`` (bucket column included) partitioned by bucket
-        under ``v=<version>``; returns the buckets actually written
-        (empty buckets produce no directory).
-
-        ``dynamic=True`` (the merge hot path) switches this write to
-        dynamic partition overwrite: only the ``bucket=`` partitions
-        this job produces are replaced, so a concurrent writer's
-        disjoint buckets in the same version directory survive (the
-        precondition for the optimistic-concurrency rebase) and a
-        crashed attempt's re-run replaces exactly what it rewrites.
-        Callers in dynamic mode must NOT adopt listed buckets they did
-        not touch (stale crash leftovers may linger unreferenced).
-        The maintenance paths (overwrite/compact/rebucket) keep the
-        static full-directory wipe — a full rewrite WANTS the clean
-        slate.
+        under ``v=<version>`` — ``version`` being this attempt's
+        writer-unique physical id from :meth:`_new_data_version`;
+        returns the buckets actually written (empty buckets produce no
+        directory).
 
         With ``cluster_cols``, rows sort within each write task by
         (bucket, cluster exprs) — a local sort, no extra shuffle — so
         every parquet file's row groups carry tight, ordered min/max
         stats on the cluster key and filtered reads skip row groups.
 
-        Pre-write concurrent-writer check: every caller writes
-        ``version = committed + 1``, so a pointer that has already
-        moved past ``version - 1`` means another writer committed that
-        version — and since this write is an OVERWRITE of ``v=<n>``,
-        proceeding would physically clobber the winner's committed
-        files, far worse than losing the commit race. Fail before
-        touching disk. (A pointer still AT ``version - 1`` with an
-        orphaned ``v=<n>`` dir is the crash-recovery case — a prior
-        attempt died between log append and pointer flip — and the
-        overwrite is exactly right there.)
+        Pre-write concurrent-writer check (``expected_base``): if the
+        pointer already moved past the version this write was planned
+        against, another writer committed while we planned — abort
+        before paying for the write job (the plan would be replayed
+        against a stale manifest anyway). Unlike the old shared-dir
+        scheme this is purely an economy measure: with unique staging
+        dirs, proceeding could never clobber the winner's files; the
+        commit-time CAS still catches races that land mid-write.
+
+        ``dynamic`` switches to dynamic partition overwrite — now
+        equivalent to a static write into the fresh unique dir, kept
+        so the merge hot path's intent (replace only produced
+        partitions) stays explicit.
         """
-        cur = self._read_pointer()
-        cur_v = -1 if cur is None else int(cur["version"])
-        if cur_v != version - 1:
-            raise ConcurrentWriteError(
-                f"concurrent writer detected on {self.path}: about to "
-                f"write v={version} but the pointer moved to {cur_v} "
-                f"(expected {version - 1}); aborting before overwriting "
-                f"the other writer's files"
-            )
+        if expected_base is not None:
+            cur = self._read_pointer()
+            cur_v = -1 if cur is None else int(cur["version"])
+            if cur_v != expected_base:
+                raise ConcurrentWriteError(
+                    f"concurrent writer detected on {self.path}: write "
+                    f"planned against version {expected_base} but the "
+                    f"pointer moved to {cur_v}; aborting before the "
+                    f"write job runs — re-read and retry the batch"
+                )
+        return self._do_write_buckets(df, version, dynamic)
+
+    def _do_write_buckets(
+        self, df: DataFrame, version: int, dynamic: bool = False
+    ) -> list[int]:
+        """The physical write behind :meth:`_write_buckets`, after the
+        concurrent-writer economy check (split out so race tests can
+        interleave a winner between the check and the job)."""
         # fixed partition count = bucket count: tasks align 1:1 with
         # output bucket directories, so each task streams one file.
         # (Measured: letting AQE coalesce this shuffle for small
@@ -985,15 +1036,28 @@ class SnapshotTable:
         of the current commit or the last ``retain_history`` commits
         (kept readable for time travel).
 
-        Single-writer discipline: a concurrent reader pinned to a
-        vacuumed version loses its files — acceptable here; a
-        multi-writer deployment swaps this class for the Delta sink
-        below.
+        Two deletion classes, because physical dirs are writer-unique
+        (:meth:`_new_data_version`):
+
+        * dirs that appear in SOME commit-log entry but are no longer
+          referenced by any retained one — superseded committed data;
+          deleted immediately (no writer ever writes into an existing
+          committed dir, so there is nothing in flight to race).
+        * dirs the log has never seen — either a crashed attempt's
+          orphan or a CONCURRENT writer's staging dir whose commit
+          hasn't landed yet. Deleted only once older than
+          ``vacuum_grace_s``, so an in-flight writer's files survive
+          its own job + commit window (the Delta tombstone-retention
+          analogue). A concurrent reader pinned to a vacuumed version
+          still loses its files — acceptable here; true multi-writer
+          deployments use the Delta sink below.
         """
-        referenced = set(self._bucket_manifest().values()) | {self.version}
+        referenced = set(self._bucket_manifest().values())
+        entries = self.history()
         if self.retain_history > 0:
-            for entry in self.history()[-(self.retain_history + 1):]:
+            for entry in entries[-(self.retain_history + 1):]:
                 referenced |= set(entry["buckets"].values())
+        committed_ever = {v for e in entries for v in e["buckets"].values()}
         try:
             versions = [
                 int(d.split("=")[1])
@@ -1002,23 +1066,35 @@ class SnapshotTable:
             ]
         except FileNotFoundError:
             return
+        now = time.time()
         for v in versions:
-            if v not in referenced:
-                shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+            if v in referenced:
+                continue
+            if v not in committed_ever:
+                try:
+                    age = now - os.path.getmtime(f"{self.path}/v={v}")
+                except OSError:
+                    continue
+                if age < self.vacuum_grace_s:
+                    continue  # possibly an in-flight writer's staging dir
+            shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Create / replace the table contents (initial load, K1)."""
         base = self.version
         version = base + 1
+        pv = self._new_data_version()
         written = self._write_buckets(
-            df.withColumn("bucket", self._bucket_col()), version
+            df.withColumn("bucket", self._bucket_col()), pv,
+            expected_base=base,
         )
         self._commit(
             version,
             batch_id,
-            {b: version for b in written},
+            {b: pv for b in written},
             json.dumps(df.schema.jsonValue()),
             expected_base=base,
+            data_version=pv,
         )
         self._vacuum()
 
@@ -1056,20 +1132,22 @@ class SnapshotTable:
         ``retry_conflicts`` (default 0 = the original fail-loudly
         contract) bounds OPTIMISTIC-CONCURRENCY retries on
         :class:`ConcurrentWriteError` — the Delta conflict-resolution
-        semantics. A merge that loses the commit race but finds the
-        intervening commits touched a DISJOINT bucket set (same
-        schema, same bucket count, its files intact — the merge write
-        uses per-partition dynamic overwrite precisely so a racing
-        winner's write to the same version directory does not wipe
-        them) REBASES: a pure manifest-overlay commit, no Spark job
-        re-runs, sound because the losing writer's bucket contents
-        were computed from bucket files the winner provably didn't
-        change. Overlapping buckets, schema/layout drift, or a loss
-        detected before any file was written force a FULL REPLAN
-        against the winner's committed state. Either way both
-        writers' batches end up applied, one commit per writer in the
-        history, until the retry budget is exhausted — then the
-        original loud failure.
+        semantics. Every attempt stages its files under a
+        writer-unique physical directory (:meth:`_new_data_version`),
+        so concurrent writers can never touch each other's bytes —
+        whichever side of the commit CAS a writer lands on, the other
+        side's files are exactly what its commit (or replan) computed.
+        A merge that loses the commit race but finds the intervening
+        commits touched a DISJOINT bucket set (same schema, same
+        bucket count, its staged files still on disk) REBASES: a pure
+        manifest-overlay commit, no Spark job re-runs, sound because
+        the losing writer's bucket contents were computed from bucket
+        files the winner provably didn't change. Overlapping buckets,
+        schema/layout drift, or a loss detected before any file was
+        written force a FULL REPLAN against the winner's committed
+        state. Either way both writers' batches end up applied, one
+        commit per writer in the history, until the retry budget is
+        exhausted — then the original loud failure.
         """
         if batch_id is not None and batch_id == self.last_batch_id():
             return
@@ -1137,6 +1215,7 @@ class SnapshotTable:
             batch_rows = sum(r.n for r in per_bucket)
             upserts = source.filter(F.col(op_col) != delete_op).drop(op_col)
             version = base + 1
+            pv = self._new_data_version()
 
             live_touched = [b for b in touched if b in manifest]
             if live_touched:
@@ -1160,26 +1239,46 @@ class SnapshotTable:
             else:
                 new_data = upserts
 
-            # dynamic partition overwrite + manifest adoption restricted
-            # to THIS batch's touched buckets: a racing writer's files
-            # in the same version directory survive (each write replaces
-            # only its own bucket= partitions — what makes the
-            # disjoint-bucket rebase in _rebase_commit sound), and any
-            # stale bucket directory a crashed attempt left outside the
-            # touched set is excluded from the manifest instead of
-            # adopted with unknown content
+            # files land under this attempt's unique pv dir — a racing
+            # writer (committed or in flight) can never touch them, and
+            # this write can never touch the winner's (what makes both
+            # the disjoint-bucket rebase AND the full replan sound in a
+            # true race). Manifest adoption restricted to THIS batch's
+            # touched buckets out of discipline — the fresh dir can
+            # only contain them anyway.
             touched_set = set(touched)
             written = [
                 b
-                for b in self._write_buckets(new_data, version, dynamic=True)
+                for b in self._write_buckets(
+                    new_data, pv, dynamic=True, expected_base=base
+                )
                 if b in touched_set
             ]
+        except ConcurrentWriteError:
+            raise
+        except Exception as exc:
+            # a racing winner's post-commit vacuum may delete the base
+            # files this plan was reading mid-job (the documented
+            # pinned-reader caveat). If the pointer moved since
+            # planning, the failure IS a write conflict — surface it
+            # as one so the caller's retry loop replans against the
+            # winner's state instead of dying on a raw read error. A
+            # failure with the pointer unmoved is a genuine error.
+            if self.version != base:
+                raise ConcurrentWriteError(
+                    f"concurrent writer detected on {self.path}: the "
+                    f"merge job failed and the pointer moved from "
+                    f"{base} to {self.version} while it ran — the "
+                    f"winner's vacuum likely removed this plan's input "
+                    f"files; re-read and retry the batch"
+                ) from exc
+            raise
         finally:
             source.unpersist()
         for b in touched:
             manifest.pop(b, None)  # bucket emptied by deletes unless rewritten
         for b in written:
-            manifest[b] = version
+            manifest[b] = pv
 
         merged_schema = StructType(evolved_fields)
         schema_json = json.dumps(merged_schema.jsonValue())
@@ -1191,12 +1290,13 @@ class SnapshotTable:
                 schema_json,
                 expected_base=base,
                 fresh_stats=self.stats_on_merge,
+                data_version=pv,
             )
         except ConcurrentWriteError:
             if not (
                 try_rebase
                 and self._rebase_commit(
-                    base_manifest, touched, written, version, batch_id,
+                    base_manifest, touched, written, pv, batch_id,
                     schema_json,
                 )
             ):
@@ -1261,6 +1361,7 @@ class SnapshotTable:
                 expected_base=cur,
                 fresh_stats=self.stats_on_merge,
                 stale_stats_buckets=set(touched) | set(written),
+                data_version=version_written,
             )
         except ConcurrentWriteError:
             return False
@@ -1335,6 +1436,7 @@ class SnapshotTable:
                 r.bucket for r in source.select("bucket").distinct().collect()
             )
             version = base + 1
+            pv = self._new_data_version()
             live_touched = [b for b in touched if b in manifest]
             if live_touched:
                 current_paths = [
@@ -1351,14 +1453,15 @@ class SnapshotTable:
                 merged_in = source.drop("bucket")
             winners = compact_latest(merged_in, self.key_cols, guard_cols)
             written = self._write_buckets(
-                winners.withColumn("bucket", self._bucket_col()), version
+                winners.withColumn("bucket", self._bucket_col()), pv,
+                expected_base=base,
             )
         finally:
             source.unpersist()
         for b in touched:
             manifest.pop(b, None)
         for b in written:
-            manifest[b] = version
+            manifest[b] = pv
 
         merged_schema = StructType(evolved_fields)
         self._commit(
@@ -1369,6 +1472,7 @@ class SnapshotTable:
             guard_meta,
             expected_base=base,
             fresh_stats=self.stats_on_merge,
+            data_version=pv,
         )
         self._vacuum()
 
@@ -1401,13 +1505,14 @@ class SnapshotTable:
         )
         base = int(ptr["version"])
         version = base + 1
-        written = self._write_buckets(full, version)
+        pv = self._new_data_version()
+        written = self._write_buckets(full, pv, expected_base=base)
         self._commit(
-            version, ptr.get("batch_id"), {b: version for b in written},
-            ptr["schema"], expected_base=base,
+            version, ptr.get("batch_id"), {b: pv for b in written},
+            ptr["schema"], expected_base=base, data_version=pv,
         )
         self._vacuum()
-        root = f"{self.path}/v={version}"
+        root = f"{self.path}/v={pv}"
         return sum(
             1
             for _, _, files in os.walk(root)
@@ -1439,12 +1544,14 @@ class SnapshotTable:
         self.n_buckets = n_buckets
         base = int(ptr["version"])
         version = base + 1
+        pv = self._new_data_version()
         written = self._write_buckets(
-            full.withColumn("bucket", self._bucket_col()), version
+            full.withColumn("bucket", self._bucket_col()), pv,
+            expected_base=base,
         )
         self._commit(
-            version, ptr.get("batch_id"), {b: version for b in written},
-            ptr["schema"], expected_base=base,
+            version, ptr.get("batch_id"), {b: pv for b in written},
+            ptr["schema"], expected_base=base, data_version=pv,
         )
         self._vacuum()
 
@@ -1580,6 +1687,7 @@ class SnapshotTable:
         dropped = sum(r.n for r in probe)
         base = int(ptr["version"])
         version = base + 1
+        pv = self._new_data_version()
         paths = [
             f"{self.path}/v={manifest[b]}/bucket={b}"
             for b in touched
@@ -1591,17 +1699,18 @@ class SnapshotTable:
             .filter(~expired)
         )
         written = self._write_buckets(
-            kept.withColumn("bucket", self._bucket_col()), version
+            kept.withColumn("bucket", self._bucket_col()), pv,
+            expected_base=base,
         )
         for b in touched:
             manifest.pop(b, None)  # bucket may hold only expired tombstones
         for b in written:
-            manifest[b] = version
+            manifest[b] = pv
         # batch_id and guard carry forward: GC is a physical rewrite,
         # not a logical batch — replay idempotence must survive it
         self._commit(
             version, ptr.get("batch_id"), manifest, ptr["schema"],
-            expected_base=base,
+            expected_base=base, data_version=pv,
         )
         self._vacuum()
         return dropped

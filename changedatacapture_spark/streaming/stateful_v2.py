@@ -258,8 +258,16 @@ def make_rate_limit_processor(
                         adm.pop()
                 self._win.updateValue((w,), (n_seen, adm))
                 out.append((uid, w, n_seen, len(adm), adm[-1], n_late))
-                if max_ts is None or ts_list[-1] > max_ts:
-                    max_ts = max(ts_list)
+                # ts_list is in ARRIVAL order — guard on its max, not
+                # its last element, or the stored horizon understates
+                # when the window's maximum arrives mid-batch. (The
+                # understatement is bounded within one window, so the
+                # window-granular evict_before happens to come out the
+                # same — but "meta holds the key's true max-seen ts" is
+                # the invariant later readers must be able to rely on.)
+                m = max(ts_list)
+                if max_ts is None or m > max_ts:
+                    max_ts = m
             # evict state for windows that fell behind the horizon
             if evict_before is not None:
                 stale = [

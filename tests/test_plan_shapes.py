@@ -469,6 +469,28 @@ def test_ppl_buckets_lm_joins_stay_vocab_keyed(spark, sf_dir):
     assert has_broadcast_join(df), "V scalar / LM side should broadcast"
 
 
+def test_ppl_buckets_tertile_cut_is_shuffle_bounded(spark, sf_dir):
+    """The tertile cut must be the two-phase prefix-sum rank, never a
+    single-partition ntile over every scored doc: any window spec that
+    touches doc_id (row level) must be PARTITIONED by the score, and
+    the only unpartitioned window allowed is the prefix sum over the
+    metadata-scale per-score count relation (no doc_id in its spec)."""
+    import re
+
+    df = _run(spark, sf_dir, "text_ppl_buckets")
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    row_level = [s for s in specs if "doc_id" in s]
+    assert row_level, f"no row-level window found: {specs}"
+    for s in row_level:
+        assert "ppl_milli" in s, (
+            f"row-level window not partitioned by score (global-sort "
+            f"straggler at 100 TB): {s}"
+        )
+    assert "ntile" not in plan.lower(), "registered plan still uses ntile"
+
+
 def test_emb_dedup_capped_no_unbounded_bucket_join(spark, sf_dir):
     """The capped embedding dedup must keep its bucket census broadcast
     (≤ 2^n_planes rows) and produce no cartesian product; the hot path

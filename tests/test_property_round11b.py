@@ -91,6 +91,32 @@ def test_corrected_isqrt_matches_math_isqrt(spark, values):
         assert got[v] == math.isqrt(v), v
 
 
+def test_isqrt_top_of_bigint_range_no_overflow(spark):
+    """The (s+1)^2 / s^2 correction probes overflow int64 for inputs in
+    the top ~2.1e9 of the BIGINT range; the guarded expression must
+    stay exact there instead of wrapping negative and answering off by
+    one (ADVICE r11)."""
+    from changedatacapture_spark.operators.curation import isqrt_sql
+
+    s_max = 3037000499  # floor(sqrt(2^63 - 1))
+    values = [
+        2**63 - 1,
+        s_max * s_max,  # the first input whose +1 probe would overflow
+        s_max * s_max - 1,
+        s_max * s_max + 1,
+        (s_max * s_max + 2**63 - 1) // 2,
+    ]
+    df = spark.createDataFrame([(v,) for v in values], "n_tokens long")
+    got = {
+        r["n_tokens"]: r["s"]
+        for r in df.select(
+            "n_tokens", F.expr(isqrt_sql("n_tokens")).alias("s")
+        ).collect()
+    }
+    for v in values:
+        assert got[v] == math.isqrt(v), v
+
+
 @given(
     st.lists(
         st.one_of(

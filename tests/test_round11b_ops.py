@@ -367,6 +367,41 @@ def test_welch_ttest_matches_python_reference(spark):
     assert got["significant"] == (abs(t) > 1.96)
 
 
+def test_welch_degenerate_single_row_cohort_nulls_on_both_engines(spark):
+    """A cohort of exactly 1 row makes the (n-1) variance denominator
+    zero. The NULLIF-guarded shared formulas must yield NULL — on
+    Spark AND on DuckDB, where a bare /0.0 would diverge to Inf/NaN
+    and break the bit-exactness contract (ADVICE r11)."""
+    import duckdb
+
+    from changedatacapture_spark.operators.stats import (
+        welch_exprs,
+        welch_ttest,
+    )
+
+    rows = [("click", 3.0), ("view", 2.0), ("view", 4.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = welch_ttest(df, "event_type", "value", "click", "view").collect()[0]
+    assert got["n_a"] == 1
+    assert got["var_a"] is None
+    assert got["t_stat"] is None
+    assert got["df_welch"] is None
+
+    # same formula trees over the same exact moments in DuckDB
+    e = welch_exprs()
+    moments = (
+        "SELECT CAST(1 AS BIGINT) AS n_a, CAST(3000000 AS DECIMAL(38,0)) "
+        "AS sx_a, CAST(9000000000000 AS DECIMAL(38,0)) AS sxx_a, "
+        "CAST(2 AS BIGINT) AS n_b, CAST(6000000 AS DECIMAL(38,0)) AS sx_b, "
+        "CAST(20000000000000 AS DECIMAL(38,0)) AS sxx_b"
+    )
+    r = duckdb.sql(
+        f"SELECT {e['var_a']} AS var_a, {e['t_stat']} AS t_stat, "
+        f"{e['df_welch']} AS df_welch FROM ({moments})"
+    ).fetchone()
+    assert r == (None, None, None)
+
+
 def test_bootstrap_ci_deterministic_and_ordered(spark):
     """The CI must be identical under any partitioning (deterministic
     md5 weights), lo <= hi, and built from exactly 100 replicates."""

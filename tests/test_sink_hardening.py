@@ -219,7 +219,7 @@ def test_interleaved_writers_fail_loudly(spark, tmp_path, monkeypatch):
     orig = SnapshotTable._write_buckets
     fired = []
 
-    def hook(self, df, version, dynamic=False):
+    def hook(self, df, version, dynamic=False, **kw):
         if self is t1 and not fired:
             fired.append(True)
             t2.merge(  # concurrent writer lands first
@@ -228,7 +228,7 @@ def test_interleaved_writers_fail_loudly(spark, tmp_path, monkeypatch):
                 ),
                 batch_id=100,
             )
-        return orig(self, df, version, dynamic)
+        return orig(self, df, version, dynamic, **kw)
 
     monkeypatch.setattr(SnapshotTable, "_write_buckets", hook)
     with pytest.raises(ConcurrentWriteError, match="concurrent writer"):
@@ -350,11 +350,11 @@ def _race(spark, tmp_path, monkeypatch, k1, k2, retry):
     fired = []
     t1_writes = []
 
-    def hook(self, df, version, dynamic=False):
+    def hook(self, df, version, dynamic=False, **kw):
         if self is not t1:
-            return orig(self, df, version, dynamic)
+            return orig(self, df, version, dynamic, **kw)
         t1_writes.append(version)
-        out = orig(self, df, version, dynamic)
+        out = orig(self, df, version, dynamic, **kw)
         if not fired:
             # the winner lands AFTER the loser's files are on disk but
             # BEFORE its commit — the commit-time race the rebase covers
@@ -419,6 +419,64 @@ def test_retry_overlapping_buckets_replans_and_succeeds(
     assert [e["batch_id"] for e in hist] == [0, 100, 1]
 
 
+def test_retry_winner_commits_during_losers_write(
+    spark, tmp_path, monkeypatch
+):
+    """The interleaving that silently dropped the winner's batch under
+    the shared ``v=base+1`` directory scheme: the winner commits while
+    the loser's write job is ALREADY IN FLIGHT (past the pre-write
+    pointer check). The loser's overwrite used to replace the winner's
+    committed bucket files with the loser's stale computation, and the
+    replan then read that stale content as the winner's state.
+    Writer-unique staging dirs make the clobber impossible: both
+    batches must survive, for OVERLAPPING buckets."""
+    path = str(tmp_path / "t")
+    probe = SnapshotTable(spark, str(tmp_path / "probe"), ["k"], n_buckets=2)
+    k1 = 0
+    k2 = next(  # same bucket — the overlap case
+        k for k in range(1, 50)
+        if _bucket_of(spark, probe, k) == _bucket_of(spark, probe, k1)
+    )
+    seed = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    seed.merge(
+        spark.createDataFrame(
+            [(k1, "c", 10), (k2, "c", 20)], "k long, op string, v long"
+        ),
+        batch_id=0,
+    )
+    t1 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    t2 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+
+    orig = SnapshotTable._do_write_buckets
+    fired = []
+
+    def hook(self, df, version, dynamic=False):
+        # fires AFTER t1's pre-write pointer check passed, BEFORE its
+        # files hit disk — the winner's full merge + commit lands here
+        if self is t1 and not fired:
+            fired.append(True)
+            t2.merge(
+                spark.createDataFrame(
+                    [(k2, "u", 99)], "k long, op string, v long"
+                ),
+                batch_id=100,
+            )
+        return orig(self, df, version, dynamic)
+
+    monkeypatch.setattr(SnapshotTable, "_do_write_buckets", hook)
+    t1.merge(
+        spark.createDataFrame([(k1, "u", 11)], "k long, op string, v long"),
+        batch_id=1,
+        retry_conflicts=1,
+    )
+    # BOTH batches applied: the winner's k2=99 was not clobbered by the
+    # loser's in-flight write, and the loser's k1=11 landed via replan
+    assert _rows(t1) == [(k1, 11), (k2, 99)]
+    hist = t1.history()
+    assert [e["version"] for e in hist] == [0, 1, 2]
+    assert [e["batch_id"] for e in hist] == [0, 100, 1]
+
+
 def test_retry_exhausted_still_raises(spark, tmp_path, monkeypatch):
     """retry_conflicts bounds the loop: with enough racing winners the
     merge still fails loudly."""
@@ -433,7 +491,7 @@ def test_retry_exhausted_still_raises(spark, tmp_path, monkeypatch):
     orig = SnapshotTable._write_buckets
     n = [0]
 
-    def hook(self, df, version, dynamic=False):
+    def hook(self, df, version, dynamic=False, **kw):
         if self is t1:
             n[0] += 1
             t2.merge(  # a winner lands before EVERY attempt
@@ -442,7 +500,7 @@ def test_retry_exhausted_still_raises(spark, tmp_path, monkeypatch):
                 ),
                 batch_id=100 + n[0],
             )
-        return orig(self, df, version, dynamic)
+        return orig(self, df, version, dynamic, **kw)
 
     monkeypatch.setattr(SnapshotTable, "_write_buckets", hook)
     with pytest.raises(ConcurrentWriteError):

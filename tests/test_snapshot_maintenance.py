@@ -93,7 +93,12 @@ def test_rebucket_preserves_contents_and_guard(spark, tmp_path):
     t.rebucket(8)
 
     assert sorted((r.k, r.v) for r in t.read().collect()) == before
-    assert {int(d.split("=")[1]) for d in os.listdir(f"{path}/v={t.version}")
+    # every manifest bucket routes within the new modulus, and the
+    # physical dirs it references hold exactly those bucket ids
+    manifest = t._bucket_manifest()
+    assert set(manifest) <= set(range(8))
+    pv = next(iter(set(manifest.values())))
+    assert {int(d.split("=")[1]) for d in os.listdir(f"{path}/v={pv}")
             if d.startswith("bucket=")} <= set(range(8))
     # guarded semantics survive the rewrite
     t.merge(gb([(5, "u", 150, 99)]), guard_cols=["ts"], batch_id=2)

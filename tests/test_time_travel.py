@@ -164,11 +164,11 @@ def test_change_feed_replicates_to_second_table(spark, tmp_path):
 
 def test_merge_recovers_from_orphan_version_dir(spark, tmp_path):
     """A crash between bucket write and pointer commit leaves an orphan
-    v= directory; the next merge must reuse the version number cleanly
-    and vacuum must not leak the orphan."""
+    staging dir the commit log has never seen. The next merge must not
+    adopt it (writer-unique physical dirs make collisions impossible),
+    and vacuum must collect it once the in-flight grace window — which
+    protects CONCURRENT writers' staging dirs — has expired."""
     import os
-
-    from pyspark.sql import functions as F
 
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
@@ -177,8 +177,9 @@ def test_merge_recovers_from_orphan_version_dir(spark, tmp_path):
     table.merge(spark.createDataFrame(
         [(1, "c", "a")], "k long, op string, v string"))
     v = table.version
-    # simulate the crash: files written for v+1, pointer never flipped
-    orphan = f"{path}/v={v + 1}/bucket=0"
+    # simulate the crash: a dead writer's staging files, pointer never
+    # flipped (any never-committed physical id looks the same)
+    orphan = f"{path}/v={table._new_data_version()}/bucket=0"
     os.makedirs(orphan)
     with open(f"{orphan}/part-stale.parquet", "w") as f:
         f.write("garbage from a dead writer")
@@ -189,5 +190,13 @@ def test_merge_recovers_from_orphan_version_dir(spark, tmp_path):
     assert sorted((r.k, r.v) for r in table2.read().collect()) == [
         (1, "a"), (2, "b"),
     ]
-    # the stale file is gone: the recovering merge overwrote its dir
-    assert not os.path.exists(f"{orphan}/part-stale.parquet")
+    # within the grace window the orphan survives (it could have been a
+    # live concurrent writer's staging dir) ...
+    assert os.path.exists(f"{orphan}/part-stale.parquet")
+    # ... and is collected once the window expires
+    table2.vacuum_grace_s = 0.0
+    table2._vacuum()
+    assert not os.path.exists(orphan)
+    assert sorted((r.k, r.v) for r in table2.read().collect()) == [
+        (1, "a"), (2, "b"),
+    ]

@@ -1346,3 +1346,128 @@ def cosine_topk_mrl(
         .withColumn("rk", F.row_number().over(we))
         .filter(F.col("rk") <= k)
     )
+
+
+def build_label_ann_index(
+    emb: DataFrame,
+    path: str,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> None:
+    """Materialize a LABEL-PARTITIONED coarse ANN index: the skinny
+    MRL prefix relation ``(id, prefix)`` written ``partitionBy(label)``
+    — one directory per filter value, the layout that closes the
+    filtered-ANN recall trap ``knn_recall_postfilter`` measures.
+
+    Post-filtering an unpartitioned index shortlist loses the
+    neighbors the filter would have kept (measured recall 0.38 at 10%
+    selectivity); pre-filtering at FULL dimension pays a full-vector
+    scan of the eligible set. The partitioned index is the production
+    middle path: the probe's label predicate becomes PARTITION PRUNING
+    on the index scan (never reads other labels' cells), the coarse
+    pass runs at prefix width over eligible vectors only, and the
+    exact re-rank stays a point-lookup join — recall equals the
+    pre-filter search whenever the shortlist covers the true top-k,
+    at index (not full-scan) cost.
+
+    At 100 TB the index is written once per corpus version (here: per
+    session scratch dir) and shared by every filtered probe; a
+    high-cardinality label wants this generalized to a composite
+    partition key or bucket hash of the label — same layout idea.
+    """
+    (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("neighbor_id"),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("prefix"),
+        )
+        .repartition("label")
+        .write.mode("overwrite")
+        .partitionBy("label")
+        .parquet(path)
+    )
+
+
+def cosine_topk_label_partitioned(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    label_value,
+    k: int = 5,
+    shortlist: int = 50,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Filtered top-k through a label-partitioned coarse index (see
+    :func:`build_label_ann_index`): scan ONLY ``label=value``'s index
+    partition (partition pruning — assert ``PartitionFilters`` in the
+    plan), shortlist per probe on the prefix, exact full-dim re-rank
+    via a point-lookup join back to the corpus. ``prefix_dim`` must
+    match the width the index was built with. Scores are scaled
+    integers folded in index order — engine-exact ranking, same
+    contract as :func:`cosine_topk_mrl`.
+
+    Output: ``probe_id, neighbor_id, score_scaled, rk``.
+    """
+    from pyspark.sql import Window as W
+
+    pre = spark.read.parquet(index_path).filter(
+        F.col("label") == F.lit(label_value)
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+    )
+    coarse_cos = dot(F.col("probe_pre"), F.col("prefix")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_pre")))
+        * F.sqrt(l2_norm_sq(F.col("prefix")))
+    )
+    pp = p.select(
+        "probe_id",
+        F.slice(F.col("probe_vec"), 1, prefix_dim).alias("probe_pre"),
+    )
+    coarse = (
+        pre.crossJoin(F.broadcast(pp))
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(coarse_cos * scale).cast("long").alias("coarse_scaled"),
+        )
+    )
+    wc = W.partitionBy("probe_id").orderBy(
+        F.col("coarse_scaled").desc(), F.col("neighbor_id")
+    )
+    short = (
+        coarse.withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= shortlist)
+        .select("probe_id", "neighbor_id")
+    )
+    full = short.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("corpus_vec"),
+        ),
+        "neighbor_id",
+    ).join(F.broadcast(p), "probe_id")
+    exact_cos = dot(F.col("probe_vec"), F.col("corpus_vec")) / (
+        F.sqrt(l2_norm_sq(F.col("probe_vec")))
+        * F.sqrt(l2_norm_sq(F.col("corpus_vec")))
+    )
+    we = W.partitionBy("probe_id").orderBy(
+        F.col("score_scaled").desc(), F.col("neighbor_id")
+    )
+    return (
+        full.select(
+            "probe_id",
+            "neighbor_id",
+            F.floor(exact_cos * scale).cast("long").alias("score_scaled"),
+        )
+        .withColumn("rk", F.row_number().over(we))
+        .filter(F.col("rk") <= k)
+    )

@@ -491,6 +491,22 @@ def test_ppl_buckets_tertile_cut_is_shuffle_bounded(spark, sf_dir):
     assert "ntile" not in plan.lower(), "registered plan still uses ntile"
 
 
+def test_label_partitioned_ann_scan_prunes_to_label(spark, sf_dir):
+    """The filtered probe must hit ONLY its label's index partition:
+    the index scan carries a PartitionFilters entry on label (other
+    labels' cells are never read — the layout that closes the
+    post-filter recall trap), and the full-dimension corpus is touched
+    only by the shortlist point-lookup join, never a second full scan
+    with the label predicate."""
+    import re
+
+    df = _run(spark, sf_dir, "knn_label_partitioned_topk")
+    plan = executed_plan(df)
+    m = re.search(r"PartitionFilters: \[[^\]]*label[^\]]*=\s*3[^\]]*\]", plan)
+    assert m, f"no label partition pruning on the index scan:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+
+
 def test_emb_dedup_capped_no_unbounded_bucket_join(spark, sf_dir):
     """The capped embedding dedup must keep its bucket census broadcast
     (≤ 2^n_planes rows) and produce no cartesian product; the hot path

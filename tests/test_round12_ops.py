@@ -1,0 +1,91 @@
+"""Round-12 operator tests: label-partitioned filtered ANN."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_label_partitioned_equals_prefilter_when_shortlist_covers(
+    spark, sf_dir, tmp_path
+):
+    """With shortlist >= the eligible-label population, the coarse
+    stage cannot drop a true neighbor, so the label-partitioned search
+    must equal the exact pre-filtered top-5 row for row — the recall
+    1.0 the partitioned layout exists to restore (post-filtering an
+    unpartitioned shortlist measurably cannot)."""
+    from changedatacapture_spark.operators.similarity import (
+        build_label_ann_index,
+        cosine_topk,
+        cosine_topk_label_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    eligible = emb.filter(F.col("label") == 3)
+    n_eligible = eligible.count()
+    assert n_eligible > 5
+
+    idx = str(tmp_path / "label_ann")
+    build_label_ann_index(emb, idx, prefix_dim=16)
+
+    cols = ["probe_id", "neighbor_id", "score_scaled", "rk"]
+    exact = sorted(
+        tuple(r)
+        for r in cosine_topk(eligible, probes, k=5).select(*cols).collect()
+    )
+    lp = sorted(
+        tuple(r)
+        for r in cosine_topk_label_partitioned(
+            spark,
+            idx,
+            emb,
+            probes,
+            label_value=3,
+            k=5,
+            shortlist=n_eligible,
+            prefix_dim=16,
+        )
+        .select(*cols)
+        .collect()
+    )
+    assert lp == exact
+
+
+def test_label_partitioned_index_never_reads_other_labels(
+    spark, sf_dir, tmp_path
+):
+    """Physically delete every OTHER label's partition from the index:
+    the filtered probe must still run — proof the scan touches only
+    its label's directory, the property that bounds cost at 100 TB."""
+    import shutil
+    import os
+
+    from changedatacapture_spark.operators.similarity import (
+        build_label_ann_index,
+        cosine_topk_label_partitioned,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probes = emb.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "label_ann")
+    build_label_ann_index(emb, idx, prefix_dim=16)
+    for d in os.listdir(idx):
+        if d.startswith("label=") and d != "label=3":
+            shutil.rmtree(os.path.join(idx, d))
+    out = cosine_topk_label_partitioned(
+        spark, idx, emb, probes, label_value=3, k=5, shortlist=100,
+        prefix_dim=16,
+    ).collect()
+    assert len(out) > 0
+    labels = {
+        r.label
+        for r in emb.join(
+            spark.createDataFrame(
+                [(r.neighbor_id,) for r in out], "vec_id long"
+            ),
+            "vec_id",
+        )
+        .select("label")
+        .collect()
+    }
+    assert labels == {3}

@@ -689,3 +689,167 @@ def bootstrap_ci(
         "ci_lo_scaled",
         "ci_hi_scaled",
     )
+
+
+def qsketch_partial(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    n_cells: int = 32,
+) -> DataFrame:
+    """Mergeable quantile-sketch partial: per group, the ``k`` rows
+    whose md5-derived 60-bit row-id hash is smallest — a deterministic
+    uniform sample whose merge law is EXACT (bottom-k of a union ==
+    bottom-k of the parts' bottom-k's, the KMV law), completing the
+    sketch family (KMV, count-min, Bloom, Misra-Gries, HLL) with its
+    most-used member.
+
+    Why not literal KLL: KLL's compactor flips coins, so two engines
+    (or two runs) build different sketches — unverifiable by a
+    relational oracle. The bottom-k-by-hash sample is the
+    deterministic mergeable member: same O(k) state per group, rank
+    error O(sqrt(ln(1/d)/k)) instead of KLL's O(ln(1/d)/k) — the
+    price of bit-exact cross-engine replay, reported per query by
+    ``err_ppm`` against the exact rank.
+
+    Scale shape: the same two-level salted pre-rank as
+    ``kmv_distinct_users`` — the first row_number runs per
+    (group, hv mod n_cells) cell on the spillable external sort, keeps
+    k per cell, and the global re-rank touches <= n_cells*k rows per
+    group. Never an unbounded per-group sort.
+
+    Output: ``grp, v, hv`` (<= k rows per group; ``v`` is the
+    1e6-scaled integer value, ``hv`` the 60-bit sample hash).
+    """
+    from pyspark.sql.window import Window
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("grp"),
+        _scaled(value_col).alias("v"),
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("hv"),
+    )
+    wc = Window.partitionBy(
+        "grp", F.pmod(F.col("hv"), F.lit(n_cells))
+    ).orderBy("hv")
+    cand = (
+        base.withColumn("cell_rn", F.row_number().over(wc))
+        .filter(F.col("cell_rn") <= k)
+        .select("grp", "v", "hv")
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "v", "hv")
+    )
+
+
+def qsketch_finalize(
+    partials: DataFrame,
+    base: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 256,
+    quantiles: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """Fold quantile-sketch partials (``qsketch_partial`` output, any
+    batch split) into per-group quantile estimates plus the exact-rank
+    quality loop.
+
+    Merge = one more bottom-k re-rank over <= batches*k rows per
+    group (the windows below touch only sketch-sized relations, never
+    the corpus). Estimate for quantile q = the sample value at rank
+    ``ceil(q*m/100)`` in (value, hv) order — deterministic, both
+    engines. The quality loop then measures the TRUE rank of each
+    estimate with one map-side-combinable aggregate over the base
+    (count of v <= est_v; no per-group sort anywhere): ``err_ppm`` is
+    the sketch's rank error in parts-per-million, the metric the
+    epsilon-approximate-quantile guarantee is stated in. The ppm
+    division bounds n at ~9.2e12 rows per group (int64 product), the
+    repo's documented ppm range.
+
+    Output: ``grp, q_pct, n_rows, m_sample, est_v, est_rank_ppm,
+    target_ppm, err_ppm`` — all exact integers, hash-exact vs the
+    DuckDB replay.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy("hv")
+    merged = (
+        partials.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "v", "hv")
+    )
+    m = merged.groupBy("grp").agg(F.count(F.lit(1)).alias("m_sample"))
+    wv = Window.partitionBy("grp").orderBy("v", "hv")
+    sr = merged.withColumn("sr", F.row_number().over(wv))
+    qdf = m.select(
+        "grp",
+        "m_sample",
+        F.explode(
+            F.array(*[F.lit(q) for q in quantiles])
+        ).alias("q_pct"),
+    ).withColumn(
+        "target_rank",
+        F.expr("(q_pct * m_sample + 99) DIV 100"),
+    )
+    est = (
+        qdf.join(sr, ["grp"])
+        .filter(F.col("sr") == F.col("target_rank"))
+        .select("grp", "q_pct", "m_sample", F.col("v").alias("est_v"))
+    )
+    b = base.filter(F.col(value_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), _scaled(value_col).alias("bv")
+    )
+    n = b.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
+    cum = (
+        b.join(F.broadcast(est), "grp")
+        .groupBy("grp", "q_pct", "m_sample", "est_v")
+        .agg(
+            F.sum(
+                F.when(F.col("bv") <= F.col("est_v"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("c")
+        )
+    )
+    return cum.join(n, "grp").select(
+        "grp",
+        F.col("q_pct").cast("long").alias("q_pct"),
+        "n_rows",
+        "m_sample",
+        "est_v",
+        F.expr("c * 1000000 DIV n_rows").alias("est_rank_ppm"),
+        F.expr("CAST(q_pct * 10000 AS BIGINT)").alias("target_ppm"),
+        F.expr("c * 1000000 DIV n_rows - q_pct * 10000").alias("err_ppm"),
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    quantiles: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """One-pass per-group quantile sketch with exact-rank error
+    report: :func:`qsketch_partial` -> :func:`qsketch_finalize` on a
+    single batch. See those for the construction, merge law, and
+    scale shape."""
+    return qsketch_finalize(
+        qsketch_partial(df, group_col, value_col, id_col, k),
+        df,
+        group_col,
+        value_col,
+        k,
+        quantiles,
+    )

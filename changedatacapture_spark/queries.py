@@ -5653,6 +5653,135 @@ def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SQL["events_stream_hll"] = ORACLE_SQL["events_hll_distinct"]
 
 
+_QSKETCH_ORACLE = """
+    WITH base AS (
+      SELECT event_type AS grp, event_id,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL AND event_id IS NOT NULL),
+    h AS (
+      SELECT grp, v,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM base),
+    r AS (
+      SELECT grp, v, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+      FROM h),
+    samp AS (SELECT grp, v, hv FROM r WHERE rn <= 256),
+    m AS (SELECT grp, count(*) AS m_sample FROM samp GROUP BY 1),
+    sr AS (
+      SELECT grp, v,
+             row_number() OVER (PARTITION BY grp ORDER BY v, hv) AS sr
+      FROM samp),
+    qs AS (SELECT unnest([25, 50, 75, 90, 99]) AS q_pct),
+    est AS (
+      SELECT s.grp, q.q_pct, m.m_sample, s.v AS est_v
+      FROM sr s JOIN m USING (grp) CROSS JOIN qs q
+      WHERE s.sr = (q.q_pct * m.m_sample + 99) // 100),
+    n AS (SELECT grp, count(*) AS n_rows FROM base GROUP BY 1),
+    cum AS (
+      SELECT e.grp, e.q_pct, e.m_sample, e.est_v,
+             CAST(sum(CASE WHEN b.v <= e.est_v THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+      FROM est e JOIN base b ON b.grp = e.grp
+      GROUP BY 1, 2, 3, 4)
+    SELECT c.grp, CAST(c.q_pct AS BIGINT) AS q_pct, n.n_rows, c.m_sample,
+           c.est_v,
+           CAST(c.c * 1000000 // n.n_rows AS BIGINT) AS est_rank_ppm,
+           CAST(c.q_pct * 10000 AS BIGINT) AS target_ppm,
+           CAST(c.c * 1000000 // n.n_rows - c.q_pct * 10000 AS BIGINT)
+             AS err_ppm
+    FROM cum c JOIN n USING (grp)
+"""
+
+
+@_register("events_quantile_sketch", _QSKETCH_ORACLE)
+def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (k=256 bottom-k-by-hash sample) of
+    ``value`` per event type, with the exact-rank quality loop: for
+    each target quantile (p25/p50/p75/p90/p99) the estimate's TRUE
+    rank is measured by one map-side-combinable aggregate and the
+    rank error reported in ppm — the metric epsilon-approximate
+    quantile guarantees are stated in. Deterministic md5 sampling
+    makes the sketch bit-exact cross-engine (the reason this is not
+    literal KLL: its compactor flips coins); the merge law is exact
+    (bottom-k of a union == bottom-k of the parts — KMV's law), which
+    ``events_stream_quantile_sketch`` proves on a real stream. See
+    operators/stats.py:qsketch_partial."""
+    from changedatacapture_spark.operators.stats import quantile_sketch
+
+    ev = load_table(spark, "events", sf_dir)
+    return quantile_sketch(
+        ev, group_col="event_type", value_col="value", id_col="event_id"
+    )
+
+
+@_register("events_stream_quantile_sketch", None)
+def q_events_stream_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming quantile sketch: events replay as 4 HASH-bucketed
+    micro-batches (event_id mod 4 — deliberately not time-ordered),
+    each batch emits its mergeable bottom-k partial
+    (``qsketch_partial``) through ``foreachBatch`` into a parquet
+    scratch sink, and the finalize step folds them with one more
+    bottom-k re-rank — the exact merge law (bottom-k of a union ==
+    bottom-k of the parts' bottom-k's) on a real stream. Folded
+    estimates must equal the one-pass batch sketch bit-for-bit, so
+    this shares ``events_quantile_sketch``'s oracle: stream == batch
+    is the correctness statement. Per-batch state is <= 256 (hash,
+    value) pairs per group — streaming percentiles with no watermark
+    and no growing state store."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.operators.stats import (
+        qsketch_finalize,
+        qsketch_partial,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    raw = ev.withColumn("_b", (F.col("event_id") % 4 + 1).cast("int"))
+
+    work = tempfile.mkdtemp(prefix="stream_qsketch_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    partials_dir = os.path.join(work, f"partials_{uuid.uuid4().hex[:8]}")
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+
+    def sink_batch(bdf: DataFrame, batch_id: int) -> None:
+        qsketch_partial(bdf, "event_type", "value", "event_id").write.mode(
+            "append"
+        ).parquet(partials_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    partials = spark.read.parquet(partials_dir)
+    base = spark.read.schema(
+        "event_id long, event_type string, value double"
+    ).json(src)
+    return qsketch_finalize(partials, base, "event_type", "value")
+
+
+ORACLE_SQL["events_stream_quantile_sketch"] = ORACLE_SQL[
+    "events_quantile_sketch"
+]
+
+
 @_register(
     "text_dsir_select",
     """

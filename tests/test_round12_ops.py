@@ -89,3 +89,59 @@ def test_label_partitioned_index_never_reads_other_labels(
         .collect()
     }
     assert labels == {3}
+
+
+def test_qsketch_merge_law_exact_under_any_split(spark, sf_dir):
+    """Bottom-k of a union == bottom-k of the parts' bottom-k's: the
+    sketch folded from arbitrary disjoint batch partials must equal
+    the one-pass sketch bit for bit — the mergeability that lets
+    partials cross micro-batches/days/workers."""
+    from changedatacapture_spark.operators.stats import (
+        qsketch_finalize,
+        qsketch_partial,
+        quantile_sketch,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("long")
+    )
+    one_pass = sorted(
+        tuple(r)
+        for r in quantile_sketch(
+            ev, "event_type", "value", "event_id"
+        ).collect()
+    )
+    parts = [
+        qsketch_partial(
+            ev.filter(F.col("event_id") % 3 == i),
+            "event_type",
+            "value",
+            "event_id",
+        )
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    folded = sorted(
+        tuple(r)
+        for r in qsketch_finalize(u, ev, "event_type", "value").collect()
+    )
+    assert folded == one_pass
+
+
+def test_qsketch_rank_error_within_sample_bound(spark, sf_dir):
+    """The k=256 sample's rank error must stay within a loose 4/sqrt(k)
+    bound (~25% ppm) for every quantile — the quality loop the sketch
+    ships with; exact values are NOT expected (that is the trade for
+    O(k) state)."""
+    from changedatacapture_spark.operators.stats import quantile_sketch
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = quantile_sketch(ev, "event_type", "value", "event_id").collect()
+    assert rows
+    for r in rows:
+        assert r.m_sample <= 256
+        assert abs(r.err_ppm) <= 250_000, (r.grp, r.q_pct, r.err_ppm)
+        # est_rank_ppm is the measured truth: 0 < rank <= 1e6
+        assert 0 < r.est_rank_ppm <= 1_000_000

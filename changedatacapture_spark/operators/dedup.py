@@ -1071,3 +1071,97 @@ def substring_dup_spans(
         )
     )
     return spans
+
+
+def _banded_flat(
+    sigs: DataFrame, n_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) band relation of a signature
+    table — the probe/index rows LSH joins run on."""
+    rows_per_band = n_hashes // bands
+    band_hashes = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh{j}")
+                    for j in range(b * rows_per_band, (b + 1) * rows_per_band)
+                ],
+            )
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+    )
+
+
+def lsh_incremental_candidates(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 4,
+    bands: int = 2,
+    k: int = 5,
+    max_bucket_size: int = 500,
+) -> DataFrame:
+    """Incremental near-dup probe — the daily-crawl production shape:
+    only the NEW documents (e.g. the insert set of a snapshot change
+    feed, ``SnapshotTable.changes_between``) re-shingle and probe the
+    existing corpus; the corpus is never self-joined.
+
+    Candidate volume is bounded by the DELTA, not the corpus: the
+    delta's band relation BROADCASTS to the corpus scan (plan: one
+    BroadcastHashJoin, the corpus bands never shuffle for the probe),
+    so each corpus row is looked up against the small hash set once,
+    map-side. New-vs-new candidates come from a delta-sized self-join.
+    Hub guards apply per side against its own population — the corpus
+    bucket census is a map-side-combinable aggregate whose distinct
+    (band, hash) output broadcasts back as an anti-join (in production
+    the census is maintained WITH the stored signature index, so the
+    probe pays neither scan).
+
+    Output: one row per new document — ``doc_id, n_candidates,
+    first_partner`` (min candidate partner id; NULL when the document
+    collides with nothing — the keep set).
+    """
+    sigs_new = minhash_signatures(new_docs, text_col, n_hashes, k)
+    sigs_corp = minhash_signatures(corpus_docs, text_col, n_hashes, k)
+    nb0 = _banded_flat(sigs_new, n_hashes, bands)
+    cb0 = _banded_flat(sigs_corp, n_hashes, bands)
+    keys = ["band_idx", "band_hash"]
+
+    def hot(banded: DataFrame) -> DataFrame:
+        return (
+            banded.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .select(*keys)
+        )
+
+    cb = cb0.join(F.broadcast(hot(cb0)), keys, "left_anti")
+    nb = nb0.join(F.broadcast(hot(nb0)), keys, "left_anti")
+    cross = cb.join(F.broadcast(nb), keys).select(
+        nb["doc_id"].alias("doc_id"), cb["doc_id"].alias("partner")
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    nn = a.join(
+        F.broadcast(b),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("b.doc_id").alias("partner"),
+    )
+    cands = cross.unionByName(nn).distinct()
+    return (
+        new_docs.select("doc_id")
+        .join(cands, "doc_id", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("partner").alias("n_candidates"),
+            F.min("partner").alias("first_partner"),
+        )
+    )

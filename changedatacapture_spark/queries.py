@@ -2878,6 +2878,39 @@ def q_cdc_snapshot_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
 
 
+@_register("cdc_mor_merge_e2e", _FINAL_STATE_SQL)
+def q_cdc_mor_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read (deletion-vector) apply end-to-end: the changelog
+    splits into 4 time-ordered micro-batches applied with
+    ``merge(mode="mor")`` — each batch appends one keyed delta run
+    (deletes as a ``_mor_del`` mask) and the bucket manifest carries
+    forward untouched, so write cost is ∝ batch size, not ∝ touched
+    buckets (the SURVEY §7.5 high-churn shape). ``compact()`` folds
+    the first two runs mid-stream to prove the fold is lossless; the
+    final read resolves the remaining runs with one latest-per-key
+    hash aggregate. Final state must equal the same global-compaction
+    oracle as the copy-on-write twin ``cdc_snapshot_merge_e2e`` —
+    storage layout is invisible to the logical result."""
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    batched = log.withColumn(
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
+    )
+    table = SnapshotTable(
+        spark, _session_scratch_dir("cdc_mor_e2e_"), ["key_id"], n_buckets=8
+    )
+    for b in (1, 2, 3, 4):
+        batch = batched.filter(F.col("_b") == b).drop("_b")
+        compacted = compact_latest(batch, ["key_id"], ["ts_us", "seq"])
+        table.merge(compacted, batch_id=b, mode="mor")
+        if b == 2:
+            table.compact()  # fold runs mid-stream: must be lossless
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
 @_register("cdc_snapshot_merge_guarded", _FINAL_STATE_SQL)
 def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-guarded merge applied OUT of order: batches split by
@@ -4216,6 +4249,96 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = docs.filter(F.col("doc_id") < 400).select(F.md5("text").alias("_fp"))
     return new.join(ref, "_fp", "left_anti").select("doc_id")
+
+
+@_register(
+    "dedup_cdf_incremental",
+    f"""
+    WITH sigs AS ({_MINHASH_ORACLE}),
+    nb0 AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash
+      FROM sigs WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash
+      FROM sigs WHERE doc_id >= 400),
+    cb0 AS (
+      SELECT doc_id, 0 AS band_idx, md5(mh0 || '|' || mh1) AS band_hash
+      FROM sigs WHERE doc_id < 400
+      UNION ALL
+      SELECT doc_id, 1 AS band_idx, md5(mh2 || '|' || mh3) AS band_hash
+      FROM sigs WHERE doc_id < 400),
+    nhot AS (
+      SELECT band_idx, band_hash FROM nb0
+      GROUP BY 1, 2 HAVING count(*) > 500),
+    chot AS (
+      SELECT band_idx, band_hash FROM cb0
+      GROUP BY 1, 2 HAVING count(*) > 500),
+    nb AS (
+      SELECT b.* FROM nb0 b
+      WHERE NOT EXISTS (SELECT 1 FROM nhot h
+                        WHERE h.band_idx = b.band_idx
+                          AND h.band_hash = b.band_hash)),
+    cb AS (
+      SELECT b.* FROM cb0 b
+      WHERE NOT EXISTS (SELECT 1 FROM chot h
+                        WHERE h.band_idx = b.band_idx
+                          AND h.band_hash = b.band_hash)),
+    cands AS (
+      SELECT DISTINCT doc_id, partner FROM (
+        SELECT n.doc_id, c.doc_id AS partner
+        FROM nb n JOIN cb c USING (band_idx, band_hash)
+        UNION ALL
+        SELECT a.doc_id, b.doc_id AS partner
+        FROM nb a JOIN nb b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id <> b.doc_id))
+    SELECT d.doc_id,
+           CAST(count(c.partner) AS BIGINT) AS n_candidates,
+           min(c.partner) AS first_partner
+    FROM documents d LEFT JOIN cands c USING (doc_id)
+    WHERE d.doc_id >= 400
+    GROUP BY 1
+    """,
+)
+def q_dedup_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup THROUGH the store's change feed — the daily
+    crawl production shape: day-0 corpus (doc_id < 400) lives in a
+    SnapshotTable; the day-1 crawl merges in; ``changes_between``
+    yields exactly the inserted documents, and ONLY those re-shingle
+    and probe the existing corpus via MinHash LSH
+    (``lsh_incremental_candidates``: delta bands broadcast to the
+    corpus scan — one BroadcastHashJoin, the corpus never self-joins
+    and never shuffles for the probe; per-side hub guards cap hot
+    buckets). Candidate volume is bounded by the delta, plan-pinned in
+    test_plan_shapes. Output: per new doc, its candidate count and
+    first duplicate partner (NULL = keep)."""
+    from changedatacapture_spark.operators.dedup import (
+        lsh_incremental_candidates,
+    )
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    table = SnapshotTable(
+        spark,
+        _session_scratch_dir("dedup_cdf_"),
+        ["doc_id"],
+        n_buckets=8,
+        retain_history=2,
+    )
+    day0 = docs.filter(F.col("doc_id") < 400).withColumn("op", F.lit("c"))
+    table.merge(day0, batch_id=0)
+    v0 = table.version
+    day1 = docs.filter(F.col("doc_id") >= 400).withColumn("op", F.lit("c"))
+    table.merge(day1, batch_id=1)
+    delta = (
+        table.changes_between(v0, table.version)
+        .filter(F.col("change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    corpus = table.read(at_version=v0).select("doc_id", "text")
+    return lsh_incremental_candidates(
+        delta, corpus, n_hashes=4, bands=2, k=5, max_bucket_size=500
+    )
 
 
 @_register(

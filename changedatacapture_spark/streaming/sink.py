@@ -338,12 +338,18 @@ class SnapshotTable:
         fresh_stats: bool = True,
         stale_stats_buckets: set[int] | None = None,
         data_version: int | None = None,
+        runs: list[dict] | None = None,
     ) -> None:
         # data_version: the writer-unique PHYSICAL directory id this
         # commit's fresh files were written under (see
         # _new_data_version). Logical pointer versions stay sequential;
         # manifest values are physical ids. None = the two coincide
         # (pre-existing tables / callers that never write files).
+        # runs: merge-on-read delta segments (ordered oldest-first,
+        # each {"v": physical id, "batch_id", "buckets": [...]}) — the
+        # deletion-vector analogue; empty/None = pure copy-on-write
+        # state. Maintenance rewrites (overwrite/compact/rebucket)
+        # intentionally commit without runs: they fold the deltas in.
         # concurrent-writer detection (commit-pointer CAS): the table is
         # single-writer by design, but a second writer must fail LOUDLY,
         # not silently last-write-wins. Each write op captures the
@@ -413,6 +419,7 @@ class SnapshotTable:
             "cluster_cols": self.cluster_cols,
             "stats": stats,
             "fstats": fstats,
+            "runs": runs or [],
         }
         tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
@@ -496,6 +503,56 @@ class SnapshotTable:
         current = self.version
         return [entries[v] for v in sorted(entries) if v <= current]
 
+    def _mor_resolve(self, base: DataFrame, ptr: dict, schema) -> DataFrame:
+        """Merge-on-read resolution: fold the pointer's delta runs
+        (``merge(mode="mor")`` appends — see that docstring) over the
+        copy-on-write base. Each run holds <= 1 row per key plus a
+        ``_mor_del`` flag (the keyed deletion-vector analogue); the
+        winner per key is the highest-sequence row (run order = commit
+        order, base = 0) via the same map-side-combinable
+        ``compact_latest`` the CDC core uses — one hash aggregate,
+        no window. Delete winners drop from the logical view. Run
+        file paths come from the commit entry's recorded bucket list,
+        never a directory LIST."""
+        runs = ptr.get("runs") or []
+        if not runs:
+            return base
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        from changedatacapture_spark.operators.cdc import compact_latest
+
+        run_schema = StructType(
+            list(schema.fields) + [StructField("_mor_del", BooleanType())]
+        )
+        parts = [
+            base.withColumn("_mor_del", F.lit(False)).withColumn(
+                "_mor_seq", F.lit(0)
+            )
+        ]
+        for i, run in enumerate(runs, start=1):
+            rdf = self.spark.read.schema(run_schema).parquet(
+                *[
+                    f"{self.path}/v={run['v']}/bucket={b}"
+                    for b in run["buckets"]
+                ]
+            )
+            parts.append(rdf.withColumn("_mor_seq", F.lit(i)))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        winners = compact_latest(u, self.key_cols, ["_mor_seq"])
+        return winners.filter(~F.col("_mor_del")).drop(
+            "_mor_seq", "_mor_del"
+        )
+
+    @staticmethod
+    def _run_paths(path: str, ptr: dict) -> list[str]:
+        return [
+            f"{path}/v={run['v']}/bucket={b}"
+            for run in ptr.get("runs") or []
+            for b in run["buckets"]
+        ]
+
     def read(
         self, include_tombstones: bool = False, at_version: int | None = None
     ) -> DataFrame:
@@ -534,7 +591,11 @@ class SnapshotTable:
         paths = [
             f"{self.path}/v={v}/bucket={b}" for b, v in sorted(manifest.items())
         ]
-        missing = [p for p in paths if not os.path.isdir(p)]
+        missing = [
+            p
+            for p in paths + self._run_paths(self.path, ptr)
+            if not os.path.isdir(p)
+        ]
         if missing:
             if at_version is None:
                 # the CURRENT manifest referencing absent files is
@@ -548,10 +609,11 @@ class SnapshotTable:
                 f"version {at_version} is beyond retain_history="
                 f"{self.retain_history}; its files were vacuumed: {missing[:3]}"
             )
-        if not paths:  # every row deleted
+        if not paths:  # every row deleted (or MoR runs carry everything)
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*paths)
+        df = self._mor_resolve(df, ptr, schema)
         guard = ptr.get("guard")
         if guard and not include_tombstones:
             df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
@@ -602,9 +664,22 @@ class SnapshotTable:
             for b, v in sorted(manifest.items())
             if b in wanted
         ]
-        if not paths:
+        # MoR delta runs are bucket-partitioned with the same routing,
+        # so the point lookup prunes them by the same bucket ids —
+        # lookup cost stays O(touched buckets x runs), never the table
+        pruned_ptr = dict(ptr)
+        pruned_ptr["runs"] = [
+            {**run, "buckets": [b for b in run["buckets"] if b in wanted]}
+            for run in (ptr.get("runs") or [])
+        ]
+        pruned_ptr["runs"] = [r for r in pruned_ptr["runs"] if r["buckets"]]
+        if not paths and not pruned_ptr["runs"]:
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(*paths)
+        if paths:
+            df = self.spark.read.schema(schema).parquet(*paths)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        df = self._mor_resolve(df, pruned_ptr, schema)
         df = df.join(F.broadcast(keydf), self.key_cols, "leftsemi")
         guard = ptr.get("guard")
         if guard and not include_tombstones:
@@ -901,6 +976,13 @@ class SnapshotTable:
             df = self.spark.createDataFrame([], schema)
         else:
             df = self.spark.read.schema(schema).parquet(*paths)
+        # MoR runs are delta-sized and carry no zone maps: scan them in
+        # full and resolve BEFORE the predicates. Pruning the BASE
+        # first is sound: a pruned base row either loses resolution to
+        # a run row (never emitted anyway) or wins but cannot match
+        # the predicate (zone maps are conservative) — either way the
+        # pruned result equals the unpruned one.
+        df = self._mor_resolve(df, ptr, schema)
         for p in predicates:
             col, op = p[0], p[1]
             c = F.col(col)
@@ -1052,12 +1134,19 @@ class SnapshotTable:
           still loses its files — acceptable here; true multi-writer
           deployments use the Delta sink below.
         """
+        ptr = self._read_pointer()
         referenced = set(self._bucket_manifest().values())
+        if ptr is not None:
+            referenced |= {r["v"] for r in ptr.get("runs") or []}
         entries = self.history()
         if self.retain_history > 0:
             for entry in entries[-(self.retain_history + 1):]:
                 referenced |= set(entry["buckets"].values())
+                referenced |= {r["v"] for r in entry.get("runs") or []}
         committed_ever = {v for e in entries for v in e["buckets"].values()}
+        committed_ever |= {
+            r["v"] for e in entries for r in e.get("runs") or []
+        }
         try:
             versions = [
                 int(d.split("=")[1])
@@ -1107,6 +1196,7 @@ class SnapshotTable:
         evolve_schema: bool = True,
         guard_cols: list[str] | None = None,
         retry_conflicts: int = 0,
+        mode: str = "cow",
     ) -> None:
         """Apply a compacted micro-batch (≤1 row per key) as one merge.
 
@@ -1148,9 +1238,47 @@ class SnapshotTable:
         state. Either way both writers' batches end up applied, one
         commit per writer in the history, until the retry budget is
         exhausted — then the original loud failure.
+
+        ``mode="mor"`` switches to MERGE-ON-READ (the deletion-vector
+        analogue; SURVEY §7.5's "merge-on-read for high-churn
+        tables"): instead of rewriting every touched bucket
+        (copy-on-write amplification ∝ bucket size), the batch —
+        deletes riding as a keyed ``_mor_del`` mask — appends as one
+        bucket-partitioned DELTA RUN and the manifest carries forward
+        untouched; write cost is ∝ batch size. Readers fold runs over
+        the base with one map-side-combinable latest-per-key aggregate
+        (``_mor_resolve``); :meth:`compact` folds runs back into a
+        fresh copy-on-write base (the OPTIMIZE cadence bounds read
+        amplification). MoR does not compose with ``guard_cols`` (a
+        guard needs physically retained tombstones), and a ``cow``
+        merge while runs are pending raises rather than stranding run
+        rows. Conflict retries in MoR never re-run the write job:
+        appends commute, so a lost CAS re-commits against the winner's
+        pointer with this run appended (see :meth:`_merge_mor`).
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
         if batch_id is not None and batch_id == self.last_batch_id():
             return
+        cur = self._read_pointer()
+        if mode == "mor":
+            if guard_cols is not None or (cur and cur.get("guard")):
+                raise ValueError(
+                    "merge-on-read does not compose with order-guarded "
+                    "merges: guard tombstones must be physically "
+                    "retained, which is the copy-on-write path's job"
+                )
+            self._merge_mor(
+                compacted, op_col, delete_op, batch_id, evolve_schema,
+                retry_conflicts,
+            )
+            return
+        if cur and cur.get("runs"):
+            raise ValueError(
+                "copy-on-write merge on a table with pending merge-on-read "
+                "runs would strand the runs' rows: call compact() to fold "
+                "them in first (or keep merging with mode='mor')"
+            )
         if guard_cols is not None:
             self._merge_ordered(
                 compacted, list(guard_cols), op_col, delete_op, batch_id,
@@ -1190,6 +1318,14 @@ class SnapshotTable:
         from pyspark.sql.types import StructType
 
         ptr = self._read_pointer()
+        if ptr.get("runs"):
+            # a concurrent MoR writer appended runs after merge()'s
+            # entry check: this plan reads base buckets only, so its
+            # rewrite would let stale run rows outrank the batch
+            raise ValueError(
+                "copy-on-write merge found pending merge-on-read runs: "
+                "compact() first or merge with mode='mor'"
+            )
         base = int(ptr["version"])
         table_schema = StructType.fromJson(json.loads(ptr["schema"]))
         evolved_fields = _evolved_fields(
@@ -1335,6 +1471,10 @@ class SnapshotTable:
         ptr = self._read_pointer()
         if ptr is None:
             return False
+        if ptr.get("runs"):
+            # winner switched to merge-on-read: an overlay commit would
+            # drop or misorder its runs — replan (which raises on runs)
+            return False
         cur = int(ptr["version"])
         if int(ptr.get("n_buckets") or self.n_buckets) != self.n_buckets:
             return False
@@ -1366,6 +1506,104 @@ class SnapshotTable:
         except ConcurrentWriteError:
             return False
         return True
+
+    def _merge_mor(
+        self,
+        compacted: DataFrame,
+        op_col: str,
+        delete_op: str,
+        batch_id: int | None,
+        evolve_schema: bool,
+        retry_conflicts: int,
+    ) -> None:
+        """Merge-on-read apply: write the batch once as a delta run,
+        commit it onto the runs list. The write never reads table
+        state, so a lost commit race needs NO job re-run — the retry
+        loop re-reads the winner's pointer, recomputes the evolved
+        schema against it, and re-commits with this run appended
+        (append-only merges commute; run ORDER still serializes
+        last-writer-wins per key). Only layout drift (bucket count —
+        this run's files were routed with the planning-time modulus)
+        or a guard appearing forces the loud failure.
+
+        Write amplification is the point: a high-churn batch touching
+        every bucket rewrites the WHOLE table under copy-on-write but
+        appends only ~batch-size bytes here — the SURVEY §7.5
+        merge-on-read case for 100 TB CDC tables, paid for at read
+        time by one extra latest-per-key hash aggregate until
+        :meth:`compact` folds the runs.
+        """
+        from pyspark.sql.types import StructType
+
+        if not self.exists():
+            self.overwrite(
+                compacted.filter(F.col(op_col) != delete_op).drop(op_col),
+                batch_id,
+            )
+            return
+        ptr = self._read_pointer()
+        base = int(ptr["version"])
+        table_schema = StructType.fromJson(json.loads(ptr["schema"]))
+        aligned = _align_key_types(compacted, table_schema, self.key_cols)
+        run_df = (
+            aligned.withColumn("_mor_del", F.col(op_col) == F.lit(delete_op))
+            .drop(op_col)
+            .withColumn("bucket", self._bucket_col())
+        )
+        # the run's LOGICAL schema (no op/_mor_del/bucket) drives the
+        # committed-schema evolution, exactly like the cow path
+        batch_fields = StructType(
+            [
+                f
+                for f in run_df.schema.fields
+                if f.name not in ("_mor_del", "bucket")
+            ]
+        )
+        pv = self._new_data_version()
+        written = self._write_buckets(run_df, pv, expected_base=base)
+        run_entry = {"v": pv, "batch_id": batch_id, "buckets": sorted(written)}
+        for attempt in range(retry_conflicts + 1):
+            ptr = self._read_pointer()
+            cur = int(ptr["version"])
+            if int(ptr.get("n_buckets") or self.n_buckets) != self.n_buckets:
+                raise ConcurrentWriteError(
+                    f"concurrent rebucket detected on {self.path}: this "
+                    f"run's files are routed with n_buckets="
+                    f"{self.n_buckets}; re-apply the batch"
+                )
+            if ptr.get("guard"):
+                raise ConcurrentWriteError(
+                    f"table {self.path} became order-guarded while this "
+                    f"merge-on-read apply ran; re-apply via cow"
+                )
+            table_schema = StructType.fromJson(json.loads(ptr["schema"]))
+            evolved = _evolved_fields(
+                table_schema, batch_fields, op_col, evolve_schema,
+                self.key_cols,
+            )
+            try:
+                self._commit(
+                    cur + 1,
+                    batch_id,
+                    {int(b): v for b, v in ptr["buckets"].items()},
+                    json.dumps(StructType(evolved).jsonValue()),
+                    expected_base=cur,
+                    fresh_stats=False,
+                    data_version=pv,
+                    runs=(ptr.get("runs") or []) + [run_entry],
+                )
+                self._vacuum()
+                return
+            except ConcurrentWriteError:
+                if attempt == retry_conflicts:
+                    raise
+                # idempotence across the race: if the winner WAS this
+                # batch's replay, stop instead of double-appending
+                if (
+                    batch_id is not None
+                    and batch_id == self.last_batch_id()
+                ):
+                    return
 
     def _merge_ordered(
         self,

@@ -515,3 +515,15 @@ def test_emb_dedup_capped_no_unbounded_bucket_join(spark, sf_dir):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_dedup_cdf_incremental_probe_broadcasts_delta(spark, sf_dir):
+    """The change-feed incremental probe must be delta-bounded: the
+    delta's band relation (and the hot-bucket censuses) arrive at the
+    corpus scan as broadcasts — BroadcastHashJoins, never a corpus
+    self-join or a cartesian product. The only sort-merge joins
+    allowed are the change feed's own keyed full-outer."""
+    df = _run(spark, sf_dir, "dedup_cdf_incremental")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]

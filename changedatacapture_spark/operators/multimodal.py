@@ -7,12 +7,13 @@ bytes. Decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so the Python worker sees whole record batches, never
 single rows.
 
-Two genuine image codecs (24-bit BMP and binary PGM/P5, both pure
-stdlib) run end to end behind a magic-byte dispatch; formats needing a
-codec library not in this container (PNG/JPEG/audio/video) raise
-``NotImplementedError`` so callers fall back to the clearly-marked
-deterministic fake — the Spark-side plumbing (schema, batch iteration,
-partitioning, output schema) is real and tested either way.
+Three genuine image codecs (24-bit BMP, binary PGM/P5, and 8-bit
+grayscale PNG — PNG's inflate+unfilter rides stdlib ``zlib``) run end
+to end behind a magic-byte dispatch; formats needing a codec library
+not in this container (JPEG/video) raise ``NotImplementedError`` so
+callers fall back to the clearly-marked deterministic fake — the
+Spark-side plumbing (schema, batch iteration, partitioning, output
+schema) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -138,18 +139,21 @@ def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Codec dispatch over the payload's magic bytes. BMP and binary
-    PGM decode for real (``decode_bmp`` / ``decode_pgm``, pure
-    stdlib); other formats need a codec library not present in this
-    container — the hook raises so callers fall back to the
+    """Codec dispatch over the payload's magic bytes. BMP, binary PGM
+    and 8-bit grayscale PNG decode for real (``decode_bmp`` /
+    ``decode_pgm`` / ``decode_png`` — all pure stdlib; PNG's inflate
+    is ``zlib``); other formats need a codec library not present in
+    this container — the hook raises so callers fall back to the
     deterministic fake, never silently mis-decode."""
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"P5":
         return decode_pgm(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "only BMP/PGM decode without a codec library (e.g. Pillow); wire "
-        "other formats here when one is available"
+        "only BMP/PGM/PNG decode without a codec library (e.g. Pillow); "
+        "wire other formats here when one is available"
     )
 
 
@@ -697,6 +701,191 @@ def wav_decode_stats(docs: DataFrame) -> DataFrame:
                 rows["sum_s"].append(sum(s))
                 rows["sum_sq"].append(sum(x * x for x in s))
                 rows["peak"].append(max(abs(x) for x in s))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, out_schema)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(raster: bytes, width: int, height: int) -> bytes:
+    """Real (minimal) PNG writer for 8-bit grayscale: signature,
+    IHDR/IDAT/IEND chunks with CRC-32, scanlines zlib-compressed with
+    a REAL filter per row — cycling None/Sub/Up/Average/Paeth so a
+    decoder that skips unfiltering cannot round-trip. Pure stdlib
+    (struct + zlib), no codec dependency."""
+    import struct
+    import zlib
+
+    if len(raster) != width * height:
+        raise ValueError(f"raster length {len(raster)} != {width}x{height}")
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    lines = bytearray()
+    prior = bytes(width)
+    for y in range(height):
+        row = raster[y * width : (y + 1) * width]
+        ft = y % 5
+        lines.append(ft)
+        for x in range(width):
+            left = row[x - 1] if x > 0 else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x > 0 else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - (left + up) // 2
+            else:
+                v = row[x] - _paeth(left, up, upleft)
+            lines.append(v % 256)
+        prior = row
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Real (minimal) PNG decoder for the 8-bit grayscale profile
+    ``encode_png`` writes: validates the signature and every chunk's
+    CRC-32, walks the chunk stream (tolerating ancillary chunks),
+    concatenates multi-IDAT data, zlib-inflates, and UNFILTERS each
+    scanline (all five spec filters — None/Sub/Up/Average/Paeth).
+    Returns ``(width, height, raster)`` top-down grayscale. Inflate +
+    unfilter are the whole codec; both are pure stdlib."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(tag + body) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if (depth, color, comp, filt, interlace) != (8, 0, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG profile: want 8-bit grayscale, "
+                    f"got depth={depth} color={color} interlace={interlace}"
+                )
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    lines = zlib.decompress(bytes(idat))
+    if len(lines) != (width + 1) * height:
+        raise ValueError(
+            f"PNG scanline stream is {len(lines)} bytes, "
+            f"want {(width + 1) * height}"
+        )
+    out = bytearray(width * height)
+    prior = bytes(width)
+    for y in range(height):
+        ft = lines[y * (width + 1)]
+        row = bytearray(lines[y * (width + 1) + 1 : (y + 1) * (width + 1)])
+        for x in range(width):
+            left = row[x - 1] if x > 0 else 0
+            up = prior[x]
+            upleft = prior[x - 1] if x > 0 else 0
+            if ft == 0:
+                pass
+            elif ft == 1:
+                row[x] = (row[x] + left) % 256
+            elif ft == 2:
+                row[x] = (row[x] + up) % 256
+            elif ft == 3:
+                row[x] = (row[x] + (left + up) // 2) % 256
+            elif ft == 4:
+                row[x] = (row[x] + _paeth(left, up, upleft)) % 256
+            else:
+                raise ValueError(f"bad PNG filter type {ft}")
+        out[y * width : (y + 1) * width] = row
+        prior = bytes(row)
+    return width, height, bytes(out)
+
+
+def png_decode_stats(docs: DataFrame) -> DataFrame:
+    """REAL PNG decode end-to-end, the inflate+unfilter twin of
+    ``bmp_decode_stats``: per document, the same deterministic raster
+    wraps in a genuine PNG (zlib IDAT, per-row cycling filters,
+    CRC-checked chunks), decodes back through the ``decode_image``
+    magic-byte dispatch, and reduces to per-image pixel statistics —
+    the oracle states them as pure arithmetic, so a bug anywhere in
+    chunk walking, inflate, or any of the five unfilters breaks the
+    hash. One Arrow ``mapInPandas`` pass; payloads never shuffle.
+
+    Output: ``doc_id, width, height, n_px, sum_px, min_px, max_px,
+    mean_px``.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("n_px", T.IntegerType(), False),
+            T.StructField("sum_px", T.LongType(), False),
+            T.StructField("min_px", T.IntegerType(), False),
+            T.StructField("max_px", T.IntegerType(), False),
+            T.StructField("mean_px", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {f.name: [] for f in out_schema.fields}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = _BMP_WIDTHS[did % len(_BMP_WIDTHS)]
+                h = _BMP_PIXELS // w
+                payload = encode_png(_bmp_raster(did), w, h)
+                dw, dh, px = decode_image(payload)
+                rows["doc_id"].append(did)
+                rows["width"].append(dw)
+                rows["height"].append(dh)
+                rows["n_px"].append(len(px))
+                rows["sum_px"].append(sum(px))
+                rows["min_px"].append(min(px))
+                rows["max_px"].append(max(px))
+                rows["mean_px"].append(sum(px) / float(len(px)))
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(batches, out_schema)

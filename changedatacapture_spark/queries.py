@@ -5147,6 +5147,47 @@ def q_media_decode_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "media_decode_png",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 6 AS INT)
+               WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 4
+               WHEN 3 THEN 6 WHEN 4 THEN 8 ELSE 12 END AS w
+      FROM documents),
+    px AS (
+      SELECT d.doc_id, (d.doc_id * 37 + g.i * 101) % 256 AS v
+      FROM documents d CROSS JOIN generate_series(0, 23) AS g(i))
+    SELECT p.doc_id,
+           CAST(m.w AS INT) AS width,
+           CAST(24 / m.w AS INT) AS height,
+           CAST(count(*) AS INT) AS n_px,
+           CAST(sum(p.v) AS BIGINT) AS sum_px,
+           CAST(min(p.v) AS INT) AS min_px,
+           CAST(max(p.v) AS INT) AS max_px,
+           CAST(sum(p.v) AS DOUBLE) / 24 AS mean_px
+    FROM px p JOIN dims m USING (doc_id)
+    GROUP BY p.doc_id, m.w
+    """,
+)
+def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine PNG decode end-to-end — the compressed-codec member of
+    the image family (BMP/PGM are raw formats): each document's
+    deterministic raster wraps in a REAL PNG (CRC-checked chunks,
+    zlib-compressed IDAT, a real filter per scanline cycling all five
+    spec filters), decodes back through the ``decode_image``
+    magic-byte dispatch inside one Arrow ``mapInPandas`` pass, and
+    reduces to per-image pixel statistics. The oracle states the
+    decoded stats as pure arithmetic, so a bug anywhere in chunk
+    walking, inflate, or any unfilter (Sub/Up/Average/Paeth) breaks
+    the hash. Map-only plan: payload bytes never shuffle. See
+    operators/multimodal.py:decode_png."""
+    from changedatacapture_spark.operators.multimodal import png_decode_stats
+
+    return png_decode_stats(load_table(spark, "documents", sf_dir))
+
+
+@_register(
     "media_ahash_groups",
     """
     WITH px AS (

@@ -145,3 +145,47 @@ def test_qsketch_rank_error_within_sample_bound(spark, sf_dir):
         assert abs(r.err_ppm) <= 250_000, (r.grp, r.q_pct, r.err_ppm)
         # est_rank_ppm is the measured truth: 0 < rank <= 1e6
         assert 0 < r.est_rank_ppm <= 1_000_000
+
+
+def test_png_roundtrip_property():
+    """encode_png -> decode_png must be the identity on arbitrary
+    rasters and shapes — heights >= 5 exercise all five scanline
+    filters (the encoder cycles them per row), so a broken
+    Sub/Up/Average/Paeth unfilter cannot pass. The scalar reference
+    is the raw raster itself."""
+    import random
+
+    from changedatacapture_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+    )
+
+    rng = random.Random(12)
+    for w, h in [(1, 1), (1, 7), (2, 5), (3, 6), (8, 8), (13, 5), (24, 1)]:
+        raster = bytes(rng.randrange(256) for _ in range(w * h))
+        payload = encode_png(raster, w, h)
+        assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+        assert decode_png(payload) == (w, h, raster)
+        # the dispatch must route PNG by magic bytes too
+        assert decode_image(payload) == (w, h, raster)
+    # adversarial extremes: constant and sawtooth rasters hit the
+    # Average/Paeth tie-break branches
+    for fill in (b"\x00" * 30, b"\xff" * 30, bytes(range(30)) * 1):
+        assert decode_png(encode_png(fill, 6, 5)) == (6, 5, fill)
+
+
+def test_png_rejects_corruption():
+    """A flipped payload byte must fail the chunk CRC loudly, never
+    silently mis-decode."""
+    import pytest as _pytest
+
+    from changedatacapture_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    payload = bytearray(encode_png(bytes(range(24)), 4, 6))
+    payload[40] ^= 0xFF  # inside a chunk body
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))

@@ -138,6 +138,18 @@ EXTRA = [
     # and the 100-replicate deterministic Poisson bootstrap
     "events_ab_welch",
     "events_bootstrap_ci",
+    # round-12 additions: the mergeable quantile sketch (bottom-k
+    # candidate pre-rank + one rank-error aggregate), the filtered-ANN
+    # pair (full-dim pre-filter scan vs label-partitioned index probe
+    # — the wall gap IS the index's value), the change-feed
+    # incremental dedup probe, the PNG inflate+unfilter decode, and
+    # the merge-on-read apply e2e
+    "events_quantile_sketch",
+    "knn_prefilter_topk",
+    "knn_label_partitioned_topk",
+    "dedup_cdf_incremental",
+    "media_decode_png",
+    "cdc_mor_merge_e2e",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -196,11 +208,23 @@ SF1_SET = [
     # replacement for the quadratic all-pairs closure at scale
     "text_inverted_index",
     "emb_dedup_groups_chained",
+    # round-12, cheap/scan-shaped first: quantile sketch (two-level
+    # pre-rank + one aggregate), PNG decode (map-only Arrow pass), and
+    # the filtered-ANN cost pair (pre-filter full-dim scan vs
+    # label-partitioned prefix probe)
+    "events_quantile_sketch",
+    "media_decode_png",
+    "knn_prefilter_topk",
+    "knn_label_partitioned_topk",
     # round-11: first 10x walls for the substring-dedup scan (linear in
     # corpus characters by construction) and the CCNet perplexity
     # bucketing (LM join keyed by vocabulary, not corpus size)
     "dedup_substring_spans",
     "text_ppl_buckets",
+    # round-12, store/probe-shaped: merge-on-read apply e2e and the
+    # change-feed incremental LSH probe (delta-broadcast)
+    "cdc_mor_merge_e2e",
+    "dedup_cdf_incremental",
     # the embedding dedup capstone LAST — round 11 bounded it with the
     # hub guard (all-pairs only in ≤20-member buckets, chained above),
     # so this wall now evidences the LINEAR capped hybrid, not the
@@ -351,7 +375,7 @@ def main() -> None:
         # (HLL, DSIR, substring spans, ppl buckets joined this round);
         # at ~220 s measured total the old budget started skipping the
         # capstone tail on a loaded host
-        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_SEC", "260"))
+        budget = float(os.environ.get("SPARK_GRAFT_SF1_BUDGET_SEC", "330"))
         sf1_t: dict[str, float] = {}
         sf1_rows: dict[str, int] = {}
         sf1_calib: dict[str, float] = {}

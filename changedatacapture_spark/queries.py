@@ -11075,31 +11075,32 @@ _DEMOTED = [
 ]
 
 _PROMOTED = [
-    "cdc_snapshot_merge_e2e",
-    "cdc_window_stream_e2e",
-    "mongo_changes_e2e",  # bytes→string + map-field projection + dispatch (P1/P10/T6)
-    # round-9 window: six NEW families...
-    "graph_triangles_trade",  # NEW: degree-ordered triangle counting (round 9)
-    "dq_expectations",  # NEW: declarative data-quality suite (round 9)
-    "text_inverted_index",  # NEW: bounded-postings index build (round 9)
-    "q2_min_cost_supplier",  # decorrelated min-cost subquery: first driver row
-    "kmv_set_algebra",  # KMV sketch union/Jaccard/intersection: first row
-    # round-11 second batch: four NEW families take the slots of four
-    # 2-green members whose families stay in-window (events family:
-    # ewma/mad rotate out, tws_* + hourly coverage stays; TPC-H: q8
-    # out, q21/q_cube/q2 stay; text: winnow_fp out, 6 text rows stay):
-    "mix_temperature",  # NEW: alpha=1/2 source sampling, exact integer sqrt (round 11)
-    "events_zorder_scan",  # NEW: z-order vs linear zone-map pruning audit (round 11)
-    "events_hll_distinct",  # NEW: engine-exact HyperLogLog p=6 registers (round 11)
-    "text_dsir_select",  # NEW: DSIR hashed-ngram importance selection (round 11)
-    "orc_batch_read",  # ORC source format: first row (csv rotates out)
-    # round-10 window: the three NEW queries...
-    "knn_pq_refine_topk",  # NEW: ADC shortlist + exact re-rank, recall 0.90 (round 10)
-    "knn_recall_pq_refine",  # NEW: refined-PQ recall vs brute (round 10)
-    "media_decode_mixed",  # NEW: mixed BMP/PGM decode via codec dispatch (round 10)
-    # ...and ten never-driver-green queries earning first rows:
-    "knn_ivfpq_topk",  # IVF+PQ combined search (round 9, oracle-green only)
-    "curation_e2e",  # composed curation pipeline capstone: first row
+    # round-12 window: seven NEW queries of this round and ten
+    # never-driver-green priorities from the round-11 verdict earn
+    # rows; seventeen multi-green members rotate out with every family
+    # still represented (cdc e2e: the MoR twin replaces the cow twin;
+    # zorder: pruned-scan replaces the audit; HLL: the stream twin
+    # replaces the batch twin; knn: MRL/filtered family replaces the
+    # PQ family, which has 2 greens each).
+    "cdc_mor_merge_e2e",  # NEW: merge-on-read delta runs + mid-stream compact fold (round 12)
+    "dedup_cdf_incremental",  # NEW: change-feed incremental LSH probe, delta-broadcast (round 12)
+    "events_quantile_sketch",  # NEW: mergeable bottom-k quantile sketch + rank-error loop (round 12)
+    "events_stream_quantile_sketch",  # NEW: per-batch partials fold == one-pass sketch (round 12)
+    "knn_label_partitioned_topk",  # NEW: label-partitioned ANN index, partition-pruned probe (round 12)
+    "knn_recall_label_partitioned",  # NEW: recall 1.0 at 10% selectivity at index cost (round 12)
+    "media_decode_png",  # NEW: real PNG inflate+unfilter via stdlib zlib (round 12)
+    # verdict-priority never-greens earning first rows:
+    "events_stream_hll",  # stream-merged HLL partials == batch sketch: first row
+    "events_zorder_pruned_scan",  # z-order through SnapshotTable, 1.5% files kept: first row
+    "knn_mrl_topk",  # Matryoshka 16-dim prefix shortlist + exact re-rank: first row
+    "knn_recall_mrl",  # MRL recall vs brute (0.60 untrained prefix): first row
+    "knn_prefilter_topk",  # filtered ANN done right (pre-filter): first row
+    "knn_recall_postfilter",  # the post-filter recall trap, 0.38: first row
+    "events_ab_welch",  # Welch A/B t-test, shared formula trees: first row
+    "events_bootstrap_ci",  # md5-deterministic Poisson bootstrap CI: first row
+    "dataset_leakage_safe_split",  # cluster-atomic train/val/test split: first row
+    "q_skew_split_join",  # salted skew-split join: first row
+    "curation_e2e",  # composed curation pipeline capstone
     "cdc_pruned_scan",  # zone-map pruned SnapshotTable scan: first row
     "events_session_window_stream",  # native session_window stream (parquet sink): first row
     "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join: first row

@@ -145,6 +145,8 @@ class CdcPipeline:
         table: SnapshotTable,
         key_col: str,
         dlq_path: str | None = None,
+        merge_mode: str = "cow",
+        compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.record_schema = record_schema
@@ -152,6 +154,16 @@ class CdcPipeline:
         self.table = table
         self.key_col = key_col
         self.dlq_path = dlq_path
+        #: merge mode for every batch: "cow" rewrites touched buckets
+        #: (default), "mor" appends delta runs — the high-churn
+        #: configuration where batches touch most buckets and
+        #: copy-on-write amplification would rewrite the table per
+        #: micro-batch (see SnapshotTable.merge mode="mor")
+        self.merge_mode = merge_mode
+        #: in MoR mode, fold the delta runs back into the base once
+        #: this many are pending (the OPTIMIZE cadence that bounds
+        #: read amplification); None = caller schedules compaction
+        self.compact_every = compact_every
         # lazily seeded past any adhoc_* dirs already on disk — see
         # process_batch
         self._adhoc_dlq_seq: int | None = None
@@ -242,10 +254,21 @@ class CdcPipeline:
         try:
             for view in self._agg_views:
                 view.apply(compacted, batch_id=batch_id)
-            self.table.merge(compacted, batch_id=batch_id)
+            self.table.merge(
+                compacted, batch_id=batch_id, mode=self.merge_mode
+            )
         finally:
             if self._agg_views:
                 compacted.unpersist()
+        if self.merge_mode == "mor" and self.compact_every is not None:
+            ptr = self.table._read_pointer()
+            if ptr is not None and len(ptr.get("runs") or []) >= self.compact_every:
+                # fold runs back into a copy-on-write base; a crash
+                # after the merge commit but before this compaction
+                # only defers the fold to a later batch — compaction
+                # is a physical rewrite carrying the batch id through,
+                # so replay idempotence is untouched
+                self.table.compact()
 
     def bootstrap(self, raw: DataFrame, batch_id: int = -1) -> None:
         """Kappa-style historical bootstrap: apply an arbitrarily large

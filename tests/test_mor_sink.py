@@ -202,3 +202,66 @@ def test_mor_write_amplification_below_cow(spark, tmp_path):
 
     assert _rows(mor) == _rows(cow)
     assert mor_delta * 3 < cow_delta, (mor_delta, cow_delta)
+
+
+def test_pipeline_mor_mode_with_compaction_cadence(spark, tmp_path):
+    """CdcPipeline(merge_mode="mor", compact_every=2): batches append
+    delta runs; once two runs are pending the pipeline folds them —
+    final state must equal the copy-on-write pipeline's on the same
+    envelope stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+
+    record_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+
+    def envelopes(rows):
+        df = spark.createDataFrame(
+            rows, "k long, op string, ts long, seq long, v long"
+        )
+        doc = F.struct("k", "v")
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.when(F.col("op") != "c", doc).alias("before"),
+                        F.when(F.col("op") != "d", doc).alias("after"),
+                        F.col("op").alias("op"),
+                        F.col("ts").alias("ts_ms"),
+                    ).alias("payload")
+                )
+            ).alias("value"),
+            "seq",
+        )
+
+    batches = [
+        [(k, "c", 100, k, k * 10) for k in range(12)],
+        [(1, "u", 200, 100, 111), (2, "d", 200, 101, 0)],
+        [(3, "u", 300, 200, 333), (20, "c", 300, 201, 200)],
+        [(1, "u", 400, 300, 112)],
+    ]
+    results = {}
+    for mode, every in (("cow", None), ("mor", 2)):
+        t = SnapshotTable(
+            spark, str(tmp_path / f"t_{mode}"), ["k"], n_buckets=4
+        )
+        pipe = CdcPipeline(
+            spark, record_schema, t, "k",
+            merge_mode=mode, compact_every=every,
+        )
+        for i, rows in enumerate(batches):
+            pipe.process_batch(envelopes(rows), batch_id=i)
+        results[mode] = sorted(
+            (r.k, r.v) for r in t.read().select("k", "v").collect()
+        )
+        if mode == "mor":
+            # cadence bound held: never more than `every` runs pending
+            assert len(t._read_pointer().get("runs") or []) <= 2
+    assert results["mor"] == results["cow"]
+    assert (1, 112) in results["mor"] and (2, 112) not in results["mor"]

@@ -137,8 +137,13 @@ def test_decode_image_dispatches_by_magic():
     assert decode_image(encode_pgm(raster, 4, 6)) == (4, 6, raster)
     import pytest as _pytest
 
+    # PNG is a real codec now (round 12) — JPEG is the remaining
+    # unsupported-format representative
+    from changedatacapture_spark.operators.multimodal import encode_png
+
+    assert decode_image(encode_png(raster, 4, 6)) == (4, 6, raster)
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n....")
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
 
 
 def test_mixed_decode_stats_matches_raster_arithmetic(spark):

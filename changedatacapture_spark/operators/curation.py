@@ -835,3 +835,94 @@ def leakage_safe_split(
             "ELSE 'test' END"
         ),
     )
+
+
+def doremi_step(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    chars_col: str = "n_chars",
+    eta_x1000: int = 2000,
+    smooth_ppm: int = 100_000,
+) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023):
+    multiplicative-weights update of per-source sampling weights by
+    each source's EXCESS LOSS over the corpus reference, then smoothing
+    toward uniform — the optimization loop that tunes pretraining
+    mixture weights (DoReMi runs it per proxy-model step; here one
+    relational step over the corpus).
+
+    Engine-exact by construction: DoReMi's ``exp(eta * excess)`` is
+    LINEARIZED to ``1 + eta * excess`` in scaled-ppm integer
+    arithmetic (a libm ``exp`` per source would be the one
+    non-portable op; for the small per-step excesses the loop feeds,
+    the first-order update is the same algorithm family — and it is
+    exactly reproducible in ANSI SQL). The loss proxy is pluggable; the
+    registered query uses mean chars-per-token (a deterministic
+    verbosity statistic) so the full update pipeline — proxy → excess
+    → MW update → normalize → uniform smoothing — is oracle-verified
+    end to end. Integer ranges: every product stays below 9.2e18 for
+    corpora up to ~9e12 chars per source (the repo's documented ppm
+    range).
+
+    Scale shape: ONE map-side-combinable per-source aggregate (the
+    SOURCES table is mixture-sized, not corpus-sized); everything
+    after is arithmetic on that tiny relation.
+
+    Output: ``grp, n_docs, grp_tokens, loss_proxy_ppm, excess_ppm,
+    natural_ppm, doremi_ppm`` — exact integers, ``doremi_ppm`` the
+    updated mixture weight (sums to ~1e6 up to floor drift).
+    """
+    per = docs.groupBy(F.col(source_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col(text_col), " ")))
+        .cast("long")
+        .alias("grp_tokens"),
+        F.sum(F.col(chars_col)).cast("long").alias("grp_chars"),
+    )
+    tot = per.agg(
+        F.sum("grp_tokens").alias("tot_tokens"),
+        F.sum("grp_chars").alias("tot_chars"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_docs",
+        "grp_tokens",
+        F.expr("grp_chars * CAST(1000000 AS BIGINT) DIV grp_tokens").alias(
+            "loss_proxy_ppm"
+        ),
+        F.expr(
+            "greatest(grp_chars * CAST(1000000 AS BIGINT) DIV grp_tokens"
+            " - tot_chars * CAST(1000000 AS BIGINT) DIV tot_tokens,"
+            " CAST(0 AS BIGINT))"
+        ).alias("excess_ppm"),
+        F.expr("grp_tokens * CAST(1000000 AS BIGINT) DIV tot_tokens").alias(
+            "natural_ppm"
+        ),
+        "n_src",
+    )
+    raw = scored.withColumn(
+        "_w1",
+        F.expr(
+            f"natural_ppm * (CAST(1000000 AS BIGINT)"
+            f" + {eta_x1000} * excess_ppm DIV 1000) DIV 1000000"
+        ),
+    )
+    norm = raw.crossJoin(
+        F.broadcast(raw.agg(F.sum("_w1").alias("_sw")))
+    ).select(
+        "grp",
+        "n_docs",
+        "grp_tokens",
+        "loss_proxy_ppm",
+        "excess_ppm",
+        "natural_ppm",
+        F.expr(
+            f"((CAST(1000000 AS BIGINT) - {smooth_ppm})"
+            f" * (_w1 * CAST(1000000 AS BIGINT) DIV _sw)"
+            f" + CAST({smooth_ppm} AS BIGINT)"
+            f" * (CAST(1000000 AS BIGINT) DIV n_src)) DIV 1000000"
+        ).alias("doremi_ppm"),
+    )
+    return norm

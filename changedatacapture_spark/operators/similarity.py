@@ -1355,6 +1355,7 @@ def build_label_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    mode: str = "overwrite",
 ) -> None:
     """Materialize a LABEL-PARTITIONED coarse ANN index: the skinny
     MRL prefix relation ``(id, prefix)`` written ``partitionBy(label)``
@@ -1376,6 +1377,10 @@ def build_label_ann_index(
     session scratch dir) and shared by every filtered probe; a
     high-cardinality label wants this generalized to a composite
     partition key or bucket hash of the label — same layout idea.
+    ``mode="append"`` is the incremental-maintenance path: a snapshot
+    change feed's INSERT set appends its prefix rows into the same
+    label partitions, so a daily crawl re-encodes only the delta (see
+    ``knn_cdf_incremental_index``).
     """
     (
         emb.select(
@@ -1384,7 +1389,7 @@ def build_label_ann_index(
             F.slice(F.col(vec_col), 1, prefix_dim).alias("prefix"),
         )
         .repartition("label")
-        .write.mode("overwrite")
+        .write.mode(mode)
         .partitionBy("label")
         .parquet(path)
     )

@@ -279,13 +279,29 @@ def exact_heavy_hitters(
 
     Output: ``key, n_rows, total_rows, share_ppm`` (exact integers).
     """
+    if capacity <= k:
+        raise ValueError("capacity must exceed k for the MG guarantee")
+    cands = mg_candidates(df, key_col, capacity)
+    return verify_heavy_hitters(df, cands, key_col, k)
+
+
+def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
+    """Bounded Misra-Gries candidate keys per partition (the sketch
+    half of :func:`exact_heavy_hitters`, exposed so the streaming twin
+    can emit per-micro-batch candidate sets). MG summaries are
+    MERGEABLE in the only sense the exact pattern needs: if a key's
+    count over any row SUBSET (a partition, a micro-batch cell)
+    exceeds that subset's ``size/(capacity+1)``, it survives that
+    subset's summary — and by averaging, a key above the GLOBAL
+    threshold must exceed the local threshold in at least one subset,
+    so the union of per-subset candidates provably contains every true
+    heavy hitter however the rows are split. Output: ``key`` rows
+    (<= capacity per partition, duplicates possible — callers
+    distinct)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
-
-    if capacity <= k:
-        raise ValueError("capacity must exceed k for the MG guarantee")
 
     # candidate schema follows the key column's ACTUAL type (long,
     # string, ...) — hardcoding 'key long' would break or silently
@@ -307,11 +323,18 @@ def exact_heavy_hitters(
         # untouched; Arrow converts it to cand_schema's type
         yield pd.DataFrame({"key": acc.index.to_numpy()})
 
-    cands = (
-        df.select(key_col)
-        .mapInPandas(mg_summaries, cand_schema)
-        .distinct()
-    )
+    return df.select(key_col).mapInPandas(mg_summaries, cand_schema)
+
+
+def verify_heavy_hitters(
+    df: DataFrame, cands: DataFrame, key_col: str, k: int
+) -> DataFrame:
+    """The exact half of :func:`exact_heavy_hitters`: recount ONLY
+    the candidate keys (broadcast semi-join + map-side-combinable
+    count) and apply the exact integer threshold — output is
+    deterministic and identical to the plain groupBy definition as
+    long as ``cands`` is a superset of the true heavy hitters."""
+    cands = cands.distinct()
     total = df.agg(F.count(F.lit(1)).alias("total_rows"))
     counted = (
         df.join(

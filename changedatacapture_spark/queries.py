@@ -5414,6 +5414,60 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mix(docs)
 
 
+@_register(
+    "mix_doremi_step",
+    """
+    WITH per AS (
+      SELECT source AS grp, count(*) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS grp_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS grp_chars
+      FROM documents GROUP BY 1),
+    tot AS (SELECT CAST(sum(grp_tokens) AS BIGINT) AS tot_tokens,
+                   CAST(sum(grp_chars) AS BIGINT) AS tot_chars,
+                   CAST(count(*) AS BIGINT) AS n_src FROM per),
+    scored AS (
+      SELECT grp, n_docs, grp_tokens,
+             grp_chars * 1000000 // grp_tokens AS loss_proxy_ppm,
+             greatest(grp_chars * 1000000 // grp_tokens
+                      - tot_chars * 1000000 // tot_tokens,
+                      CAST(0 AS BIGINT)) AS excess_ppm,
+             grp_tokens * 1000000 // tot_tokens AS natural_ppm,
+             n_src
+      FROM per, tot),
+    raw AS (
+      SELECT *,
+             natural_ppm * (1000000 + 2000 * excess_ppm // 1000) // 1000000
+               AS w1
+      FROM scored),
+    sw AS (SELECT CAST(sum(w1) AS BIGINT) AS sw FROM raw)
+    SELECT grp, n_docs, grp_tokens,
+           CAST(loss_proxy_ppm AS BIGINT) AS loss_proxy_ppm,
+           CAST(excess_ppm AS BIGINT) AS excess_ppm,
+           CAST(natural_ppm AS BIGINT) AS natural_ppm,
+           CAST((900000 * (w1 * 1000000 // sw.sw)
+                 + 100000 * (1000000 // n_src)) // 1000000 AS BIGINT)
+             AS doremi_ppm
+    FROM raw, sw
+    """,
+)
+def q_mix_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023):
+    per-source excess loss over the corpus reference drives a
+    multiplicative-weights update of the sampling mixture, smoothed
+    10% toward uniform — the optimization loop behind tuned
+    pretraining mixtures, here as one relational step whose exp is
+    LINEARIZED to stay engine-exact (integer ppm arithmetic
+    throughout; the loss proxy is a deterministic corpus statistic so
+    the whole proxy → excess → update → normalize → smooth pipeline
+    is oracle-verified). One map-side-combinable per-source aggregate;
+    everything downstream runs on the mixture-sized SOURCES table.
+    See operators/curation.py:doremi_step."""
+    from changedatacapture_spark.operators.curation import doremi_step
+
+    docs = load_table(spark, "documents", sf_dir)
+    return doremi_step(docs)
+
+
 def _zorder8_arith_sql(a: str, b: str) -> str:
     """Arithmetic Morton interleave of two 8-bit non-negative ints —
     the engine-portable twin of layout.zorder16 (bit i of ``a`` lands
@@ -6713,6 +6767,66 @@ def q_knn_recall_label_partitioned(
             F.lit(5).cast("long").alias("k"),
         )
     )
+
+
+@_register("knn_cdf_incremental_index", None)  # oracle assigned below
+def q_knn_cdf_incremental_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ANN-index maintenance through the store's change
+    feed — the vector-side twin of ``dedup_cdf_incremental``: day-0
+    vectors live in a SnapshotTable and build the label-partitioned
+    index; the day-1 merge's ``changes_between`` INSERT set — and only
+    it — re-encodes (slices its MRL prefixes) and APPENDS into the
+    same label partitions. The probe then runs against the
+    incrementally-maintained index and must equal the
+    full-rebuild search bit for bit (shares
+    ``knn_label_partitioned_topk``'s oracle, since day0 + day1 = the
+    whole corpus): index maintenance cost is ∝ the delta, correctness
+    is indistinguishable from a rebuild."""
+    from changedatacapture_spark.operators.similarity import (
+        build_label_ann_index,
+        cosine_topk_label_partitioned,
+    )
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    store = SnapshotTable(
+        spark,
+        _session_scratch_dir("knn_cdf_store_"),
+        ["vec_id"],
+        n_buckets=8,
+        retain_history=2,
+    )
+    day0 = emb.filter(F.col("vec_id") % 2 == 0).withColumn("op", F.lit("c"))
+    store.merge(day0, batch_id=0)
+    v0 = store.version
+    idx = _session_scratch_dir("knn_cdf_idx_")
+    build_label_ann_index(store.read(), idx, prefix_dim=16)
+    day1 = emb.filter(F.col("vec_id") % 2 == 1).withColumn("op", F.lit("c"))
+    store.merge(day1, batch_id=1)
+    delta = (
+        store.changes_between(v0, store.version)
+        .filter(F.col("change_type") == "insert")
+        .select("vec_id", "embedding", "label")
+    )
+    build_label_ann_index(delta, idx, prefix_dim=16, mode="append")
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_label_partitioned(
+        spark,
+        idx,
+        store.read(),
+        probes,
+        label_value=3,
+        k=5,
+        shortlist=100,
+        prefix_dim=16,
+    )
+
+
+ORACLE_SQL["knn_cdf_incremental_index"] = ORACLE_SQL[
+    "knn_label_partitioned_topk"
+]
 
 
 ORACLE_SQL["knn_recall_label_partitioned"] = f"""
@@ -9135,6 +9249,67 @@ def q_events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_heavy_hitters(ev, "user_id", k=400, capacity=512)
 
 
+@_register("events_stream_heavy_hitters", None)
+def q_events_stream_heavy_hitters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming EXACT heavy hitters: events replay as 4 hash-bucketed
+    micro-batches; each batch emits its bounded Misra-Gries candidate
+    set (``mg_candidates``) through ``foreachBatch`` into a parquet
+    scratch sink. The union of per-batch candidates provably contains
+    every global heavy hitter (averaging: a key above the global
+    total/k threshold must exceed the local threshold in at least one
+    batch cell, and MG keeps locally-frequent keys), so the final
+    exact verify over the full stream makes the OUTPUT identical to
+    the one-pass batch query — shared oracle, stream == batch is the
+    correctness statement. Per-batch state is <= capacity keys per
+    partition; the key universe never shuffles."""
+    import os
+    import tempfile
+    import uuid
+
+    from changedatacapture_spark.operators.stats import (
+        mg_candidates,
+        verify_heavy_hitters,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    raw = ev.withColumn("_b", (F.col("event_id") % 4 + 1).cast("int"))
+
+    work = tempfile.mkdtemp(prefix="stream_hh_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    cands_dir = os.path.join(work, f"cands_{uuid.uuid4().hex[:8]}")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+
+    def sink_batch(bdf: DataFrame, batch_id: int) -> None:
+        mg_candidates(bdf, "user_id", capacity=512).write.mode(
+            "append"
+        ).parquet(cands_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cands = spark.read.parquet(cands_dir)
+    base = spark.read.schema("event_id long, user_id long").json(src)
+    return verify_heavy_hitters(base, cands, "user_id", k=400)
+
+
+ORACLE_SQL["events_stream_heavy_hitters"] = ORACLE_SQL[
+    "events_heavy_hitters"
+]
+
+
 @_register(
     "q_join_skew_profile",
     """
@@ -11110,13 +11285,13 @@ _PROMOTED = [
     "dedup_edit_distance",  # blocked Levenshtein near-dup verify: first row
     "media_frame_sample",  # strided frame sampling through Arrow: first row
     # round-10 mid-round additions, all first-ever:
-    "text_bpe_merges",  # NEW: distributed Sennrich BPE merge training (round 10)
+    "mix_doremi_step",  # NEW: DoReMi multiplicative-weights mixture update (round 12)
     "text_bpe_encode",  # NEW: BPE corpus encode + per-source fertility (round 10)
     "text_bm25_rank",  # NEW: engine-exact BM25 ranked retrieval (round 10)
     "emb_semdedup_stats",  # NEW: SemDeDup cluster-then-prune accounting (round 10)
-    "curation_weighted_sample",  # NEW: exact-integer weighted Bernoulli sample (round 10)
+    "events_stream_heavy_hitters",  # NEW: per-batch MG candidates -> exact verify, stream == batch (round 12)
     "events_stream_rate_limit",  # NEW: stateful admission control, stream == batch (round 10)
-    "media_decode_wav",  # NEW: real RIFF/WAVE chunk-walking decode (round 10)
+    "knn_cdf_incremental_index",  # NEW: change-feed incremental ANN index maintenance (round 12)
     "text_gopher_report",  # NEW: Gopher Appendix-A rule suite (round 10)
     # round-11 window: six NEW queries and ten never-driver-green
     # veterans earn first rows; sixteen multi-green members rotate out

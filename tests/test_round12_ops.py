@@ -189,3 +189,87 @@ def test_png_rejects_corruption():
     payload[40] ^= 0xFF  # inside a chunk body
     with _pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(payload))
+
+
+def test_mg_candidate_union_superset_under_any_split(spark, sf_dir):
+    """The streaming exact-heavy-hitter guarantee: however the rows
+    split, the union of per-subset Misra-Gries candidate sets contains
+    every global heavy hitter (averaging + MG's local guarantee), so
+    the exact verify produces the plain groupBy answer."""
+    from changedatacapture_spark.operators.stats import (
+        exact_heavy_hitters,
+        mg_candidates,
+        verify_heavy_hitters,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    one_pass = sorted(
+        tuple(r) for r in exact_heavy_hitters(ev, "user_id", k=50).collect()
+    )
+    assert one_pass, "fixture must contain heavy hitters at k=50"
+    parts = [
+        mg_candidates(
+            ev.filter(F.col("event_id") % 3 == i), "user_id", capacity=64
+        )
+        for i in range(3)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    folded = sorted(
+        tuple(r)
+        for r in verify_heavy_hitters(ev, u, "user_id", k=50).collect()
+    )
+    assert folded == one_pass
+
+
+def test_doremi_step_update_direction_and_normalization(spark, sf_dir):
+    """Sources with above-reference proxy loss gain weight relative to
+    their natural share; the smoothed mixture still sums to ~1e6."""
+    from changedatacapture_spark.operators.curation import doremi_step
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = doremi_step(docs).collect()
+    assert rows
+    total = sum(r.doremi_ppm for r in rows)
+    assert abs(total - 1_000_000) <= len(rows) + 1  # floor drift only
+    n = len(rows)
+    uniform = 1_000_000 // n
+    for r in rows:
+        # smoothing bounds: never below 10% of uniform share
+        assert r.doremi_ppm >= 100_000 * uniform // 1_000_000
+        if r.excess_ppm == 0:
+            # zero-excess sources cannot gain weight beyond smoothing
+            assert r.doremi_ppm <= (900_000 * r.natural_ppm
+                                    * 1_000_000 // 1_000_000) // 900_000 \
+                + 100_000 * uniform // 1_000_000 + 2
+
+
+def test_incremental_index_append_touches_only_delta(spark, sf_dir, tmp_path):
+    """Appending a delta into the label index must add exactly the
+    delta's rows — pre-existing partitions' files stay untouched."""
+    import glob
+    import os
+
+    from changedatacapture_spark.operators.similarity import (
+        build_label_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "idx")
+    day0 = emb.filter(F.col("vec_id") % 2 == 0)
+    build_label_ann_index(day0, idx, prefix_dim=16)
+    before = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{idx}/label=*/*.parquet")
+    }
+    n0 = spark.read.parquet(idx).count()
+    delta = emb.filter(F.col("vec_id") % 2 == 1)
+    build_label_ann_index(delta, idx, prefix_dim=16, mode="append")
+    after = {
+        f: os.path.getmtime(f) for f in glob.glob(f"{idx}/label=*/*.parquet")
+    }
+    assert spark.read.parquet(idx).count() == n0 + delta.count()
+    for f, mt in before.items():
+        assert after.get(f) == mt, f"pre-existing index file rewritten: {f}"

@@ -2911,6 +2911,83 @@ def q_cdc_mor_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
 
 
+@_register("cdc_mor_stream_e2e", _FINAL_STATE_SQL)
+def q_cdc_mor_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC as a REAL stream: Debezium envelopes replay
+    as 4 time-ordered micro-batch files through a checkpointed
+    ``foreachBatch`` running ``CdcPipeline(merge_mode="mor",
+    compact_every=2)`` — every batch appends a delta run and the
+    pipeline folds runs back whenever two are pending (the OPTIMIZE
+    cadence wired into the streaming path). The final resolved read
+    must equal the same global-compaction oracle as the batch twins
+    (``cdc_snapshot_merge_e2e`` / ``cdc_mor_merge_e2e``): neither the
+    storage layout nor the batching is visible in the logical
+    result."""
+    import os
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    doc = F.struct("key_id", "ts_us", "value", "props")
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(F.col("op") != "c", doc).alias("before"),
+                F.when(F.col("op") != "d", doc).alias("after"),
+                F.col("op").alias("op"),
+                F.col("ts_us").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    raw = log.select(
+        env.alias("value"),
+        "seq",
+        F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1).alias(
+            "_b"
+        ),
+    )
+    work = tempfile.mkdtemp(prefix="cdc_mor_stream_")
+    src = os.path.join(work, "src")
+    _write_ordered_batches(raw, src, work, 4)
+
+    record_schema = T.StructType(
+        [
+            T.StructField("key_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = SnapshotTable(
+        spark, os.path.join(work, "t"), ["key_id"], n_buckets=8
+    )
+    pipe = CdcPipeline(
+        spark, record_schema, table, "key_id",
+        merge_mode="mor", compact_every=2,
+    )
+    stream = (
+        spark.readStream.schema("value string, seq long")
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda bdf, bid: pipe.process_batch(bdf, bid)
+        )
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
 @_register("cdc_snapshot_merge_guarded", _FINAL_STATE_SQL)
 def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-guarded merge applied OUT of order: batches split by
@@ -10298,6 +10375,132 @@ def q_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "privacy_l_diversity",
+    """
+    SELECT c_nationkey,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct
+    FROM customer
+    GROUP BY c_nationkey, bal_bucket
+    HAVING count(DISTINCT c_mktsegment) < 3
+    """,
+)
+def q_privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion: a quasi-identifier
+    cell can be large (k-anonymous) yet still leak if everyone in it
+    shares the SENSITIVE value. Flags every (nation, balance-band)
+    cell whose distinct market-segment count is below l=3 — an
+    attacker who locates a target's cell learns their segment with
+    certainty (l=1) or near-certainty. One aggregate with a distinct
+    count per cell; the same floor-division banding as
+    ``privacy_k_anonymity`` so negative balances keep uniform-width
+    buckets."""
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        cust.groupBy(
+            "c_nationkey",
+            F.expr("CAST(floor(c_acctbal / 1000) AS BIGINT)").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.count_distinct("c_mktsegment").alias("l_distinct"),
+        )
+        .filter(F.col("l_distinct") < 3)
+    )
+
+
+@_register(
+    "pii_luhn_audit",
+    """
+    WITH cand AS (
+      SELECT doc_id,
+             list_aggregate(
+               list_transform(generate_series(0, 14),
+                              i -> CAST((doc_id * 7 + i * 13) % 10
+                                        AS VARCHAR)),
+               'string_agg', '') AS body,
+             CAST(list_sum(list_transform(generate_series(0, 14),
+               i -> CASE WHEN i % 2 = 0
+                    THEN CASE WHEN 2 * ((doc_id * 7 + i * 13) % 10) > 9
+                         THEN 2 * ((doc_id * 7 + i * 13) % 10) - 9
+                         ELSE 2 * ((doc_id * 7 + i * 13) % 10) END
+                    ELSE (doc_id * 7 + i * 13) % 10 END)) AS BIGINT) AS s
+      FROM documents),
+    full_num AS (
+      SELECT doc_id,
+             body || CAST(CASE WHEN doc_id % 3 = 0
+                          THEN ((10 - s % 10) % 10 + 1) % 10
+                          ELSE (10 - s % 10) % 10 END AS VARCHAR)
+               AS candidate
+      FROM cand),
+    checked AS (
+      SELECT doc_id, candidate,
+             CAST(list_sum(list_transform(generate_series(1, 16),
+               p -> CASE WHEN p % 2 = 1
+                    THEN CASE
+                      WHEN 2 * (ascii(substring(candidate, p, 1)) - 48) > 9
+                      THEN 2 * (ascii(substring(candidate, p, 1)) - 48) - 9
+                      ELSE 2 * (ascii(substring(candidate, p, 1)) - 48) END
+                    ELSE ascii(substring(candidate, p, 1)) - 48 END))
+               AS BIGINT) AS luhn_total
+      FROM full_num)
+    SELECT doc_id, candidate,
+           CAST(luhn_total % 10 = 0 AS BOOLEAN) AS luhn_valid
+    FROM checked
+    """,
+)
+def q_pii_luhn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-checksum PII validation — the verification step a PII
+    pipeline runs AFTER the regex pass (``pii_scrub``): a 13–16-digit
+    run is only a payment-card number if its Luhn checksum holds, and
+    validating kills the regex's false positives (order ids,
+    timestamps). The fixtures contain no real digit runs, so each
+    document synthesizes a deterministic 16-digit candidate from its
+    id — two thirds carry the CORRECT Luhn check digit, one third an
+    off-by-one corruption — and the VALIDATOR (parse digits from the
+    string, double every second from the right, subtract 9 above 9,
+    mod-10 test) is the operator under oracle test, in pure column
+    expressions on both engines. Map-only plan: zero shuffles."""
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    d = "(doc_id * 7 + i * 13) % 10"
+    body = (
+        f"array_join(transform(sequence(0, 14), "
+        f"i -> CAST({d} AS STRING)), '')"
+    )
+    s = (
+        f"aggregate(transform(sequence(0, 14), "
+        f"i -> CASE WHEN i % 2 = 0 "
+        f"THEN CASE WHEN 2 * ({d}) > 9 THEN 2 * ({d}) - 9 "
+        f"ELSE 2 * ({d}) END ELSE {d} END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    cand = docs.select(
+        "doc_id",
+        F.expr(
+            f"concat({body}, CAST(CASE WHEN doc_id % 3 = 0 "
+            f"THEN ((10 - {s} % 10) % 10 + 1) % 10 "
+            f"ELSE (10 - {s} % 10) % 10 END AS STRING))"
+        ).alias("candidate"),
+    )
+    dig = "(ascii(substring(candidate, p, 1)) - 48)"
+    total = (
+        f"aggregate(transform(sequence(1, 16), "
+        f"p -> CASE WHEN p % 2 = 1 "
+        f"THEN CASE WHEN 2 * {dig} > 9 THEN 2 * {dig} - 9 "
+        f"ELSE 2 * {dig} END ELSE {dig} END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return cand.select(
+        "doc_id",
+        "candidate",
+        F.expr(f"{total} % 10 = 0").alias("luhn_valid"),
+    )
+
+
+@_register(
     "lineitem_qty_price_corr",
     """
     WITH sc AS (
@@ -11286,9 +11489,9 @@ _PROMOTED = [
     "media_frame_sample",  # strided frame sampling through Arrow: first row
     # round-10 mid-round additions, all first-ever:
     "mix_doremi_step",  # NEW: DoReMi multiplicative-weights mixture update (round 12)
-    "text_bpe_encode",  # NEW: BPE corpus encode + per-source fertility (round 10)
-    "text_bm25_rank",  # NEW: engine-exact BM25 ranked retrieval (round 10)
-    "emb_semdedup_stats",  # NEW: SemDeDup cluster-then-prune accounting (round 10)
+    "cdc_mor_stream_e2e",  # NEW: checkpointed foreachBatch MoR apply + fold cadence (round 12)
+    "privacy_l_diversity",  # NEW: sensitive-attribute diversity audit (round 12)
+    "pii_luhn_audit",  # NEW: Luhn checksum validation of digit-run candidates (round 12)
     "events_stream_heavy_hitters",  # NEW: per-batch MG candidates -> exact verify, stream == batch (round 12)
     "events_stream_rate_limit",  # NEW: stateful admission control, stream == batch (round 10)
     "knn_cdf_incremental_index",  # NEW: change-feed incremental ANN index maintenance (round 12)

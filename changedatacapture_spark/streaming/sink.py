@@ -1758,6 +1758,76 @@ class SnapshotTable:
             if fn.endswith(".parquet")
         )
 
+    def compact_runs(self) -> int:
+        """MINOR compaction for merge-on-read tables (the LSM L0 fold):
+        collapse every pending delta run into ONE folded run — latest
+        row per key across runs, delete masks preserved — WITHOUT
+        touching the base buckets.
+
+        :meth:`compact` (major) costs a full-table rewrite; this costs
+        one pass over the runs only (∝ accumulated delta, not the
+        table), so a high-churn table can bound its read amplification
+        between major compactions at delta price: resolution cost
+        drops from base + N runs to base + 1 run, and point lookups
+        probe one run directory per bucket instead of N. Delete
+        markers MUST survive the fold (unlike major compaction) — a
+        folded delete still has base rows to mask. Returns the number
+        of pending runs folded (0/1 = nothing to do).
+        """
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        from changedatacapture_spark.operators.cdc import compact_latest
+
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        runs = ptr.get("runs") or []
+        if len(runs) <= 1:
+            return len(runs)
+        base = int(ptr["version"])
+        schema = StructType.fromJson(json.loads(ptr["schema"]))
+        run_schema = StructType(
+            list(schema.fields) + [StructField("_mor_del", BooleanType())]
+        )
+        parts = []
+        for i, run in enumerate(runs, start=1):
+            rdf = self.spark.read.schema(run_schema).parquet(
+                *[
+                    f"{self.path}/v={run['v']}/bucket={b}"
+                    for b in run["buckets"]
+                ]
+            )
+            parts.append(rdf.withColumn("_mor_seq", F.lit(i)))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        payload = [f.name for f in run_schema.fields
+                   if f.name not in self.key_cols]
+        folded = compact_latest(u, self.key_cols, ["_mor_seq"], payload)
+        pv = self._new_data_version()
+        written = self._write_buckets(
+            folded.withColumn("bucket", self._bucket_col()), pv,
+            expected_base=base,
+        )
+        self._commit(
+            base + 1,
+            ptr.get("batch_id"),
+            {int(b): v for b, v in ptr["buckets"].items()},
+            ptr["schema"],
+            expected_base=base,
+            fresh_stats=False,
+            data_version=pv,
+            runs=[
+                {
+                    "v": pv,
+                    "batch_id": runs[-1].get("batch_id"),
+                    "buckets": sorted(written),
+                }
+            ],
+        )
+        self._vacuum()
+        return len(runs)
+
     def rebucket(self, n_buckets: int) -> None:
         """Change the table's bucket count via the documented full
         rewrite, online: read current contents, rewrite under the new

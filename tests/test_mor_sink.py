@@ -265,3 +265,46 @@ def test_pipeline_mor_mode_with_compaction_cadence(spark, tmp_path):
             assert len(t._read_pointer().get("runs") or []) <= 2
     assert results["mor"] == results["cow"]
     assert (1, 112) in results["mor"] and (2, 112) not in results["mor"]
+
+
+def test_minor_compaction_folds_runs_preserving_deletes(spark, tmp_path):
+    """compact_runs (LSM minor fold): N pending runs collapse into one
+    — logical state unchanged, delete masks preserved (a folded delete
+    must still mask its base row), base buckets untouched, read
+    amplification back to base + 1 run."""
+    import glob
+
+    path = str(tmp_path / "t")
+    t = SnapshotTable(spark, path, ["k"], n_buckets=4)
+    t.merge(_batch(spark, [(k, "c", k * 10) for k in range(20)]), batch_id=0)
+    base_files = set(glob.glob(f"{path}/v=*/bucket=*/*.parquet"))
+    t.merge(_batch(spark, [(1, "u", 111), (2, "d", 0)]), batch_id=1,
+            mode="mor")
+    t.merge(_batch(spark, [(2, "c", 222), (3, "d", 0)]), batch_id=2,
+            mode="mor")
+    t.merge(_batch(spark, [(3, "c", 333), (4, "d", 0)]), batch_id=3,
+            mode="mor")
+    before = _rows(t)
+    assert (2, 222) in before and (3, 333) in before
+    assert all(kv[0] != 4 for kv in before)
+
+    folded = t.compact_runs()
+    assert folded == 3
+    ptr = t._read_pointer()
+    assert len(ptr["runs"]) == 1
+    assert _rows(t) == before  # bit-identical logical state
+    # base buckets untouched: every original base file still present
+    assert base_files <= set(glob.glob(f"{path}/v=*/bucket=*/*.parquet"))
+    # the folded delete still masks key 4's base row
+    assert sorted(r.k for r in t.read_keys([4, 5]).collect()) == [5]
+    # idempotent / no-op on a single run
+    assert t.compact_runs() == 1
+    assert _rows(t) == before
+    # replay idempotence survives the fold (batch_id carried through)
+    t.merge(_batch(spark, [(9, "u", 999)]), batch_id=3, mode="mor")
+    assert _rows(t) == before
+    # and a further MoR merge + major compaction still work
+    t.merge(_batch(spark, [(9, "u", 999)]), batch_id=4, mode="mor")
+    t.compact()
+    assert t._read_pointer()["runs"] == []
+    assert (9, 999) in set(_rows(t))

@@ -1105,29 +1105,42 @@ def lsh_incremental_candidates(
     bands: int = 2,
     k: int = 5,
     max_bucket_size: int = 500,
+    corpus_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup probe — the daily-crawl production shape:
     only the NEW documents (e.g. the insert set of a snapshot change
-    feed, ``SnapshotTable.changes_between``) re-shingle and probe the
-    existing corpus; the corpus is never self-joined.
+    feed, ``SnapshotTable.changes_between``) SHUFFLE and self-join;
+    the corpus is never self-joined and never shuffles for the probe.
 
-    Candidate volume is bounded by the DELTA, not the corpus: the
-    delta's band relation BROADCASTS to the corpus scan (plan: one
-    BroadcastHashJoin, the corpus bands never shuffle for the probe),
-    so each corpus row is looked up against the small hash set once,
-    map-side. New-vs-new candidates come from a delta-sized self-join.
-    Hub guards apply per side against its own population — the corpus
-    bucket census is a map-side-combinable aggregate whose distinct
-    (band, hash) output broadcasts back as an anti-join (in production
-    the census is maintained WITH the stored signature index, so the
-    probe pays neither scan).
+    Candidate and shuffle volume are bounded by the DELTA: the delta's
+    band relation BROADCASTS to the corpus side (plan: one
+    BroadcastHashJoin), so each corpus row is looked up against the
+    small hash set once, map-side. New-vs-new candidates come from a
+    delta-sized self-join. Hub guards apply per side against its own
+    population — the corpus bucket census is a map-side-combinable
+    aggregate whose distinct (band, hash) output broadcasts back as an
+    anti-join.
+
+    Honest cost note: with the default ``corpus_sigs=None`` the corpus
+    still pays ONE signature scan per probe (shingle + md5 minhash, a
+    map-only projection — no shuffle, but corpus-, not delta-, sized
+    CPU). A production deployment maintains the signature/band
+    relation and its census AS A STORED INDEX next to the corpus
+    (append the delta's rows each day, exactly like
+    ``build_label_ann_index(mode="append")``) and passes it via
+    ``corpus_sigs`` — then the probe's corpus-side cost is the stored
+    relation's scan alone.
 
     Output: one row per new document — ``doc_id, n_candidates,
     first_partner`` (min candidate partner id; NULL when the document
     collides with nothing — the keep set).
     """
     sigs_new = minhash_signatures(new_docs, text_col, n_hashes, k)
-    sigs_corp = minhash_signatures(corpus_docs, text_col, n_hashes, k)
+    sigs_corp = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(corpus_docs, text_col, n_hashes, k)
+    )
     nb0 = _banded_flat(sigs_new, n_hashes, bands)
     cb0 = _banded_flat(sigs_corp, n_hashes, bands)
     keys = ["band_idx", "band_hash"]

@@ -334,11 +334,14 @@ def verify_heavy_hitters(
     count) and apply the exact integer threshold — output is
     deterministic and identical to the plain groupBy definition as
     long as ``cands`` is a superset of the true heavy hitters."""
-    cands = cands.distinct()
+    # rename the candidate column before joining: a caller whose
+    # key_col is literally "key" would otherwise make the join
+    # condition ambiguous between the two sides
+    cands = cands.select(F.col("key").alias("_hh_key")).distinct()
     total = df.agg(F.count(F.lit(1)).alias("total_rows"))
     counted = (
         df.join(
-            F.broadcast(cands), df[key_col] == F.col("key"), "left_semi"
+            F.broadcast(cands), df[key_col] == F.col("_hh_key"), "left_semi"
         )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
@@ -780,6 +783,7 @@ def qsketch_finalize(
     base: DataFrame,
     group_col: str,
     value_col: str,
+    id_col: str | None = None,
     k: int = 256,
     quantiles: tuple[int, ...] = (25, 50, 75, 90, 99),
 ) -> DataFrame:
@@ -829,7 +833,14 @@ def qsketch_finalize(
         .filter(F.col("sr") == F.col("target_rank"))
         .select("grp", "q_pct", "m_sample", F.col("v").alias("est_v"))
     )
-    b = base.filter(F.col(value_col).isNotNull()).select(
+    # the exact-rank base must apply the SAME row filter the sample
+    # did (value AND sample-id non-null) — a null-id row can never
+    # enter the sample, so counting it here would skew est_rank_ppm
+    # relative to the oracle and the streaming twin
+    cond = F.col(value_col).isNotNull()
+    if id_col is not None:
+        cond = cond & F.col(id_col).isNotNull()
+    b = base.filter(cond).select(
         F.col(group_col).alias("grp"), _scaled(value_col).alias("bv")
     )
     n = b.groupBy("grp").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -873,6 +884,7 @@ def quantile_sketch(
         df,
         group_col,
         value_col,
+        id_col,
         k,
         quantiles,
     )

@@ -6069,7 +6069,7 @@ def q_events_stream_quantile_sketch(
     base = spark.read.schema(
         "event_id long, event_type string, value double"
     ).json(src)
-    return qsketch_finalize(partials, base, "event_type", "value")
+    return qsketch_finalize(partials, base, "event_type", "value", "event_id")
 
 
 ORACLE_SQL["events_stream_quantile_sketch"] = ORACLE_SQL[

@@ -160,9 +160,14 @@ class CdcPipeline:
         #: copy-on-write amplification would rewrite the table per
         #: micro-batch (see SnapshotTable.merge mode="mor")
         self.merge_mode = merge_mode
-        #: in MoR mode, fold the delta runs back into the base once
-        #: this many are pending (the OPTIMIZE cadence that bounds
-        #: read amplification); None = caller schedules compaction
+        #: in MoR mode, MINOR-compact (SnapshotTable.compact_runs —
+        #: fold all pending delta runs into one at DELTA cost, base
+        #: untouched) once this many runs are pending: the cadence
+        #: that bounds read amplification at base + compact_every
+        #: runs without paying a full-table rewrite per trigger. The
+        #: MAJOR compact() (fold into the base) stays a scheduled
+        #: maintenance op, like OPTIMIZE. None = caller schedules
+        #: all compaction
         self.compact_every = compact_every
         # lazily seeded past any adhoc_* dirs already on disk — see
         # process_batch
@@ -263,12 +268,14 @@ class CdcPipeline:
         if self.merge_mode == "mor" and self.compact_every is not None:
             ptr = self.table._read_pointer()
             if ptr is not None and len(ptr.get("runs") or []) >= self.compact_every:
-                # fold runs back into a copy-on-write base; a crash
-                # after the merge commit but before this compaction
-                # only defers the fold to a later batch — compaction
-                # is a physical rewrite carrying the batch id through,
-                # so replay idempotence is untouched
-                self.table.compact()
+                # MINOR fold: all pending runs collapse into one at
+                # delta cost (delete masks preserved, base untouched).
+                # A crash after the merge commit but before this fold
+                # only defers it to a later batch — the fold is a
+                # physical rewrite carrying the batch id through, so
+                # replay idempotence is untouched. Major compaction
+                # (fold into the base) stays a maintenance call.
+                self.table.compact_runs()
 
     def bootstrap(self, raw: DataFrame, batch_id: int = -1) -> None:
         """Kappa-style historical bootstrap: apply an arbitrarily large

@@ -503,6 +503,29 @@ class SnapshotTable:
         current = self.version
         return [entries[v] for v in sorted(entries) if v <= current]
 
+    def _load_runs(self, ptr: dict, schema) -> list[DataFrame]:
+        """One DataFrame per pending merge-on-read run (committed
+        logical schema + the ``_mor_del`` mask), each tagged with its
+        1-based ``_mor_seq`` commit order — the shared loader behind
+        :meth:`_mor_resolve` and :meth:`compact_runs`. Paths come from
+        the commit entry's recorded bucket list, never a directory
+        LIST."""
+        from pyspark.sql.types import BooleanType, StructField, StructType
+
+        run_schema = StructType(
+            list(schema.fields) + [StructField("_mor_del", BooleanType())]
+        )
+        out = []
+        for i, run in enumerate(ptr.get("runs") or [], start=1):
+            rdf = self.spark.read.schema(run_schema).parquet(
+                *[
+                    f"{self.path}/v={run['v']}/bucket={b}"
+                    for b in run["buckets"]
+                ]
+            )
+            out.append(rdf.withColumn("_mor_seq", F.lit(i)))
+        return out
+
     def _mor_resolve(self, base: DataFrame, ptr: dict, schema) -> DataFrame:
         """Merge-on-read resolution: fold the pointer's delta runs
         (``merge(mode="mor")`` appends — see that docstring) over the
@@ -514,29 +537,15 @@ class SnapshotTable:
         no window. Delete winners drop from the logical view. Run
         file paths come from the commit entry's recorded bucket list,
         never a directory LIST."""
-        runs = ptr.get("runs") or []
-        if not runs:
+        if not (ptr.get("runs") or []):
             return base
-        from pyspark.sql.types import BooleanType, StructField, StructType
-
         from changedatacapture_spark.operators.cdc import compact_latest
 
-        run_schema = StructType(
-            list(schema.fields) + [StructField("_mor_del", BooleanType())]
-        )
         parts = [
             base.withColumn("_mor_del", F.lit(False)).withColumn(
                 "_mor_seq", F.lit(0)
             )
-        ]
-        for i, run in enumerate(runs, start=1):
-            rdf = self.spark.read.schema(run_schema).parquet(
-                *[
-                    f"{self.path}/v={run['v']}/bucket={b}"
-                    for b in run["buckets"]
-                ]
-            )
-            parts.append(rdf.withColumn("_mor_seq", F.lit(i)))
+        ] + self._load_runs(ptr, schema)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -1541,27 +1550,52 @@ class SnapshotTable:
                 batch_id,
             )
             return
-        ptr = self._read_pointer()
-        base = int(ptr["version"])
-        table_schema = StructType.fromJson(json.loads(ptr["schema"]))
-        aligned = _align_key_types(compacted, table_schema, self.key_cols)
-        run_df = (
-            aligned.withColumn("_mor_del", F.col(op_col) == F.lit(delete_op))
-            .drop(op_col)
-            .withColumn("bucket", self._bucket_col())
-        )
-        # the run's LOGICAL schema (no op/_mor_del/bucket) drives the
-        # committed-schema evolution, exactly like the cow path
-        batch_fields = StructType(
-            [
-                f
-                for f in run_df.schema.fields
-                if f.name not in ("_mor_del", "bucket")
-            ]
-        )
-        pv = self._new_data_version()
-        written = self._write_buckets(run_df, pv, expected_base=base)
-        run_entry = {"v": pv, "batch_id": batch_id, "buckets": sorted(written)}
+        # write phase with its own slice of the retry budget: the
+        # pre-write economy check raises when a winner lands between
+        # the pointer read and the write — replanning is just
+        # re-reading the pointer (the write consumes no table state),
+        # but key alignment and schema evolution must track the
+        # winner's committed schema, so re-derive both per attempt
+        run_entry = None
+        for attempt in range(retry_conflicts + 1):
+            ptr = self._read_pointer()
+            base = int(ptr["version"])
+            table_schema = StructType.fromJson(json.loads(ptr["schema"]))
+            aligned = _align_key_types(compacted, table_schema, self.key_cols)
+            run_df = (
+                aligned.withColumn(
+                    "_mor_del", F.col(op_col) == F.lit(delete_op)
+                )
+                .drop(op_col)
+                .withColumn("bucket", self._bucket_col())
+            )
+            # the run's LOGICAL schema (no op/_mor_del/bucket) drives
+            # the committed-schema evolution, exactly like the cow path
+            batch_fields = StructType(
+                [
+                    f
+                    for f in run_df.schema.fields
+                    if f.name not in ("_mor_del", "bucket")
+                ]
+            )
+            pv = self._new_data_version()
+            try:
+                written = self._write_buckets(
+                    run_df, pv, expected_base=base
+                )
+            except ConcurrentWriteError:
+                if attempt == retry_conflicts:
+                    raise
+                if (
+                    batch_id is not None
+                    and batch_id == self.last_batch_id()
+                ):
+                    return  # the racing winner WAS this batch's replay
+                continue
+            run_entry = {
+                "v": pv, "batch_id": batch_id, "buckets": sorted(written),
+            }
+            break
         for attempt in range(retry_conflicts + 1):
             ptr = self._read_pointer()
             cur = int(ptr["version"])
@@ -1643,18 +1677,25 @@ class SnapshotTable:
             "guard_cols": guard_cols,
         }
         if not self.exists():
+            # writer-unique staging + pre-write check, same as every
+            # other path: two concurrent creations must not share a
+            # physical directory (the loser's static overwrite would
+            # wipe the winner's committed v=0 files; the commit CAS
+            # alone cannot undo bytes already clobbered)
             winners = compact_latest(compacted, self.key_cols, guard_cols)
-            version = 0
+            pv = self._new_data_version()
             written = self._write_buckets(
-                winners.withColumn("bucket", self._bucket_col()), version
+                winners.withColumn("bucket", self._bucket_col()), pv,
+                expected_base=-1,
             )
             self._commit(
-                version,
+                0,
                 batch_id,
-                {b: version for b in written},
+                {b: pv for b in written},
                 json.dumps(winners.schema.jsonValue()),
                 guard_meta,
                 expected_base=-1,
+                data_version=pv,
             )
             self._vacuum()
             return
@@ -1774,7 +1815,7 @@ class SnapshotTable:
         folded delete still has base rows to mask. Returns the number
         of pending runs folded (0/1 = nothing to do).
         """
-        from pyspark.sql.types import BooleanType, StructField, StructType
+        from pyspark.sql.types import StructType
 
         from changedatacapture_spark.operators.cdc import compact_latest
 
@@ -1786,23 +1827,12 @@ class SnapshotTable:
             return len(runs)
         base = int(ptr["version"])
         schema = StructType.fromJson(json.loads(ptr["schema"]))
-        run_schema = StructType(
-            list(schema.fields) + [StructField("_mor_del", BooleanType())]
-        )
-        parts = []
-        for i, run in enumerate(runs, start=1):
-            rdf = self.spark.read.schema(run_schema).parquet(
-                *[
-                    f"{self.path}/v={run['v']}/bucket={b}"
-                    for b in run["buckets"]
-                ]
-            )
-            parts.append(rdf.withColumn("_mor_seq", F.lit(i)))
+        parts = self._load_runs(ptr, schema)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
-        payload = [f.name for f in run_schema.fields
-                   if f.name not in self.key_cols]
+        payload = [f.name for f in schema.fields
+                   if f.name not in self.key_cols] + ["_mor_del"]
         folded = compact_latest(u, self.key_cols, ["_mor_seq"], payload)
         pv = self._new_data_version()
         written = self._write_buckets(

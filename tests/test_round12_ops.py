@@ -125,7 +125,7 @@ def test_qsketch_merge_law_exact_under_any_split(spark, sf_dir):
         u = u.unionByName(p)
     folded = sorted(
         tuple(r)
-        for r in qsketch_finalize(u, ev, "event_type", "value").collect()
+        for r in qsketch_finalize(u, ev, "event_type", "value", "event_id").collect()
     )
     assert folded == one_pass
 
@@ -273,3 +273,20 @@ def test_incremental_index_append_touches_only_delta(spark, sf_dir, tmp_path):
     assert spark.read.parquet(idx).count() == n0 + delta.count()
     for f, mt in before.items():
         assert after.get(f) == mt, f"pre-existing index file rewritten: {f}"
+
+
+def test_verify_heavy_hitters_with_key_named_key(spark):
+    """The public mg/verify split must work when the caller's key
+    column is literally named 'key' — the candidate relation renames
+    internally so the join condition stays unambiguous."""
+    from changedatacapture_spark.operators.stats import (
+        exact_heavy_hitters,
+    )
+
+    rows = [(1,)] * 60 + [(2,)] * 30 + [(i,) for i in range(100, 110)]
+    df = spark.createDataFrame(rows, "key long")
+    got = sorted(
+        (r.key, r.n_rows)
+        for r in exact_heavy_hitters(df, "key", k=4, capacity=16).collect()
+    )
+    assert got == [(1, 60), (2, 30)]

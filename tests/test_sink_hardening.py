@@ -509,3 +509,78 @@ def test_retry_exhausted_still_raises(spark, tmp_path, monkeypatch):
             batch_id=1,
             retry_conflicts=2,
         )
+
+
+def test_guarded_creation_race_never_clobbers_winner(
+    spark, tmp_path, monkeypatch
+):
+    """Two writers racing to CREATE a guarded table: both plan with
+    exists()==False, so both write v-dirs — under the old shared
+    literal v=0 directory the loser's static overwrite wiped the
+    winner's committed files before losing the CAS. With writer-unique
+    staging dirs the loser fails loudly and the winner's data is
+    intact."""
+    path = str(tmp_path / "t")
+    t1 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    t2 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+
+    def gb(rows):
+        return spark.createDataFrame(
+            rows, "k long, op string, ts long, v long"
+        )
+
+    orig = SnapshotTable._do_write_buckets
+    fired = []
+
+    def hook(self, df, version, dynamic=False):
+        if self is t1 and not fired:
+            fired.append(True)
+            t2.merge(  # the winner creates the table mid-plan
+                gb([(7, "c", 100, 70)]), guard_cols=["ts"], batch_id=50
+            )
+        return orig(self, df, version, dynamic)
+
+    monkeypatch.setattr(SnapshotTable, "_do_write_buckets", hook)
+    with pytest.raises(ConcurrentWriteError):
+        t1.merge(gb([(1, "c", 100, 10)]), guard_cols=["ts"], batch_id=1)
+    # the winner's committed creation is intact and readable
+    t3 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    assert sorted((r.k, r.v) for r in t3.read().collect()) == [(7, 70)]
+
+
+def test_mor_write_phase_conflict_consumes_retry_budget(
+    spark, tmp_path, monkeypatch
+):
+    """A winner landing BETWEEN the MoR merge's pointer read and its
+    write trips the pre-write economy check — with retry_conflicts
+    budgeted, the merge must replan and land instead of surfacing the
+    conflict (the write reads no table state, so retrying is always
+    safe)."""
+    def b(rows):
+        return spark.createDataFrame(rows, "k long, op string, v long")
+
+    path = str(tmp_path / "t")
+    seed = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    seed.merge(b([(0, "c", 1)]), batch_id=0)
+    t1 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+    t2 = SnapshotTable(spark, path, ["k"], n_buckets=2)
+
+    fired = []
+    orig_check = SnapshotTable._write_buckets
+
+    def check_hook(self, df, version, dynamic=False, expected_base=None):
+        # fire the winner BEFORE t1's pre-write check runs
+        if self is t1 and not fired:
+            fired.append(True)
+            t2.merge(b([(0, "u", 100)]), batch_id=50, mode="mor")
+        return orig_check(self, df, version, dynamic,
+                          expected_base=expected_base)
+
+    monkeypatch.setattr(SnapshotTable, "_write_buckets", check_hook)
+    t1.merge(
+        b([(1, "c", 200)]), batch_id=1, mode="mor",
+        retry_conflicts=1,
+    )
+    assert sorted((r.k, r.v) for r in t1.read().collect()) == [
+        (0, 100), (1, 200),
+    ]

@@ -373,3 +373,40 @@ def join_view_apply(
         *[F.col(c) for c in mv.columns]
     )
     return kept.unionByName(added, allowMissingColumns=False)
+
+
+def content_digest(df, cols=None):
+    """Order-independent table content digest - the replication /
+    migration validation primitive: two relations hold the same BAG of
+    rows iff their (n_rows, digest) pairs match, verified with ONE
+    map-side-combinable aggregate per side and NO join, sort, or
+    co-location (``cdc_validate``'s set-difference check is the
+    row-level diagnosis tool; this is the O(1)-output fast path a
+    100 TB replication check runs every cycle, where shipping either
+    side to a join is already the expensive part).
+
+    digest = SUM over rows of the 60-bit integer prefix of
+    ``md5(canonical row string)``, accumulated in DECIMAL(38,0) -
+    commutative/associative, so partitioning, partial aggregation, and
+    any row order give the identical value; a single differing,
+    missing, or duplicated row shifts the sum (md5 prefixes behave as
+    independent 60-bit values, so cancellation between two DIFFERENT
+    row multisets is astronomically unlikely, and equality of both
+    count and sum is the check). Callers must canonicalize
+    floating-point columns to scaled integers BEFORE passing ``cols``
+    (engine string renderings of doubles differ; integer/string/ts
+    casts do not).
+
+    Output: one row - ``n_rows, digest``.
+    """
+    use = list(cols) if cols is not None else list(df.columns)
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in use]
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
+    return df.select(h.alias("_h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_h").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("digest"),
+    )

@@ -2911,6 +2911,67 @@ def q_cdc_mor_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
 
 
+@_register(
+    "cdc_table_digest",
+    f"""
+    WITH state AS ({_FINAL_STATE_SQL}),
+    canon AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               coalesce(CAST(key_id AS VARCHAR), ' '),
+               coalesce(CAST(seq AS VARCHAR), ' '),
+               coalesce(CAST(ts_us AS VARCHAR), ' '),
+               coalesce(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                                  AS BIGINT) AS VARCHAR), ' '),
+               coalesce(props, ' '))), 1, 15))::BIGINT AS h
+      FROM state)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest
+    FROM canon
+    """,
+)
+def q_cdc_table_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-validation digest: the changelog applies through
+    SnapshotTable merges (two batches, one with merge-on-read), and
+    the materialized table reduces to an ORDER-INDEPENDENT
+    (n_rows, digest) pair — one map-side-combinable aggregate, no
+    join, no sort (``cdc_validate`` is the row-level diagnosis tool;
+    this is the O(1)-output check a 100 TB replication runs every
+    cycle). The oracle computes the identical digest over its own
+    global compaction, so a hash match here certifies the store's
+    CONTENTS equal the source of truth — any lost, duplicated, or
+    altered row shifts the 60-bit md5 sum. The double column is
+    canonicalized to a scaled integer before hashing (engine float
+    renderings differ). See operators/cdc.py:content_digest."""
+    from changedatacapture_spark.operators.cdc import content_digest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    table = SnapshotTable(
+        spark, _session_scratch_dir("cdc_digest_"), ["key_id"], n_buckets=8
+    )
+    b1 = compact_latest(
+        log.filter(F.col("ts_us") * 2 <= lo + hi), ["key_id"],
+        ["ts_us", "seq"],
+    )
+    table.merge(b1, batch_id=0)
+    b2 = compact_latest(
+        log.filter(F.col("ts_us") * 2 > lo + hi), ["key_id"],
+        ["ts_us", "seq"],
+    )
+    table.merge(b2, batch_id=1, mode="mor")
+    state = table.read().select(
+        "key_id",
+        "seq",
+        "ts_us",
+        F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000000) AS BIGINT)")
+        .cast("string")
+        .alias("v6"),
+        "props",
+    )
+    return content_digest(state, ["key_id", "seq", "ts_us", "v6", "props"])
+
+
 @_register("cdc_mor_stream_e2e", _FINAL_STATE_SQL)
 def q_cdc_mor_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merge-on-read CDC as a REAL stream: Debezium envelopes replay
@@ -4305,6 +4366,69 @@ def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=3_600_000_000,
     )
     return out.select("probe_id", "window_id", "user_id")
+
+
+@_register(
+    "events_attribution",
+    """
+    WITH w AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 86400000000 AS e
+      FROM events WHERE event_type = 'click'),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'),
+    touched AS (
+      SELECT p.purchase_id, p.user_id,
+             printf('%020d:%020d', w.s, w.click_id) AS tk
+      FROM p JOIN w ON p.user_id = w.user_id AND p.t BETWEEN w.s AND w.e)
+    SELECT purchase_id, user_id,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           min(tk) AS first_touch,
+           max(tk) AS last_touch
+    FROM touched
+    GROUP BY purchase_id, user_id
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-/last-touch attribution: for every purchase, the earliest
+    and latest click by the same user in the 24 h before it — the
+    marketing-attribution shape. The interval match runs through the
+    bucketed range join (equi-join on (user, time-bucket) + exact
+    filter — never a nested loop), then ONE map-side-combinable
+    aggregate per purchase: the touch key encodes (ts, click_id) as a
+    zero-padded string so lexicographic min/max IS chronological
+    first/last with deterministic ties, identically on both
+    engines."""
+    from changedatacapture_spark.operators.joins import range_join_bucketed
+
+    ev = load_table(spark, "events", sf_dir)
+    windows = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 86_400_000_000).alias("e"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+    )
+    touched = range_join_bucketed(
+        probes, windows, "t", "s", "e", keys=["user_id"],
+        bucket_width=86_400_000_000,
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.format_string("%020d:%020d", F.col("s"), F.col("click_id")).alias(
+            "tk"
+        ),
+    )
+    return touched.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.min("tk").alias("first_touch"),
+        F.max("tk").alias("last_touch"),
+    )
 
 
 @_register(
@@ -11478,7 +11602,7 @@ _PROMOTED = [
     "events_bootstrap_ci",  # md5-deterministic Poisson bootstrap CI: first row
     "dataset_leakage_safe_split",  # cluster-atomic train/val/test split: first row
     "q_skew_split_join",  # salted skew-split join: first row
-    "curation_e2e",  # composed curation pipeline capstone
+    "cdc_table_digest",  # NEW: order-independent replication digest through the store (round 12)
     "cdc_pruned_scan",  # zone-map pruned SnapshotTable scan: first row
     "events_session_window_stream",  # native session_window stream (parquet sink): first row
     "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join: first row
@@ -11495,7 +11619,7 @@ _PROMOTED = [
     "events_stream_heavy_hitters",  # NEW: per-batch MG candidates -> exact verify, stream == batch (round 12)
     "events_stream_rate_limit",  # NEW: stateful admission control, stream == batch (round 10)
     "knn_cdf_incremental_index",  # NEW: change-feed incremental ANN index maintenance (round 12)
-    "text_gopher_report",  # NEW: Gopher Appendix-A rule suite (round 10)
+    "events_attribution",  # NEW: first/last-touch attribution via bucketed range join (round 12)
     # round-11 window: six NEW queries and ten never-driver-green
     # veterans earn first rows; sixteen multi-green members rotate out
     "events_tws_sessions",  # NEW: transformWithStateInPandas sessionization w/ event-time timers (round 11)

@@ -392,7 +392,15 @@ def content_digest(df, cols=None):
     missing, or duplicated row shifts the sum (md5 prefixes behave as
     independent 60-bit values, so cancellation between two DIFFERENT
     row multisets is astronomically unlikely, and equality of both
-    count and sum is the check). Callers must canonicalize
+    count and sum is the check).
+
+    The canonical row string is INJECTIVE by construction: each field
+    contributes its own fixed-width md5 (NULL contributes a 32-char
+    tag outside md5's hex alphabet), so field boundaries can never
+    shift — a separator character inside a string value, or a NULL
+    colliding with some sentinel literal, cannot make two different
+    rows canonicalize identically (the failure mode a concat-with-
+    separator encoding has). Callers must still canonicalize
     floating-point columns to scaled integers BEFORE passing ``cols``
     (engine string renderings of doubles differ; integer/string/ts
     casts do not).
@@ -400,8 +408,13 @@ def content_digest(df, cols=None):
     Output: one row - ``n_rows, digest``.
     """
     use = list(cols) if cols is not None else list(df.columns)
-    canon = F.concat_ws(
-        "|", *[F.coalesce(F.col(c).cast("string"), F.lit(" ")) for c in use]
+    canon = F.concat(
+        *[
+            F.coalesce(
+                F.md5(F.col(c).cast("string")), F.lit("N" * 32)
+            )
+            for c in use
+        ]
     )
     h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("long")
     return df.select(h.alias("_h")).agg(

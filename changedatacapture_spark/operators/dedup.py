@@ -1124,12 +1124,15 @@ def lsh_incremental_candidates(
     Honest cost note: with the default ``corpus_sigs=None`` the corpus
     still pays ONE signature scan per probe (shingle + md5 minhash, a
     map-only projection — no shuffle, but corpus-, not delta-, sized
-    CPU). A production deployment maintains the signature/band
-    relation and its census AS A STORED INDEX next to the corpus
-    (append the delta's rows each day, exactly like
+    CPU). A production deployment maintains the SIGNATURE relation —
+    ``(doc_id, mh0..mh{n_hashes-1})``, exactly
+    :func:`minhash_signatures`' output — as a stored table next to the
+    corpus (append the delta's signatures each day, like
     ``build_label_ann_index(mode="append")``) and passes it via
-    ``corpus_sigs`` — then the probe's corpus-side cost is the stored
-    relation's scan alone.
+    ``corpus_sigs``; banding and the census derive from it map-side
+    here. Then the probe's corpus-side cost is the stored relation's
+    scan alone — far cheaper than re-shingling, since signatures are
+    a few fixed-width columns instead of the text.
 
     Output: one row per new document — ``doc_id, n_candidates,
     first_partner`` (min candidate partner id; NULL when the document

@@ -2916,13 +2916,17 @@ def q_cdc_mor_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH state AS ({_FINAL_STATE_SQL}),
     canon AS (
-      SELECT ('0x' || substr(md5(concat_ws('|',
-               coalesce(CAST(key_id AS VARCHAR), ' '),
-               coalesce(CAST(seq AS VARCHAR), ' '),
-               coalesce(CAST(ts_us AS VARCHAR), ' '),
-               coalesce(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000)
-                                  AS BIGINT) AS VARCHAR), ' '),
-               coalesce(props, ' '))), 1, 15))::BIGINT AS h
+      -- injective row encoding: fixed-width per-field md5 (NULL -> a
+      -- 32-char tag outside the hex alphabet), so field boundaries
+      -- can never shift and NULL never collides with a literal
+      SELECT ('0x' || substr(md5(
+               coalesce(md5(CAST(key_id AS VARCHAR)), repeat('N', 32)) ||
+               coalesce(md5(CAST(seq AS VARCHAR)), repeat('N', 32)) ||
+               coalesce(md5(CAST(ts_us AS VARCHAR)), repeat('N', 32)) ||
+               coalesce(md5(CAST(CAST(floor(CAST(value AS DOUBLE) * 1000000)
+                                      AS BIGINT) AS VARCHAR)),
+                        repeat('N', 32)) ||
+               coalesce(md5(props), repeat('N', 32))), 1, 15))::BIGINT AS h
       FROM state)
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(h AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS digest

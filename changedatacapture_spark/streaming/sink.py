@@ -1550,14 +1550,16 @@ class SnapshotTable:
                 batch_id,
             )
             return
-        # write phase with its own slice of the retry budget: the
-        # pre-write economy check raises when a winner lands between
-        # the pointer read and the write — replanning is just
-        # re-reading the pointer (the write consumes no table state),
-        # but key alignment and schema evolution must track the
-        # winner's committed schema, so re-derive both per attempt
-        run_entry = None
-        for attempt in range(retry_conflicts + 1):
+        # ONE retry budget shared by both phases (the documented
+        # retry_conflicts bound): the write phase consumes it when the
+        # pre-write economy check trips (a winner landed between the
+        # pointer read and the write — replanning is just re-reading
+        # the pointer, but key alignment and schema evolution must
+        # track the winner's committed schema, so both re-derive per
+        # attempt), and the commit phase consumes the remainder on
+        # lost CAS races.
+        budget = retry_conflicts
+        while True:
             ptr = self._read_pointer()
             base = int(ptr["version"])
             table_schema = StructType.fromJson(json.loads(ptr["schema"]))
@@ -1584,8 +1586,9 @@ class SnapshotTable:
                     run_df, pv, expected_base=base
                 )
             except ConcurrentWriteError:
-                if attempt == retry_conflicts:
+                if budget == 0:
                     raise
+                budget -= 1
                 if (
                     batch_id is not None
                     and batch_id == self.last_batch_id()
@@ -1596,7 +1599,7 @@ class SnapshotTable:
                 "v": pv, "batch_id": batch_id, "buckets": sorted(written),
             }
             break
-        for attempt in range(retry_conflicts + 1):
+        while True:
             ptr = self._read_pointer()
             cur = int(ptr["version"])
             if int(ptr.get("n_buckets") or self.n_buckets) != self.n_buckets:
@@ -1629,8 +1632,9 @@ class SnapshotTable:
                 self._vacuum()
                 return
             except ConcurrentWriteError:
-                if attempt == retry_conflicts:
+                if budget == 0:
                     raise
+                budget -= 1
                 # idempotence across the race: if the winner WAS this
                 # batch's replay, stop instead of double-appending
                 if (

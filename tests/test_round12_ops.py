@@ -290,3 +290,24 @@ def test_verify_heavy_hitters_with_key_named_key(spark):
         for r in exact_heavy_hitters(df, "key", k=4, capacity=16).collect()
     )
     assert got == [(1, 60), (2, 30)]
+
+
+def test_content_digest_injective_encodings(spark):
+    """The digest must distinguish the classic canonicalization traps:
+    NULL vs a sentinel-looking literal, and separator characters that
+    would shift field boundaries under a concat-with-separator
+    encoding."""
+    from changedatacapture_spark.operators.cdc import content_digest
+
+    def dg(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = content_digest(df, ["a", "b"]).collect()[0]
+        return (r.n_rows, str(r.digest))
+
+    assert dg([("x", None)]) != dg([("x", " ")])
+    assert dg([("a|b", "c")]) != dg([("a", "b|c")])
+    assert dg([("a", "bc")]) != dg([("ab", "c")])
+    # order independence and duplicate sensitivity
+    rows = [("r1", "v1"), ("r2", "v2"), ("r3", None)]
+    assert dg(rows) == dg(list(reversed(rows)))
+    assert dg(rows) != dg(rows + [("r1", "v1")])

@@ -1,0 +1,107 @@
+"""Property-based differential test for merge-on-read storage.
+
+The MoR invariant: for ANY changelog, ANY contiguous batch split
+applied in time order, ANY per-batch storage mode (copy-on-write after
+folding pending runs, or merge-on-read append), and ANY interleaving
+of minor (``compact_runs``) and major (``compact``) compactions, the
+resolved table equals one global compaction of the log — storage
+layout is invisible to the logical result. Hypothesis drives the
+adversarial cases: same-timestamp ties, delete-then-reinsert across
+batch boundaries, single-key floods, batches that are all deletes.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# One event: (key, ts, op, value); seq is the list index (arrival
+# order tie-break). Time-ordered batches are cut at random positions
+# AFTER sorting by (ts, seq) — last-batch-wins then matches the
+# global (ts, seq) compaction, the same contract the e2e queries use.
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=4),  # tiny keyspace → collisions
+        st.integers(min_value=0, max_value=3),  # ts ties
+        st.sampled_from(["c", "u", "d"]),
+        st.integers(min_value=-100, max_value=100),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+_PLAN = st.lists(
+    st.tuples(
+        st.sampled_from(["mor", "cow"]),  # storage mode per batch
+        st.sampled_from(["none", "minor", "major"]),  # post-batch fold
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _expected(events):
+    """Python fold: latest (ts, seq) wins; delete removes the key."""
+    ordered = sorted(
+        ((ts, seq, key, op, value)
+         for seq, (key, ts, op, value) in enumerate(events))
+    )
+    state = {}
+    for ts, seq, key, op, value in ordered:
+        if op == "d":
+            state.pop(key, None)
+        else:
+            state[key] = value
+    return sorted(state.items())
+
+
+@given(_EVENTS, _PLAN, st.integers(min_value=0, max_value=2**31 - 1))
+@_SETTINGS
+def test_mor_any_split_any_mode_equals_global_compaction(
+    spark, tmp_path_factory, events, plan, cut_seed
+):
+    import random
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    rows = sorted(
+        (ts, seq, key, op, value)
+        for seq, (key, ts, op, value) in enumerate(events)
+    )
+    n_batches = len(plan)
+    rng = random.Random(cut_seed)
+    cuts = sorted(rng.randint(0, len(rows)) for _ in range(n_batches - 1))
+    bounds = [0] + cuts + [len(rows)]
+
+    path = str(tmp_path_factory.mktemp("mor_prop") / "t")
+    t = SnapshotTable(spark, path, ["key_id"], n_buckets=4)
+    for i, (mode, fold) in enumerate(plan):
+        chunk = rows[bounds[i]:bounds[i + 1]]
+        if not chunk:
+            continue
+        df = spark.createDataFrame(
+            [(k, ts, seq, op, v) for ts, seq, k, op, v in chunk],
+            "key_id long, ts long, seq long, op string, value long",
+        )
+        compacted = compact_latest(df, ["key_id"], ["ts", "seq"])
+        if mode == "cow" and (t._read_pointer() or {}).get("runs"):
+            t.compact()  # cow requires folded runs — fold first
+        t.merge(compacted, batch_id=i, mode=mode)
+        if fold == "minor":
+            t.compact_runs()
+        elif fold == "major" and t.exists():
+            t.compact()
+
+    # every row lands in exactly one batch (bounds partition the log)
+    # and min_size=1, so the table always exists — even an all-delete
+    # bootstrap commits an empty manifest
+    assert t.exists()
+    got = sorted((r.key_id, r.value) for r in t.read().collect())
+    assert got == _expected(events)

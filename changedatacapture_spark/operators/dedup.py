@@ -491,6 +491,7 @@ def contamination(
     benchmark: DataFrame,
     text_col: str = "text",
     k: int = 8,
+    broadcast_benchmark: bool = False,
 ) -> DataFrame:
     """Benchmark contamination check: per document, how many of its
     distinct ``k``-gram shingles appear anywhere in ``benchmark``.
@@ -505,6 +506,11 @@ def contamination(
     the benchmark side (eval suites are ≪ corpus) broadcasts when
     small. Equi-join on the shingle, linear in both inputs; the
     per-doc overlap count is a map-side-combinable aggregate.
+
+    ``broadcast_benchmark=True`` forces the benchmark shingle set to
+    the map side (the incremental change-feed probe's contract: the
+    scored side must never shuffle); leave False when the eval suite
+    might exceed broadcast size and let AQE decide.
     """
     doc_sh = docs.select(
         "doc_id",
@@ -516,6 +522,8 @@ def contamination(
         )
         .distinct()
     )
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
     return doc_sh.join(bench_sh, "sh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_overlap")
     )
@@ -1158,8 +1166,14 @@ def lsh_incremental_candidates(
 
     cb = cb0.join(F.broadcast(hot(cb0)), keys, "left_anti")
     nb = nb0.join(F.broadcast(hot(nb0)), keys, "left_anti")
-    cross = cb.join(F.broadcast(nb), keys).select(
-        nb["doc_id"].alias("doc_id"), cb["doc_id"].alias("partner")
+    # doc_id != partner guard, mirroring the new-vs-new join below: a
+    # delta doc whose id already exists in the corpus — exactly the
+    # re-crawl / update change-feed shape this targets — must not
+    # count itself as its own duplicate partner
+    cross = (
+        cb.join(F.broadcast(nb), keys)
+        .filter(nb["doc_id"] != cb["doc_id"])
+        .select(nb["doc_id"].alias("doc_id"), cb["doc_id"].alias("partner"))
     )
     a, b = nb.alias("a"), nb.alias("b")
     nn = a.join(

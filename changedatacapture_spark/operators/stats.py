@@ -748,6 +748,11 @@ def qsketch_partial(
 
     Output: ``grp, v, hv`` (<= k rows per group; ``v`` is the
     1e6-scaled integer value, ``hv`` the 60-bit sample hash).
+
+    ``id_col`` must be row-unique for the sample to be uniform; the
+    windows tie-break by ``(hv, v)`` so the sketch stays deterministic
+    (cross-engine bit-exact) even under id reuse or 60-bit prefix
+    collisions.
     """
     from pyspark.sql.window import Window
 
@@ -762,15 +767,22 @@ def qsketch_partial(
         .cast("long")
         .alias("hv"),
     )
+    # bottom-k windows order by (hv, v), not hv alone: if id_col is
+    # not row-unique (or two ids share the 60-bit md5 prefix) an
+    # hv-only row_number breaks ties nondeterministically, and the
+    # bit-exact cross-engine / stream==batch contract the sketch is
+    # built around would not hold. id_col SHOULD be row-unique — the
+    # sample is uniform only then — but the (hv, v) order keeps the
+    # sketch deterministic even when it is not.
     wc = Window.partitionBy(
         "grp", F.pmod(F.col("hv"), F.lit(n_cells))
-    ).orderBy("hv")
+    ).orderBy("hv", "v")
     cand = (
         base.withColumn("cell_rn", F.row_number().over(wc))
         .filter(F.col("cell_rn") <= k)
         .select("grp", "v", "hv")
     )
-    w = Window.partitionBy("grp").orderBy("hv")
+    w = Window.partitionBy("grp").orderBy("hv", "v")
     return (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
@@ -809,7 +821,8 @@ def qsketch_finalize(
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("grp").orderBy("hv")
+    # (hv, v) order for the same determinism reason as qsketch_partial
+    w = Window.partitionBy("grp").orderBy("hv", "v")
     merged = (
         partials.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)

@@ -1161,11 +1161,14 @@ def dsir_select(
     keyed by the BOUNDED feature space (m buckets, not vocab); totals
     are a broadcast 1-row aggregate; the m-row weight table BROADCASTS
     back onto the occurrence stream (no corpus-sized shuffle on the
-    scoring side); per-doc sum is map-side combinable. The final
-    rank is a single-partition window over one row per scored doc —
-    at 100 TB swap for the histogram-quantile cut (the
-    ``text_quality_gate`` pattern); the selection threshold is the
-    only global state.
+    scoring side); per-doc sum is map-side combinable. The final rank
+    uses the repo's two-phase prefix-sum cut (the ``ppl_buckets``
+    pattern): per-score counts (map-side combinable) feed a prefix-sum
+    window over the DISTINCT-SCORE relation — metadata-scale — whose
+    offsets broadcast back, and the row-level window partitions by
+    ``logw_milli`` so the rank never funnels the scored corpus through
+    one partition. ``test_plan_shapes`` pins the absence of an
+    empty-partitionBy window.
 
     Output: ``doc_id, n_feats, logw_milli, sel_rank, selected`` for
     every raw doc with AT LEAST ONE alphabetic feature — a doc whose
@@ -1229,21 +1232,46 @@ def dsir_select(
             F.sum("w").alias("logw_milli"),
         )
     )
-    wk = W.orderBy(F.col("logw_milli").desc(), "doc_id")
-    ranked = scored.select(
-        "doc_id",
-        "n_feats",
-        "logw_milli",
-        F.row_number().over(wk).alias("sel_rank"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n_scored"),
+    # two-phase prefix-sum rank over the (logw_milli DESC, doc_id)
+    # total order: per-score counts → prefix sum over the distinct
+    # score relation (metadata-scale: one row per distinct milli-nat
+    # weight) → offsets broadcast back → row-level window partitioned
+    # by score. Rank values are identical to the single-partition
+    # row_number this replaces (same total order), so the oracle hash
+    # is unchanged; a pathological all-one-score corpus degrades to
+    # the global sort it replaces.
+    score_counts = scored.groupBy("logw_milli").agg(
+        F.count(F.lit(1)).alias("bn")
     )
-    return ranked.select(
-        "doc_id",
-        "n_feats",
+    w_score = W.orderBy(F.col("logw_milli").desc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    offsets = score_counts.select(
         "logw_milli",
-        F.col("sel_rank").cast("long").alias("sel_rank"),
-        F.expr(
-            f"sel_rank <= (n_scored * {keep_num} + {keep_den - 1})"
-            f" DIV {keep_den}"
-        ).alias("selected"),
+        (F.sum("bn").over(w_score) - F.col("bn")).alias("off"),
+    )
+    totals = score_counts.agg(F.sum("bn").alias("n_scored"))
+    w_local = W.partitionBy("logw_milli").orderBy("doc_id")
+    return (
+        scored.join(offsets, "logw_milli")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw_milli",
+            (F.col("off") + F.row_number().over(w_local))
+            .cast("long")
+            .alias("sel_rank"),
+            "n_scored",
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            "logw_milli",
+            "sel_rank",
+            F.expr(
+                f"sel_rank <= (n_scored * {keep_num} + {keep_den - 1})"
+                f" DIV {keep_den}"
+            ).alias("selected"),
+        )
     )

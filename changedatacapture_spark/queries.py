@@ -4492,6 +4492,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT doc_id, partner FROM (
         SELECT n.doc_id, c.doc_id AS partner
         FROM nb n JOIN cb c USING (band_idx, band_hash)
+        WHERE n.doc_id <> c.doc_id
         UNION ALL
         SELECT a.doc_id, b.doc_id AS partner
         FROM nb a JOIN nb b
@@ -4544,6 +4545,67 @@ def q_dedup_cdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_incremental_candidates(
         delta, corpus, n_hashes=4, bands=2, k=5, max_bucket_size=500
     )
+
+
+@_register(
+    "decontaminate_cdf_incremental",
+    """
+    WITH bsh AS (
+      SELECT DISTINCT substr(text, i, 8) AS sh
+      FROM (SELECT text,
+                   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+            FROM documents WHERE doc_id < 100)),
+    dsh AS (
+      SELECT DISTINCT doc_id, substr(text, i, 8) AS sh
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+            FROM documents WHERE doc_id >= 400))
+    SELECT doc_id, count(*) AS n_overlap
+    FROM dsh JOIN bsh USING (sh)
+    GROUP BY doc_id
+    """,
+)
+def q_decontaminate_cdf_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental decontamination THROUGH the store's change feed —
+    the daily-crawl production shape for eval-leakage sweeps: the
+    day-0 corpus (100 <= doc_id < 400) lives in a SnapshotTable and
+    was swept on day 0; the day-1 crawl (doc_id >= 400) merges in,
+    ``changes_between`` yields exactly the inserted documents, and
+    ONLY those re-shingle and probe the benchmark suite (doc_id < 100)
+    — with the benchmark's distinct-shingle set BROADCAST, so the
+    probe never shuffles the scored side and its cost is bounded by
+    the DELTA, not the corpus (which is touched only by the change
+    feed's own keyed version diff). Plan-pinned in test_plan_shapes.
+    Output: per inserted doc, its distinct-shingle overlap count with
+    the eval suite (no row = clean)."""
+    from changedatacapture_spark.operators.dedup import contamination
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 100)
+    table = SnapshotTable(
+        spark,
+        _session_scratch_dir("decon_cdf_"),
+        ["doc_id"],
+        n_buckets=8,
+        retain_history=2,
+    )
+    day0 = (
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 400))
+        .withColumn("op", F.lit("c"))
+    )
+    table.merge(day0, batch_id=0)
+    v0 = table.version
+    day1 = docs.filter(F.col("doc_id") >= 400).withColumn("op", F.lit("c"))
+    table.merge(day1, batch_id=1)
+    delta = (
+        table.changes_between(v0, table.version)
+        .filter(F.col("change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    return contamination(delta, bench, k=8, broadcast_benchmark=True)
 
 
 @_register(
@@ -6088,7 +6150,7 @@ _QSKETCH_ORACLE = """
       FROM base),
     r AS (
       SELECT grp, v, hv,
-             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn
+             row_number() OVER (PARTITION BY grp ORDER BY hv, v) AS rn
       FROM h),
     samp AS (SELECT grp, v, hv FROM r WHERE rn <= 256),
     m AS (SELECT grp, count(*) AS m_sample FROM samp GROUP BY 1),

@@ -369,6 +369,40 @@ class SnapshotTable:
                     f"pointer is now at {cur_v}; this writer's work is "
                     f"discarded — re-read and retry the batch"
                 )
+        # vacuum-race guard: the grace window in _vacuum is an mtime
+        # heuristic, so a writer whose write job outlives vacuum_grace_s
+        # can have its in-flight staging dir rmtree'd by a racing
+        # winner's vacuum — and the pointer CAS alone would let the
+        # loser still commit a manifest/run referencing deleted files
+        # (reads then raise CorruptSnapshot). Before the flip, verify
+        # every NEWLY referenced physical path (manifest buckets and run
+        # buckets at versions the previous pointer did not already hold)
+        # still exists; a vacuumed loser fails loudly as a concurrent
+        # write and retries/replans instead of committing corruption.
+        prev_versions: set[int] = set()
+        if prev is not None:
+            prev_versions = {int(v) for v in prev["buckets"].values()}
+            prev_versions |= {int(r["v"]) for r in prev.get("runs") or []}
+        fresh_paths = [
+            f"{self.path}/v={v}/bucket={b}"
+            for b, v in buckets.items()
+            if int(v) not in prev_versions
+        ]
+        for r in runs or []:
+            if int(r["v"]) not in prev_versions:
+                fresh_paths += [
+                    f"{self.path}/v={r['v']}/bucket={b}"
+                    for b in r.get("buckets") or []
+                ]
+        missing = [p for p in fresh_paths if not os.path.isdir(p)]
+        if missing:
+            raise ConcurrentWriteError(
+                f"commit on {self.path} references freshly written paths "
+                f"that no longer exist (vacuumed by a racing writer "
+                f"during a long write job?): {missing[:3]}"
+                f"{' ...' if len(missing) > 3 else ''} — this writer's "
+                "work is discarded; re-read and retry the batch"
+            )
         if guard is None:  # carry forward: a guarded table stays guarded
             guard = None if prev is None else prev.get("guard")
         # zone maps: carry forward untouched buckets' stats (their files
@@ -1595,9 +1629,16 @@ class SnapshotTable:
                 ):
                     return  # the racing winner WAS this batch's replay
                 continue
-            run_entry = {
-                "v": pv, "batch_id": batch_id, "buckets": sorted(written),
-            }
+            # empty micro-batch (idle stream tick): no bytes landed, so
+            # appending a run entry would be pure pointer noise — it
+            # would count toward the pipeline's compact_every cadence
+            # and bloat every future read's run list. Record nothing
+            # unless the (empty) batch still evolves the schema.
+            run_entry = (
+                {"v": pv, "batch_id": batch_id, "buckets": sorted(written)}
+                if written
+                else None
+            )
             break
         while True:
             ptr = self._read_pointer()
@@ -1618,16 +1659,22 @@ class SnapshotTable:
                 table_schema, batch_fields, op_col, evolve_schema,
                 self.key_cols,
             )
+            evolved_json = json.dumps(StructType(evolved).jsonValue())
+            if run_entry is None and json.loads(evolved_json) == json.loads(
+                ptr["schema"]
+            ):
+                return  # empty batch, schema unchanged: nothing to commit
             try:
                 self._commit(
                     cur + 1,
                     batch_id,
                     {int(b): v for b, v in ptr["buckets"].items()},
-                    json.dumps(StructType(evolved).jsonValue()),
+                    evolved_json,
                     expected_base=cur,
                     fresh_stats=False,
                     data_version=pv,
-                    runs=(ptr.get("runs") or []) + [run_entry],
+                    runs=(ptr.get("runs") or [])
+                    + ([run_entry] if run_entry else []),
                 )
                 self._vacuum()
                 return

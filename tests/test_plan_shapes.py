@@ -491,6 +491,40 @@ def test_ppl_buckets_tertile_cut_is_shuffle_bounded(spark, sf_dir):
     assert "ntile" not in plan.lower(), "registered plan still uses ntile"
 
 
+def test_decontaminate_cdf_incremental_broadcast_probe(spark, sf_dir):
+    """The change-feed decontamination probe must be delta-bounded:
+    the benchmark's distinct-shingle set arrives at the delta scan as
+    a BROADCAST (no shuffle of the scored side for the probe join);
+    the corpus is touched only by the change feed's own keyed version
+    diff. No cartesian product anywhere."""
+    df = _run(spark, sf_dir, "decontaminate_cdf_incremental")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_dsir_select_rank_is_shuffle_bounded(spark, sf_dir):
+    """The DSIR selection rank must be the two-phase prefix-sum cut,
+    never a single-partition row_number over every scored doc (the
+    same straggler shape the ppl_buckets pin bans): every row-level
+    window spec (touching doc_id) must be partitioned by the score
+    column; the only unpartitioned window allowed is the prefix sum
+    over the metadata-scale distinct-score relation."""
+    import re
+
+    df = _run(spark, sf_dir, "text_dsir_select")
+    plan = executed_plan(df)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    row_level = [s for s in specs if "doc_id" in s]
+    assert row_level, f"no row-level window found: {specs}"
+    for s in row_level:
+        assert "logw_milli" in s, (
+            f"row-level window not partitioned by score (global-sort "
+            f"straggler at 100 TB): {s}"
+        )
+
+
 def test_label_partitioned_ann_scan_prunes_to_label(spark, sf_dir):
     """The filtered probe must hit ONLY its label's index partition:
     the index scan carries a PartitionFilters entry on label (other

@@ -1419,11 +1419,32 @@ def cosine_topk_label_partitioned(
 
     Output: ``probe_id, neighbor_id, score_scaled, rk``.
     """
-    from pyspark.sql import Window as W
-
     pre = spark.read.parquet(index_path).filter(
         F.col("label") == F.lit(label_value)
     )
+    return _index_probe_rerank(
+        pre, corpus, probes, k, shortlist, prefix_dim, id_col, vec_col, scale
+    )
+
+
+def _index_probe_rerank(
+    pre: DataFrame,
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int,
+    shortlist: int,
+    prefix_dim: int,
+    id_col: str,
+    vec_col: str,
+    scale: int,
+) -> DataFrame:
+    """Shared probe body for the partitioned-index searches: coarse
+    prefix-cosine shortlist over the pruned index relation ``pre``
+    (``neighbor_id, prefix``), then the exact full-dimension re-rank
+    via a point-lookup join back to the corpus. Probes broadcast both
+    times; the corpus is touched only by the shortlist join."""
+    from pyspark.sql import Window as W
+
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("probe_vec"),
@@ -1475,4 +1496,105 @@ def cosine_topk_label_partitioned(
         )
         .withColumn("rk", F.row_number().over(we))
         .filter(F.col("rk") <= k)
+    )
+
+
+def label_bucket_expr(label_col: str, n_label_buckets: int):
+    """Deterministic, engine-portable bucket of a label value:
+    ``conv(md5(label)[0:8], 16, 10) % B`` — the same md5-hex-slice
+    family every content-addressed operator here uses, expressible
+    verbatim in the DuckDB oracle and reproducible driver-side (Python
+    ``hashlib``) so a probe can compute its partition literal without
+    touching the cluster."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.col(label_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % n_label_buckets
+    )
+
+
+def label_bucket_of(label_value, n_label_buckets: int) -> int:
+    """Driver-side twin of :func:`label_bucket_expr` for a literal."""
+    import hashlib
+
+    h = hashlib.md5(str(label_value).encode()).hexdigest()[:8]
+    return int(h, 16) % n_label_buckets
+
+
+def build_bucketed_ann_index(
+    emb: DataFrame,
+    path: str,
+    n_label_buckets: int = 16,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    mode: str = "overwrite",
+) -> None:
+    """Composite-key variant of :func:`build_label_ann_index` for
+    HIGH-CARDINALITY labels (the caveat that function's docstring
+    flags): partitioning one directory per label value explodes the
+    partition count — and small-file pressure — when labels number in
+    the millions. Here the index partitions by ``label_bucket =
+    md5(label) % B``, so B bounds the directory count regardless of
+    label cardinality, while the probe still PRUNES to one partition
+    (its label's bucket) and the residual ``label = value`` equality
+    is pushed into the parquet scan of that bucket alone — reading
+    ~1/B of the index instead of all of it, whatever the cardinality.
+
+    The label stays a DATA column inside each bucket (it no longer
+    names the directory), which is what makes the residual pushdown
+    possible. Same append-mode incremental maintenance as the
+    per-label layout.
+    """
+    (
+        emb.select(
+            label_bucket_expr(label_col, n_label_buckets).alias(
+                "label_bucket"
+            ),
+            F.col(label_col).alias("label"),
+            F.col(id_col).alias("neighbor_id"),
+            F.slice(F.col(vec_col), 1, prefix_dim).alias("prefix"),
+        )
+        .repartition("label_bucket")
+        .write.mode(mode)
+        .partitionBy("label_bucket")
+        .parquet(path)
+    )
+
+
+def cosine_topk_label_bucketed(
+    spark,
+    index_path: str,
+    corpus: DataFrame,
+    probes: DataFrame,
+    label_value,
+    n_label_buckets: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    prefix_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Filtered top-k through the BUCKETED label index (see
+    :func:`build_bucketed_ann_index`): the probe computes its label's
+    bucket driver-side (:func:`label_bucket_of` — same md5 family) and
+    scans ONLY that partition (plan: ``PartitionFilters`` on
+    ``label_bucket``), with the exact ``label = value`` equality
+    pushed into that bucket's parquet scan; eligible rows then flow
+    through the identical coarse-shortlist → exact-re-rank body as the
+    per-label layout, so results are bit-equal to it (and this query
+    shares its oracle). ``n_label_buckets`` must match the build.
+
+    Output: ``probe_id, neighbor_id, score_scaled, rk``.
+    """
+    bucket = label_bucket_of(label_value, n_label_buckets)
+    pre = spark.read.parquet(index_path).filter(
+        (F.col("label_bucket") == F.lit(bucket))
+        & (F.col("label") == F.lit(label_value))
+    )
+    return _index_probe_rerank(
+        pre, corpus, probes, k, shortlist, prefix_dim, id_col, vec_col, scale
     )

@@ -717,6 +717,165 @@ def bootstrap_ci(
     )
 
 
+def poisson_ppm_case(lam: int, bucket_col: str = "b") -> str:
+    """SQL CASE mapping a uniform ppm bucket column to a deterministic
+    Poisson(``lam``) draw: thresholds are the exact cumulative pmf in
+    floored ppm, tail folded once the cdf passes 1 - 1e-5. The string
+    is valid in BOTH Spark SQL and DuckDB, so interpolating it into
+    the operator and its oracle guarantees identical weights — the
+    same trick as :data:`POISSON1_PPM`, generalized to the λ = s
+    resampling rate the Bag-of-Little-Bootstraps outer loop needs.
+    Computed once per process from the same IEEE doubles on both
+    paths, so the constants cannot drift between engines."""
+    import math
+
+    thresholds: list[int] = []
+    cum = 0.0
+    k = 0
+    while True:
+        cum += math.exp(-lam) * lam**k / math.factorial(k)
+        t = int(math.floor(cum * 1_000_000))
+        if t >= 999_990:
+            break
+        thresholds.append(t)
+        k += 1
+    arms = " ".join(
+        f"WHEN {bucket_col} < {t} THEN {i}" for i, t in enumerate(thresholds)
+    )
+    return f"CASE {arms} ELSE {len(thresholds)} END"
+
+
+def blb_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_subsets: int = 5,
+    n_replicates: int = 40,
+    lo_rank: int = 2,
+    hi_rank: int = 38,
+) -> DataFrame:
+    """Bag-of-Little-Bootstraps confidence interval for the per-group
+    mean (Kleiner et al. 2014) — the executable 100 TB recipe
+    :func:`bootstrap_ci`'s docstring names: rows hash-partition into
+    ``s = n_subsets`` deterministic subsets; each subset runs ``r``
+    bootstrap replicates that resample at the FULL-n rate (per-row
+    weights ~ Poisson(s), since each subset holds ~n/s rows — the
+    multinomial(n, subset) approximation, exactly like the inner
+    loop's Poisson(1) approximates multinomial(n, corpus)); each
+    subset's replicate-mean percentile bounds estimate the n-level CI
+    on their own, and BLB's outer step AVERAGES the s bounds.
+
+    Everything is deterministic and oracle-exact: subset =
+    md5('s:' || id) ppm bucket mod s, weights = md5(replicate || ':'
+    || id) ppm buckets thresholded at the exact cumulative Poisson(s)
+    pmf (:func:`poisson_ppm_case` — identical text interpolated into
+    the DuckDB oracle).
+
+    Scale shape vs the plain bootstrap: the scan multiplies by ``r``
+    (40 here) instead of the inner loop's 100, and every aggregate
+    stays map-side combinable with one row per (group, subset,
+    replicate) shuffled; the rank windows touch s*r rows per group.
+    Cost scales with r, confidence comes from the subset average — at
+    100 TB raise s, not r.
+
+    Output per group: ``grp, n_rows, n_subsets, n_replicates,
+    mean_scaled, ci_lo_scaled, ci_hi_scaled`` (lo/hi are floored
+    averages over the per-subset percentile bounds; a degenerate
+    subset with no surviving replicate mean at the rank drops out of
+    the average on both engines).
+    """
+    from pyspark.sql import Window as W
+
+    x = _scaled(value_col)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        x.alias("x"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    subset = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("s:"), F.col("rid"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_subsets
+    )
+    rep = base.withColumn("s", subset).select(
+        "grp",
+        "x",
+        "rid",
+        "s",
+        F.explode(F.expr(f"sequence(0, {n_replicates - 1})")).alias("r"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r"), F.col("rid"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1_000_000
+    )
+    w = F.expr(poisson_ppm_case(n_subsets))
+    weighted = rep.withColumn("b", bucket).withColumn("w", w)
+    per_rep = weighted.groupBy("grp", "s", "r").agg(
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * x")).alias("swx"),
+        F.sum("w").cast("long").alias("sw"),
+    )
+    rep_means = per_rep.select(
+        "grp",
+        "s",
+        "r",
+        F.expr(
+            "CAST(floor(CAST(swx AS DOUBLE) / NULLIF(sw, 0)) AS BIGINT)"
+        ).alias("m_scaled"),
+    ).filter(F.col("m_scaled").isNotNull())
+    wr = W.partitionBy("grp", "s").orderBy("m_scaled", "r")
+    per_subset = (
+        rep_means.withColumn("rk", F.row_number().over(wr))
+        .groupBy("grp", "s")
+        .agg(
+            F.max(
+                F.expr(f"CASE WHEN rk = {lo_rank} THEN m_scaled END")
+            ).alias("s_lo"),
+            F.max(
+                F.expr(f"CASE WHEN rk = {hi_rank} THEN m_scaled END")
+            ).alias("s_hi"),
+        )
+    )
+    # BLB outer step: average the per-subset bounds (double-floor for
+    # engine parity, as everywhere in this module)
+    ci = per_subset.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subsets"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(s_lo AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(s_lo)) AS BIGINT)"
+        ).alias("ci_lo_scaled"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(s_hi AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(s_hi)) AS BIGINT)"
+        ).alias("ci_hi_scaled"),
+    )
+    point = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr(
+            "CAST(floor(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)"
+            " / count(1)) AS BIGINT)"
+        ).alias("mean_scaled"),
+    )
+    return point.join(ci, "grp").select(
+        "grp",
+        "n_rows",
+        "n_subsets",
+        F.lit(n_replicates).cast("long").alias("n_replicates"),
+        "mean_scaled",
+        "ci_lo_scaled",
+        "ci_hi_scaled",
+    )
+
+
 def qsketch_partial(
     df: DataFrame,
     group_col: str,

@@ -6073,6 +6073,87 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bootstrap_ci(ev, "event_type", "value", "event_id")
 
 
+def _blb_oracle() -> str:
+    # the Poisson(s) CASE is generated by the SAME helper the operator
+    # uses, so the ppm thresholds cannot drift between engines
+    from changedatacapture_spark.operators.stats import poisson_ppm_case
+
+    case = poisson_ppm_case(5)
+    return f"""
+    WITH base AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 1000000) AS BIGINT) AS x,
+             CAST(event_id AS VARCHAR) AS rid
+      FROM events),
+    sub AS (
+      SELECT grp, x, rid,
+             ('0x' || substr(md5('s:' || rid), 1, 8))::BIGINT % 5 AS s
+      FROM base),
+    rep AS (
+      SELECT grp, x, rid, s, unnest(generate_series(0, 39)) AS r FROM sub),
+    wtd AS (
+      SELECT grp, x, s, r,
+             ('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || rid), 1, 8))
+               ::BIGINT % 1000000 AS b
+      FROM rep),
+    ww AS (SELECT grp, x, s, r, {case} AS w FROM wtd),
+    per_rep AS (
+      SELECT grp, s, r,
+             CAST(sum(CAST(w AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS swx,
+             CAST(sum(w) AS BIGINT) AS sw
+      FROM ww GROUP BY 1, 2, 3),
+    means AS (
+      SELECT grp, s, r,
+             CAST(floor(CAST(swx AS DOUBLE) / NULLIF(sw, 0)) AS BIGINT)
+               AS m_scaled
+      FROM per_rep),
+    ranked AS (
+      SELECT grp, s, r, m_scaled,
+             row_number() OVER (PARTITION BY grp, s
+                                ORDER BY m_scaled, r) AS rk
+      FROM means WHERE m_scaled IS NOT NULL),
+    per_subset AS (
+      SELECT grp, s,
+             max(CASE WHEN rk = 2 THEN m_scaled END) AS s_lo,
+             max(CASE WHEN rk = 38 THEN m_scaled END) AS s_hi
+      FROM ranked GROUP BY 1, 2),
+    ci AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_subsets,
+             CAST(floor(CAST(sum(CAST(s_lo AS DECIMAL(38,0))) AS DOUBLE)
+                        / count(s_lo)) AS BIGINT) AS ci_lo_scaled,
+             CAST(floor(CAST(sum(CAST(s_hi AS DECIMAL(38,0))) AS DOUBLE)
+                        / count(s_hi)) AS BIGINT) AS ci_hi_scaled
+      FROM per_subset GROUP BY grp),
+    point AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(floor(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE)
+                        / count(*)) AS BIGINT)
+               AS mean_scaled
+      FROM base GROUP BY grp)
+    SELECT p.grp, p.n_rows, c.n_subsets, CAST(40 AS BIGINT) AS n_replicates,
+           p.mean_scaled, c.ci_lo_scaled, c.ci_hi_scaled
+    FROM point p JOIN ci c USING (grp)
+    """
+
+
+@_register("events_blb_ci", _blb_oracle())
+def q_events_blb_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-Little-Bootstraps 90% CI for the per-event-type mean —
+    the executable 100 TB recipe the plain bootstrap's docstring
+    names: 5 deterministic hash-subsets × 40 replicates resampling at
+    the full-n rate (Poisson(5) md5 weights, exact cumulative-pmf ppm
+    thresholds shared textually with the oracle), per-subset
+    percentile bounds, BLB-averaged. The scan multiplies by 40
+    instead of the inner loop's 100 — the subset win ``bench``
+    measures against ``events_bootstrap_ci`` — while every aggregate
+    stays map-side combinable and the rank windows touch 200 rows per
+    group. See operators/stats.py:blb_ci."""
+    from changedatacapture_spark.operators.stats import blb_ci
+
+    ev = load_table(spark, "events", sf_dir)
+    return blb_ci(ev, "event_type", "value", "event_id")
+
+
 @_register("events_stream_hll", None)
 def q_events_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog: the events replay as 4 HASH-bucketed
@@ -7107,6 +7188,115 @@ ORACLE_SQL["knn_recall_label_partitioned"] = f"""
       ON m.probe_id = t.probe_id AND m.neighbor_id = t.neighbor_id
     GROUP BY t.probe_id
 """
+
+#: session cache: bucketed ANN index path per sf_dir (same
+#: amortization as _LABEL_ANN_INDEX — built once, probed many times)
+_BUCKETED_ANN_INDEX: dict[str, str] = {}
+
+
+def _bucketed_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    from changedatacapture_spark.operators.similarity import (
+        build_bucketed_ann_index,
+    )
+
+    if sf_dir not in _BUCKETED_ANN_INDEX:
+        path = _session_scratch_dir("bucket_ann_")
+        build_bucketed_ann_index(
+            load_table(spark, "embeddings", sf_dir),
+            path,
+            n_label_buckets=4,
+            prefix_dim=16,
+        )
+        _BUCKETED_ANN_INDEX[sf_dir] = path
+    return _BUCKETED_ANN_INDEX[sf_dir]
+
+
+@_register("knn_label_bucketed_topk", None)  # oracle assigned below
+def q_knn_label_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN through the COMPOSITE-KEY bucketed index — the
+    high-cardinality generalization the per-label layout's docstring
+    flags: the index partitions by ``label_bucket = md5(label) % B``
+    (B=4 here), so B bounds the directory count however many labels
+    exist, while the probe still prunes to ONE partition (plan-pinned
+    ``PartitionFilters`` on the bucket) and pushes the residual
+    ``label = 3`` equality into that bucket's parquet scan — reading
+    ~1/B of the index. Eligible rows flow through the identical
+    coarse-shortlist → exact-re-rank body as the per-label layout, so
+    this shares ``knn_label_partitioned_topk``'s oracle. See
+    operators/similarity.py:build_bucketed_ann_index."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk_label_bucketed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_label_bucketed(
+        spark,
+        _bucketed_ann_index(spark, sf_dir),
+        emb,
+        probes,
+        label_value=3,
+        n_label_buckets=4,
+        k=5,
+        shortlist=100,
+        prefix_dim=16,
+    )
+
+
+ORACLE_SQL["knn_label_bucketed_topk"] = ORACLE_SQL["knn_label_partitioned_topk"]
+
+
+@_register("knn_recall_label_bucketed", None)  # composed below
+def q_knn_recall_label_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of the bucketed-index search against the exact
+    pre-filtered top-5 truth — must be 1.0 wherever the per-label
+    layout scores 1.0, since the residual label pushdown yields the
+    identical eligible set (shares the per-label recall oracle)."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_label_bucketed,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    probes = emb.filter(F.col("vec_id") < 10)
+    truth = cosine_topk(emb.filter(F.col("label") == 3), probes, k=5).select(
+        "probe_id", "neighbor_id"
+    )
+    lb = cosine_topk_label_bucketed(
+        spark,
+        _bucketed_ann_index(spark, sf_dir),
+        emb,
+        probes,
+        label_value=3,
+        n_label_buckets=4,
+        k=5,
+        shortlist=100,
+        prefix_dim=16,
+    ).select(
+        F.col("probe_id").alias("m_probe"),
+        F.col("neighbor_id").alias("m_neighbor"),
+    )
+    return (
+        truth.join(
+            lb,
+            (F.col("probe_id") == F.col("m_probe"))
+            & (F.col("neighbor_id") == F.col("m_neighbor")),
+            "left",
+        )
+        .groupBy("probe_id")
+        .agg(
+            F.count("m_neighbor").alias("n_hits"),
+            F.lit(5).cast("long").alias("k"),
+        )
+    )
+
+
+ORACLE_SQL["knn_recall_label_bucketed"] = ORACLE_SQL[
+    "knn_recall_label_partitioned"
+]
+
 
 ORACLE_SQL["doc_chunks"] = _doc_chunks_sql()
 

@@ -147,6 +147,8 @@ class CdcPipeline:
         dlq_path: str | None = None,
         merge_mode: str = "cow",
         compact_every: int | None = None,
+        compact_minor_ratio: float | None = None,
+        compact_major_ratio: float | None = None,
     ) -> None:
         self.spark = spark
         self.record_schema = record_schema
@@ -169,6 +171,15 @@ class CdcPipeline:
         #: maintenance op, like OPTIMIZE. None = caller schedules
         #: all compaction
         self.compact_every = compact_every
+        #: size-based policy (SnapshotTable.compact_by_size): evaluate
+        #: pending-run bytes against the base after every MoR batch —
+        #: minor-fold past ``compact_minor_ratio * base_bytes``,
+        #: major-fold past ``compact_major_ratio * base_bytes``. Byte
+        #: thresholds track real read/write amplification where the
+        #: run-count cadence treats 1 KB ticks and 10 GB backfills
+        #: alike; both policies compose (count fires first if both set)
+        self.compact_minor_ratio = compact_minor_ratio
+        self.compact_major_ratio = compact_major_ratio
         # lazily seeded past any adhoc_* dirs already on disk — see
         # process_batch
         self._adhoc_dlq_seq: int | None = None
@@ -265,17 +276,31 @@ class CdcPipeline:
         finally:
             if self._agg_views:
                 compacted.unpersist()
-        if self.merge_mode == "mor" and self.compact_every is not None:
-            ptr = self.table._read_pointer()
-            if ptr is not None and len(ptr.get("runs") or []) >= self.compact_every:
-                # MINOR fold: all pending runs collapse into one at
-                # delta cost (delete masks preserved, base untouched).
-                # A crash after the merge commit but before this fold
-                # only defers it to a later batch — the fold is a
-                # physical rewrite carrying the batch id through, so
-                # replay idempotence is untouched. Major compaction
-                # (fold into the base) stays a maintenance call.
-                self.table.compact_runs()
+        if self.merge_mode == "mor":
+            did = "none"
+            if self.compact_every is not None:
+                ptr = self.table._read_pointer()
+                if (
+                    ptr is not None
+                    and len(ptr.get("runs") or []) >= self.compact_every
+                ):
+                    # MINOR fold: all pending runs collapse into one at
+                    # delta cost (delete masks preserved, base
+                    # untouched). A crash after the merge commit but
+                    # before this fold only defers it to a later batch —
+                    # the fold is a physical rewrite carrying the batch
+                    # id through, so replay idempotence is untouched.
+                    self.table.compact_runs()
+                    did = "minor"
+            if did == "none" and (
+                self.compact_minor_ratio is not None
+                or self.compact_major_ratio is not None
+            ):
+                # byte-budget policy: same crash-deferral argument —
+                # a missed evaluation is re-run after the next batch
+                self.table.compact_by_size(
+                    self.compact_minor_ratio, self.compact_major_ratio
+                )
 
     def bootstrap(self, raw: DataFrame, batch_id: int = -1) -> None:
         """Kappa-style historical bootstrap: apply an arbitrarily large

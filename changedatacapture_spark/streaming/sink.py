@@ -1909,6 +1909,90 @@ class SnapshotTable:
         self._vacuum()
         return len(runs)
 
+    def _bucket_dir_bytes(self, v: int, buckets) -> int:
+        """Parquet bytes under ``v=<v>/bucket=<b>`` for the given
+        buckets — driver-side metadata stats (an os.scandir per bucket
+        dir, no Spark job), the same class of bookkeeping the zone-map
+        manifest already does."""
+        total = 0
+        for b in buckets:
+            d = f"{self.path}/v={v}/bucket={b}"
+            try:
+                with os.scandir(d) as it:
+                    for e in it:
+                        if e.name.endswith(".parquet"):
+                            total += e.stat().st_size
+            except FileNotFoundError:
+                continue
+        return total
+
+    def base_bytes(self) -> int:
+        """Parquet bytes of the copy-on-write base (manifest buckets)."""
+        ptr = self._read_pointer()
+        if ptr is None:
+            return 0
+        by_version: dict[int, list[int]] = {}
+        for b, v in ptr["buckets"].items():
+            by_version.setdefault(int(v), []).append(int(b))
+        return sum(
+            self._bucket_dir_bytes(v, bs) for v, bs in by_version.items()
+        )
+
+    def pending_run_bytes(self) -> int:
+        """Parquet bytes of all pending merge-on-read delta runs."""
+        ptr = self._read_pointer()
+        if ptr is None:
+            return 0
+        return sum(
+            self._bucket_dir_bytes(int(r["v"]), r.get("buckets") or [])
+            for r in ptr.get("runs") or []
+        )
+
+    def compact_by_size(
+        self,
+        minor_ratio: float | None = None,
+        major_ratio: float | None = None,
+    ) -> str:
+        """Size-based compaction policy — one evaluation of the
+        byte-budget rule production MoR tables run instead of a
+        run-count cadence: let ``pending`` = delta-run bytes and
+        ``base`` = manifest-bucket bytes; MAJOR-fold (full rewrite,
+        runs absorbed into the base) when ``pending >= major_ratio *
+        base``, else MINOR-fold (runs collapse into one at delta cost)
+        when ``pending >= minor_ratio * base`` and ≥2 runs are
+        pending. Byte thresholds track what compaction actually costs
+        and what reads actually pay — a run-count cadence fires the
+        same way for 1 KB ticks and 10 GB backfills.
+
+        Either ratio may be None (that tier disabled). A minor fold
+        that doesn't shrink bytes below the threshold (disjoint keys)
+        simply re-arms: the next evaluation folds the new run in at
+        delta cost until the major threshold takes over — the LSM
+        behavior. Returns ``"major"``, ``"minor"``, or ``"none"``
+        (policy evaluated, nothing due). Both folds preserve logical
+        contents bit-exactly (property-tested under arbitrary
+        schedules in test_property_mor).
+        """
+        ptr = self._read_pointer()
+        if ptr is None:
+            return "none"
+        runs = ptr.get("runs") or []
+        if not runs:
+            return "none"
+        pending = self.pending_run_bytes()
+        base = max(self.base_bytes(), 1)
+        if major_ratio is not None and pending >= major_ratio * base:
+            self.compact()
+            return "major"
+        if (
+            minor_ratio is not None
+            and len(runs) >= 2
+            and pending >= minor_ratio * base
+        ):
+            self.compact_runs()
+            return "minor"
+        return "none"
+
     def rebucket(self, n_buckets: int) -> None:
         """Change the table's bucket count via the documented full
         rewrite, online: read current contents, rewrite under the new

@@ -541,6 +541,25 @@ def test_label_partitioned_ann_scan_prunes_to_label(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_bucketed_ann_scan_prunes_to_bucket_and_pushes_label(spark, sf_dir):
+    """The composite-key probe must prune the index scan to its
+    label's BUCKET partition (PartitionFilters on label_bucket) and
+    push the residual label equality into that bucket's parquet scan
+    (PushedFilters) — the layout that bounds partition count at B for
+    high-cardinality labels while still reading ~1/B of the index."""
+    import re
+
+    df = _run(spark, sf_dir, "knn_label_bucketed_topk")
+    plan = executed_plan(df)
+    m = re.search(
+        r"PartitionFilters: \[[^\]]*label_bucket[^\]]*=[^\]]*\]", plan
+    )
+    assert m, f"no bucket partition pruning on the index scan:\n{plan[:2000]}"
+    mp = re.search(r"PushedFilters: \[[^\]]*EqualTo\(label,3\)[^\]]*\]", plan)
+    assert mp, f"label residual not pushed into the bucket scan:\n{plan[:2000]}"
+    assert "CartesianProduct" not in plan
+
+
 def test_emb_dedup_capped_no_unbounded_bucket_join(spark, sf_dir):
     """The capped embedding dedup must keep its bucket census broadcast
     (≤ 2^n_planes rows) and produce no cartesian product; the hot path

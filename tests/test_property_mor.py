@@ -105,3 +105,57 @@ def test_mor_any_split_any_mode_equals_global_compaction(
     assert t.exists()
     got = sorted((r.key_id, r.value) for r in t.read().collect())
     assert got == _expected(events)
+
+
+# size-based policy schedules: ratio pairs spanning never-fires (huge),
+# always-fires-minor (0.0 minor, no major), always-fires-major, and the
+# production-shaped middle (minor at 25% of base, major at 100%)
+_RATIO_PLAN = st.lists(
+    st.sampled_from(
+        [(None, None), (0.0, None), (None, 0.0), (0.25, 1.0), (1e9, 1e9)]
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(_EVENTS, _RATIO_PLAN, st.integers(min_value=0, max_value=2**31 - 1))
+@_SETTINGS
+def test_mor_any_size_policy_schedule_equals_global_compaction(
+    spark, tmp_path_factory, events, ratio_plan, cut_seed
+):
+    """Size-based compaction (compact_by_size) under ANY per-batch
+    threshold schedule — including degenerate always/never thresholds
+    and mixed minor/major tiers — must leave the logical result equal
+    to one global compaction of the log."""
+    import random
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    rows = sorted(
+        (ts, seq, key, op, value)
+        for seq, (key, ts, op, value) in enumerate(events)
+    )
+    n_batches = len(ratio_plan)
+    rng = random.Random(cut_seed)
+    cuts = sorted(rng.randint(0, len(rows)) for _ in range(n_batches - 1))
+    bounds = [0] + cuts + [len(rows)]
+
+    path = str(tmp_path_factory.mktemp("mor_size_prop") / "t")
+    t = SnapshotTable(spark, path, ["key_id"], n_buckets=4)
+    for i, (minor_r, major_r) in enumerate(ratio_plan):
+        chunk = rows[bounds[i]:bounds[i + 1]]
+        if not chunk:
+            continue
+        df = spark.createDataFrame(
+            [(k, ts, seq, op, v) for ts, seq, k, op, v in chunk],
+            "key_id long, ts long, seq long, op string, value long",
+        )
+        compacted = compact_latest(df, ["key_id"], ["ts", "seq"])
+        t.merge(compacted, batch_id=i, mode="mor")
+        t.compact_by_size(minor_r, major_r)
+
+    assert t.exists()
+    got = sorted((r.key_id, r.value) for r in t.read().collect())
+    assert got == _expected(events)

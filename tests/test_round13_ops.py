@@ -114,6 +114,66 @@ def test_mor_empty_batch_with_new_column_still_evolves(spark, tmp_path):
     assert "extra" in t.read().columns
 
 
+# -- size-based MoR compaction policy --------------------------------------
+
+
+def test_compact_by_size_tiers(spark, tmp_path):
+    """Deterministic policy behavior: below both thresholds → none;
+    past the minor ratio with ≥2 runs → minor fold (runs collapse to
+    one, base untouched); past the major ratio → major fold (runs
+    absorbed, base rewritten)."""
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.merge(
+        _batch(spark, [(k, "c", k) for k in range(200)]), batch_id=0
+    )
+    base_v = {int(v) for v in t._read_pointer()["buckets"].values()}
+    t.merge(_batch(spark, [(0, "u", 100)]), batch_id=1, mode="mor")
+    t.merge(_batch(spark, [(1, "u", 101)]), batch_id=2, mode="mor")
+    assert len(t._read_pointer()["runs"]) == 2
+    assert t.pending_run_bytes() > 0 and t.base_bytes() > 0
+    # two tiny runs against a 200-row base: far below a 1e9 ratio
+    assert t.compact_by_size(1e9, 1e9) == "none"
+    assert len(t._read_pointer()["runs"]) == 2
+    # minor tier: folds the two runs into one, base versions unchanged
+    assert t.compact_by_size(0.0, None) == "minor"
+    ptr = t._read_pointer()
+    assert len(ptr["runs"]) == 1
+    assert {int(v) for v in ptr["buckets"].values()} == base_v
+    # single pending run: minor is not re-armed (needs >= 2 runs) ...
+    assert t.compact_by_size(0.0, None) == "none"
+    # ... but the major tier absorbs it into a rewritten base
+    assert t.compact_by_size(None, 0.0) == "major"
+    ptr = t._read_pointer()
+    assert (ptr.get("runs") or []) == []
+    assert {int(v) for v in ptr["buckets"].values()} != base_v
+    rows = dict((r.k, r.v) for r in t.read().collect())
+    assert rows[0] == 100 and rows[1] == 101 and rows[7] == 7
+
+
+def test_pipeline_size_policy_bounds_runs(spark, tmp_path):
+    """CdcPipeline with compact_minor_ratio keeps the pending-run list
+    byte-bounded across high-churn batches, and the result matches the
+    logical fold."""
+    from changedatacapture_spark.operators.cdc import compact_latest
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.merge(_batch(spark, [(k, "c", 0) for k in range(50)]), batch_id=0)
+    # every batch rewrites every key: pending bytes ≈ base bytes per
+    # batch, so a 0.5 minor ratio folds on (roughly) every evaluation
+    for i in range(1, 5):
+        b = compact_latest(
+            _batch(spark, [(k, "u", i) for k in range(50)]),
+            ["k"],
+            ["v"],
+        )
+        t.merge(b, batch_id=i, mode="mor")
+        t.compact_by_size(0.5, None)
+    assert len(t._read_pointer()["runs"]) <= 2
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (k, 4) for k in range(50)
+    ]
+
+
 # -- 3. qsketch (hv, v) determinism ---------------------------------------
 
 

@@ -358,6 +358,106 @@ def verify_heavy_hitters(
     )
 
 
+def heavy_hitter_calibration(
+    df: DataFrame, key_col: str, sample_mod: int = 100
+) -> tuple[int, int]:
+    """Measure the corpus's own skew for a scale-independent
+    heavy-hitter threshold: deterministically hash-sample ``1 /
+    sample_mod`` of the KEYS (md5 ppm bucket — every row of a sampled
+    key is counted, so sampled counts are exact), and return
+    ``(threshold_rows, total_rows)`` where ``threshold_rows`` is the
+    busiest sampled key's exact count.
+
+    Why: a FIXED k (count·k > total) degenerates as the corpus scales
+    — dilution pushes every key below 1/k and the answer goes empty
+    (measured at sf1/sf10 for k=400). Calibrating the threshold to the
+    sample max keeps the answer non-degenerate at ANY scale: the
+    busiest sampled key itself always qualifies, and the output is
+    "every key at least as heavy as the heaviest 1%-sample key" — a
+    top-of-the-skew cut, not an arbitrary constant.
+
+    Cost: the sample groupBy shuffles ~1/sample_mod of the distinct
+    keys; the two returned longs are bounded driver metadata (the same
+    class as zone-map stats). If the sample is empty (tiny corpora),
+    returns ``(total_rows + 1, total_rows)`` — an impossible threshold
+    that yields the empty set on BOTH engines deterministically.
+    """
+    total = df.count()
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % sample_mod
+    )
+    row = (
+        df.filter(bucket == 0)
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("t"))
+        .first()
+    )
+    t = row["t"]
+    if t is None:
+        return total + 1, total
+    return int(t), total
+
+
+def calibrated_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    sample_mod: int = 100,
+) -> DataFrame:
+    """EXACT heavy hitters at a skew-CALIBRATED threshold — the
+    scale-realistic form of :func:`exact_heavy_hitters`: every key
+    whose exact count reaches the busiest 1%-hash-sample key's count
+    (:func:`heavy_hitter_calibration`). Same candidate-then-verify
+    shape: Misra-Gries summaries sized from the measured threshold
+    (``capacity = 2·(total div t) + 2``, which makes ``capacity + 1 >
+    total / t`` — pigeonhole then guarantees every key with count ≥ t
+    survives some partition summary), then one exact recount of the
+    candidates. The key universe never shuffles in full; MG state is
+    O(total/t), i.e. sized by how heavy "heavy" actually is in THIS
+    corpus.
+
+    Output: ``key, n_rows, total_rows, threshold_rows, share_ppm``
+    (exact integers; non-empty whenever the key sample is non-empty,
+    since the calibrating key itself qualifies).
+    """
+    t, total = heavy_hitter_calibration(df, key_col, sample_mod)
+    capacity = 2 * (total // t) + 2
+    cands = mg_candidates(df, key_col, capacity)
+    return verify_heavy_hitters_at(df, cands, key_col, t)
+
+
+def verify_heavy_hitters_at(
+    df: DataFrame, cands: DataFrame, key_col: str, threshold_rows: int
+) -> DataFrame:
+    """Exact verify at an ABSOLUTE row-count threshold (the calibrated
+    twin of :func:`verify_heavy_hitters`): recount only the candidate
+    keys and keep those with ``n_rows >= threshold_rows``. Exact as
+    long as ``cands`` is a superset of the keys at the threshold."""
+    cands = cands.select(F.col("key").alias("_hh_key")).distinct()
+    total = df.agg(F.count(F.lit(1)).alias("total_rows"))
+    counted = (
+        df.join(
+            F.broadcast(cands), df[key_col] == F.col("_hh_key"), "left_semi"
+        )
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_rows") >= threshold_rows)
+    )
+    return counted.select(
+        F.col(key_col).alias("key"),
+        "n_rows",
+        "total_rows",
+        F.lit(threshold_rows).cast("long").alias("threshold_rows"),
+        F.expr("(n_rows * CAST(1000000 AS BIGINT)) DIV total_rows").alias(
+            "share_ppm"
+        ),
+    )
+
+
 def hll_partial_registers(
     df: DataFrame,
     group_col: str,

@@ -3077,6 +3077,68 @@ def q_cdc_mor_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
 
 
+@_register("cdc_mor_size_policy_e2e", _FINAL_STATE_SQL)
+def q_cdc_mor_size_policy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read CDC under the SIZE-BASED compaction policy: the
+    envelope batches apply through ``CdcPipeline(merge_mode="mor",
+    compact_minor_ratio=0.25, compact_major_ratio=1.0)`` — after every
+    batch the pipeline weighs pending-run bytes against the base and
+    minor-folds past 25%, major-folds past 100% (the byte-budget rule
+    production MoR tables run instead of a run-count cadence, which
+    fires identically for 1 KB ticks and 10 GB backfills). The final
+    resolved read must equal the same global-compaction oracle as
+    every other storage schedule — the policy is a physical decision
+    with zero logical surface (property-tested under arbitrary
+    threshold schedules in test_property_mor). See
+    streaming/sink.py:compact_by_size."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    doc = F.struct("key_id", "ts_us", "value", "props")
+    env = F.to_json(
+        F.struct(
+            F.struct(
+                F.when(F.col("op") != "c", doc).alias("before"),
+                F.when(F.col("op") != "d", doc).alias("after"),
+                F.col("op").alias("op"),
+                F.col("ts_us").alias("ts_ms"),
+            ).alias("payload")
+        )
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    raw = log.select(
+        env.alias("value"),
+        "seq",
+        F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1).alias(
+            "_b"
+        ),
+    )
+    record_schema = T.StructType(
+        [
+            T.StructField("key_id", T.LongType()),
+            T.StructField("ts_us", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    table = SnapshotTable(
+        spark, _session_scratch_dir("cdc_mor_size_"), ["key_id"], n_buckets=8
+    )
+    pipe = CdcPipeline(
+        spark, record_schema, table, "key_id",
+        merge_mode="mor", compact_minor_ratio=0.25, compact_major_ratio=1.0,
+    )
+    for b in (1, 2, 3, 4):
+        pipe.process_batch(
+            raw.filter(F.col("_b") == b).select("value", "seq"), b
+        )
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
 @_register("cdc_snapshot_merge_guarded", _FINAL_STATE_SQL)
 def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-guarded merge applied OUT of order: batches split by
@@ -11979,70 +12041,92 @@ _DEMOTED = [
     "text_boilerplate",  # 3 greens; corpus-frequency family keeps bm25/bpe/gopher rows in-window
     "graph_pagerank_trade",  # 3 greens; graph family keeps graph_triangles_trade in-window
     "events_numeric_profile",  # 3 greens; moments family keeps events_mad_outliers in-window
+    # round-13 rebalance: eighteen round-12-green members hand slots to
+    # the seven NEW round-13 queries, ten never-green verdict
+    # priorities, and the de-stragglered text_dsir_select:
+    "cdc_mor_merge_e2e",  # 1 green; MoR family keeps cdc_mor_stream_e2e + cdc_mor_size_policy_e2e in-window
+    "dedup_cdf_incremental",  # 1 green; CDF-incremental family keeps decontaminate_cdf_incremental in-window
+    "events_quantile_sketch",  # 1 green; sketch family keeps events_stream_hll in-window + oracle log
+    "events_stream_quantile_sketch",  # 1 green; stream==batch law re-proven by the calibrated HH stream twin
+    "knn_label_partitioned_topk",  # 1 green; superseded in-window by knn_label_bucketed_topk (same probe body)
+    "knn_recall_label_partitioned",  # 1 green; superseded in-window by knn_recall_label_bucketed
+    "media_decode_png",  # 1 green; codec family keeps media_frame_sample + media_resize_bmp in-window
+    "events_bootstrap_ci",  # 1 green; bootstrap family superseded in-window by events_blb_ci (BLB outer loop)
+    "cdc_table_digest",  # 1 green; validation family kept by cdc_validate in the oracle log
+    "mix_doremi_step",  # 1 green; mixture family keeps mix_waterfill in-window
+    "privacy_l_diversity",  # 1 green; privacy family keeps privacy_k_anonymity in-window
+    "pii_luhn_audit",  # 1 green; privacy family keeps privacy_k_anonymity in-window
+    "events_stream_heavy_hitters",  # 1 green; superseded in-window by the calibrated stream twin
+    "knn_cdf_incremental_index",  # 1 green; CDF-incremental family keeps decontaminate_cdf_incremental
+    "events_attribution",  # 1 green; range-join family keeps events_funnel_sequence in-window
+    "events_tws_sessions",  # 2 greens; TWS family keeps events_tws_rate_limit in-window
+    "dedup_substring_spans",  # 2 greens; substring family keeps dedup_substring_stats in-window
+    "text_ppl_buckets",  # 2 greens; prefix-sum-rank plan pinned in test_plan_shapes; text family keeps text_dsir_select
 ]
 
 _PROMOTED = [
-    # round-12 window: seven NEW queries of this round and ten
-    # never-driver-green priorities from the round-11 verdict earn
-    # rows; seventeen multi-green members rotate out with every family
-    # still represented (cdc e2e: the MoR twin replaces the cow twin;
-    # zorder: pruned-scan replaces the audit; HLL: the stream twin
-    # replaces the batch twin; knn: MRL/filtered family replaces the
-    # PQ family, which has 2 greens each).
-    "cdc_mor_merge_e2e",  # NEW: merge-on-read delta runs + mid-stream compact fold (round 12)
-    "dedup_cdf_incremental",  # NEW: change-feed incremental LSH probe, delta-broadcast (round 12)
-    "events_quantile_sketch",  # NEW: mergeable bottom-k quantile sketch + rank-error loop (round 12)
-    "events_stream_quantile_sketch",  # NEW: per-batch partials fold == one-pass sketch (round 12)
-    "knn_label_partitioned_topk",  # NEW: label-partitioned ANN index, partition-pruned probe (round 12)
-    "knn_recall_label_partitioned",  # NEW: recall 1.0 at 10% selectivity at index cost (round 12)
-    "media_decode_png",  # NEW: real PNG inflate+unfilter via stdlib zlib (round 12)
+    # round-13 window: seven NEW queries of this round and ten
+    # never-driver-green priorities from the round-12 verdict earn
+    # rows; seventeen round-12-green members rotate out with every
+    # family still represented in-window or by a direct successor
+    # (MoR e2e: the size-policy pipeline replaces the count-cadence
+    # merge twin, the stream twin stays; quantile sketches hand slots
+    # to the BLB CI + histogram-quantiles pair; label-ANN: the
+    # bucketed composite key replaces the per-label layout; CDF
+    # incremental: decontamination replaces dedup/knn maintenance,
+    # which each hold an oracle-logged green).
+    "cdc_mor_size_policy_e2e",  # NEW: byte-budget minor/major compaction policy e2e (round 13)
+    "decontaminate_cdf_incremental",  # NEW: change-feed incremental eval-leakage sweep, broadcast bench (round 13)
+    "knn_label_bucketed_topk",  # NEW: composite-key bucketed ANN index, pruned + pushed probe (round 13)
+    "knn_recall_label_bucketed",  # NEW: recall 1.0 via residual label pushdown (round 13)
+    "events_blb_ci",  # NEW: Bag-of-Little-Bootstraps CI, Poisson(s) md5 weights (round 13)
+    "events_heavy_hitters_calibrated",  # NEW: skew-calibrated threshold, non-degenerate at any sf (round 13)
+    "events_stream_heavy_hitters_calibrated",  # NEW: streaming twin at the calibrated threshold (round 13)
     # verdict-priority never-greens earning first rows:
-    "events_stream_hll",  # stream-merged HLL partials == batch sketch: first row
-    "events_zorder_pruned_scan",  # z-order through SnapshotTable, 1.5% files kept: first row
-    "knn_mrl_topk",  # Matryoshka 16-dim prefix shortlist + exact re-rank: first row
-    "knn_recall_mrl",  # MRL recall vs brute (0.60 untrained prefix): first row
-    "knn_prefilter_topk",  # filtered ANN done right (pre-filter): first row
-    "knn_recall_postfilter",  # the post-filter recall trap, 0.38: first row
-    "events_ab_welch",  # Welch A/B t-test, shared formula trees: first row
-    "events_bootstrap_ci",  # md5-deterministic Poisson bootstrap CI: first row
-    "dataset_leakage_safe_split",  # cluster-atomic train/val/test split: first row
-    "q_skew_split_join",  # salted skew-split join: first row
-    "cdc_table_digest",  # NEW: order-independent replication digest through the store (round 12)
-    "cdc_pruned_scan",  # zone-map pruned SnapshotTable scan: first row
-    "events_session_window_stream",  # native session_window stream (parquet sink): first row
-    "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join: first row
-    "q_cube_lineitem",  # CUBE grouping-set aggregate: first row
-    "events_user_deltas",  # per-user lag/delta window: first row
-    "doc_cdc_chunks",  # incremental chunk re-embedding feed: first row
-    "dedup_edit_distance",  # blocked Levenshtein near-dup verify: first row
-    "media_frame_sample",  # strided frame sampling through Arrow: first row
-    # round-10 mid-round additions, all first-ever:
-    "mix_doremi_step",  # NEW: DoReMi multiplicative-weights mixture update (round 12)
-    "cdc_mor_stream_e2e",  # NEW: checkpointed foreachBatch MoR apply + fold cadence (round 12)
-    "privacy_l_diversity",  # NEW: sensitive-attribute diversity audit (round 12)
-    "pii_luhn_audit",  # NEW: Luhn checksum validation of digit-run candidates (round 12)
-    "events_stream_heavy_hitters",  # NEW: per-batch MG candidates -> exact verify, stream == batch (round 12)
-    "events_stream_rate_limit",  # NEW: stateful admission control, stream == batch (round 10)
-    "knn_cdf_incremental_index",  # NEW: change-feed incremental ANN index maintenance (round 12)
-    "events_attribution",  # NEW: first/last-touch attribution via bucketed range join (round 12)
-    # round-11 window: six NEW queries and ten never-driver-green
-    # veterans earn first rows; sixteen multi-green members rotate out
-    "events_tws_sessions",  # NEW: transformWithStateInPandas sessionization w/ event-time timers (round 11)
-    "events_tws_rate_limit",  # NEW: v2 MapState admission control, exact under out-of-order replay (round 11)
-    "dedup_substring_spans",  # NEW: Lee et al. exact substring dedup spans (round 11)
-    "dedup_substring_stats",  # NEW: per-doc substring-duplication accounting (round 11)
-    "text_ppl_buckets",  # NEW: CCNet perplexity head/middle/tail buckets (round 11)
-    "emb_hot_buckets",  # NEW: embedding hub-guard audit - the capped emb_dedup_groups' coverage report (round 11)
-    "cdc_change_feed",  # never-green veteran: version-to-version change feed
-    "decontaminate_matrix",  # never-green veteran: cross-source contamination matrix
-    "dedup_minhash_pairs_capped",  # never-green veteran: LSH hub guard active, min-surviving-band emission
-    "emb_dedup_groups_chained",  # never-green veteran: linear chained embedding closure
-    "events_stream_dedup",  # never-green veteran: dropDuplicatesWithinWatermark e2e
-    "media_ahash_groups",  # never-green veteran: perceptual-hash duplicate groups
-    "privacy_k_anonymity",  # never-green veteran: k-anonymity generalization bands
-    "q20_heavy_red_suppliers",  # never-green veteran: TPC-H Q20 nested-exists chain
-    "text_collocations_lift",  # never-green veteran: integer-exact PMI collocations
-    "token_budget_select",  # never-green veteran: greedy token-budget selection
+    "dedup_jaccard_prefix_join",  # exact All-Pairs prefix-filter set-similarity join: first row
+    "events_value_histogram_quantiles",  # fixed-width histogram quantile cut: first row
+    "events_funnel_sequence",  # ordered multi-step funnel match: first row
+    "events_cusum_drift",  # CUSUM drift detection over minute series: first row
+    "knn_int8_topk",  # int8-quantized shortlist + exact re-rank: first row
+    "media_resize_bmp",  # BMP decode + box resize through Arrow: first row
+    "mix_waterfill",  # water-filling token allocation across sources: first row
+    "dq_column_profile",  # per-column completeness/cardinality profile: first row
+    "events_cohort_retention",  # signup-cohort retention triangle: first row
+    "jsonl_batch_read",  # JSONL batch source parity: first row
+    # round-12 first-evers kept a second window (verdict priorities):
+    "events_stream_hll",  # stream-merged HLL partials == batch sketch
+    "events_zorder_pruned_scan",  # z-order through SnapshotTable, 1.5% files kept
+    "knn_mrl_topk",  # Matryoshka 16-dim prefix shortlist + exact re-rank
+    "knn_recall_mrl",  # MRL recall vs brute (0.60 untrained prefix)
+    "knn_prefilter_topk",  # filtered ANN done right (pre-filter)
+    "knn_recall_postfilter",  # the post-filter recall trap, 0.38
+    "events_ab_welch",  # Welch A/B t-test, shared formula trees
+    "dataset_leakage_safe_split",  # cluster-atomic train/val/test split
+    "q_skew_split_join",  # salted skew-split join
+    "cdc_pruned_scan",  # zone-map pruned SnapshotTable scan
+    "events_session_window_stream",  # native session_window stream (parquet sink)
+    "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join
+    "q_cube_lineitem",  # CUBE grouping-set aggregate
+    "events_user_deltas",  # per-user lag/delta window
+    "doc_cdc_chunks",  # incremental chunk re-embedding feed
+    "dedup_edit_distance",  # blocked Levenshtein near-dup verify
+    "media_frame_sample",  # strided frame sampling through Arrow
+    "cdc_mor_stream_e2e",  # checkpointed foreachBatch MoR apply + fold cadence
+    "events_stream_rate_limit",  # stateful admission control, stream == batch
+    "events_tws_rate_limit",  # v2 MapState admission control, exact under out-of-order replay
+    "dedup_substring_stats",  # per-doc substring-duplication accounting
+    "emb_hot_buckets",  # embedding hub-guard audit
+    "cdc_change_feed",  # version-to-version change feed
+    "decontaminate_matrix",  # cross-source contamination matrix
+    "dedup_minhash_pairs_capped",  # LSH hub guard active, min-surviving-band emission
+    "emb_dedup_groups_chained",  # linear chained embedding closure
+    "events_stream_dedup",  # dropDuplicatesWithinWatermark e2e
+    "media_ahash_groups",  # perceptual-hash duplicate groups
+    "privacy_k_anonymity",  # k-anonymity generalization bands
+    "q20_heavy_red_suppliers",  # TPC-H Q20 nested-exists chain
+    "text_collocations_lift",  # integer-exact PMI collocations
+    "token_budget_select",  # greedy token-budget selection
+    "text_dsir_select",  # DSIR importance resampling — re-green the de-stragglered rank (round 13)
 ]
 
 DRIVER_WINDOW = 50

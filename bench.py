@@ -150,6 +150,16 @@ EXTRA = [
     "dedup_cdf_incremental",
     "media_decode_png",
     "cdc_mor_merge_e2e",
+    # round-13 additions: the BLB outer loop (40x scan vs the plain
+    # bootstrap's 100x — benched side by side), the composite-key
+    # bucketed ANN probe, the change-feed incremental decontamination
+    # sweep, the skew-calibrated heavy hitters (non-degenerate at any
+    # sf), and the byte-budget MoR policy e2e
+    "events_blb_ci",
+    "knn_label_bucketed_topk",
+    "decontaminate_cdf_incremental",
+    "events_heavy_hitters_calibrated",
+    "cdc_mor_size_policy_e2e",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -225,6 +235,17 @@ SF1_SET = [
     # change-feed incremental LSH probe (delta-broadcast)
     "cdc_mor_merge_e2e",
     "dedup_cdf_incremental",
+    # round-13: the bootstrap-vs-BLB pair (the subset win measured at
+    # 10x), the calibrated heavy hitters (its sf1 row count is the
+    # non-degeneracy proof the fixed-k variant lacks), the incremental
+    # decontamination sweep, the bucketed-ANN probe, and the
+    # byte-budget MoR policy e2e
+    "events_bootstrap_ci",
+    "events_blb_ci",
+    "events_heavy_hitters_calibrated",
+    "decontaminate_cdf_incremental",
+    "knn_label_bucketed_topk",
+    "cdc_mor_size_policy_e2e",
     # the embedding dedup capstone LAST — round 11 bounded it with the
     # hub guard (all-pairs only in ≤20-member buckets, chained above),
     # so this wall now evidences the LINEAR capped hybrid, not the
@@ -355,6 +376,22 @@ def main() -> None:
     stream = stream_run(spark, n_events=50_000, batch_size=10_000)
     print(f"# cdc_stream_apply: {stream['events_per_sec']} events/s", file=sys.stderr)
 
+    # size-based MoR compaction policy: read-amp vs write-amp at two
+    # thresholds on the same high-churn changelog (aggressive 0.05
+    # folds nearly every batch — more bytes written, fewer final runs;
+    # lax 10.0 never folds — fewer bytes, more runs for the resolve
+    # read to fold). Correctness is threshold-independent.
+    from changedatacapture_spark.streaming.bench import run_mor_policy
+
+    mor_policy = run_mor_policy(spark, n_events=50_000, batch_size=10_000)
+    for thr, m in mor_policy["thresholds"].items():
+        print(
+            f"# mor_policy {thr}: bytes={m['bytes_written']} "
+            f"minor={m['n_minor']} major={m['n_major']} "
+            f"runs={m['final_runs']} resolve={m['resolve_wall_sec']}s",
+            file=sys.stderr,
+        )
+
     # 10x scaling point (optional: requires tools/gen_scale.py output).
     # Time-boxed so a slow host can never push the whole bench past the
     # driver's patience: queries that don't fit the budget are listed in
@@ -424,6 +461,7 @@ def main() -> None:
             "n_events": stream["n_events"],
             "batch_size": stream["batch_size"],
         },
+        "mor_policy": mor_policy,
         "calib": {
             "single_core_loop_sec_before": calib_before,
             "single_core_loop_sec_after": calib_after,

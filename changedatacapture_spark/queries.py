@@ -3139,6 +3139,77 @@ def q_cdc_mor_size_policy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
 
 
+@_register(
+    "cdc_join_view_e2e",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL}),
+    dims AS (
+      SELECT d AS dim_id,
+             CASE WHEN d < 8 THEN 'v2-' || CAST(d AS VARCHAR)
+                  ELSE 'v1-' || CAST(d AS VARCHAR) END AS dim_label
+      FROM (SELECT unnest(range(16)) AS d) WHERE d <> 15)
+    SELECT f.key_id, f.seq, f.ts_us, f.value,
+           f.key_id % 16 AS dim_id, dims.dim_label
+    FROM final_state f JOIN dims ON dims.dim_id = f.key_id % 16
+    """,
+)
+def q_cdc_join_view_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (the CDC enrichment
+    materialization): the changelog splits into two batches merging
+    into a FACT table (keyed by key_id, carrying dim_id = key_id % 16)
+    while a DIM table takes its own changes (batch 1 creates dims
+    0..15; batch 2 updates 0..7 to v2 labels and DELETES dim 15 —
+    evicting its fact rows from the inner join); after each batch pair
+    ``JoinView.apply`` re-joins only the TOUCHED fact keys (ΔA keys
+    plus fact rows referencing ΔB join values, found via one broadcast-
+    filtered probe) and merges upserts/evictions into the view's own
+    snapshot table. The final view must equal the plain inner join of
+    the two final states — the oracle computes exactly that. Work per
+    batch ∝ deltas, never ∝ table size. See
+    streaming/pipeline.py:JoinView."""
+    from changedatacapture_spark.streaming.pipeline import JoinView
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "dim_id", F.col("key_id") % 16
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    fact = SnapshotTable(
+        spark, _session_scratch_dir("jv_fact_"), ["key_id"], n_buckets=8
+    )
+    dim = SnapshotTable(
+        spark, _session_scratch_dir("jv_dim_"), ["dim_id"], n_buckets=4
+    )
+    view = SnapshotTable(
+        spark, _session_scratch_dir("jv_view_"), ["key_id"], n_buckets=8
+    )
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["key_id"], join_col="dim_id",
+        dim_payload_cols=["dim_label"],
+    )
+    b1_dim = spark.createDataFrame(
+        [(d, f"v1-{d}", "c") for d in range(16)],
+        "dim_id long, dim_label string, op string",
+    )
+    b2_dim = spark.createDataFrame(
+        [(d, f"v2-{d}", "u") for d in range(8)] + [(15, None, "d")],
+        "dim_id long, dim_label string, op string",
+    )
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, (fact_half, dim_batch) in enumerate(zip(halves, (b1_dim, b2_dim))):
+        a = compact_latest(fact_half, ["key_id"], ["ts_us", "seq"])
+        fact.merge(a, batch_id=i)
+        dim.merge(dim_batch, batch_id=i)
+        jv.apply(a, dim_batch, batch_id=i)
+    return jv.read().select(
+        "key_id", "seq", "ts_us", "value", "dim_id", "dim_label"
+    )
+
+
 @_register("cdc_snapshot_merge_guarded", _FINAL_STATE_SQL)
 def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-guarded merge applied OUT of order: batches split by
@@ -12062,6 +12133,7 @@ _DEMOTED = [
     "events_tws_sessions",  # 2 greens; TWS family keeps events_tws_rate_limit in-window
     "dedup_substring_spans",  # 2 greens; substring family keeps dedup_substring_stats in-window
     "text_ppl_buckets",  # 2 greens; prefix-sum-rank plan pinned in test_plan_shapes; text family keeps text_dsir_select
+    "knn_recall_postfilter",  # 1 green; the 0.38 recall-trap measurement stands in the oracle log; filtered-ANN family keeps prefilter + both bucketed rows in-window
 ]
 
 _PROMOTED = [
@@ -12099,7 +12171,7 @@ _PROMOTED = [
     "knn_mrl_topk",  # Matryoshka 16-dim prefix shortlist + exact re-rank
     "knn_recall_mrl",  # MRL recall vs brute (0.60 untrained prefix)
     "knn_prefilter_topk",  # filtered ANN done right (pre-filter)
-    "knn_recall_postfilter",  # the post-filter recall trap, 0.38
+    "cdc_join_view_e2e",  # NEW: incrementally-maintained join view, touched-key recompute (round 13)
     "events_ab_welch",  # Welch A/B t-test, shared formula trees
     "dataset_leakage_safe_split",  # cluster-atomic train/val/test split
     "q_skew_split_join",  # salted skew-split join

@@ -143,3 +143,110 @@ def run(
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def run_mor_policy(
+    spark,
+    n_events: int = 50_000,
+    batch_size: int = 10_000,
+    n_buckets: int = 32,
+    thresholds=((0.05, 1e9), (10.0, 1e9)),
+) -> dict:
+    """Measure the size-based MoR compaction policy's read-amp /
+    write-amp trade on the high-churn changelog: the SAME envelope log
+    applies through ``CdcPipeline(merge_mode="mor")`` once per
+    ``(minor_ratio, major_ratio)`` threshold pair, instrumented for
+
+    - ``bytes_written``: every ``_do_write_buckets`` output (merge
+      runs + fold rewrites) — the WRITE amplification a tighter
+      threshold pays;
+    - ``n_minor`` / ``n_major``: folds the policy fired;
+    - ``final_runs`` + ``resolve_wall_sec``: pending runs at the end
+      and the cost of one resolving read — the READ amplification a
+      looser threshold pays.
+
+    An aggressive threshold (0.05: fold almost every batch) should
+    show more bytes written and fewer final runs than a lax one
+    (10.0: never fold) — the knob trades one amplification for the
+    other; correctness is threshold-independent (property-tested).
+    """
+    from pyspark.sql.types import StructType
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    record = StructType.fromDDL(RECORD_DDL)
+    work = tempfile.mkdtemp(prefix="cdc_mor_policy_")
+    src = os.path.join(work, "envelopes")
+    try:
+        generate(src, n_events)
+        files = sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".jsonl")
+        )
+        per_batch = max(1, batch_size // FILE_SIZE)
+        batches = [
+            files[i:i + per_batch] for i in range(0, len(files), per_batch)
+        ]
+        out = {}
+        for minor_r, major_r in thresholds:
+            table = SnapshotTable(
+                spark,
+                os.path.join(work, f"t_{minor_r}_{major_r}"),
+                key_cols=["customerId"],
+                n_buckets=n_buckets,
+            )
+            pipe = CdcPipeline(
+                spark, record, table, key_col="customerId",
+                merge_mode="mor",
+                compact_minor_ratio=minor_r, compact_major_ratio=major_r,
+            )
+            counters = {"bytes": 0, "minor": 0, "major": 0}
+            orig_write = table._do_write_buckets
+            orig_minor, orig_major = table.compact_runs, table.compact
+
+            def write_hook(df, version, dynamic=False):
+                written = orig_write(df, version, dynamic)
+                counters["bytes"] += table._bucket_dir_bytes(
+                    version, range(table.n_buckets)
+                )
+                return written
+
+            def minor_hook():
+                counters["minor"] += 1
+                return orig_minor()
+
+            def major_hook():
+                counters["major"] += 1
+                return orig_major()
+
+            table._do_write_buckets = write_hook
+            table.compact_runs = minor_hook
+            table.compact = major_hook
+            t0 = time.time()
+            for i, fs in enumerate(batches):
+                raw = (
+                    spark.read.schema("value string, seq long").json(fs)
+                )
+                pipe.process_batch(raw, batch_id=i)
+            apply_wall = time.time() - t0
+            t1 = time.time()
+            n_rows = table.read().count()
+            resolve_wall = time.time() - t1
+            ptr = table._read_pointer() or {}
+            out[f"minor={minor_r},major={major_r}"] = {
+                "bytes_written": counters["bytes"],
+                "n_minor": counters["minor"],
+                "n_major": counters["major"],
+                "final_runs": len(ptr.get("runs") or []),
+                "final_rows": n_rows,
+                "apply_wall_sec": round(apply_wall, 2),
+                "resolve_wall_sec": round(resolve_wall, 2),
+            }
+        return {
+            "metric": "mor_size_policy_trade",
+            "n_events": n_events,
+            "batch_size": batch_size,
+            "thresholds": out,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -3210,6 +3210,125 @@ def q_cdc_join_view_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cdc_join_view_stream_e2e", None)  # oracle assigned below
+def q_cdc_join_view_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JoinView maintained from a REAL checkpointed stream with a dim
+    change BETWEEN stream restarts — the slowly-changing-dimension
+    production shape: the fact changelog's first half streams through
+    a checkpointed ``foreachBatch`` (merge into the fact table + view
+    apply per micro-batch); the stream stops; the dim takes its batch
+    2 (updates 0..7 to v2, deletes dim 15) and the view re-enriches /
+    evicts the affected fact rows; the SAME checkpoint then resumes
+    over the second fact half — batch ids continue, replay idempotence
+    holds across the restart. Shares ``cdc_join_view_e2e``'s oracle:
+    the stream/restart choreography must be invisible in the final
+    view."""
+    import os
+
+    from changedatacapture_spark.streaming.pipeline import JoinView
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "dim_id", F.col("key_id") % 16
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    work = _fast_scratch_dir("jv_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+
+    fact = SnapshotTable(
+        spark, os.path.join(work, "fact"), ["key_id"], n_buckets=8
+    )
+    dim = SnapshotTable(
+        spark, os.path.join(work, "dim"), ["dim_id"], n_buckets=4
+    )
+    view = SnapshotTable(
+        spark, os.path.join(work, "view"), ["key_id"], n_buckets=8
+    )
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["key_id"], join_col="dim_id",
+        dim_payload_cols=["dim_label"],
+    )
+    dim.merge(
+        spark.createDataFrame(
+            [(d, f"v1-{d}", "c") for d in range(16)],
+            "dim_id long, dim_label string, op string",
+        ),
+        batch_id=0,
+    )
+    ddl = (
+        "key_id long, ts_us long, seq long, op string, value double, "
+        "props string, dim_id long"
+    )
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+
+        def apply_batch(bdf: DataFrame, bid: int) -> None:
+            a = compact_latest(bdf, ["key_id"], ["ts_us", "seq"])
+            fact.merge(a, batch_id=bid)
+            jv.apply(a, None, batch_id=bid)
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    halves[0].coalesce(1).write.mode("overwrite").json(
+        os.path.join(src, "h1")
+    )
+    # flatten: the file source watches src recursively is not needed —
+    # move part files up with distinct names
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    def promote(sub: str) -> None:
+        for p in _glob.glob(os.path.join(src, sub, "part-*.json")):
+            _shutil.move(p, os.path.join(src, f"{sub}.json"))
+        _shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+        _time.sleep(0.05)  # distinct mtimes order replay deterministically
+
+    promote("h1")
+    run_stream()
+
+    b2_dim = spark.createDataFrame(
+        [(d, f"v2-{d}", "u") for d in range(8)] + [(15, None, "d")],
+        "dim_id long, dim_label string, op string",
+    )
+    dim.merge(b2_dim, batch_id=1)
+    # dim-side repair between stream runs: only fact rows referencing
+    # the changed dims re-join (empty fact delta)
+    jv.apply(
+        spark.createDataFrame([], ddl).select("key_id"), b2_dim,
+        batch_id=100,
+    )
+
+    halves[1].coalesce(1).write.mode("overwrite").json(
+        os.path.join(src, "h2")
+    )
+    promote("h2")
+    run_stream()  # SAME checkpoint resumes: only h2 is a new file
+    return jv.read().select(
+        "key_id", "seq", "ts_us", "value", "dim_id", "dim_label"
+    )
+
+
+ORACLE_SQL["cdc_join_view_stream_e2e"] = ORACLE_SQL["cdc_join_view_e2e"]
+
+
 @_register("cdc_snapshot_merge_guarded", _FINAL_STATE_SQL)
 def q_cdc_snapshot_merge_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-guarded merge applied OUT of order: batches split by
@@ -8783,6 +8902,47 @@ def q_cdc_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cdc_bloom_pruned_scan",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL})
+    SELECT key_id, seq, ts_us, value, props
+    FROM final_state
+    WHERE seq = (SELECT max(seq) FROM final_state)
+    """,
+)
+def q_cdc_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping — the equality layer zone maps can't
+    provide: ``seq`` is uniformly spread across key-hashed buckets, so
+    every bucket's [min, max] spans nearly the whole domain and range
+    stats keep 8/8 on a point lookup; the manifest BLOOMS (1024-bit
+    bitmaps, k=4 md5 positions, built as 16 bit_or longs in the same
+    stats job) exclude the buckets the probed value provably never
+    entered. The probe is the final state's max seq (computed
+    identically by the oracle), result exact regardless of pruning —
+    false positives only cost a scan. tests/test_round13_ops.py pins
+    buckets_kept < buckets_total and the zero-bucket miss case. See
+    streaming/sink.py:_bloom_contains."""
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    state = compact_latest(log, ["key_id"], ["ts_us", "seq"]).filter(
+        F.col("op") != "d"
+    ).drop("op")
+    table = SnapshotTable(
+        spark,
+        _session_scratch_dir("cdc_bloom_"),
+        ["key_id"],
+        n_buckets=8,
+        bloom_cols=["seq"],
+    )
+    table.overwrite(state, batch_id=0)
+    probe = state.agg(F.max("seq")).first()[0]
+    return table.read_where([("seq", "=", probe)]).select(
+        "key_id", "seq", "ts_us", "value", "props"
+    )
+
+
+@_register(
     "events_session_window_stream",
     """
     WITH e AS (
@@ -12134,6 +12294,8 @@ _DEMOTED = [
     "dedup_substring_spans",  # 2 greens; substring family keeps dedup_substring_stats in-window
     "text_ppl_buckets",  # 2 greens; prefix-sum-rank plan pinned in test_plan_shapes; text family keeps text_dsir_select
     "knn_recall_postfilter",  # 1 green; the 0.38 recall-trap measurement stands in the oracle log; filtered-ANN family keeps prefilter + both bucketed rows in-window
+    "doc_cdc_chunks",  # 1 green; chunk-feed family stands in the oracle log; slot to cdc_join_view_stream_e2e
+    "media_frame_sample",  # 1 green; media family keeps media_resize_bmp + media_ahash_groups in-window; slot to cdc_bloom_pruned_scan
 ]
 
 _PROMOTED = [
@@ -12180,9 +12342,9 @@ _PROMOTED = [
     "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join
     "q_cube_lineitem",  # CUBE grouping-set aggregate
     "events_user_deltas",  # per-user lag/delta window
-    "doc_cdc_chunks",  # incremental chunk re-embedding feed
+    "cdc_join_view_stream_e2e",  # NEW: join view across checkpointed restarts + dim change (round 13)
     "dedup_edit_distance",  # blocked Levenshtein near-dup verify
-    "media_frame_sample",  # strided frame sampling through Arrow
+    "cdc_bloom_pruned_scan",  # NEW: manifest bloom skipping for equality point lookups (round 13)
     "cdc_mor_stream_e2e",  # checkpointed foreachBatch MoR apply + fold cadence
     "events_stream_rate_limit",  # stateful admission control, stream == batch
     "events_tws_rate_limit",  # v2 MapState admission control, exact under out-of-order replay

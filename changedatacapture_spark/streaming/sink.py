@@ -61,6 +61,38 @@ _STATS_MAX_COLS = 32
 #: truncated MAX is NOT a valid upper bound (it sorts below the original),
 #: so over-long string maxima are dropped (= unbounded) rather than stored
 _STATS_MAX_STR = 64
+#: bloom-skipping geometry: 1024-bit bitmaps as 16 bit_or-merged longs,
+#: k=4 md5-slice hash positions per value. At ~180 distinct values per
+#: file the fill is ~50% → point-lookup false-positive rate ~6%; the
+#: manifest cost is 16 longs per (file, column). Engine-portable: the
+#: same md5('<i>:' || CAST(v AS STRING)) family as every content hash
+#: here, so the driver-side probe (hashlib) reproduces positions exactly.
+_BLOOM_BITS = 1024
+_BLOOM_WORDS = 16
+_BLOOM_K = 4
+
+
+def _bloom_positions(value) -> list[int]:
+    """Driver-side twin of the write-side position expressions: the k
+    bit positions of ``value`` (int or str — mirrors Spark's
+    ``CAST(col AS STRING)`` rendering for those kinds)."""
+    import hashlib
+
+    s = str(value)
+    return [
+        int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
+        % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_contains(words: list, value) -> bool:
+    """True unless some hash position of ``value`` is unset — i.e. the
+    value PROVABLY never entered the bitmap (no false negatives)."""
+    for pos in _bloom_positions(value):
+        if not (int(words[pos // 64]) >> (pos % 64)) & 1:
+            return False
+    return True
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -222,6 +254,7 @@ class SnapshotTable:
         collect_stats: bool = True,
         stats_on_merge: bool = False,
         max_records_per_file: int | None = None,
+        bloom_cols: list[str] | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
@@ -266,6 +299,18 @@ class SnapshotTable:
         #: OPTIMIZE ZORDER analogue, applied continuously at write time
         #: instead of as a separate maintenance pass.
         self.cluster_cols = list(cluster_cols) if cluster_cols else []
+        #: Bloom-filter data skipping for EQUALITY predicates on
+        #: high-cardinality int/string columns — the layer zone maps
+        #: can't provide: a uniformly distributed column's per-bucket
+        #: [min, max] spans everything, so range stats never prune a
+        #: point lookup on it, but a 1024-bit membership bitmap per
+        #: bucket/file (k=4 md5-derived positions per value, built
+        #: map-side as 16 bit_or'd longs in the same stats job) excludes
+        #: a bucket the probed value provably never entered. False
+        #: positives only cost a scan; exactness is untouched (the
+        #: predicate re-applies). The Delta/Iceberg bloom-skipping
+        #: analogue, stored in the manifest next to the zones.
+        self.bloom_cols = list(bloom_cols) if bloom_cols else []
         #: how many PAST commits stay readable via ``read(at_version=)``
         #: (time travel). 0 = only the current version's files are
         #: retained (original behavior, minimal storage); Delta-style
@@ -841,6 +886,38 @@ class SnapshotTable:
                 ).cast("int"),
             )
         )
+        # bloom columns: int/str kinds only — those are the kinds whose
+        # Spark CAST(col AS STRING) rendering the driver-side probe
+        # (str(value)) reproduces exactly; position arrays are computed
+        # ONCE per row, then 16 bit_or word aggregates fold them
+        # map-side in the same job as the zone bounds
+        kinds_by_name = dict(cols)
+        blooms = [
+            n for n in self.bloom_cols
+            if kinds_by_name.get(n) in ("int", "str")
+        ]
+        for name in blooms:
+            pos = F.array(
+                *[
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"{i}:"),
+                                    F.col(name).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_BITS
+                    for i in range(_BLOOM_K)
+                ]
+            )
+            df = df.withColumn(f"_bp__{name}", pos)
         aggs = []
         for name, kind in cols:
             e = self._stat_expr(name, kind)
@@ -850,10 +927,23 @@ class SnapshotTable:
             # column" (contributes nothing to the bucket bound) from
             # "file has values but the bound was dropped" (unbounded)
             aggs.append(F.count(F.col(name)).alias(f"ct__{name}"))
+        for name in blooms:
+            for w in range(_BLOOM_WORDS):
+                word = " | ".join(
+                    f"CASE WHEN `_bp__{name}`[{i}] DIV 64 = {w} "
+                    f"THEN shiftleft(CAST(1 AS BIGINT), "
+                    f"CAST(`_bp__{name}`[{i}] % 64 AS INT)) "
+                    f"ELSE CAST(0 AS BIGINT) END"
+                    for i in range(_BLOOM_K)
+                )
+                aggs.append(
+                    F.expr(f"bit_or({word})").alias(f"bl__{name}__{w}")
+                )
         fstats: dict[str, dict] = {}
         merged: dict[int, dict] = {}
+        merged_bloom: dict[int, dict[str, list[int]]] = {}
         # bounded driver action: ≤ files-written-this-version rows of
-        # 3*|cols| scalars
+        # (3*|cols| + 16*|blooms|) scalars
         for r in df.groupBy("_bucket", "_file").agg(*aggs).collect():
             b, fname = int(r["_bucket"]), r["_file"]
             d: dict = {}
@@ -874,7 +964,21 @@ class SnapshotTable:
                     if mx is not None and mx != mx:
                         mx = None
                 d[name] = [mn, mx]
-            fstats.setdefault(str(b), {})[fname] = d
+            fbl: dict = {}
+            for name in blooms:
+                words = [
+                    int(r[f"bl__{name}__{w}"] or 0)
+                    for w in range(_BLOOM_WORDS)
+                ]
+                fbl[f"bloom__{name}"] = words
+                acc_b = merged_bloom.setdefault(b, {})
+                if name in acc_b:
+                    acc_b[name] = [
+                        a | w for a, w in zip(acc_b[name], words)
+                    ]
+                else:
+                    acc_b[name] = words
+            fstats.setdefault(str(b), {})[fname] = {**d, **fbl}
             acc = merged.setdefault(b, {})
             for name, (fmn, fmx) in d.items():
                 if name not in acc:
@@ -897,6 +1001,14 @@ class SnapshotTable:
             }
             for b, acc in merged.items()
         }
+        # bucket-level blooms: the wordwise OR of ALL the bucket's file
+        # blooms (every file written this version carries one for each
+        # bloom column, so no absent-file poisoning is possible within
+        # a version; carry-forward copies whole dicts, keeping the
+        # invariant across commits)
+        for b, accb in merged_bloom.items():
+            for name, words in accb.items():
+                out.setdefault(str(b), {})[f"bloom__{name}"] = words
         return out, fstats
 
     def _prune_buckets(
@@ -933,6 +1045,16 @@ class SnapshotTable:
     ) -> bool:
         for p in predicates:
             col, op = p[0], p[1]
+            # bloom membership runs independently of the range bounds
+            # (a zone may carry a bloom while its [min, max] was
+            # dropped, e.g. over-long string maxima): an unset hash
+            # position means the value provably never entered this
+            # zone's rows — no false negatives; a false positive
+            # just scans
+            if op == "=" and kinds.get(col) in ("int", "str"):
+                bw = zone.get(f"bloom__{col}")
+                if bw is not None and not _bloom_contains(bw, p[2]):
+                    return False
             if col not in zone or col not in kinds:
                 continue  # no stat for this column — cannot exclude
             mn, mx = zone[col]

@@ -16,6 +16,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from changedatacapture_spark.streaming.sink import (
     ConcurrentWriteError,
@@ -172,6 +173,92 @@ def test_pipeline_size_policy_bounds_runs(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.read().collect()) == [
         (k, 4) for k in range(50)
     ]
+
+
+# -- bloom-filter data skipping ---------------------------------------------
+
+
+def test_bloom_skipping_point_lookup(spark, tmp_path):
+    """Equality probes on a high-cardinality column prune buckets via
+    the manifest blooms where zone maps cannot (a uniform column's
+    per-bucket [min, max] spans everything); results stay exact."""
+    from changedatacapture_spark.streaming import sink as sink_mod
+    from changedatacapture_spark.streaming.sink import _bloom_contains
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), ["k"], n_buckets=8,
+        bloom_cols=["tag"],
+    )
+    rows = [(k, f"tag-{k * 7919 % 100000}", k) for k in range(400)]
+    t.overwrite(
+        spark.createDataFrame(rows, "k long, tag string, v long")
+    )
+    ptr = t._read_pointer()
+    zones = ptr["stats"]
+    assert any("bloom__tag" in z for z in zones.values())
+    # a present value: found exactly, with fewer buckets scanned
+    probe = rows[123][1]
+    got = t.read_where([("tag", "=", probe)]).collect()
+    assert [(r.k, r.v) for r in got] == [(123, 123)]
+    rep = sink_mod.LAST_SCAN_REPORT
+    assert rep["buckets_kept"] < rep["buckets_total"], rep
+    # an absent value whose bloom check fails everywhere: zero buckets
+    missing = "tag-none-such"
+    assert not any(
+        _bloom_contains(z["bloom__tag"], missing)
+        for z in zones.values()
+        if "bloom__tag" in z
+    )
+    assert t.read_where([("tag", "=", missing)]).count() == 0
+    assert sink_mod.LAST_SCAN_REPORT["buckets_kept"] == 0
+    # exactness against the unpruned definition
+    full = sorted(
+        (r.k, r.v)
+        for r in t.read().filter(F.col("tag") == probe).collect()
+    )
+    assert full == [(123, 123)]
+
+
+def test_bloom_int_column_and_range_predicates_unaffected(spark, tmp_path):
+    from changedatacapture_spark.streaming import sink as sink_mod
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), ["k"], n_buckets=8,
+        bloom_cols=["seq"],
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(k, k * 7919 % 100000, k) for k in range(400)],
+            "k long, seq long, v long",
+        )
+    )
+    probe = 123 * 7919 % 100000
+    got = t.read_where([("seq", "=", probe)]).collect()
+    assert [(r.k, r.v) for r in got] == [(123, 123)]
+    assert (
+        sink_mod.LAST_SCAN_REPORT["buckets_kept"]
+        < sink_mod.LAST_SCAN_REPORT["buckets_total"]
+    )
+    # range predicates never consult blooms: full exact answer
+    n = t.read_where([("seq", ">=", 0)]).count()
+    assert n == 400
+
+
+def test_bloom_absent_zone_survives(spark, tmp_path):
+    """Buckets committed WITHOUT blooms (table written before the
+    column was bloom-indexed) must always survive — pruning is an
+    optimization, never a correctness gate."""
+    path = str(tmp_path / "t")
+    plain = SnapshotTable(spark, path, ["k"], n_buckets=4)
+    plain.overwrite(
+        spark.createDataFrame(
+            [(k, f"tag-{k}", k) for k in range(50)],
+            "k long, tag string, v long",
+        )
+    )
+    bloomy = SnapshotTable(spark, path, ["k"], n_buckets=4, bloom_cols=["tag"])
+    got = bloomy.read_where([("tag", "=", "tag-7")]).collect()
+    assert [(r.k, r.v) for r in got] == [(7, 7)]
 
 
 # -- 3. qsketch (hv, v) determinism ---------------------------------------

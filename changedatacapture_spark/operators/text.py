@@ -835,14 +835,81 @@ def bm25_topk(
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    totals = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_tot")
-    )
     q = [t for t in query_terms if t]
     tf = (
         toks.filter(F.col("term").isin(q))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return _bm25_score(tf, dl, top_k)
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the BM25 search index as two skinny parquet
+    relations — ``postings`` (doc_id, term, tf — ALL terms, query
+    comes later) and ``doclen`` (doc_id, dl) — the Lucene-segment
+    analogue built with plain aggregates. ``mode="append"`` is the
+    incremental-maintenance path: a snapshot change feed's INSERT set
+    tokenizes and appends its own postings/doclen segment, so a daily
+    crawl re-tokenizes only the delta (``text_index_cdf_incremental``)
+    — the text-side twin of ``build_label_ann_index(mode="append")``.
+    Corpus constants (N, L) and per-term df are NOT stored: they are
+    one aggregate over the skinny stored relations at probe time, so
+    appended segments need no read-modify-write of any global stat
+    (segments stay immutable and append-only, the LSM discipline).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .write.mode(mode)
+        .parquet(f"{path}/postings")
+    )
+    (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dl"))
+        .write.mode(mode)
+        .parquet(f"{path}/doclen")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval FROM the stored index (see
+    :func:`build_text_index`): the probe never touches document text —
+    it filters the postings relation to the query terms (predicate
+    pushed to the parquet scan) and re-derives df/N/L from the skinny
+    stored relations with map-side-combinable aggregates. Results are
+    bit-equal to :func:`bm25_topk` over the same corpus (identical
+    integer scoring), which is the oracle statement the incremental
+    query shares."""
+    q = [t for t in query_terms if t]
+    tf = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("term").isin(q)
+    )
+    dl = spark.read.parquet(f"{index_path}/doclen")
+    return _bm25_score(tf, dl, top_k)
+
+
+def _bm25_score(tf: DataFrame, dl: DataFrame, top_k: int) -> DataFrame:
+    """Shared scoring tail of the BM25 family: exact integer partials
+    from (tf, dl) relations, broadcast corpus constants, TakeOrdered
+    top-k. See :func:`bm25_topk` for the arithmetic contract."""
+    totals = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("l_tot")
     )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 

@@ -8022,6 +8022,57 @@ def q_text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, list(_BM25_TERMS), top_k=10)
 
 
+@_register("text_index_cdf_incremental", None)  # oracle assigned below
+def q_text_index_cdf_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental SEARCH-index maintenance through the store's change
+    feed — the text-side twin of ``knn_cdf_incremental_index`` and
+    ``dedup_cdf_incremental``, completing the family: every index this
+    engine builds is change-feed-incremental. Day-0 documents live in
+    a SnapshotTable and build the postings/doclen segments
+    (``build_text_index``); the day-1 merge's ``changes_between``
+    INSERT set — and only it — tokenizes and APPENDS its own segment
+    (corpus constants and df are re-derived from the skinny stored
+    relations at probe time, so appends never read-modify-write a
+    global stat). The BM25 probe over the incrementally-maintained
+    index must equal the full-corpus ranking bit for bit — it shares
+    ``text_bm25_rank``'s oracle, since day0 + day1 = the whole corpus.
+    Index maintenance cost ∝ the delta; probe cost ∝ the index
+    relations, never the text."""
+    from changedatacapture_spark.operators.text import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    store = SnapshotTable(
+        spark,
+        _session_scratch_dir("text_cdf_store_"),
+        ["doc_id"],
+        n_buckets=8,
+        retain_history=2,
+    )
+    day0 = docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("c"))
+    store.merge(day0, batch_id=0)
+    v0 = store.version
+    idx = _session_scratch_dir("text_cdf_idx_")
+    build_text_index(store.read(), idx)
+    day1 = docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("c"))
+    store.merge(day1, batch_id=1)
+    delta = (
+        store.changes_between(v0, store.version)
+        .filter(F.col("change_type") == "insert")
+        .select("doc_id", "text")
+    )
+    build_text_index(delta, idx, mode="append")
+    return bm25_topk_indexed(spark, idx, list(_BM25_TERMS), top_k=10)
+
+
+ORACLE_SQL["text_index_cdf_incremental"] = ORACLE_SQL["text_bm25_rank"]
+
+
 def _bpe_oracle_sql(n_merges: int = 6, tail: str | None = None) -> str:
     """DuckDB CTE chain replaying the BPE merge training relationally:
     word-frequency seed, then per merge step a pair-count aggregate,
@@ -11162,6 +11213,125 @@ def q_dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "privacy_pseudonymize",
+    """
+    WITH tok AS (
+      SELECT substr(md5('pepper-v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+               AS token,
+             event_type
+      FROM events)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) = 1 AS BOOLEAN) AS singleton_risk
+    FROM tok
+    GROUP BY token
+    """,
+)
+def q_privacy_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudonymization with referential integrity — the
+    de-identification step a table takes before leaving its trust
+    boundary: the identifier is replaced by a peppered md5 token
+    (same input → same token, so joins/groupings still work; the
+    pepper is the secret that prevents dictionary reversal), and the
+    output is the per-token activity audit proving integrity survived
+    — counts by token must equal counts by user, which the oracle
+    computes independently from the same rule. ``singleton_risk``
+    flags tokens with exactly one event: pseudonymization does NOT
+    anonymize a row whose behavior is unique (the k=1 cell of the
+    k-anonymity family), the caveat every privacy review writes.
+    Map-side-combinable aggregate; tokens are fixed-width 16-hex
+    strings so the shuffle carries 16 bytes per key, not the
+    identifier domain."""
+    ev = load_table(spark, "events", sf_dir)
+    tok = ev.select(
+        F.substring(
+            F.md5(F.concat(F.lit("pepper-v1:"), F.col("user_id").cast("string"))),
+            1,
+            16,
+        ).alias("token"),
+        "event_type",
+    )
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        (F.count(F.lit(1)) == 1).alias("singleton_risk"),
+    )
+
+
+#: shared formula trees for the volume control limits — identical text
+#: on both engines (the welch_exprs discipline): doubles are DERIVED
+#: from exact integer moments in the same IEEE operation order
+_VOLCTL_MEAN = "(CAST(sn AS DOUBLE) / cnt)"
+_VOLCTL_SIGMA = (
+    "sqrt(GREATEST(CAST(snn AS DOUBLE) / cnt"
+    f" - {_VOLCTL_MEAN} * {_VOLCTL_MEAN}, 0.0)"
+    " * cnt / NULLIF(CAST(cnt AS DOUBLE) - 1.0, 0.0))"
+)
+
+
+@_register(
+    "dq_volume_control",
+    f"""
+    WITH days AS (
+      SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CAST(n AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sn,
+             CAST(sum(CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS snn
+      FROM days)
+    SELECT d.day, d.n,
+           {_VOLCTL_MEAN} AS mean_n,
+           {_VOLCTL_SIGMA} AS sigma_n,
+           {_VOLCTL_MEAN} - 3.0 * {_VOLCTL_SIGMA} AS lo_limit,
+           {_VOLCTL_MEAN} + 3.0 * {_VOLCTL_SIGMA} AS hi_limit,
+           CAST(CAST(d.n AS DOUBLE) < {_VOLCTL_MEAN} - 3.0 * {_VOLCTL_SIGMA}
+                OR CAST(d.n AS DOUBLE) > {_VOLCTL_MEAN} + 3.0 * {_VOLCTL_SIGMA}
+                AS BOOLEAN) AS out_of_control
+    FROM days d, m
+    """,
+)
+def q_dq_volume_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume control chart — the freshness/completeness monitor a
+    production feed runs every cycle: per-day event counts against
+    3-sigma control limits derived from the feed's own history. A day
+    outside the limits means an upstream outage (low) or a replay /
+    duplication incident (high) BEFORE any consumer notices. Exact
+    integer daily counts and decimal moments; the mean/sigma/limit
+    formula trees are shared textually with the oracle (the
+    ``welch_exprs`` discipline) so the doubles agree bit-for-bit. Two
+    map-side-combinable aggregates (days, then moments) and one
+    broadcast join back — never a window over the raw events."""
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    m = days.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.expr("CAST(n AS DECIMAL(38,0))"))
+        .cast("decimal(38,0)")
+        .alias("sn"),
+        F.sum(F.expr("CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"))
+        .cast("decimal(38,0)")
+        .alias("snn"),
+    )
+    return days.crossJoin(F.broadcast(m)).select(
+        "day",
+        "n",
+        F.expr(_VOLCTL_MEAN).alias("mean_n"),
+        F.expr(_VOLCTL_SIGMA).alias("sigma_n"),
+        F.expr(f"{_VOLCTL_MEAN} - 3.0 * {_VOLCTL_SIGMA}").alias("lo_limit"),
+        F.expr(f"{_VOLCTL_MEAN} + 3.0 * {_VOLCTL_SIGMA}").alias("hi_limit"),
+        F.expr(
+            f"CAST(n AS DOUBLE) < {_VOLCTL_MEAN} - 3.0 * {_VOLCTL_SIGMA}"
+            f" OR CAST(n AS DOUBLE) > {_VOLCTL_MEAN} + 3.0 * {_VOLCTL_SIGMA}"
+        ).alias("out_of_control"),
+    )
+
+
+@_register(
     "privacy_k_anonymity",
     """
     SELECT c_nationkey, c_mktsegment,
@@ -12296,6 +12466,7 @@ _DEMOTED = [
     "knn_recall_postfilter",  # 1 green; the 0.38 recall-trap measurement stands in the oracle log; filtered-ANN family keeps prefilter + both bucketed rows in-window
     "doc_cdc_chunks",  # 1 green; chunk-feed family stands in the oracle log; slot to cdc_join_view_stream_e2e
     "media_frame_sample",  # 1 green; media family keeps media_resize_bmp + media_ahash_groups in-window; slot to cdc_bloom_pruned_scan
+    "events_user_deltas",  # 1 green; lag/delta window family stands in the oracle log; slot to text_index_cdf_incremental
 ]
 
 _PROMOTED = [
@@ -12341,7 +12512,7 @@ _PROMOTED = [
     "events_session_window_stream",  # native session_window stream (parquet sink)
     "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join
     "q_cube_lineitem",  # CUBE grouping-set aggregate
-    "events_user_deltas",  # per-user lag/delta window
+    "text_index_cdf_incremental",  # NEW: change-feed incremental BM25 segments, probe == full rebuild (round 13)
     "cdc_join_view_stream_e2e",  # NEW: join view across checkpointed restarts + dim change (round 13)
     "dedup_edit_distance",  # blocked Levenshtein near-dup verify
     "cdc_bloom_pruned_scan",  # NEW: manifest bloom skipping for equality point lookups (round 13)

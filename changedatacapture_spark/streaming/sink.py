@@ -2115,6 +2115,86 @@ class SnapshotTable:
             return "minor"
         return "none"
 
+    def fsck(self) -> dict:
+        """Filesystem consistency check — the operational audit a
+        production table runs after an incident (partial restore,
+        manual cleanup, suspected vacuum bug): verify every path the
+        CURRENT pointer references (manifest buckets, MoR run buckets)
+        and every retained history entry's paths still exist, and list
+        on-disk version dirs nothing references (orphans — crashed
+        attempts or in-flight writers; vacuum's future work, never
+        deleted here: fsck only READS).
+
+        Returns ``{"ok", "missing", "missing_history", "orphans",
+        "versions_on_disk", "versions_referenced"}`` — ``ok`` is True
+        when the current pointer is fully readable (missing history
+        only degrades time travel, missing current paths mean reads
+        WILL raise). The commit log is the authority, exactly like the
+        read path; no LIST is trusted over it.
+        """
+        ptr = self._read_pointer()
+        if ptr is None:
+            return {
+                "ok": False,
+                "missing": ["<pointer>"],
+                "missing_history": [],
+                "orphans": [],
+                "versions_on_disk": 0,
+                "versions_referenced": 0,
+            }
+
+        def paths_of(entry: dict) -> list[str]:
+            out = [
+                f"v={v}/bucket={b}" for b, v in entry["buckets"].items()
+            ]
+            for r in entry.get("runs") or []:
+                out += [
+                    f"v={r['v']}/bucket={b}" for b in r.get("buckets") or []
+                ]
+            return out
+
+        missing = [
+            p for p in paths_of(ptr)
+            if not os.path.isdir(f"{self.path}/{p}")
+        ]
+        referenced = {int(v) for v in ptr["buckets"].values()}
+        referenced |= {int(r["v"]) for r in ptr.get("runs") or []}
+        missing_history: list[str] = []
+        entries = self.history()
+        if self.retain_history > 0:
+            for entry in entries[-(self.retain_history + 1):-1]:
+                referenced |= {int(v) for v in entry["buckets"].values()}
+                referenced |= {
+                    int(r["v"]) for r in entry.get("runs") or []
+                }
+                missing_history += [
+                    p for p in paths_of(entry)
+                    if not os.path.isdir(f"{self.path}/{p}")
+                ]
+        try:
+            on_disk = {
+                int(d.split("=")[1])
+                for d in os.listdir(self.path)
+                if d.startswith("v=")
+            }
+        except FileNotFoundError:
+            on_disk = set()
+        committed_ever = {
+            int(v) for e in entries for v in e["buckets"].values()
+        }
+        committed_ever |= {
+            int(r["v"]) for e in entries for r in e.get("runs") or []
+        }
+        orphans = sorted(on_disk - referenced - committed_ever)
+        return {
+            "ok": not missing,
+            "missing": sorted(missing),
+            "missing_history": sorted(missing_history),
+            "orphans": orphans,
+            "versions_on_disk": len(on_disk),
+            "versions_referenced": len(referenced),
+        }
+
     def rebucket(self, n_buckets: int) -> None:
         """Change the table's bucket count via the documented full
         rewrite, online: read current contents, rewrite under the new

@@ -175,6 +175,31 @@ def test_pipeline_size_policy_bounds_runs(spark, tmp_path):
     ]
 
 
+# -- fsck -------------------------------------------------------------------
+
+
+def test_fsck_healthy_and_broken(spark, tmp_path):
+    import os
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), ["k"], n_buckets=2, retain_history=1
+    )
+    t.merge(_batch(spark, [(0, "c", 1), (1, "c", 2)]), batch_id=0)
+    t.merge(_batch(spark, [(0, "u", 10)]), batch_id=1, mode="mor")
+    rep = t.fsck()
+    assert rep["ok"] and not rep["missing"] and not rep["orphans"]
+    # an unreferenced staging dir is an orphan, not a failure
+    os.makedirs(f"{t.path}/v=999999", exist_ok=True)
+    rep = t.fsck()
+    assert rep["ok"] and rep["orphans"] == [999999]
+    # deleting a run's bucket dir breaks the current pointer: not ok
+    run = (t._read_pointer().get("runs") or [])[0]
+    shutil.rmtree(f"{t.path}/v={run['v']}/bucket={run['buckets'][0]}")
+    rep = t.fsck()
+    assert not rep["ok"]
+    assert any(f"v={run['v']}" in p for p in rep["missing"])
+
+
 # -- bloom-filter data skipping ---------------------------------------------
 
 

@@ -188,10 +188,24 @@ class CdcPipeline:
         #: base-table merge commits, so their delta join sees pre-batch
         #: state; their own batch_id idempotence makes replays safe
         self._agg_views: list = []
+        #: attached streaming JOIN views (see JoinView) — updated from
+        #: the compacted changes AFTER the base merge commits (the view
+        #: re-joins against post-state, unlike AggView's pre-state
+        #: retraction)
+        self._join_views: list = []
 
     def attach_agg_view(self, view) -> None:
         """Maintain ``view`` (an :class:`AggView`) from every batch."""
         self._agg_views.append(view)
+
+    def attach_join_view(self, view) -> None:
+        """Maintain ``view`` (a :class:`JoinView` whose FACT table is
+        this pipeline's target) from every batch: after the base merge
+        commits, the view re-joins the batch's touched fact keys
+        (``JoinView.apply`` with a fact-only delta — dim changes are
+        applied out of band with their own ``apply`` call, the
+        slowly-changing-dimension discipline)."""
+        self._join_views.append(view)
 
     # -- batch core (also usable on a static DataFrame) -------------------
 
@@ -263,7 +277,8 @@ class CdcPipeline:
         compacted = compact_latest(
             changes, [self.key_col], ["ts_ms", "seq"]
         )
-        if self._agg_views:
+        multi_consumer = bool(self._agg_views or self._join_views)
+        if multi_consumer:
             # views + merge each consume the compacted plan: cache it
             # once instead of re-running parse+compact per consumer
             compacted = compacted.persist()
@@ -273,8 +288,12 @@ class CdcPipeline:
             self.table.merge(
                 compacted, batch_id=batch_id, mode=self.merge_mode
             )
+            # join views read POST-merge state: the batch's touched
+            # fact keys re-join against the just-committed snapshot
+            for view in self._join_views:
+                view.apply(compacted, None, batch_id=batch_id)
         finally:
-            if self._agg_views:
+            if multi_consumer:
                 compacted.unpersist()
         if self.merge_mode == "mor":
             did = "none"

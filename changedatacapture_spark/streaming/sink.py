@@ -1055,6 +1055,31 @@ class SnapshotTable:
                 bw = zone.get(f"bloom__{col}")
                 if bw is not None and not _bloom_contains(bw, p[2]):
                     return False
+            if op == "in":
+                # IN-list: the zone survives if ANY listed value could
+                # be present (per-value range + bloom tests); an empty
+                # list matches nothing anywhere
+                vals = list(p[2])
+                if not vals:
+                    return False
+
+                def _value_possible(v) -> bool:
+                    if kinds.get(col) in ("int", "str"):
+                        bw = zone.get(f"bloom__{col}")
+                        if bw is not None and not _bloom_contains(bw, v):
+                            return False
+                    if col in zone and col in kinds:
+                        mn, mx = zone[col]
+                        sv = self._stat_value(v, kinds[col])
+                        if (mn is not None and mn > sv) or (
+                            mx is not None and mx < sv
+                        ):
+                            return False
+                    return True
+
+                if not any(_value_possible(v) for v in vals):
+                    return False
+                continue
             if col not in zone or col not in kinds:
                 continue  # no stat for this column — cannot exclude
             mn, mx = zone[col]
@@ -1085,7 +1110,9 @@ class SnapshotTable:
         """Filtered read with manifest-level data skipping.
 
         ``predicates``: conjunctive list of ``(col, op, value)`` with
-        ``op`` in ``= < <= > >=``, or ``(col, "between", lo, hi)``.
+        ``op`` in ``= < <= > >=``, ``(col, "between", lo, hi)``, or
+        ``(col, "in", [v, ...])`` (zones survive if ANY listed value
+        could be present — per-value range + bloom tests).
         Buckets whose zone map cannot contain a match are never
         scheduled — the scan's task count shrinks BEFORE Spark sees a
         file, one level above parquet row-group skipping (which the
@@ -1153,6 +1180,8 @@ class SnapshotTable:
             c = F.col(col)
             if op == "between":
                 df = df.filter((c >= F.lit(p[2])) & (c <= F.lit(p[3])))
+            elif op == "in":
+                df = df.filter(c.isin(list(p[2])))
             else:
                 ops = {
                     "=": c.__eq__,

@@ -79,6 +79,60 @@ def test_join_view_tracks_fact_and_dim_changes(spark, tmp_path):
     assert all(dv != 10 for _, dv, *_ in _got(view))
 
 
+def test_pipeline_attach_join_view(spark, tmp_path):
+    """JoinView attached to a CdcPipeline: every processed batch
+    updates the view after the fact merge; a dim change applied out of
+    band re-enriches via its own apply call."""
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), ["k"], n_buckets=4)
+    dim = SnapshotTable(spark, str(tmp_path / "dim"), ["d"], n_buckets=2)
+    view = SnapshotTable(spark, str(tmp_path / "view"), ["k"], n_buckets=4)
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["k"], join_col="d", dim_payload_cols=["label"],
+    )
+    dim.merge(_dim_batch(spark, [(10, "x", "c"), (11, "y", "c")]), batch_id=0)
+    record = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("d", T.LongType()),
+            T.StructField("v", T.LongType()),
+        ]
+    )
+    pipe = CdcPipeline(spark, record, fact, "k")
+    pipe.attach_join_view(jv)
+
+    def env(rows):
+        df = spark.createDataFrame(rows, "k long, d long, v long, op string")
+        doc = F.struct("k", "d", "v")
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.when(F.col("op") != "c", doc).alias("before"),
+                        F.when(F.col("op") != "d", doc).alias("after"),
+                        F.col("op").alias("op"),
+                        F.col("v").alias("ts_ms"),
+                    ).alias("payload")
+                )
+            ).alias("value"),
+            F.col("k").alias("seq"),
+        )
+
+    pipe.process_batch(env([(1, 10, 100, "c"), (2, 11, 200, "c")]), 0)
+    assert _got(view) == _expect(fact, dim)
+    pipe.process_batch(env([(1, 11, 101, "u"), (2, 11, 200, "d")]), 1)
+    assert _got(view) == [(1, 11, 101, "y")]
+    # out-of-band dim change re-enriches through the view's own apply
+    d2 = _dim_batch(spark, [(11, "y2", "u")])
+    dim.merge(d2, batch_id=1)
+    jv.apply(_fact_batch(spark, []).limit(0), d2, batch_id=50)
+    assert _got(view) == [(1, 11, 101, "y2")]
+
+
 def test_join_view_fact_row_without_dim_joins_later(spark, tmp_path):
     """A fact row arriving BEFORE its dim partner is absent from the
     inner-join view, then appears when the dim lands (the late-dim

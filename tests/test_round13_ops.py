@@ -269,6 +269,29 @@ def test_bloom_int_column_and_range_predicates_unaffected(spark, tmp_path):
     assert n == 400
 
 
+def test_bloom_in_list_pruning(spark, tmp_path):
+    """IN-list predicates prune per value: a list of two present
+    values keeps their buckets; an all-absent list keeps none; an
+    empty list reads nothing. Results stay exact."""
+    from changedatacapture_spark.streaming import sink as sink_mod
+
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), ["k"], n_buckets=8, bloom_cols=["tag"],
+    )
+    rows = [(k, f"tag-{k * 7919 % 100000}", k) for k in range(400)]
+    t.overwrite(spark.createDataFrame(rows, "k long, tag string, v long"))
+    probes = [rows[123][1], rows[321][1]]
+    got = sorted(
+        (r.k, r.v) for r in t.read_where([("tag", "in", probes)]).collect()
+    )
+    assert got == [(123, 123), (321, 321)]
+    rep = sink_mod.LAST_SCAN_REPORT
+    assert rep["buckets_kept"] < rep["buckets_total"], rep
+    assert t.read_where([("tag", "in", ["no-1", "no-2"])]).count() == 0
+    assert sink_mod.LAST_SCAN_REPORT["buckets_kept"] == 0
+    assert t.read_where([("tag", "in", [])]).count() == 0
+
+
 def test_bloom_absent_zone_survives(spark, tmp_path):
     """Buckets committed WITHOUT blooms (table written before the
     column was bloom-indexed) must always survive — pruning is an

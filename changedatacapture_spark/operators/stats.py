@@ -426,27 +426,40 @@ def calibrated_heavy_hitters(
     t, total = heavy_hitter_calibration(df, key_col, sample_mod)
     capacity = 2 * (total // t) + 2
     cands = mg_candidates(df, key_col, capacity)
-    return verify_heavy_hitters_at(df, cands, key_col, t)
+    # total is already a driver-side exact count from the calibration
+    # pass — reuse it instead of a fourth full scan in the verify
+    return verify_heavy_hitters_at(df, cands, key_col, t, total_rows=total)
 
 
 def verify_heavy_hitters_at(
-    df: DataFrame, cands: DataFrame, key_col: str, threshold_rows: int
+    df: DataFrame,
+    cands: DataFrame,
+    key_col: str,
+    threshold_rows: int,
+    total_rows: int | None = None,
 ) -> DataFrame:
     """Exact verify at an ABSOLUTE row-count threshold (the calibrated
     twin of :func:`verify_heavy_hitters`): recount only the candidate
     keys and keep those with ``n_rows >= threshold_rows``. Exact as
-    long as ``cands`` is a superset of the keys at the threshold."""
+    long as ``cands`` is a superset of the keys at the threshold.
+    ``total_rows``, when the caller already holds the exact count
+    (the calibration pass computes it), skips the extra full scan."""
     cands = cands.select(F.col("key").alias("_hh_key")).distinct()
-    total = df.agg(F.count(F.lit(1)).alias("total_rows"))
     counted = (
         df.join(
             F.broadcast(cands), df[key_col] == F.col("_hh_key"), "left_semi"
         )
         .groupBy(key_col)
         .agg(F.count(F.lit(1)).alias("n_rows"))
-        .crossJoin(F.broadcast(total))
-        .filter(F.col("n_rows") >= threshold_rows)
     )
+    if total_rows is None:
+        total = df.agg(F.count(F.lit(1)).alias("total_rows"))
+        counted = counted.crossJoin(F.broadcast(total))
+    else:
+        counted = counted.withColumn(
+            "total_rows", F.lit(int(total_rows)).cast("long")
+        )
+    counted = counted.filter(F.col("n_rows") >= threshold_rows)
     return counted.select(
         F.col(key_col).alias("key"),
         "n_rows",

@@ -850,35 +850,93 @@ def build_text_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     mode: str = "overwrite",
+    tombstone_docs: DataFrame | None = None,
 ) -> None:
     """Materialize the BM25 search index as two skinny parquet
     relations — ``postings`` (doc_id, term, tf — ALL terms, query
     comes later) and ``doclen`` (doc_id, dl) — the Lucene-segment
-    analogue built with plain aggregates. ``mode="append"`` is the
-    incremental-maintenance path: a snapshot change feed's INSERT set
-    tokenizes and appends its own postings/doclen segment, so a daily
-    crawl re-tokenizes only the delta (``text_index_cdf_incremental``)
-    — the text-side twin of ``build_label_ann_index(mode="append")``.
-    Corpus constants (N, L) and per-term df are NOT stored: they are
-    one aggregate over the skinny stored relations at probe time, so
-    appended segments need no read-modify-write of any global stat
-    (segments stay immutable and append-only, the LSM discipline).
+    analogue built with plain aggregates. One tokenize pass: doclen is
+    derived FROM the postings aggregate (dl = Σ tf), never a second
+    corpus scan.
+
+    ``mode="append"`` is the incremental-maintenance path: a snapshot
+    change feed's INSERT set tokenizes and appends its own segment, so
+    a daily crawl re-tokenizes only the delta
+    (``text_index_cdf_incremental``) — the text-side twin of
+    ``build_label_ann_index(mode="append")``. Corpus constants (N, L)
+    and per-term df are NOT stored: they are one aggregate over the
+    skinny relations at probe time, so appends never read-modify-write
+    a global stat (segments stay immutable, the LSM discipline).
+
+    Re-crawled / updated / deleted documents: appending a NEW segment
+    for an id whose OLD segment rows still stand would double-count it
+    in N, L, df, and tf. Pass the affected ids as ``tombstone_docs``
+    (one ``id_col`` column — e.g. the change feed's update/delete key
+    set): they are written to a ``tombstones`` relation that the probe
+    anti-joins against OLDER segments' rows (each tombstone carries
+    the writing segment's sequence number, so it masks prior segments
+    without suppressing the re-inserted doc's own new rows). Pure
+    growth needs no tombstones; a tombstone-heavy index wants a
+    periodic ``mode="overwrite"`` rebuild, like any LSM major
+    compaction.
     """
+    import time as _time
+
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.col(text_col), " ")).alias("term"),
     ).filter(F.col("term") != "")
-    (
+    # segment sequence: tombstones written at seg s mask rows of
+    # segments < s. Monotonic wall-clock ns is sufficient — segments
+    # are written by one maintainer in feed order (the change-feed
+    # contract), never concurrently.
+    seg = _time.time_ns()
+    postings = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .write.mode(mode)
-        .parquet(f"{path}/postings")
+        .withColumn("seg", F.lit(seg))
     )
+    postings.write.mode(mode).parquet(f"{path}/postings")
     (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dl"))
+        postings.groupBy("doc_id", "seg")
+        .agg(F.sum("tf").alias("dl"))
         .write.mode(mode)
         .parquet(f"{path}/doclen")
+    )
+    tmb_mode = mode
+    if tombstone_docs is not None:
+        (
+            tombstone_docs.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .withColumn("seg", F.lit(seg))
+            .write.mode(tmb_mode)
+            .parquet(f"{path}/tombstones")
+        )
+    elif mode == "overwrite":
+        # a rebuild clears stale tombstones from prior increments
+        import shutil
+
+        shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+
+
+def _mask_tombstones(spark, index_path: str, rel: DataFrame) -> DataFrame:
+    """Drop rows of ``rel`` (carrying doc_id, seg) masked by a LATER
+    segment's tombstone for the same doc — the probe-side half of the
+    re-crawl contract in :func:`build_text_index`."""
+    import os
+
+    if not os.path.isdir(f"{index_path}/tombstones"):
+        return rel
+    tmb = spark.read.parquet(f"{index_path}/tombstones").select(
+        F.col("doc_id").alias("_t_doc"), F.col("seg").alias("_t_seg")
+    )
+    return (
+        rel.join(
+            F.broadcast(tmb),
+            (rel["doc_id"] == F.col("_t_doc"))
+            & (rel["seg"] < F.col("_t_seg")),
+            "left_anti",
+        )
     )
 
 
@@ -891,16 +949,23 @@ def bm25_topk_indexed(
     """BM25 ranked retrieval FROM the stored index (see
     :func:`build_text_index`): the probe never touches document text —
     it filters the postings relation to the query terms (predicate
-    pushed to the parquet scan) and re-derives df/N/L from the skinny
-    stored relations with map-side-combinable aggregates. Results are
-    bit-equal to :func:`bm25_topk` over the same corpus (identical
-    integer scoring), which is the oracle statement the incremental
-    query shares."""
+    pushed to the parquet scan), masks tombstoned rows of older
+    segments, and re-derives df/N/L from the skinny stored relations
+    with map-side-combinable aggregates. Results are bit-equal to
+    :func:`bm25_topk` over the LOGICAL corpus (identical integer
+    scoring), which is the oracle statement the incremental query
+    shares."""
     q = [t for t in query_terms if t]
-    tf = spark.read.parquet(f"{index_path}/postings").filter(
-        F.col("term").isin(q)
-    )
-    dl = spark.read.parquet(f"{index_path}/doclen")
+    tf = _mask_tombstones(
+        spark,
+        index_path,
+        spark.read.parquet(f"{index_path}/postings").filter(
+            F.col("term").isin(q)
+        ),
+    ).drop("seg")
+    dl = _mask_tombstones(
+        spark, index_path, spark.read.parquet(f"{index_path}/doclen")
+    ).drop("seg")
     return _bm25_score(tf, dl, top_k)
 
 

@@ -86,36 +86,11 @@ def _changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCRATCH_DIRS: list[str] = []
 
 
-def _fast_scratch_dir(prefix: str) -> str:
-    """Scratch dir on tmpfs when the host has one (/dev/shm), else a
-    regular temp dir. Streaming replay queries pay a fixed per-batch
-    checkpoint/state-store fsync cost that has nothing to do with the
-    computation under test (measured: the two-sided interval join's
-    wall is dominated by it) — RAM-backed scratch removes the disk
-    sync from the measurement while changing no query semantics. Cleanup
-    follows the same atexit path as _session_scratch_dir."""
-    import os
-    import tempfile
-
-    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    if not _SCRATCH_DIRS:
-        import atexit
-        import shutil
-
-        atexit.register(
-            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
-        )
-    d = tempfile.mkdtemp(prefix=prefix, dir=base)
-    _SCRATCH_DIRS.append(d)
-    return d
-
-
-def _session_scratch_dir(prefix: str) -> str:
-    """Temp dir that outlives the query function (cleaned at interpreter
-    exit): lets queries materializing a scratch SnapshotTable return a
-    LAZY DataFrame over it instead of collecting to the driver —
-    collect-then-recreate was O(result rows) on the driver, a scale
-    bug, not a convenience."""
+def _scratch_dir(prefix: str, base: str | None = None) -> str:
+    """Session-lifetime temp dir (cleaned at interpreter exit): lets
+    queries materializing scratch state return a LAZY DataFrame over
+    it instead of collecting to the driver. One registration site for
+    the shared atexit sweep over ``_SCRATCH_DIRS``."""
     import atexit
     import shutil
     import tempfile
@@ -124,9 +99,41 @@ def _session_scratch_dir(prefix: str) -> str:
         atexit.register(
             lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
         )
-    d = tempfile.mkdtemp(prefix=prefix)
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
     _SCRATCH_DIRS.append(d)
     return d
+
+
+def _fast_scratch_dir(prefix: str) -> str:
+    """Scratch dir on tmpfs when the host has a USABLY-SIZED one, else
+    a regular temp dir. Streaming replay queries pay a fixed per-batch
+    checkpoint/state-store fsync cost that has nothing to do with the
+    computation under test (measured: the two-sided interval join's
+    wall is dominated by it) — RAM-backed scratch removes the disk
+    sync from the measurement while changing no query semantics.
+
+    Guarded: a writable /dev/shm alone is not enough (Docker defaults
+    it to 64 MB — replay sources + state stores would ENOSPC
+    mid-stream); tmpfs is used only with >= 2 GiB free, and
+    ``SPARK_GRAFT_FAST_SCRATCH=0`` disables it outright."""
+    import os
+
+    base = None
+    if os.environ.get("SPARK_GRAFT_FAST_SCRATCH", "1") != "0" and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        try:
+            st = os.statvfs("/dev/shm")
+            if st.f_bavail * st.f_frsize >= 2 << 30:
+                base = "/dev/shm"
+        except OSError:
+            pass
+    return _scratch_dir(prefix, base)
+
+
+def _session_scratch_dir(prefix: str) -> str:
+    """Disk-backed session scratch dir — see :func:`_scratch_dir`."""
+    return _scratch_dir(prefix)
 
 
 # ---------------------------------------------------------------------------
@@ -8032,14 +8039,19 @@ def q_text_index_cdf_incremental(
     engine builds is change-feed-incremental. Day-0 documents live in
     a SnapshotTable and build the postings/doclen segments
     (``build_text_index``); the day-1 merge's ``changes_between``
-    INSERT set — and only it — tokenizes and APPENDS its own segment
-    (corpus constants and df are re-derived from the skinny stored
-    relations at probe time, so appends never read-modify-write a
-    global stat). The BM25 probe over the incrementally-maintained
-    index must equal the full-corpus ranking bit for bit — it shares
-    ``text_bm25_rank``'s oracle, since day0 + day1 = the whole corpus.
-    Index maintenance cost ∝ the delta; probe cost ∝ the index
-    relations, never the text."""
+    INSERT and UPDATE-POSTIMAGE sets — and only they — tokenize and
+    APPEND their own segment, with the updated ids TOMBSTONED so the
+    probe masks their day-0 rows (the re-crawl case that would
+    otherwise double-count a doc in N, L, df, and tf; corpus constants
+    and df are re-derived from the skinny stored relations at probe
+    time, so appends never read-modify-write a global stat). Day 0
+    deliberately holds STALE text for a third of the even docs (a
+    ' zzzstale' suffix) and day 1 re-crawls them to the true text, so
+    the tombstone path is genuinely exercised. The BM25 probe over the
+    incrementally-maintained index must equal the full-corpus ranking
+    bit for bit — it shares ``text_bm25_rank``'s oracle, since the
+    final store state IS the documents table. Index maintenance cost ∝
+    the delta; probe cost ∝ the index relations, never the text."""
     from changedatacapture_spark.operators.text import (
         bm25_topk_indexed,
         build_text_index,
@@ -8054,19 +8066,37 @@ def q_text_index_cdf_incremental(
         n_buckets=8,
         retain_history=2,
     )
-    day0 = docs.filter(F.col("doc_id") % 2 == 0).withColumn("op", F.lit("c"))
+    stale = (F.col("doc_id") % 6 == 0).alias("_stale")
+    day0 = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            "doc_id",
+            F.when(stale, F.concat("text", F.lit(" zzzstale")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .withColumn("op", F.lit("c"))
+    )
     store.merge(day0, batch_id=0)
     v0 = store.version
     idx = _session_scratch_dir("text_cdf_idx_")
     build_text_index(store.read(), idx)
-    day1 = docs.filter(F.col("doc_id") % 2 == 1).withColumn("op", F.lit("c"))
-    store.merge(day1, batch_id=1)
-    delta = (
-        store.changes_between(v0, store.version)
-        .filter(F.col("change_type") == "insert")
-        .select("doc_id", "text")
+    # day 1: the odd-id crawl arrives AND the stale evens re-crawl
+    day1 = (
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 6 == 0)
+        )
+        .withColumn("op", F.lit("u"))
     )
-    build_text_index(delta, idx, mode="append")
+    store.merge(day1, batch_id=1)
+    feed = store.changes_between(v0, store.version)
+    delta = feed.filter(
+        F.col("change_type").isin("insert", "update_post")
+    ).select("doc_id", "text")
+    recrawled = feed.filter(
+        F.col("change_type") == "update_post"
+    ).select("doc_id")
+    build_text_index(delta, idx, mode="append", tombstone_docs=recrawled)
     return bm25_topk_indexed(spark, idx, list(_BM25_TERMS), top_k=10)
 
 
@@ -8987,7 +9017,10 @@ def q_cdc_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_cols=["seq"],
     )
     table.overwrite(state, batch_id=0)
-    probe = state.agg(F.max("seq")).first()[0]
+    # probe from the just-written table, not the `state` plan: `state`
+    # contains the full parse+compact shuffle and re-running it for one
+    # scalar would double the query's dominant cost
+    probe = table.read().agg(F.max("seq")).first()[0]
     return table.read_where([("seq", "=", probe)]).select(
         "key_id", "seq", "ts_us", "value", "props"
     )
@@ -10213,7 +10246,6 @@ def q_events_stream_heavy_hitters_calibrated(
     fixed-k stream twin lacks: at sf1 the fixed-k output is empty
     while this one returns the corpus's actual top users."""
     import os
-    import tempfile
     import uuid
 
     from changedatacapture_spark.operators.stats import (
@@ -10225,7 +10257,7 @@ def q_events_stream_heavy_hitters_calibrated(
     ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
     raw = ev.withColumn("_b", (F.col("event_id") % 4 + 1).cast("int"))
 
-    work = tempfile.mkdtemp(prefix="stream_hh_cal_")
+    work = _session_scratch_dir("stream_hh_cal_")
     src = os.path.join(work, "src")
     _write_ordered_batches(raw, src, work, 4)
 
@@ -10254,7 +10286,7 @@ def q_events_stream_heavy_hitters_calibrated(
     q.awaitTermination()
 
     cands = spark.read.parquet(cands_dir)
-    return verify_heavy_hitters_at(base, cands, "user_id", t)
+    return verify_heavy_hitters_at(base, cands, "user_id", t, total_rows=total)
 
 
 ORACLE_SQL["events_stream_heavy_hitters_calibrated"] = _CALIBRATED_HH_ORACLE
@@ -12442,9 +12474,10 @@ _DEMOTED = [
     "text_boilerplate",  # 3 greens; corpus-frequency family keeps bm25/bpe/gopher rows in-window
     "graph_pagerank_trade",  # 3 greens; graph family keeps graph_triangles_trade in-window
     "events_numeric_profile",  # 3 greens; moments family keeps events_mad_outliers in-window
-    # round-13 rebalance: eighteen round-12-green members hand slots to
-    # the seven NEW round-13 queries, ten never-green verdict
-    # priorities, and the de-stragglered text_dsir_select:
+    # round-13 rebalance: twenty-two round-12-green members hand slots
+    # to the twelve NEW round-13 queries, ten never-green verdict
+    # priorities, and the de-stragglered text_dsir_select (22 out /
+    # 22 in; the window stays exactly 50):
     "cdc_mor_merge_e2e",  # 1 green; MoR family keeps cdc_mor_stream_e2e + cdc_mor_size_policy_e2e in-window
     "dedup_cdf_incremental",  # 1 green; CDF-incremental family keeps decontaminate_cdf_incremental in-window
     "events_quantile_sketch",  # 1 green; sketch family keeps events_stream_hll in-window + oracle log
@@ -12470,10 +12503,11 @@ _DEMOTED = [
 ]
 
 _PROMOTED = [
-    # round-13 window: seven NEW queries of this round and ten
-    # never-driver-green priorities from the round-12 verdict earn
-    # rows; seventeen round-12-green members rotate out with every
-    # family still represented in-window or by a direct successor
+    # round-13 window: twelve NEW queries of this round, ten
+    # never-driver-green priorities from the round-12 verdict, and the
+    # de-stragglered text_dsir_select earn rows; twenty-two
+    # round-12-green members rotate out with every family still
+    # represented in-window or by a direct successor
     # (MoR e2e: the size-policy pipeline replaces the count-cadence
     # merge twin, the stream twin stays; quantile sketches hand slots
     # to the BLB CI + histogram-quantiles pair; label-ANN: the

@@ -72,13 +72,36 @@ _BLOOM_WORDS = 16
 _BLOOM_K = 4
 
 
-def _bloom_positions(value) -> list[int]:
+def _bloom_probe_str(value, kind: str) -> str | None:
+    """Normalize a predicate literal to the column's Spark
+    ``CAST(col AS STRING)`` rendering — the string the WRITE side
+    hashed. Without this, a numerically-equal but differently-rendered
+    literal (``5.0`` probing a long column that hashed ``"5"``) would
+    silently prune every bucket and drop matching rows. Returns None
+    when the literal cannot be normalized to the column's domain
+    (e.g. a non-integral float probing an int column, where the
+    re-applied equality can still match under SQL numeric coercion) —
+    callers must treat None as "cannot exclude"."""
+    if kind == "int":
+        try:
+            iv = int(value)
+        except (TypeError, ValueError):
+            return None
+        # a non-integral float (5.7) never equals what int() gives
+        # back — refuse to prune rather than hash the wrong string
+        if iv != value:
+            return None
+        return str(iv)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _bloom_positions(s: str) -> list[int]:
     """Driver-side twin of the write-side position expressions: the k
-    bit positions of ``value`` (int or str — mirrors Spark's
-    ``CAST(col AS STRING)`` rendering for those kinds)."""
+    bit positions of the NORMALIZED string (see _bloom_probe_str)."""
     import hashlib
 
-    s = str(value)
     return [
         int(hashlib.md5(f"{i}:{s}".encode()).hexdigest()[:8], 16)
         % _BLOOM_BITS
@@ -86,10 +109,15 @@ def _bloom_positions(value) -> list[int]:
     ]
 
 
-def _bloom_contains(words: list, value) -> bool:
+def _bloom_contains(words: list, value, kind: str) -> bool:
     """True unless some hash position of ``value`` is unset — i.e. the
-    value PROVABLY never entered the bitmap (no false negatives)."""
-    for pos in _bloom_positions(value):
+    value PROVABLY never entered the bitmap (no false negatives; a
+    literal that cannot be normalized to the column's string domain
+    always returns True — never prune on an uncertain rendering)."""
+    s = _bloom_probe_str(value, kind)
+    if s is None:
+        return True
+    for pos in _bloom_positions(s):
         if not (int(words[pos // 64]) >> (pos % 64)) & 1:
             return False
     return True
@@ -1053,7 +1081,9 @@ class SnapshotTable:
             # just scans
             if op == "=" and kinds.get(col) in ("int", "str"):
                 bw = zone.get(f"bloom__{col}")
-                if bw is not None and not _bloom_contains(bw, p[2]):
+                if bw is not None and not _bloom_contains(
+                    bw, p[2], kinds[col]
+                ):
                     return False
             if op == "in":
                 # IN-list: the zone survives if ANY listed value could
@@ -1066,7 +1096,9 @@ class SnapshotTable:
                 def _value_possible(v) -> bool:
                     if kinds.get(col) in ("int", "str"):
                         bw = zone.get(f"bloom__{col}")
-                        if bw is not None and not _bloom_contains(bw, v):
+                        if bw is not None and not _bloom_contains(
+                            bw, v, kinds[col]
+                        ):
                             return False
                     if col in zone and col in kinds:
                         mn, mx = zone[col]

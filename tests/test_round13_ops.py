@@ -230,7 +230,7 @@ def test_bloom_skipping_point_lookup(spark, tmp_path):
     # an absent value whose bloom check fails everywhere: zero buckets
     missing = "tag-none-such"
     assert not any(
-        _bloom_contains(z["bloom__tag"], missing)
+        _bloom_contains(z["bloom__tag"], missing, "str")
         for z in zones.values()
         if "bloom__tag" in z
     )
@@ -290,6 +290,61 @@ def test_bloom_in_list_pruning(spark, tmp_path):
     assert t.read_where([("tag", "in", ["no-1", "no-2"])]).count() == 0
     assert sink_mod.LAST_SCAN_REPORT["buckets_kept"] == 0
     assert t.read_where([("tag", "in", [])]).count() == 0
+
+
+def test_bloom_probe_literal_rendering(spark, tmp_path):
+    """A numerically-equal but differently-rendered literal (5.0
+    probing a long column whose write side hashed "5") must NOT be
+    pruned away: the probe normalizes to the column's CAST-AS-STRING
+    domain, and un-normalizable literals never prune."""
+    t = SnapshotTable(
+        spark, str(tmp_path / "t"), ["k"], n_buckets=4, bloom_cols=["seq"],
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(k, k, k) for k in range(50)], "k long, seq long, v long"
+        )
+    )
+    got = t.read_where([("seq", "=", 5.0)]).collect()
+    assert [(r.k, r.v) for r in got] == [(5, 5)]
+    got = t.read_where([("seq", "in", [5.0, 7])]).collect()
+    assert sorted((r.k, r.v) for r in got) == [(5, 5), (7, 7)]
+    # a non-integral float probe matches nothing but must not crash
+    assert t.read_where([("seq", "=", 5.5)]).count() == 0
+
+
+def test_text_index_recrawl_tombstones(spark, tmp_path):
+    """Re-crawled docs: appending their new segment WITH tombstones
+    masks the stale segment, so the indexed BM25 equals a fresh build
+    over the final corpus (no double-counting in N/L/df/tf)."""
+    from changedatacapture_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    final = [
+        (1, "alpha beta gamma"),
+        (2, "alpha alpha delta"),
+        (3, "beta beta beta alpha"),
+        (4, "gamma delta alpha beta"),
+    ]
+    docs = spark.createDataFrame(final, "doc_id long, text string")
+    stale = spark.createDataFrame(
+        [(1, "stale words only"), (2, "alpha alpha delta")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(stale, idx)
+    delta = docs.filter(F.col("doc_id").isin(1, 3, 4))  # re-crawl 1 + new
+    build_text_index(
+        delta, idx, mode="append",
+        tombstone_docs=delta.filter(F.col("doc_id") == 1).select("doc_id"),
+    )
+    terms = ["alpha", "beta"]
+    got = sorted(map(tuple, bm25_topk_indexed(spark, idx, terms, 10).collect()))
+    want = sorted(map(tuple, bm25_topk(docs, terms, 10).collect()))
+    assert got == want
 
 
 def test_bloom_absent_zone_survives(spark, tmp_path):

@@ -503,6 +503,25 @@ def test_decontaminate_cdf_incremental_broadcast_probe(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
+def test_text_index_cdf_tombstone_mask_is_hash_anti_join(spark, sf_dir):
+    """The incremental index probe's tombstone mask must lower to
+    BroadcastHashJoin LeftAnti (equi doc_id key + seg-inequality
+    residual), never a per-row nested loop over the postings; no
+    cartesian product anywhere (the only NLJ allowed is the 1-row
+    totals broadcast every BM25 plan carries)."""
+    df = _run(spark, sf_dir, "text_index_cdf_incremental")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    anti_lines = [
+        ln for ln in plan.splitlines() if "LeftAnti" in ln
+    ]
+    assert anti_lines, plan[:1500]
+    assert all("BroadcastHashJoin" in ln for ln in anti_lines), anti_lines
+    assert not any(
+        "NestedLoop" in ln for ln in anti_lines
+    ), anti_lines
+
+
 def test_dsir_select_rank_is_shuffle_bounded(spark, sf_dir):
     """The DSIR selection rank must be the two-phase prefix-sum cut,
     never a single-partition row_number over every scored doc (the

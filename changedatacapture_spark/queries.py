@@ -3317,10 +3317,12 @@ def q_cdc_join_view_stream_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim.merge(b2_dim, batch_id=1)
     # dim-side repair between stream runs: only fact rows referencing
-    # the changed dims re-join (empty fact delta)
+    # the changed dims re-join (empty fact delta). out_of_band keeps
+    # this apply's replay id in the negative namespace — it can never
+    # collide with (and silently swallow) a later pipeline batch id.
     jv.apply(
         spark.createDataFrame([], ddl).select("key_id"), b2_dim,
-        batch_id=100,
+        batch_id=100, out_of_band=True,
     )
 
     halves[1].coalesce(1).write.mode("overwrite").json(

@@ -712,6 +712,138 @@ class AggView:
         return self.view.read()
 
 
+def _star_view_apply(
+    fact: SnapshotTable,
+    dims: Sequence[tuple],
+    view: SnapshotTable,
+    fact_key_cols: Sequence[str],
+    op_col: str,
+    max_inlist: int,
+    compacted_fact: DataFrame,
+    compacted_dims: Sequence[DataFrame | None],
+    batch_id: int | None,
+) -> dict:
+    """Shared delta-bounded recompute for :class:`JoinView` /
+    :class:`StarJoinView`. Returns the per-read scan report (the
+    manifest-level pruning evidence — plan tests pin
+    ``buckets_kept < buckets_total`` for a delta touching few
+    buckets).
+
+    Every base read is pruned by BOUNDED DRIVER METADATA only:
+
+    - the Δdim repair probe reads the fact through
+      ``read_where((join_col, "in", Δdim values))`` — zone + bloom
+      skipping on the collected (micro-batch-bounded) changed join
+      values (falls back to a broadcast-semi full scan past
+      ``max_inlist``);
+    - ``fact_now`` reads ONLY the touched keys' hash buckets
+      (``read_buckets`` on the ≤ ``n_buckets`` distinct bucket ids of
+      the touched-key set);
+    - each dim side reads ``read_keys`` on ``fact_now``'s ACTUAL
+      distinct join values (collected from the delta-bounded
+      ``fact_now``, so dim pruning needs no assumption about which
+      row wins the base merge) when the dim is keyed by its join
+      column and the value set fits ``max_inlist``.
+    """
+    from changedatacapture_spark.streaming import sink as _sink
+
+    keys = list(fact_key_cols)
+    io: dict = {}
+    touched = compacted_fact.select(*keys)
+    for (dim_tbl, jcol, _), cd in zip(dims, compacted_dims):
+        if cd is None:
+            continue
+        # Δdim values: micro-batch-bounded driver metadata. NULL join
+        # values never equi-join, so dropping them is exact.
+        jvals = [
+            r[0] for r in cd.select(jcol).distinct().collect()
+            if r[0] is not None
+        ]
+        if not jvals:
+            continue
+        if len(jvals) <= max_inlist:
+            from_dim = fact.read_where([(jcol, "in", jvals)]).select(*keys)
+            io[f"probe_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
+        else:
+            jdf = cd.select(jcol).distinct()
+            from_dim = (
+                fact.read()
+                .join(F.broadcast(jdf), jcol, "left_semi")
+                .select(*keys)
+            )
+        touched = touched.unionByName(from_dim)
+    touched = touched.distinct().persist()
+    try:
+        # touched keys' bucket ids: ≤ n_buckets longs — the bounded
+        # metadata that turns "scan the fact" into "scan |Δ| buckets"
+        bids = [
+            r[0]
+            for r in touched.select(
+                fact._bucket_col().alias("b")
+            ).distinct().collect()
+        ]
+        fact_now = (
+            fact.read_buckets(bids).join(touched, keys, "left_semi").persist()
+        )
+        io["fact"] = dict(_sink.LAST_SCAN_REPORT)
+        try:
+            joined = fact_now
+            for dim_tbl, jcol, payload in dims:
+                vals = [
+                    r[0]
+                    for r in fact_now.select(jcol)
+                    .distinct()
+                    .limit(max_inlist + 1)
+                    .collect()
+                    if r[0] is not None
+                ]
+                if len(vals) <= max_inlist and dim_tbl.key_cols == [jcol]:
+                    dn = (
+                        F.broadcast(dim_tbl.read_keys(vals))
+                        if vals
+                        else dim_tbl.read().limit(0)
+                    )
+                    io[f"dim_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
+                else:
+                    # composite-keyed dim or an overflowing value set:
+                    # exact fallback, one full dim read
+                    dn = dim_tbl.read()
+                joined = joined.join(dn.select(jcol, *payload), jcol, "inner")
+            # inner-join semantics: a touched key with no surviving
+            # join row (fact deleted, or any dim partner deleted)
+            # leaves the view
+            gone = touched.join(joined.select(*keys), keys, "left_anti")
+            payload_fields = [
+                f for f in joined.schema.fields if f.name not in keys
+            ]
+            dels = gone.select(
+                *keys,
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in payload_fields
+                ],
+            )
+            rows = joined.withColumn(op_col, F.lit("u")).unionByName(
+                dels.withColumn(op_col, F.lit("d"))
+            )
+            view.merge(rows, op_col=op_col, batch_id=batch_id)
+        finally:
+            fact_now.unpersist()
+    finally:
+        touched.unpersist()
+    return io
+
+
+def _namespace_batch_id(batch_id: int | None, out_of_band: bool) -> int | None:
+    """Out-of-band (dim-driven) applies share the view table's single
+    replay check with pipeline-driven applies; mapping their ids into
+    the negative range means an out-of-band id can never collide with
+    (and silently swallow) the next pipeline batch's id."""
+    if batch_id is None or not out_of_band:
+        return batch_id
+    return -(batch_id + 1)
+
+
 class JoinView:
     """Streaming materialized JOIN view: the inner equi-join of two
     CDC-maintained :class:`SnapshotTable`\\ s (fact keyed by its own
@@ -727,20 +859,31 @@ class JoinView:
     - every fact key in ΔA (its join partner may have changed, or the
       row was deleted), and
     - every fact row whose join value appears in ΔB (dim update/delete
-      must re-enrich or evict its fact rows) — found with ONE scan of
-      the fact table filtered by the broadcast ΔB join-value set
-      (bucket/zone-prunable when the fact table clusters on the join
-      column; never a full recompute).
+      must re-enrich or evict its fact rows) — found with a
+      ``read_where`` IN-list probe over the collected ΔB join values
+      (zone + bloom manifest skipping; broadcast-semi full-scan
+      fallback past ``max_inlist``).
 
     Touched keys re-join against the POST-merge states; keys whose
     join vanished (fact deleted, or dim partner deleted — inner-join
     semantics) merge as deletes into the view's own snapshot table.
-    Work per batch ∝ |ΔA| + |fact rows referencing ΔB| + |touched
-    groups' buckets|, never ∝ table size.
+    Work per batch — COMPUTE and I/O both — is ∝ |ΔA| + |fact rows
+    referencing ΔB| + |touched buckets|, never ∝ table size:
+    ``fact_now`` reads only the touched keys' hash buckets
+    (:meth:`SnapshotTable.read_buckets`), and the dim side reads only
+    ``fact_now``'s actual join values (:meth:`SnapshotTable.read_keys`)
+    when the dim is keyed by the join column. :attr:`last_scan`
+    records each read's buckets-kept/total after every apply.
 
     Call :meth:`apply` with both compacted batches AFTER both base
     merges commit (the view reads post-state; contrast
     :class:`AggView`, which retracts against pre-state).
+
+    Batch-id contract: pipeline-driven applies and out-of-band
+    (dim-driven) applies share the view table's single replay check.
+    Pass ``out_of_band=True`` on dim-driven applies — their ids map to
+    the negative range so they can never collide with a pipeline
+    batch id and silently skip its view update.
     """
 
     def __init__(
@@ -753,6 +896,7 @@ class JoinView:
         join_col: str,
         dim_payload_cols: Sequence[str],
         op_col: str = "op",
+        max_inlist: int = 10_000,
     ) -> None:
         self.spark = spark
         self.fact = base_fact
@@ -762,46 +906,86 @@ class JoinView:
         self.join_col = join_col
         self.dim_payload_cols = list(dim_payload_cols)
         self.op_col = op_col
+        self.max_inlist = max_inlist
+        #: per-read manifest pruning report of the last apply
+        self.last_scan: dict = {}
 
     def apply(
         self,
         compacted_fact: DataFrame,
         compacted_dim: DataFrame | None,
         batch_id: int | None = None,
+        out_of_band: bool = False,
     ) -> None:
-        keys = self.fact_key_cols
-        touched = compacted_fact.select(*keys)
-        if compacted_dim is not None:
-            jvals = compacted_dim.select(self.join_col).distinct()
-            # dim-side repair probe: one fact scan filtered by the
-            # (broadcast) changed join values — prunable, not a rescan
-            from_dim = (
-                self.fact.read()
-                .join(F.broadcast(jvals), self.join_col, "left_semi")
-                .select(*keys)
-            )
-            touched = touched.unionByName(from_dim)
-        touched = touched.distinct()
-        fact_now = self.fact.read().join(touched, keys, "left_semi")
-        dim_now = self.dim.read().select(
-            self.join_col, *self.dim_payload_cols
+        self.last_scan = _star_view_apply(
+            self.fact,
+            [(self.dim, self.join_col, self.dim_payload_cols)],
+            self.view,
+            self.fact_key_cols,
+            self.op_col,
+            self.max_inlist,
+            compacted_fact,
+            [compacted_dim],
+            _namespace_batch_id(batch_id, out_of_band),
         )
-        joined = fact_now.join(dim_now, self.join_col, "inner")
-        # inner-join semantics: a touched key with no surviving join
-        # row (fact deleted, or its dim partner deleted) leaves the view
-        gone = touched.join(joined.select(*keys), keys, "left_anti")
-        payload = [
-            f for f in joined.schema.fields if f.name not in keys
-        ]
-        dels = gone.select(
-            *keys,
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in payload],
+
+    def read(self) -> DataFrame:
+        return self.view.read()
+
+
+class StarJoinView:
+    """N-dim generalization of :class:`JoinView`: a fact inner-joined
+    to several dims (orders ⋈ customers ⋈ nation — the star every
+    enrichment pipeline materializes), maintained incrementally with
+    per-dim touched-key decomposition.
+
+    ``dims``: sequence of ``(dim_table, join_col, payload_cols)``.
+    Each Δdim_i contributes its own repair probe (fact rows
+    referencing Δdim_i's join values, found via the pruned
+    ``read_where`` IN-list probe); the union of all probes plus ΔA's
+    keys is the touched set, recomputed once against all dims' post
+    states. I/O bounds are :class:`JoinView`'s, summed over dims.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_fact: SnapshotTable,
+        dims: Sequence[tuple],
+        view_table: SnapshotTable,
+        fact_key_cols: Sequence[str],
+        op_col: str = "op",
+        max_inlist: int = 10_000,
+    ) -> None:
+        self.spark = spark
+        self.fact = base_fact
+        self.dims = [(t, j, list(p)) for t, j, p in dims]
+        self.view = view_table
+        self.fact_key_cols = list(fact_key_cols)
+        self.op_col = op_col
+        self.max_inlist = max_inlist
+        self.last_scan: dict = {}
+
+    def apply(
+        self,
+        compacted_fact: DataFrame,
+        compacted_dims: Sequence[DataFrame | None] | None = None,
+        batch_id: int | None = None,
+        out_of_band: bool = False,
+    ) -> None:
+        if compacted_dims is None:
+            compacted_dims = [None] * len(self.dims)
+        self.last_scan = _star_view_apply(
+            self.fact,
+            self.dims,
+            self.view,
+            self.fact_key_cols,
+            self.op_col,
+            self.max_inlist,
+            compacted_fact,
+            compacted_dims,
+            _namespace_batch_id(batch_id, out_of_band),
         )
-        rows = (
-            joined.withColumn(self.op_col, F.lit("u"))
-            .unionByName(dels.withColumn(self.op_col, F.lit("d")))
-        )
-        self.view.merge(rows, op_col=self.op_col, batch_id=batch_id)
 
     def read(self) -> DataFrame:
         return self.view.read()

@@ -34,6 +34,7 @@ import os
 import secrets
 import shutil
 import time
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -774,6 +775,37 @@ class SnapshotTable:
             .distinct()
             .collect()
         }
+        df = self.read_buckets(sorted(wanted), include_tombstones=True)
+        df = df.join(F.broadcast(keydf), self.key_cols, "leftsemi")
+        guard = ptr.get("guard")
+        if guard and not include_tombstones:
+            df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
+        return df
+
+    def read_buckets(
+        self, bucket_ids: Sequence[int], include_tombstones: bool = False
+    ) -> DataFrame:
+        """Bucket-subset read: current rows of ONLY the listed hash
+        buckets (base files plus MoR runs pruned to the same ids).
+
+        This is the primitive under :meth:`read_keys` point lookups
+        and :class:`~..streaming.pipeline.JoinView`'s delta-bounded
+        recompute: a caller that derived the touched bucket ids from
+        bounded driver metadata (the distinct ``_bucket_col`` values
+        of a delta's keys — at most ``n_buckets`` longs) scans
+        O(|bucket_ids|) directories regardless of table size. Bucket
+        ids outside the live manifest are simply absent from the
+        result. Records module-level ``LAST_SCAN_REPORT`` so plan
+        tests can pin ``buckets_kept < buckets_total`` for a delta
+        touching few buckets.
+        """
+        from pyspark.sql.types import StructType
+
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        schema = StructType.fromJson(json.loads(ptr["schema"]))
+        wanted = {int(b) for b in bucket_ids}
         manifest = {int(b): v for b, v in ptr["buckets"].items()}
         paths = [
             f"{self.path}/v={v}/bucket={b}"
@@ -781,14 +813,25 @@ class SnapshotTable:
             if b in wanted
         ]
         # MoR delta runs are bucket-partitioned with the same routing,
-        # so the point lookup prunes them by the same bucket ids —
-        # lookup cost stays O(touched buckets x runs), never the table
+        # so the subset read prunes them by the same bucket ids —
+        # cost stays O(touched buckets x runs), never the table
         pruned_ptr = dict(ptr)
         pruned_ptr["runs"] = [
             {**run, "buckets": [b for b in run["buckets"] if b in wanted]}
             for run in (ptr.get("runs") or [])
         ]
         pruned_ptr["runs"] = [r for r in pruned_ptr["runs"] if r["buckets"]]
+        run_buckets = {
+            b for run in (ptr.get("runs") or []) for b in run["buckets"]
+        }
+        live = set(manifest) | run_buckets
+        global LAST_SCAN_REPORT
+        LAST_SCAN_REPORT = {
+            "buckets_total": len(live),
+            "buckets_kept": len(live & wanted),
+            "files_total": len(live),
+            "files_kept": len(live & wanted),
+        }
         if not paths and not pruned_ptr["runs"]:
             return self.spark.createDataFrame([], schema)
         if paths:
@@ -796,7 +839,6 @@ class SnapshotTable:
         else:
             df = self.spark.createDataFrame([], schema)
         df = self._mor_resolve(df, pruned_ptr, schema)
-        df = df.join(F.broadcast(keydf), self.key_cols, "leftsemi")
         guard = ptr.get("guard")
         if guard and not include_tombstones:
             df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])

@@ -149,3 +149,144 @@ def test_join_view_fact_row_without_dim_joins_later(spark, tmp_path):
     dim.merge(d2, batch_id=1)
     jv.apply(_fact_batch(spark, []).limit(0), d2, batch_id=1)
     assert _got(view) == [(1, 10, 100, "late")]
+
+
+def test_join_view_io_is_delta_bounded(spark, tmp_path):
+    """The round-14 pruning contract: a small delta's apply must read
+    a strict SUBSET of the fact's buckets (read_buckets on the touched
+    keys' bucket ids) and a strict subset of the dim's buckets
+    (read_keys on fact_now's actual join values) — never full scans.
+    last_scan is the manifest-level evidence."""
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), ["k"], n_buckets=64)
+    dim = SnapshotTable(spark, str(tmp_path / "dim"), ["d"], n_buckets=8)
+    view = SnapshotTable(spark, str(tmp_path / "view"), ["k"], n_buckets=8)
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["k"], join_col="d", dim_payload_cols=["label"],
+    )
+    a1 = _fact_batch(
+        spark, [(k, k % 16, k * 10, "c") for k in range(200)]
+    )
+    d1 = _dim_batch(spark, [(d, f"L{d}", "c") for d in range(16)])
+    fact.merge(a1, batch_id=0)
+    dim.merge(d1, batch_id=0)
+    jv.apply(a1, d1, batch_id=0)
+
+    # delta: 2 fact keys + 1 dim value (→ ≤ 13 referencing fact rows)
+    a2 = _fact_batch(spark, [(1, 3, 11, "u"), (2, 5, 22, "u")])
+    d2 = _dim_batch(spark, [(3, "L3v2", "u")])
+    fact.merge(a2, batch_id=1)
+    dim.merge(d2, batch_id=1)
+    jv.apply(a2, d2, batch_id=1)
+    assert _got_labeled(view) == _expect(fact, dim)
+
+    scan = jv.last_scan
+    # fact read: touched ≤ 15 keys → ≤ 15 of 64 buckets
+    assert scan["fact"]["buckets_kept"] <= 15
+    assert scan["fact"]["buckets_kept"] < scan["fact"]["buckets_total"]
+    assert scan["fact"]["buckets_total"] >= 32
+    # dim read: fact_now references ≤ 3 distinct dim values of 16
+    assert scan["dim_d"]["buckets_kept"] <= 3
+    assert scan["dim_d"]["buckets_kept"] < scan["dim_d"]["buckets_total"]
+    # the ΔB repair probe went through read_where (IN-list skipping)
+    assert "probe_d" in scan
+    assert scan["probe_d"]["buckets_kept"] <= scan["probe_d"]["buckets_total"]
+
+
+def _got_labeled(view):
+    return sorted((r.k, r.d, r.v, r.label) for r in view.read().collect())
+
+
+def test_join_view_out_of_band_id_never_swallows_pipeline_batch(
+    spark, tmp_path
+):
+    """An out-of-band dim apply reusing the NEXT pipeline batch id must
+    not make the view's replay check skip that batch (the ADVICE
+    finding): out_of_band=True namespaces the id negative."""
+    fact, dim, view, jv = _mk(spark, tmp_path)
+    a1 = _fact_batch(spark, [(1, 10, 100, "c")])
+    d1 = _dim_batch(spark, [(10, "x", "c"), (11, "y", "c")])
+    fact.merge(a1, batch_id=0)
+    dim.merge(d1, batch_id=0)
+    jv.apply(a1, d1, batch_id=0)
+
+    # out-of-band dim apply that (wrongly but plausibly) reuses id 1
+    d2 = _dim_batch(spark, [(10, "x2", "u")])
+    dim.merge(d2, batch_id=1)
+    jv.apply(
+        _fact_batch(spark, []).limit(0), d2, batch_id=1, out_of_band=True
+    )
+    assert _got(view) == [(1, 10, 100, "x2")]
+
+    # the pipeline's OWN batch 1 must still apply (not replay-skipped)
+    a2 = _fact_batch(spark, [(2, 11, 200, "c")])
+    fact.merge(a2, batch_id=1)
+    jv.apply(a2, None, batch_id=1)
+    assert _got(view) == [(1, 10, 100, "x2"), (2, 11, 200, "y")]
+
+
+def test_star_join_view_two_dims(spark, tmp_path):
+    """StarJoinView: fact ⋈ dim1 ⋈ dim2 stays equal to the plain
+    3-way inner join of final states under fact updates/deletes and
+    per-dim updates/deletes (each Δdim contributing its own probe)."""
+    from changedatacapture_spark.streaming.pipeline import StarJoinView
+
+    fact = SnapshotTable(spark, str(tmp_path / "fact"), ["k"], n_buckets=8)
+    d1t = SnapshotTable(spark, str(tmp_path / "d1"), ["d"], n_buckets=4)
+    d2t = SnapshotTable(spark, str(tmp_path / "d2"), ["e"], n_buckets=4)
+    view = SnapshotTable(spark, str(tmp_path / "view"), ["k"], n_buckets=8)
+    sv = StarJoinView(
+        spark, fact,
+        [(d1t, "d", ["label"]), (d2t, "e", ["tag"])],
+        view, fact_key_cols=["k"],
+    )
+
+    def fb(rows):
+        return spark.createDataFrame(
+            rows, "k long, d long, e long, v long, op string"
+        )
+
+    def db1(rows):
+        return spark.createDataFrame(rows, "d long, label string, op string")
+
+    def db2(rows):
+        return spark.createDataFrame(rows, "e long, tag string, op string")
+
+    def expect():
+        f = {r.k: (r.d, r.e, r.v) for r in fact.read().collect()}
+        m1 = {r.d: r.label for r in d1t.read().collect()}
+        m2 = {r.e: r.tag for r in d2t.read().collect()}
+        return sorted(
+            (k, d, e, v, m1[d], m2[e])
+            for k, (d, e, v) in f.items()
+            if d in m1 and e in m2
+        )
+
+    def got():
+        return sorted(
+            (r.k, r.d, r.e, r.v, r.label, r.tag)
+            for r in view.read().collect()
+        )
+
+    a1 = fb([(1, 10, 7, 100, "c"), (2, 10, 8, 200, "c"), (3, 11, 7, 300, "c")])
+    b1 = db1([(10, "x", "c"), (11, "y", "c")])
+    c1 = db2([(7, "p", "c"), (8, "q", "c")])
+    fact.merge(a1, batch_id=0)
+    d1t.merge(b1, batch_id=0)
+    d2t.merge(c1, batch_id=0)
+    sv.apply(a1, [b1, c1], batch_id=0)
+    assert got() == expect()
+
+    # dim1 update re-enriches; dim2 delete evicts; fact update moves
+    a2 = fb([(3, 11, 8, 301, "u")])
+    b2 = db1([(10, "x2", "u")])
+    c2 = db2([(7, None, "d")])
+    fact.merge(a2, batch_id=1)
+    d1t.merge(b2, batch_id=1)
+    d2t.merge(c2, batch_id=1)
+    sv.apply(a2, [b2, c2], batch_id=1)
+    g = got()
+    assert g == expect()
+    assert (1, 10, 7, 100, "x2", "p") not in g  # e=7 evicted by dim2 delete
+    assert (3, 11, 8, 301, "y", "q") in g  # moved to surviving dim2 value
+    assert (2, 10, 8, 200, "x2", "q") in g  # re-enriched by dim1 update

@@ -278,9 +278,18 @@ def exact_heavy_hitters(
     filtered count over the scan.
 
     Output: ``key, n_rows, total_rows, share_ppm`` (exact integers).
+
+    NULL-key contract (whole family): heavy hitters are defined over
+    NON-NULL keys — NULL never equi-joins, so the broadcast-semi
+    verify could never recount it and a SQL ``GROUP BY`` oracle WOULD
+    emit it, silently diverging. Every entry point filters
+    ``key_col IS NOT NULL`` first (totals, thresholds, and shares are
+    all over the non-null row population); pair oracles with the same
+    ``WHERE key IS NOT NULL``.
     """
     if capacity <= k:
         raise ValueError("capacity must exceed k for the MG guarantee")
+    df = df.filter(F.col(key_col).isNotNull())
     cands = mg_candidates(df, key_col, capacity)
     return verify_heavy_hitters(df, cands, key_col, k)
 
@@ -309,6 +318,10 @@ def mg_candidates(df: DataFrame, key_col: str, capacity: int) -> DataFrame:
     # key_col signature
     key_type = df.schema[key_col].dataType
     cand_schema = T.StructType([T.StructField("key", key_type)])
+    # NULL keys are outside the heavy-hitter domain (see
+    # exact_heavy_hitters): filter explicitly rather than rely on
+    # value_counts dropping NaN, so the contract is visible here too
+    df = df.filter(F.col(key_col).isNotNull())
 
     def mg_summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         acc = pd.Series(dtype="int64")
@@ -333,10 +346,13 @@ def verify_heavy_hitters(
     the candidate keys (broadcast semi-join + map-side-combinable
     count) and apply the exact integer threshold — output is
     deterministic and identical to the plain groupBy definition as
-    long as ``cands`` is a superset of the true heavy hitters."""
+    long as ``cands`` is a superset of the true heavy hitters.
+    NULL keys are excluded (family contract, :func:`exact_heavy_hitters`)
+    so ``total_rows`` matches what the semi-join can ever recount."""
     # rename the candidate column before joining: a caller whose
     # key_col is literally "key" would otherwise make the join
     # condition ambiguous between the two sides
+    df = df.filter(F.col(key_col).isNotNull())
     cands = cands.select(F.col("key").alias("_hh_key")).distinct()
     total = df.agg(F.count(F.lit(1)).alias("total_rows"))
     counted = (
@@ -381,7 +397,11 @@ def heavy_hitter_calibration(
     class as zone-map stats). If the sample is empty (tiny corpora),
     returns ``(total_rows + 1, total_rows)`` — an impossible threshold
     that yields the empty set on BOTH engines deterministically.
+    NULL keys are excluded up front (the family's non-null contract,
+    see :func:`exact_heavy_hitters`) — total, threshold, and shares
+    are all over the non-null population.
     """
+    df = df.filter(F.col(key_col).isNotNull())
     total = df.count()
     bucket = (
         F.conv(
@@ -443,7 +463,9 @@ def verify_heavy_hitters_at(
     keys and keep those with ``n_rows >= threshold_rows``. Exact as
     long as ``cands`` is a superset of the keys at the threshold.
     ``total_rows``, when the caller already holds the exact count
-    (the calibration pass computes it), skips the extra full scan."""
+    (the calibration pass computes it), skips the extra full scan.
+    NULL keys excluded (family contract, :func:`exact_heavy_hitters`)."""
+    df = df.filter(F.col(key_col).isNotNull())
     cands = cands.select(F.col("key").alias("_hh_key")).distinct()
     counted = (
         df.join(

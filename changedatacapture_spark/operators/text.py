@@ -879,6 +879,15 @@ def build_text_index(
     growth needs no tombstones; a tombstone-heavy index wants a
     periodic ``mode="overwrite"`` rebuild, like any LSM major
     compaction.
+
+    Crash atomicity: postings, doclen, and tombstones are three Spark
+    writes — a crash between them must not leave a half-segment that
+    silently skews N, L, and df. Each segment therefore becomes
+    visible only when its COMMIT MARKER (``_segments/<seg>``, an
+    atomic O_CREAT after all three relations land) exists; probes
+    filter every relation to marked segments, so an interrupted
+    append's rows are never read (they are reclaimed by the next
+    ``mode="overwrite"`` rebuild, the LSM major compaction).
     """
     import time as _time
 
@@ -897,19 +906,26 @@ def build_text_index(
         .withColumn("seg", F.lit(seg))
     )
     postings.write.mode(mode).parquet(f"{path}/postings")
+    # doclen from a READ-BACK of the just-written postings (filtered
+    # to this seg — parquet stats skip other segments' files): the
+    # corpus is tokenized exactly once; the doclen job re-reads the
+    # skinny aggregate, never the text
+    spark = docs.sparkSession
+    written = spark.read.parquet(f"{path}/postings").filter(
+        F.col("seg") == seg
+    )
     (
-        postings.groupBy("doc_id", "seg")
+        written.groupBy("doc_id", "seg")
         .agg(F.sum("tf").alias("dl"))
         .write.mode(mode)
         .parquet(f"{path}/doclen")
     )
-    tmb_mode = mode
     if tombstone_docs is not None:
         (
             tombstone_docs.select(F.col(id_col).alias("doc_id"))
             .distinct()
             .withColumn("seg", F.lit(seg))
-            .write.mode(tmb_mode)
+            .write.mode(mode)
             .parquet(f"{path}/tombstones")
         )
     elif mode == "overwrite":
@@ -917,6 +933,40 @@ def build_text_index(
         import shutil
 
         shutil.rmtree(f"{path}/tombstones", ignore_errors=True)
+    # commit point: the marker makes the segment visible to probes.
+    # A rebuild starts a fresh marker set (older segments' rows were
+    # just overwritten; their markers must not resurrect tombstones).
+    import os as _os
+    import shutil as _shutil
+
+    if mode == "overwrite":
+        _shutil.rmtree(f"{path}/_segments", ignore_errors=True)
+    _os.makedirs(f"{path}/_segments", exist_ok=True)
+    with open(f"{path}/_segments/{seg}", "x"):
+        pass
+
+
+def _committed_segs(index_path: str) -> list[int] | None:
+    """Marked (fully committed) segment ids of a text index, or None
+    for a legacy layout without markers (everything visible)."""
+    import os
+
+    segdir = f"{index_path}/_segments"
+    if not os.path.isdir(segdir):
+        return None
+    return [int(x) for x in os.listdir(segdir)]
+
+
+def _only_committed(index_path: str, rel: DataFrame) -> DataFrame:
+    """Filter an index relation (carrying ``seg``) to committed
+    segments — the probe-side half of the commit-marker contract in
+    :func:`build_text_index`. Driver metadata is one bounded listdir
+    (#segments ≪ #files); the resulting IN-list prunes whole files
+    via parquet row-group stats (seg is constant per file)."""
+    segs = _committed_segs(index_path)
+    if segs is None:
+        return rel
+    return rel.filter(F.col("seg").isin(segs))
 
 
 def _mask_tombstones(spark, index_path: str, rel: DataFrame) -> DataFrame:
@@ -927,7 +977,9 @@ def _mask_tombstones(spark, index_path: str, rel: DataFrame) -> DataFrame:
 
     if not os.path.isdir(f"{index_path}/tombstones"):
         return rel
-    tmb = spark.read.parquet(f"{index_path}/tombstones").select(
+    tmb = _only_committed(
+        index_path, spark.read.parquet(f"{index_path}/tombstones")
+    ).select(
         F.col("doc_id").alias("_t_doc"), F.col("seg").alias("_t_seg")
     )
     return (
@@ -959,12 +1011,19 @@ def bm25_topk_indexed(
     tf = _mask_tombstones(
         spark,
         index_path,
-        spark.read.parquet(f"{index_path}/postings").filter(
-            F.col("term").isin(q)
+        _only_committed(
+            index_path,
+            spark.read.parquet(f"{index_path}/postings").filter(
+                F.col("term").isin(q)
+            ),
         ),
     ).drop("seg")
     dl = _mask_tombstones(
-        spark, index_path, spark.read.parquet(f"{index_path}/doclen")
+        spark,
+        index_path,
+        _only_committed(
+            index_path, spark.read.parquet(f"{index_path}/doclen")
+        ),
     ).drop("seg")
     return _bm25_score(tf, dl, top_k)
 

@@ -6150,10 +6150,14 @@ def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 256,
     )
     work = _session_scratch_dir("zorder_scan_")
-    # corpus-aware file size: ~2k files at any scale (64-row floor
-    # keeps the sf0.01 fixture multi-file so pruning is observable);
-    # a fixed tiny cap would write 156k files at sf1 — a small-files
-    # problem, not a layout demo
+    # corpus-aware file size at WRITE time (64-row floor keeps the
+    # sf0.01 fixture multi-file), then SIZE-TARGETED bin-packing via
+    # compact(target_file_bytes=1 MiB) — the round-13 verdict's
+    # small-file fix: the sf0.1 table drops from ~1.6k part files to
+    # tens while the curve sort (and therefore the per-file zone maps'
+    # pruned FRACTION) carries through the rewrite. At 100 TB the
+    # target would be 128-512 MiB; 1 MiB keeps the local fixture
+    # multi-file per bucket so pruning stays observable.
     n = ev.count()
     table = SnapshotTable(
         spark,
@@ -6164,6 +6168,7 @@ def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_records_per_file=max(64, n // 2048),
     )
     table.overwrite(state, batch_id=0)
+    table.compact(target_file_bytes=1 << 20)
     return table.read_where(
         [("bx", "between", 32, 47), ("by_", "between", 32, 47)]
     ).select("event_id", "user_id", "value", "bx", "by_")
@@ -9024,6 +9029,48 @@ def q_cdc_bloom_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar would double the query's dominant cost
     probe = table.read().agg(F.max("seq")).first()[0]
     return table.read_where([("seq", "=", probe)]).select(
+        "key_id", "seq", "ts_us", "value", "props"
+    )
+
+
+@_register(
+    "cdc_bloom_in_scan",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL}),
+    b AS (SELECT min(seq) AS lo, max(seq) AS hi FROM final_state)
+    SELECT key_id, seq, ts_us, value, props
+    FROM final_state, b WHERE seq IN (b.lo, b.hi, b.hi + 1)
+    """,
+)
+def q_cdc_bloom_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom skipping for IN-LIST probes (``cdc_bloom_pruned_scan``'s
+    multi-value sibling, the round-13 verdict's composition ask): a
+    ``(col, "in", [...])`` predicate keeps a bucket/file iff ANY
+    listed literal may be present — per-literal bloom membership
+    OR-folded with the zone-range test (streaming/sink.py:
+    _zone_may_match), un-normalizable literals never prune. The probe
+    is {{min seq, max seq, max seq + 1}} over the final state: two
+    present values route to their home buckets, the absent third
+    exercises the never-false-negative side. The oracle states the
+    identical IN over the final state; results are exact regardless
+    of pruning. tests/test_round14_ops.py pins kept < total, the
+    all-absent zero-bucket case, and bloom-less legacy survival."""
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    state = compact_latest(log, ["key_id"], ["ts_us", "seq"]).filter(
+        F.col("op") != "d"
+    ).drop("op")
+    table = SnapshotTable(
+        spark,
+        _session_scratch_dir("cdc_bloom_in_"),
+        ["key_id"],
+        n_buckets=8,
+        bloom_cols=["seq"],
+    )
+    table.overwrite(state, batch_id=0)
+    lo, hi = table.read().agg(F.min("seq"), F.max("seq")).first()
+    return table.read_where([("seq", "in", [lo, hi, hi + 1])]).select(
         "key_id", "seq", "ts_us", "value", "props"
     )
 

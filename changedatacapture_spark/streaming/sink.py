@@ -357,6 +357,12 @@ class SnapshotTable:
         #: write job + commit). Size it above the longest plausible
         #: single merge write; tests shrink it to exercise collection.
         self.vacuum_grace_s = 600.0
+        #: staging-marker lifetime (seconds): an uncommitted version
+        #: dir whose _staging/<id> marker stands is NEVER vacuumed
+        #: until the marker is this old (see _new_data_version) — the
+        #: hard guarantee behind the commit guard; crashed writers'
+        #: orphans are reclaimed after expiry via the grace heuristic
+        self.staging_ttl_s = 86400.0
         # the bucket count is a PHYSICAL property of the committed
         # files: an existing table's persisted value overrides the
         # constructor arg, otherwise a reader constructed with a
@@ -540,6 +546,10 @@ class SnapshotTable:
         with open(f"{self.path}/{_LOG}", "a") as f:
             f.write(json.dumps(entry) + "\n")
         os.replace(tmp, self._pointer_path())  # atomic on POSIX
+        # the pointer now references this attempt's files: the staging
+        # marker's job is done (vacuum protects referenced versions by
+        # the manifest itself from here on)
+        self._clear_staging(data_version)
         # O(1) size probe, not a line count: between compactions the
         # log is bounded, so the rewrite below amortizes to O(retention)
         # per commit instead of history() re-reading O(n_commits)
@@ -1305,8 +1315,34 @@ class SnapshotTable:
         Time-ordered high bits keep directory listings debuggable; the
         salt makes same-nanosecond cross-process collisions (already
         implausible) negligible.
+
+        A STAGING MARKER (``_staging/<id>``) is dropped at allocation
+        time, before any file lands under ``v=<id>``: :meth:`_vacuum`
+        never collects an uncommitted dir whose marker stands (and is
+        younger than ``staging_ttl_s``), which closes the
+        check-then-flip TOCTOU where a racing winner's vacuum could
+        delete a slow writer's freshly written files between the
+        commit guard's existence sweep and the pointer flip — the
+        grace window alone only narrowed that race. :meth:`_commit`
+        clears the marker once the pointer references the files; a
+        crashed writer's marker expires after ``staging_ttl_s`` and
+        grace-window vacuuming resumes (the residual TOCTOU now
+        requires a single write job outliving the TTL, and the commit
+        guard still fails it loudly rather than committing corruption).
         """
-        return (time.time_ns() << 10) | secrets.randbits(10)
+        pv = (time.time_ns() << 10) | secrets.randbits(10)
+        os.makedirs(f"{self.path}/_staging", exist_ok=True)
+        with open(f"{self.path}/_staging/{pv}", "w"):
+            pass
+        return pv
+
+    def _clear_staging(self, data_version: int | None) -> None:
+        if data_version is None:
+            return
+        try:
+            os.remove(f"{self.path}/_staging/{data_version}")
+        except OSError:
+            pass
 
     def _write_buckets(
         self,
@@ -1314,6 +1350,7 @@ class SnapshotTable:
         version: int,
         dynamic: bool = False,
         expected_base: int | None = None,
+        records_per_file: int | None = None,
     ) -> list[int]:
         """Write ``df`` (bucket column included) partitioned by bucket
         under ``v=<version>`` — ``version`` being this attempt's
@@ -1350,14 +1387,21 @@ class SnapshotTable:
                     f"pointer moved to {cur_v}; aborting before the "
                     f"write job runs — re-read and retry the batch"
                 )
-        return self._do_write_buckets(df, version, dynamic)
+        return self._do_write_buckets(df, version, dynamic, records_per_file)
 
     def _do_write_buckets(
-        self, df: DataFrame, version: int, dynamic: bool = False
+        self,
+        df: DataFrame,
+        version: int,
+        dynamic: bool = False,
+        records_per_file: int | None = None,
     ) -> list[int]:
         """The physical write behind :meth:`_write_buckets`, after the
         concurrent-writer economy check (split out so race tests can
-        interleave a winner between the check and the job)."""
+        interleave a winner between the check and the job).
+        ``records_per_file`` overrides the table's
+        ``max_records_per_file`` for THIS write — maintenance rewrites
+        use it to bin-pack toward a target file size."""
         # fixed partition count = bucket count: tasks align 1:1 with
         # output bucket directories, so each task streams one file.
         # (Measured: letting AQE coalesce this shuffle for small
@@ -1372,12 +1416,15 @@ class SnapshotTable:
         writer = out.write.mode("overwrite").partitionBy("bucket")
         if dynamic:
             writer = writer.option("partitionOverwriteMode", "dynamic")
-        if self.max_records_per_file:
+        rpf = (
+            records_per_file
+            if records_per_file is not None
+            else self.max_records_per_file
+        )
+        if rpf:
             # split each sorted bucket into cluster-key-contiguous
             # files so per-file zone maps have something to prune
-            writer = writer.option(
-                "maxRecordsPerFile", str(self.max_records_per_file)
-            )
+            writer = writer.option("maxRecordsPerFile", str(rpf))
         writer.parquet(f"{self.path}/v={version}")
         return self._written_buckets(version)
 
@@ -1428,6 +1475,25 @@ class SnapshotTable:
             if v in referenced:
                 continue
             if v not in committed_ever:
+                # a standing staging marker means the writer that
+                # allocated this id is (or may still be) mid-write:
+                # never collect, however old the dir's mtime — this is
+                # what closes the commit guard's check-then-flip TOCTOU
+                # for write jobs that outlive vacuum_grace_s. Markers
+                # older than staging_ttl_s are crashed writers: expire
+                # the marker and fall back to the grace heuristic.
+                marker = f"{self.path}/_staging/{v}"
+                try:
+                    m_age = now - os.path.getmtime(marker)
+                except OSError:
+                    m_age = None
+                if m_age is not None:
+                    if m_age < self.staging_ttl_s:
+                        continue
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
                 try:
                     age = now - os.path.getmtime(f"{self.path}/v={v}")
                 except OSError:
@@ -2031,7 +2097,7 @@ class SnapshotTable:
         )
         self._vacuum()
 
-    def compact(self) -> int:
+    def compact(self, target_file_bytes: int | None = None) -> int:
         """Physically compact the table: rewrite every live bucket at
         one fresh version (the Delta ``OPTIMIZE`` analogue).
 
@@ -2044,6 +2110,18 @@ class SnapshotTable:
         ``repartition(n_buckets, "bucket")``) — and commits a manifest
         where every bucket points at the new version, unpinning all
         older dirs for vacuum.
+
+        ``target_file_bytes`` switches the rewrite to SIZE-TARGETED
+        bin-packing (the ``OPTIMIZE`` file-size knob): rows-per-file is
+        derived from the table's own measured bytes/row — current
+        on-disk parquet bytes (base + pending runs, bounded driver
+        metadata from the manifest) over the current row count (a
+        parquet footer-only count, no data scan) — so a clustered
+        table keeps per-file zone maps at a file size chosen for the
+        target store, instead of whatever ``max_records_per_file`` the
+        write-time demo picked. At 100 TB, manifest size, open cost,
+        and bloom/zone stats volume all scale with file count; this is
+        the lever that bounds them after churn.
 
         Logical contents (including guard tombstones), schema, guard
         metadata, and the replay batch id are all carried through
@@ -2058,10 +2136,20 @@ class SnapshotTable:
         full = self.read(include_tombstones=True).withColumn(
             "bucket", self._bucket_col()
         )
+        rpf = None
+        if target_file_bytes is not None:
+            on_disk = self.base_bytes() + self.pending_run_bytes()
+            n_rows = self.read(include_tombstones=True).count()
+            if n_rows > 0 and on_disk > 0:
+                rpf = max(
+                    1, int(n_rows * target_file_bytes / on_disk)
+                )
         base = int(ptr["version"])
         version = base + 1
         pv = self._new_data_version()
-        written = self._write_buckets(full, pv, expected_base=base)
+        written = self._write_buckets(
+            full, pv, expected_base=base, records_per_file=rpf
+        )
         self._commit(
             version, ptr.get("batch_id"), {b: pv for b in written},
             ptr["schema"], expected_base=base, data_version=pv,

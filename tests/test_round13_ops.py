@@ -451,3 +451,71 @@ def test_lsh_incremental_recrawled_id_not_own_partner(spark):
         delta2, corpus, n_hashes=4, bands=2, k=5
     ).collect()
     assert out2[0].first_partner == 1
+
+
+def test_text_index_uncommitted_segment_invisible(spark, tmp_path):
+    """Crash atomicity (round-14 ADVICE): a segment whose commit
+    marker is missing — the crash-between-writes state — must be
+    invisible to probes: postings/doclen/tombstone rows of the
+    half-written segment never skew N, L, df, or the ranking."""
+    import os
+
+    from changedatacapture_spark.operators.text import (
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    base = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha alpha delta"),
+            (3, "beta beta beta alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(base, idx)
+    terms = ["alpha", "beta"]
+    before = sorted(
+        map(tuple, bm25_topk_indexed(spark, idx, terms, 10).collect())
+    )
+
+    # append a segment (re-crawling doc 1), then simulate the crash:
+    # remove its commit marker — all three relations hold its rows
+    markers_before = set(os.listdir(f"{idx}/_segments"))
+    delta = spark.createDataFrame(
+        [(1, "alpha alpha alpha alpha"), (4, "beta beta")],
+        "doc_id long, text string",
+    )
+    build_text_index(
+        delta, idx, mode="append",
+        tombstone_docs=delta.filter(F.col("doc_id") == 1).select("doc_id"),
+    )
+    (new_marker,) = set(os.listdir(f"{idx}/_segments")) - markers_before
+    os.remove(f"{idx}/_segments/{new_marker}")
+
+    after = sorted(
+        map(tuple, bm25_topk_indexed(spark, idx, terms, 10).collect())
+    )
+    assert after == before
+
+    # restoring the marker (the retry/commit completing) flips the
+    # segment visible — rows, tombstone masking and all
+    with open(f"{idx}/_segments/{new_marker}", "x"):
+        pass
+    from changedatacapture_spark.operators.text import bm25_topk
+
+    final = spark.createDataFrame(
+        [
+            (1, "alpha alpha alpha alpha"),
+            (2, "alpha alpha delta"),
+            (3, "beta beta beta alpha"),
+            (4, "beta beta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, bm25_topk_indexed(spark, idx, terms, 10).collect())
+    )
+    want = sorted(map(tuple, bm25_topk(final, terms, 10).collect()))
+    assert got == want

@@ -193,8 +193,15 @@ def test_merge_recovers_from_orphan_version_dir(spark, tmp_path):
     # within the grace window the orphan survives (it could have been a
     # live concurrent writer's staging dir) ...
     assert os.path.exists(f"{orphan}/part-stale.parquet")
-    # ... and is collected once the window expires
+    # ... and STILL survives with grace expired while its staging
+    # marker stands — a live slow writer is protected however long its
+    # write job runs (the round-14 TOCTOU fix) ...
     table2.vacuum_grace_s = 0.0
+    table2._vacuum()
+    assert os.path.exists(f"{orphan}/part-stale.parquet")
+    # ... and is collected once the marker's TTL expires too (the
+    # writer is provably dead, not slow)
+    table2.staging_ttl_s = 0.0
     table2._vacuum()
     assert not os.path.exists(orphan)
     assert sorted((r.k, r.v) for r in table2.read().collect()) == [

@@ -159,3 +159,88 @@ def test_mor_any_size_policy_schedule_equals_global_compaction(
     assert t.exists()
     got = sorted((r.key_id, r.value) for r in t.read().collect())
     assert got == _expected(events)
+
+
+@given(_EVENTS, _PLAN, st.integers(min_value=0, max_value=2**31 - 1))
+@_SETTINGS
+def test_join_view_invariant_under_mor_splits_and_folds(
+    spark, tmp_path_factory, events, plan, cut_seed
+):
+    """JoinView x MoR composition (round-14): for ANY batch split, ANY
+    per-batch storage mode, and ANY compaction interleaving on the
+    FACT base, the incrementally-maintained join view equals the plain
+    inner join of the final states — including a dim change landing on
+    the last batch (label update + dim delete)."""
+    import random
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.pipeline import JoinView
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    rows = sorted(
+        (ts, seq, key, op, value)
+        for seq, (key, ts, op, value) in enumerate(events)
+    )
+    n_batches = len(plan)
+    rng = random.Random(cut_seed)
+    cuts = sorted(rng.randint(0, len(rows)) for _ in range(n_batches - 1))
+    bounds = [0] + cuts + [len(rows)]
+
+    root = tmp_path_factory.mktemp("jv_mor_prop")
+    fact = SnapshotTable(spark, str(root / "fact"), ["key_id"], n_buckets=4)
+    dim = SnapshotTable(spark, str(root / "dim"), ["dim_id"], n_buckets=2)
+    view = SnapshotTable(spark, str(root / "view"), ["key_id"], n_buckets=4)
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["key_id"], join_col="dim_id",
+        dim_payload_cols=["label"],
+    )
+    dim.merge(
+        spark.createDataFrame(
+            [(d, f"L{d}", "c") for d in range(3)],
+            "dim_id long, label string, op string",
+        ),
+        batch_id=0,
+    )
+    last_dim = spark.createDataFrame(
+        [(0, "L0v2", "u"), (2, None, "d")],
+        "dim_id long, label string, op string",
+    )
+    applied_any = False
+    for i, (mode, fold) in enumerate(plan):
+        chunk = rows[bounds[i]:bounds[i + 1]]
+        dim_delta = last_dim if i == n_batches - 1 else None
+        if not chunk and dim_delta is None:
+            continue
+        df = spark.createDataFrame(
+            [(k, ts, seq, op, v, k % 3) for ts, seq, k, op, v in chunk],
+            "key_id long, ts long, seq long, op string, value long, "
+            "dim_id long",
+        )
+        compacted = compact_latest(df, ["key_id"], ["ts", "seq"])
+        if chunk:
+            if mode == "cow" and (fact._read_pointer() or {}).get("runs"):
+                fact.compact()
+            fact.merge(compacted, batch_id=i, mode=mode)
+        if dim_delta is not None:
+            dim.merge(dim_delta, batch_id=1)
+        if fact.exists():
+            jv.apply(compacted, dim_delta, batch_id=i)
+            applied_any = True
+        if chunk:
+            if fold == "minor":
+                fact.compact_runs()
+            elif fold == "major":
+                fact.compact()
+
+    if not applied_any:
+        return
+    f = {r.key_id: (r.dim_id, r.value) for r in fact.read().collect()}
+    d = {r.dim_id: r.label for r in dim.read().collect()}
+    want = sorted(
+        (k, dv, v, d[dv]) for k, (dv, v) in f.items() if dv in d
+    )
+    got = sorted(
+        (r.key_id, r.dim_id, r.value, r.label) for r in view.read().collect()
+    )
+    assert got == want

@@ -134,10 +134,12 @@ EXTRA = [
     # Matryoshka truncated-dim search: skinny-prefix coarse pass +
     # point-lookup exact re-rank (codebook-free PQ alternative)
     "knn_mrl_topk",
-    # statistical inference: exact-moment Welch t-test (one aggregate)
-    # and the 100-replicate deterministic Poisson bootstrap
+    # statistical inference: exact-moment Welch t-test (one aggregate).
+    # (The 100-replicate plain Poisson bootstrap moved to ON_DEMAND in
+    # round 14: superseded on the scale path by events_blb_ci below —
+    # same CI, ~1/3 the wall; it stays registered + oracle-paired as
+    # the Poisson machinery's exactness anchor.)
     "events_ab_welch",
-    "events_bootstrap_ci",
     # round-12 additions: the mergeable quantile sketch (bottom-k
     # candidate pre-rank + one rank-error aggregate), the filtered-ANN
     # pair (full-dim pre-filter scan vs label-partitioned index probe
@@ -235,12 +237,11 @@ SF1_SET = [
     # change-feed incremental LSH probe (delta-broadcast)
     "cdc_mor_merge_e2e",
     "dedup_cdf_incremental",
-    # round-13: the bootstrap-vs-BLB pair (the subset win measured at
-    # 10x), the calibrated heavy hitters (its sf1 row count is the
-    # non-degeneracy proof the fixed-k variant lacks), the incremental
-    # decontamination sweep, the bucketed-ANN probe, and the
-    # byte-budget MoR policy e2e
-    "events_bootstrap_ci",
+    # round-13: the BLB CI (the plain bootstrap it superseded timed
+    # on demand only, see ON_DEMAND), the calibrated heavy hitters
+    # (its sf1 row count is the non-degeneracy proof the fixed-k
+    # variant lacks), the incremental decontamination sweep, the
+    # bucketed-ANN probe, and the byte-budget MoR policy e2e
     "events_blb_ci",
     "events_heavy_hitters_calibrated",
     "decontaminate_cdf_incremental",
@@ -251,6 +252,18 @@ SF1_SET = [
     # so this wall now evidences the LINEAR capped hybrid, not the
     # retired Σ bucket² all-pairs emission
     "emb_dedup_groups",
+]
+
+#: superseded-but-registered tier: correct, oracle-paired operators
+#: whose scale role was taken over by a cheaper equivalent — timing
+#: them every round spends bench wall on a number no decision uses.
+#: They stay in the registry (the driver's correctness sweep still
+#: covers them); set SPARK_GRAFT_BENCH_ONDEMAND=1 to time them too.
+ON_DEMAND = [
+    # 100-replicate plain Poisson bootstrap: same CI as events_blb_ci
+    # at ~3x its wall (17.3 s vs 5.8 s sf0.1 cold, r13) — kept as the
+    # Poisson-weight machinery's oracle-exactness anchor
+    "events_bootstrap_ci",
 ]
 
 
@@ -362,6 +375,8 @@ def main() -> None:
     # local corpus is noise, buckets/files skipped is the 100 TB story
     scan_reports: dict[str, dict] = {}
     _run_set(qs, EXTRA, SF_DIR, extra_timings, scan_reports=scan_reports)
+    if os.environ.get("SPARK_GRAFT_BENCH_ONDEMAND") == "1":
+        _run_set(qs, ON_DEMAND, SF_DIR, extra_timings)
     from changedatacapture_spark.streaming import sink as _sink
 
     prune_report = {

@@ -193,6 +193,8 @@ class CdcPipeline:
         #: re-joins against post-state, unlike AggView's pre-state
         #: retraction)
         self._join_views: list = []
+        #: post-batch health audit config (see attach_health_audit)
+        self._health_audit: dict | None = None
 
     def attach_agg_view(self, view) -> None:
         """Maintain ``view`` (an :class:`AggView`) from every batch."""
@@ -206,6 +208,81 @@ class CdcPipeline:
         applied out of band with their own ``apply`` call, the
         slowly-changing-dimension discipline)."""
         self._join_views.append(view)
+
+    def attach_health_audit(
+        self,
+        audit_path: str,
+        sigma: float = 3.0,
+        min_history: int = 5,
+        history_cap: int = 512,
+    ) -> None:
+        """Post-batch health check (the reference's logging-table
+        ambition done as operational monitoring): after each batch
+        commits, run :meth:`SnapshotTable.fsck` (read-only manifest
+        metadata) plus a volume control test — this batch's compacted
+        row count against the mean ± ``sigma``·stddev of the audit
+        log's own recent history (``history_cap`` most recent batches;
+        fewer than ``min_history`` prior points never flags) — and
+        append ONE JSON audit row to ``audit_path``.
+
+        Cost discipline: the only Spark work is the batch's own count
+        (one long — the compacted plan is already cached when any
+        consumer beyond the merge is attached); fsck and the control
+        stats are driver-side bounded metadata (manifest paths, one
+        float per prior batch). Replays append nothing: a batch id
+        already present in the log is skipped, mirroring the merge's
+        idempotence."""
+        self._health_audit = {
+            "path": audit_path,
+            "sigma": sigma,
+            "min_history": min_history,
+            "history_cap": history_cap,
+        }
+
+    def _run_health_audit(self, batch_id, n_rows: int) -> dict | None:
+        import json
+        import os
+        import time
+
+        cfg = self._health_audit
+        path = cfg["path"]
+        hist: list[dict] = []
+        try:
+            with open(path) as f:
+                hist = [json.loads(line) for line in f if line.strip()]
+        except FileNotFoundError:
+            pass
+        if batch_id is not None and any(
+            e.get("batch_id") == batch_id for e in hist
+        ):
+            return None  # foreachBatch replay: the row already stands
+        counts = [e["rows"] for e in hist[-cfg["history_cap"]:]]
+        mean = sig = None
+        out_of_control = False
+        if len(counts) >= cfg["min_history"]:
+            mean = sum(counts) / len(counts)
+            var = sum((c - mean) ** 2 for c in counts) / len(counts)
+            sig = var**0.5
+            lo = mean - cfg["sigma"] * sig
+            hi = mean + cfg["sigma"] * sig
+            out_of_control = n_rows < lo or n_rows > hi
+        fs = self.table.fsck()
+        row = {
+            "batch_id": batch_id,
+            "ts": time.time(),
+            "rows": n_rows,
+            "table_version": self.table.version,
+            "fsck_ok": fs["ok"],
+            "fsck_missing": len(fs["missing"]),
+            "fsck_orphans": len(fs["orphans"]),
+            "volume_mean": mean,
+            "volume_sigma": sig,
+            "volume_out_of_control": out_of_control,
+        }
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        return row
 
     # -- batch core (also usable on a static DataFrame) -------------------
 
@@ -277,7 +354,9 @@ class CdcPipeline:
         compacted = compact_latest(
             changes, [self.key_col], ["ts_ms", "seq"]
         )
-        multi_consumer = bool(self._agg_views or self._join_views)
+        multi_consumer = bool(
+            self._agg_views or self._join_views or self._health_audit
+        )
         if multi_consumer:
             # views + merge each consume the compacted plan: cache it
             # once instead of re-running parse+compact per consumer
@@ -292,6 +371,10 @@ class CdcPipeline:
             # fact keys re-join against the just-committed snapshot
             for view in self._join_views:
                 view.apply(compacted, None, batch_id=batch_id)
+            if self._health_audit is not None:
+                # one bounded aggregate (the batch's row count); fsck
+                # and the control stats are driver-side metadata
+                self._run_health_audit(batch_id, compacted.count())
         finally:
             if multi_consumer:
                 compacted.unpersist()

@@ -115,3 +115,84 @@ def test_compact_target_file_bytes_bin_packs(spark, tmp_path):
     t.read_where([("v", "between", 0, 3)])
     rep = dict(sink.LAST_SCAN_REPORT)
     assert rep["files_total"] == 4
+
+
+def test_pipeline_health_audit(spark, tmp_path):
+    """attach_health_audit (verdict #8): post-batch fsck + volume
+    control appended as one JSON audit row per batch — a flood batch
+    flags out_of_control, a vanished bucket path flips fsck_ok, an
+    unreferenced version dir counts as an orphan, and a foreachBatch
+    replay appends nothing."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.pipeline import CdcPipeline
+
+    table = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    record = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.LongType())]
+    )
+    pipe = CdcPipeline(spark, record, table, "k")
+    audit = str(tmp_path / "audit.jsonl")
+    pipe.attach_health_audit(audit, sigma=3.0, min_history=3)
+
+    def env(rows):
+        df = spark.createDataFrame(rows, "k long, v long, op string")
+        doc = F.struct("k", "v")
+        return df.select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.when(F.col("op") != "c", doc).alias("before"),
+                        F.when(F.col("op") != "d", doc).alias("after"),
+                        F.col("op").alias("op"),
+                        F.col("v").alias("ts_ms"),
+                    ).alias("payload")
+                )
+            ).alias("value"),
+            F.col("k").alias("seq"),
+        )
+
+    def lines():
+        with open(audit) as f:
+            return [json.loads(x) for x in f if x.strip()]
+
+    # steady feed: 4 batches x 3 rows — all in control, fsck green
+    for b in range(4):
+        pipe.process_batch(env([(b * 3 + i, i, "c") for i in range(3)]), b)
+    rows = lines()
+    assert len(rows) == 4
+    assert all(r["fsck_ok"] and not r["volume_out_of_control"] for r in rows)
+    assert rows[0]["volume_mean"] is None  # below min_history
+    assert rows[3]["volume_mean"] == 3.0  # exact history of 3s
+
+    # replay of batch 3: merge skips, audit appends nothing
+    pipe.process_batch(env([(99, 9, "c")]), 3)
+    assert len(lines()) == 4
+
+    # flood batch: 60 rows against a mean of 3, sigma 0 -> flagged
+    pipe.process_batch(env([(100 + i, i, "c") for i in range(60)]), 4)
+    rows = lines()
+    assert rows[-1]["rows"] == 60 and rows[-1]["volume_out_of_control"]
+
+    # an orphan staging dir (crashed writer) is reported, not fatal
+    os.makedirs(f"{table.path}/v=123456789/bucket=0")
+    pipe.process_batch(env([(200, 1, "c"), (201, 1, "c"), (202, 1, "c")]), 5)
+    rows = lines()
+    assert rows[-1]["fsck_orphans"] >= 1 and rows[-1]["fsck_ok"]
+
+    # a vanished CURRENT bucket path flips fsck_ok False. (A further
+    # merge would fail loudly on the missing files before the audit
+    # ran — correct; the audit row is how the NEXT healthy trigger, or
+    # an operator, sees what fsck sees, so drive the hook directly.)
+    import shutil
+
+    ptr = table._read_pointer()
+    b0, v0 = next(iter(ptr["buckets"].items()))
+    shutil.rmtree(f"{table.path}/v={v0}/bucket={b0}")
+    row = pipe._run_health_audit(6, 3)
+    assert row["fsck_ok"] is False and row["fsck_missing"] >= 1
+    assert lines()[-1]["fsck_ok"] is False

@@ -12827,9 +12827,53 @@ _DEMOTED = [
     "doc_cdc_chunks",  # 1 green; chunk-feed family stands in the oracle log; slot to cdc_join_view_stream_e2e
     "media_frame_sample",  # 1 green; media family keeps media_resize_bmp + media_ahash_groups in-window; slot to cdc_bloom_pruned_scan
     "events_user_deltas",  # 1 green; lag/delta window family stands in the oracle log; slot to text_index_cdf_incremental
+    # round-14 rebalance: sixteen round-13-green members hand slots to
+    # the four NEW round-14 queries and twelve never-driver-green
+    # queries (the ten the round-13 verdict named plus
+    # privacy_pseudonymize and dq_volume_control, which had oracle
+    # greens but never a driver row). 16 out / 16 in; window stays 50:
+    "cdc_pruned_scan",  # 4 greens; pruned-scan family keeps cdc_bloom_pruned_scan in-window + cdc_bloom_in_scan promoted
+    "events_session_window_stream",  # 4 greens; stream family keeps the HH/HLL/MoR/join-view stream twins in-window
+    "q21_sole_supplier_lines",  # 4 greens; TPC-H join family hands the slot to q11_important_parts (first row)
+    "q_cube_lineitem",  # 4 greens; grouping-set shape stays oracle-paired; agg family gains events_pivot_daily (first row)
+    "dedup_edit_distance",  # 4 greens; near-dup verify family keeps dedup_minhash_pairs_capped + gains dedup_sorted_neighborhood
+    "events_stream_rate_limit",  # 4 greens; admission control kept by events_tws_rate_limit (same oracle, v2 state API)
+    "dedup_substring_stats",  # 3 greens; substring accounting stays in the oracle log; dedup family covered in-window
+    "emb_hot_buckets",  # 3 greens; embedding family keeps emb_dedup_groups_chained + gains emb_pq_codes (first row)
+    "cdc_change_feed",  # 3 greens; CDF surface exercised in-window by decontaminate/text_index/knn _cdf_incremental consumers
+    "decontaminate_matrix",  # 3 greens; decontamination family keeps decontaminate_cdf_incremental in-window
+    "media_ahash_groups",  # 3 greens; media family keeps media_resize_bmp + gains media_shard_assign (first row)
+    "events_stream_dedup",  # 3 greens; streaming dedup stays oracle-paired; watermark family covered by the stream twins
+    "text_collocations_lift",  # 3 greens; text family keeps text_dsir_select + gains text_top_ngrams (first row)
+    "token_budget_select",  # 3 greens; budget family keeps mix_waterfill in-window
+    "privacy_k_anonymity",  # 3 greens; privacy family hands the slot to privacy_pseudonymize (first row)
+    "q20_heavy_red_suppliers",  # 3 greens; nested-exists chain stays oracle-paired; TPC-H family keeps q11 + q_skew_split_join
 ]
 
 _PROMOTED = [
+    # round-14 window: four NEW queries of this round and twelve
+    # never-driver-green queries (the ten the round-13 verdict named
+    # plus privacy_pseudonymize and dq_volume_control) earn rows;
+    # sixteen round-13-green members rotate out with every family
+    # still represented in-window or by a direct successor (see the
+    # _DEMOTED round-14 block for the per-family notes).
+    "cdc_star_view_e2e",  # NEW: N-dim star join view, per-dim touched-key probes (round 14)
+    "cdc_star_view_stream_e2e",  # NEW: star view across checkpointed restarts, both dims change (round 14)
+    "cdc_join_view_mor_e2e",  # NEW: join view over a merge-on-read fact + size policy (round 14)
+    "cdc_bloom_in_scan",  # NEW: IN-list bloom skipping, per-literal OR-fold (round 14)
+    # verdict-priority never-greens earning first rows:
+    "cdc_incremental_join",  # delta-propagated join maintenance: first row
+    "events_enriched_stream",  # broadcast-dim enrichment over a replayed stream: first row
+    "q11_important_parts",  # TPC-H Q11 value-share HAVING over a scalar subquery: first row
+    "text_top_ngrams",  # corpus top-k n-grams: first row
+    "emb_pq_codes",  # PQ codebook assignment audit: first row
+    "media_shard_assign",  # deterministic media shard routing: first row
+    "events_rolling_active_users",  # rolling 7-day active-user window: first row
+    "dataset_stratified_sample",  # per-stratum exact-rate sample: first row
+    "dedup_sorted_neighborhood",  # sorted-neighborhood blocking dedup: first row
+    "events_pivot_daily",  # day x type pivot aggregate: first row
+    "privacy_pseudonymize",  # peppered-token pseudonymization audit: first row
+    "dq_volume_control",  # 3-sigma volume control chart: first row
     # round-13 window: twelve NEW queries of this round, ten
     # never-driver-green priorities from the round-12 verdict, and the
     # de-stragglered text_dsir_select earn rows; twenty-two
@@ -12869,29 +12913,13 @@ _PROMOTED = [
     "events_ab_welch",  # Welch A/B t-test, shared formula trees
     "dataset_leakage_safe_split",  # cluster-atomic train/val/test split
     "q_skew_split_join",  # salted skew-split join
-    "cdc_pruned_scan",  # zone-map pruned SnapshotTable scan
-    "events_session_window_stream",  # native session_window stream (parquet sink)
-    "q21_sole_supplier_lines",  # TPC-H Q21 multi-exists join
-    "q_cube_lineitem",  # CUBE grouping-set aggregate
     "text_index_cdf_incremental",  # NEW: change-feed incremental BM25 segments, probe == full rebuild (round 13)
     "cdc_join_view_stream_e2e",  # NEW: join view across checkpointed restarts + dim change (round 13)
-    "dedup_edit_distance",  # blocked Levenshtein near-dup verify
     "cdc_bloom_pruned_scan",  # NEW: manifest bloom skipping for equality point lookups (round 13)
     "cdc_mor_stream_e2e",  # checkpointed foreachBatch MoR apply + fold cadence
-    "events_stream_rate_limit",  # stateful admission control, stream == batch
     "events_tws_rate_limit",  # v2 MapState admission control, exact under out-of-order replay
-    "dedup_substring_stats",  # per-doc substring-duplication accounting
-    "emb_hot_buckets",  # embedding hub-guard audit
-    "cdc_change_feed",  # version-to-version change feed
-    "decontaminate_matrix",  # cross-source contamination matrix
     "dedup_minhash_pairs_capped",  # LSH hub guard active, min-surviving-band emission
     "emb_dedup_groups_chained",  # linear chained embedding closure
-    "events_stream_dedup",  # dropDuplicatesWithinWatermark e2e
-    "media_ahash_groups",  # perceptual-hash duplicate groups
-    "privacy_k_anonymity",  # k-anonymity generalization bands
-    "q20_heavy_red_suppliers",  # TPC-H Q20 nested-exists chain
-    "text_collocations_lift",  # integer-exact PMI collocations
-    "token_budget_select",  # greedy token-budget selection
     "text_dsir_select",  # DSIR importance resampling — re-green the de-stragglered rank (round 13)
 ]
 

@@ -2101,15 +2101,15 @@ class SnapshotTable:
         """Physically compact the table: rewrite every live bucket at
         one fresh version (the Delta ``OPTIMIZE`` analogue).
 
-        Merge-heavy tables fragment two ways: each touched bucket's
-        rewrite leaves ``spark.sql.shuffle.partitions``-many small part
-        files, and the manifest ends up referencing many version dirs,
-        which pins them all against :meth:`_vacuum`. Compaction rewrites
-        the full current contents bucket-partitioned — one part file per
-        bucket (each bucket hashes wholly into one task of the
-        ``repartition(n_buckets, "bucket")``) — and commits a manifest
-        where every bucket points at the new version, unpinning all
-        older dirs for vacuum.
+        Merge-heavy tables fragment two ways: the manifest ends up
+        referencing many version dirs (which pins them all against
+        :meth:`_vacuum`), and a ``max_records_per_file`` cap — the
+        knob that keeps per-file zone maps selective — multiplies
+        part files on every rewrite. Compaction rewrites the full
+        current contents bucket-partitioned (each bucket hashes wholly
+        into one task of the ``repartition(n_buckets, "bucket")``) and
+        commits a manifest where every bucket points at the new
+        version, unpinning all older dirs for vacuum.
 
         ``target_file_bytes`` switches the rewrite to SIZE-TARGETED
         bin-packing (the ``OPTIMIZE`` file-size knob): rows-per-file is

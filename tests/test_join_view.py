@@ -290,3 +290,10 @@ def test_star_join_view_two_dims(spark, tmp_path):
     assert (1, 10, 7, 100, "x2", "p") not in g  # e=7 evicted by dim2 delete
     assert (3, 11, 8, 301, "y", "q") in g  # moved to surviving dim2 value
     assert (2, 10, 8, 200, "x2", "q") in g  # re-enriched by dim1 update
+
+    # both dims' Δ probes and pruned reads are in the scan report —
+    # the per-dim decomposition ran and each read stayed bounded
+    scan = sv.last_scan
+    assert "probe_d" in scan and "probe_e" in scan and "fact" in scan
+    for key in ("dim_d", "dim_e", "fact"):
+        assert scan[key]["buckets_kept"] <= scan[key]["buckets_total"]

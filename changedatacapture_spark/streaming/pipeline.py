@@ -917,14 +917,22 @@ def _star_view_apply(
     return io
 
 
+#: out-of-band ids land at -(id + _OOB_BASE): far below both stream
+#: ids (non-negative) and the small negative ids the Kappa bootstrap
+#: convention uses (CdcPipeline.bootstrap defaults to -1), so neither
+#: can collide with a namespaced dim-driven apply
+_OOB_BASE = 1_000_000_000
+
+
 def _namespace_batch_id(batch_id: int | None, out_of_band: bool) -> int | None:
     """Out-of-band (dim-driven) applies share the view table's single
-    replay check with pipeline-driven applies; mapping their ids into
-    the negative range means an out-of-band id can never collide with
-    (and silently swallow) the next pipeline batch's id."""
+    replay check with pipeline-driven applies; mapping their ids deep
+    into the negative range means an out-of-band id can never collide
+    with (and silently swallow) a pipeline batch's id — streaming ids
+    are non-negative and bootstrap ids are small negatives."""
     if batch_id is None or not out_of_band:
         return batch_id
-    return -(batch_id + 1)
+    return -(batch_id + _OOB_BASE)
 
 
 class JoinView:

@@ -6430,12 +6430,14 @@ def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = _session_scratch_dir("zorder_scan_")
     # corpus-aware file size at WRITE time (64-row floor keeps the
     # sf0.01 fixture multi-file), then SIZE-TARGETED bin-packing via
-    # compact(target_file_bytes=1 MiB) — the round-13 verdict's
-    # small-file fix: the sf0.1 table drops from ~1.6k part files to
-    # tens while the curve sort (and therefore the per-file zone maps'
-    # pruned FRACTION) carries through the rewrite. At 100 TB the
-    # target would be 128-512 MiB; 1 MiB keeps the local fixture
-    # multi-file per bucket so pruning stays observable.
+    # compact(target_file_bytes=measured bytes / ~56) — the round-13
+    # verdict's small-file fix: the sf0.1 table drops from ~1.6k part
+    # files to ~56 while the curve sort carries through the rewrite,
+    # so per-file zone maps keep pruning the 2-D box (and parquet
+    # row-group stats keep pruning INSIDE each kept file — the sorted
+    # layout's second level). At 100 TB the operator would pass a
+    # fixed 128-512 MiB; dividing the measured on-disk bytes keeps
+    # the local fixture at the same file-count shape at every sf.
     n = ev.count()
     table = SnapshotTable(
         spark,
@@ -6446,7 +6448,9 @@ def q_events_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_records_per_file=max(64, n // 2048),
     )
     table.overwrite(state, batch_id=0)
-    table.compact(target_file_bytes=1 << 20)
+    table.compact(
+        target_file_bytes=max(16 << 10, table.base_bytes() // 56)
+    )
     return table.read_where(
         [("bx", "between", 32, 47), ("by_", "between", 32, 47)]
     ).select("event_id", "user_id", "value", "bx", "by_")

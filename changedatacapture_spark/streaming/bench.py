@@ -204,8 +204,8 @@ def run_mor_policy(
             orig_write = table._do_write_buckets
             orig_minor, orig_major = table.compact_runs, table.compact
 
-            def write_hook(df, version, dynamic=False):
-                written = orig_write(df, version, dynamic)
+            def write_hook(df, version, dynamic=False, records_per_file=None):
+                written = orig_write(df, version, dynamic, records_per_file)
                 counters["bytes"] += table._bucket_dir_bytes(
                     version, range(table.n_buckets)
                 )

@@ -941,6 +941,24 @@ def build_text_index(
 
     if mode == "overwrite":
         _shutil.rmtree(f"{path}/_segments", ignore_errors=True)
+    elif not _os.path.isdir(f"{path}/_segments"):
+        # first append to a PRE-marker index: its existing segments
+        # were all visible under the legacy contract, so bless them
+        # with backfilled markers BEFORE this append's marker lands —
+        # otherwise the new marker set would hide the whole old corpus
+        # from probes. One bounded distinct over the skinny relation.
+        legacy = {
+            r[0]
+            for r in written.sparkSession.read.parquet(f"{path}/postings")
+            .select("seg")
+            .distinct()
+            .collect()
+            if r[0] != seg
+        }
+        _os.makedirs(f"{path}/_segments", exist_ok=True)
+        for s in legacy:
+            with open(f"{path}/_segments/{s}", "w"):
+                pass
     _os.makedirs(f"{path}/_segments", exist_ok=True)
     with open(f"{path}/_segments/{seg}", "x"):
         pass
@@ -954,7 +972,9 @@ def _committed_segs(index_path: str) -> list[int] | None:
     segdir = f"{index_path}/_segments"
     if not os.path.isdir(segdir):
         return None
-    return [int(x) for x in os.listdir(segdir)]
+    # tolerate stray non-numeric entries (.DS_Store, editor temps) —
+    # a probe must never crash on directory litter
+    return [int(x) for x in os.listdir(segdir) if x.lstrip("-").isdigit()]
 
 
 def _only_committed(index_path: str, rel: DataFrame) -> DataFrame:

@@ -246,10 +246,24 @@ class CdcPipeline:
 
         cfg = self._health_audit
         path = cfg["path"]
+        # tail-read, never the whole file: per-batch cost must stay
+        # CONSTANT as the log grows (a year-old pipeline's audit file
+        # is unbounded). ~512 bytes/row x history_cap bounds the tail;
+        # the first (possibly partial) line is dropped. The replay
+        # check only needs the tail too: foreachBatch re-delivers the
+        # LAST committed batch after recovery, never ancient ids.
         hist: list[dict] = []
         try:
-            with open(path) as f:
-                hist = [json.loads(line) for line in f if line.strip()]
+            with open(path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                size = f.tell()
+                want = max(64 * 1024, cfg["history_cap"] * 512)
+                f.seek(max(0, size - want))
+                chunk = f.read().decode("utf-8", errors="replace")
+            lines = chunk.split("\n")
+            if size > want:
+                lines = lines[1:]  # partial first line
+            hist = [json.loads(x) for x in lines if x.strip()]
         except FileNotFoundError:
             pass
         if batch_id is not None and any(
@@ -829,10 +843,19 @@ def _star_view_apply(
       column and the value set fits ``max_inlist``.
     """
     from changedatacapture_spark.streaming import sink as _sink
+    from changedatacapture_spark.streaming.sink import _align_key_types
 
     keys = list(fact_key_cols)
     io: dict = {}
-    touched = compacted_fact.select(*keys)
+    # align the delta's key types to the COMMITTED fact schema before
+    # hashing: merge routes buckets after _align_key_types, so a
+    # type-drifted batch (int keys against a long-keyed table) would
+    # otherwise hash to different bucket ids here than the rows live
+    # in — read_buckets would miss them and the view would emit false
+    # deletes. Same discipline as read_keys' committed key_schema.
+    touched = _align_key_types(
+        compacted_fact.select(*keys), fact.schema(), keys
+    )
     for (dim_tbl, jcol, _), cd in zip(dims, compacted_dims):
         if cd is None:
             continue
@@ -872,21 +895,29 @@ def _star_view_apply(
         try:
             joined = fact_now
             for dim_tbl, jcol, payload in dims:
+                # NULLs are dropped BEFORE the overflow limit: a NULL
+                # inside the sampled max_inlist+1 rows would otherwise
+                # mask a value-set overflow, silently truncating the
+                # dim read and evicting live view rows as deletes
                 vals = [
                     r[0]
                     for r in fact_now.select(jcol)
+                    .where(F.col(jcol).isNotNull())
                     .distinct()
                     .limit(max_inlist + 1)
                     .collect()
-                    if r[0] is not None
                 ]
-                if len(vals) <= max_inlist and dim_tbl.key_cols == [jcol]:
-                    dn = (
-                        F.broadcast(dim_tbl.read_keys(vals))
-                        if vals
-                        else dim_tbl.read().limit(0)
-                    )
+                if (
+                    vals
+                    and len(vals) <= max_inlist
+                    and dim_tbl.key_cols == [jcol]
+                ):
+                    dn = F.broadcast(dim_tbl.read_keys(vals))
                     io[f"dim_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
+                elif not vals:
+                    # no non-null join values: nothing can inner-join;
+                    # no dim read happens, so no scan report either
+                    dn = dim_tbl.read().limit(0)
                 else:
                     # composite-keyed dim or an overflowing value set:
                     # exact fallback, one full dim read

@@ -1471,6 +1471,27 @@ class SnapshotTable:
         except FileNotFoundError:
             return
         now = time.time()
+        # stale-marker GC: a writer that lost the PRE-write pointer
+        # check never created its v= dir, so the dir loop below never
+        # visits its marker — sweep expired markers here or they
+        # accumulate unboundedly under churny retry workloads. (A lost
+        # race that DID write files keeps its orphan pinned until the
+        # marker expires — TTL-bounded disk amplification, the price of
+        # closing the vacuum TOCTOU for slow writers.)
+        try:
+            for m in os.listdir(f"{self.path}/_staging"):
+                marker = f"{self.path}/_staging/{m}"
+                try:
+                    expired = now - os.path.getmtime(marker) >= self.staging_ttl_s
+                except OSError:
+                    continue
+                if expired and not os.path.isdir(f"{self.path}/v={m}"):
+                    try:
+                        os.remove(marker)
+                    except OSError:
+                        pass
+        except FileNotFoundError:
+            pass
         for v in versions:
             if v in referenced:
                 continue
@@ -2115,13 +2136,17 @@ class SnapshotTable:
         bin-packing (the ``OPTIMIZE`` file-size knob): rows-per-file is
         derived from the table's own measured bytes/row — current
         on-disk parquet bytes (base + pending runs, bounded driver
-        metadata from the manifest) over the current row count (a
-        parquet footer-only count, no data scan) — so a clustered
-        table keeps per-file zone maps at a file size chosen for the
-        target store, instead of whatever ``max_records_per_file`` the
-        write-time demo picked. At 100 TB, manifest size, open cost,
-        and bloom/zone stats volume all scale with file count; this is
-        the lever that bounds them after churn.
+        metadata from the manifest) over the current row count. On a
+        pure copy-on-write table the count is parquet-footer-only (no
+        data scan); with pending MoR runs it pays one run-resolution
+        pass before the rewrite's own scan — if that matters, fold
+        runs first (``compact_runs``), then size-compact. The result:
+        a clustered table keeps per-file zone maps at a file size
+        chosen for the target store, instead of whatever
+        ``max_records_per_file`` the write-time demo picked. At
+        100 TB, manifest size, open cost, and bloom/zone stats volume
+        all scale with file count; this is the lever that bounds them
+        after churn.
 
         Logical contents (including guard tombstones), schema, guard
         metadata, and the replay batch id are all carried through
@@ -2139,7 +2164,9 @@ class SnapshotTable:
         rpf = None
         if target_file_bytes is not None:
             on_disk = self.base_bytes() + self.pending_run_bytes()
-            n_rows = self.read(include_tombstones=True).count()
+            # count the SAME plan the rewrite reads (not a second
+            # definition); footer-only on pure CoW — see docstring
+            n_rows = full.count()
             if n_rows > 0 and on_disk > 0:
                 rpf = max(
                     1, int(n_rows * target_file_bytes / on_disk)

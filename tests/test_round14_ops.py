@@ -196,3 +196,138 @@ def test_pipeline_health_audit(spark, tmp_path):
     row = pipe._run_health_audit(6, 3)
     assert row["fsck_ok"] is False and row["fsck_missing"] >= 1
     assert lines()[-1]["fsck_ok"] is False
+
+
+def test_join_view_key_type_drift_routes_correctly(spark, tmp_path):
+    """Review fix: a delta whose key arrived NARROWER than the
+    committed key type (int vs long) must hash to the committed
+    buckets — otherwise read_buckets misses the rows and the view
+    emits false deletes."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from changedatacapture_spark.streaming.pipeline import JoinView
+
+    fact = SnapshotTable(spark, str(tmp_path / "f"), ["k"], n_buckets=8)
+    dim = SnapshotTable(spark, str(tmp_path / "d"), ["d"], n_buckets=2)
+    view = SnapshotTable(spark, str(tmp_path / "v"), ["k"], n_buckets=8)
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["k"], join_col="d", dim_payload_cols=["label"],
+    )
+    a1 = spark.createDataFrame(
+        [(k, k % 2, k, "c") for k in range(20)],
+        "k long, d long, v long, op string",
+    )
+    d1 = spark.createDataFrame(
+        [(0, "even", "c"), (1, "odd", "c")],
+        "d long, label string, op string",
+    )
+    fact.merge(a1, batch_id=0)
+    dim.merge(d1, batch_id=0)
+    jv.apply(a1, d1, batch_id=0)
+
+    # the drifted delta: INT keys against the LONG-keyed fact
+    a2 = spark.createDataFrame(
+        [(3, 1, 333, "u"), (4, 0, 444, "u")],
+        T.StructType(
+            [
+                T.StructField("k", T.IntegerType()),
+                T.StructField("d", T.LongType()),
+                T.StructField("v", T.LongType()),
+                T.StructField("op", T.StringType()),
+            ]
+        ),
+    )
+    fact.merge(a2, batch_id=1)
+    jv.apply(a2, None, batch_id=1)
+    got = {(r.k, r.v) for r in view.read().collect()}
+    assert (3, 333) in got and (4, 444) in got
+    assert len(got) == 20  # nothing falsely deleted
+
+
+def test_join_view_null_values_never_mask_inlist_overflow(spark, tmp_path):
+    """Review fix: NULL join values are dropped BEFORE the
+    max_inlist+1 overflow probe — with NULLs in the sample a genuine
+    overflow previously looked like a fit and silently truncated the
+    dim read (live rows evicted as deletes)."""
+    from changedatacapture_spark.streaming.pipeline import JoinView
+
+    fact = SnapshotTable(spark, str(tmp_path / "f"), ["k"], n_buckets=4)
+    dim = SnapshotTable(spark, str(tmp_path / "d"), ["d"], n_buckets=2)
+    view = SnapshotTable(spark, str(tmp_path / "v"), ["k"], n_buckets=4)
+    jv = JoinView(
+        spark, fact, dim, view,
+        fact_key_cols=["k"], join_col="d", dim_payload_cols=["label"],
+        max_inlist=3,  # tiny cap: 6 distinct values overflow it
+    )
+    rows = [(k, k % 6, k, "c") for k in range(18)]
+    rows += [(100, None, 100, "c"), (101, None, 101, "c")]
+    a1 = spark.createDataFrame(rows, "k long, d long, v long, op string")
+    d1 = spark.createDataFrame(
+        [(i, f"L{i}", "c") for i in range(6)],
+        "d long, label string, op string",
+    )
+    fact.merge(a1, batch_id=0)
+    dim.merge(d1, batch_id=0)
+    jv.apply(a1, d1, batch_id=0)
+    got = sorted((r.k, r.label) for r in view.read().collect())
+    want = sorted((k, f"L{k % 6}") for k in range(18))
+    assert got == want  # all 6 dims enriched; NULL-d rows absent
+
+
+def test_text_index_append_backfills_legacy_markers(spark, tmp_path):
+    """Review fix: the FIRST append to a pre-marker index must bless
+    the existing (legacy) segments with backfilled markers — not hide
+    the whole old corpus behind the new marker set."""
+    import os
+
+    from changedatacapture_spark.operators.text import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_text_index,
+    )
+
+    import shutil
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha delta"), (3, "beta beta alpha")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "idx")
+    build_text_index(base, idx)
+    shutil.rmtree(f"{idx}/_segments")  # simulate the legacy layout
+
+    delta = spark.createDataFrame(
+        [(4, "alpha beta beta")], "doc_id long, text string"
+    )
+    build_text_index(delta, idx, mode="append")
+    # a stray non-numeric file must never crash the probe
+    with open(f"{idx}/_segments/.DS_Store", "w"):
+        pass
+    final = base.unionByName(delta)
+    terms = ["alpha", "beta"]
+    got = sorted(map(tuple, bm25_topk_indexed(spark, idx, terms, 10).collect()))
+    want = sorted(map(tuple, bm25_topk(final, terms, 10).collect()))
+    assert got == want
+    assert len(os.listdir(f"{idx}/_segments")) >= 3  # legacy + new + stray
+
+
+def test_vacuum_sweeps_expired_dirless_staging_markers(spark, tmp_path):
+    """Review fix: a writer that aborted BEFORE creating its v= dir
+    leaves a marker the dir loop never visits; expired dirless markers
+    are swept so churny retry workloads don't accumulate them."""
+    import os
+
+    t = SnapshotTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(1, "c", 1)], "k long, op string, v long"),
+        batch_id=0,
+    )
+    pv = t._new_data_version()  # marker dropped, no dir ever written
+    assert os.path.exists(f"{t.path}/_staging/{pv}")
+    t._vacuum()
+    assert os.path.exists(f"{t.path}/_staging/{pv}")  # inside TTL: kept
+    t.staging_ttl_s = 0.0
+    t._vacuum()
+    assert not os.path.exists(f"{t.path}/_staging/{pv}")

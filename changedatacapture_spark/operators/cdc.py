@@ -423,3 +423,87 @@ def content_digest(df, cols=None):
         .cast("decimal(38,0)")
         .alias("digest"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    time_col: str,
+    order_cols: Sequence[str],
+    payload_cols: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "d",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Point-in-time-correct enrichment: each fact row picks up the
+    changelog's payload AS OF the fact's own event time — the
+    training-set construction rule of a feature store (no look-ahead
+    leakage: a fact never sees a change that happened after it), and
+    the temporal-join complement to ``scd2_history`` (which
+    materializes the intervals; this probes them without building
+    them).
+
+    Semantics: for fact f, the effective change is the latest changelog
+    row for f's key with ``time_col <= f.time_col`` (a change at
+    exactly the fact's time IS visible; ties among changes break by
+    ``order_cols``). If that change is a delete — or no change precedes
+    the fact — every payload comes back null.
+
+    Plan (the 100 TB shape): NOT a range/interval join — those explode
+    on hot keys. One ``unionByName`` of the two relations and ONE
+    window pass per key: sort by ``(time, is_fact, order_cols)`` and
+    carry ``last(state, ignorenulls)`` — work is one shuffle of
+    |facts| + |changes| rows hashed by key, the same cost class as the
+    asof composition SURVEY §2 prescribes, and skew-safe because a hot
+    key's rows sort within one partition without pair explosion.
+
+    Output: every fact column, plus ``{prefix}{c}`` for each payload
+    column (null when absent/deleted).
+    """
+    from pyspark.sql.window import Window
+
+    state = F.struct(
+        F.col(op_col).alias("_op"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    ch = changes.select(
+        *_cols(key_cols),
+        F.col(time_col),
+        F.lit(0).alias("_is_fact"),
+        *_cols(order_cols),
+        state.alias("_state"),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(f"_f_{c}")
+          for c in facts.columns],
+    )
+    order_types = {c: changes.schema[c].dataType for c in order_cols}
+    fa = facts.select(
+        *_cols(key_cols),
+        F.col(time_col),
+        F.lit(1).alias("_is_fact"),
+        *[F.lit(None).cast(order_types[c]).alias(c)
+          for c in order_cols],
+        F.lit(None).cast(ch.schema["_state"].dataType).alias("_state"),
+        *[F.col(c).alias(f"_f_{c}") for c in facts.columns],
+    )
+    w = (
+        Window.partitionBy(*_cols(key_cols))
+        .orderBy(F.col(time_col), F.col("_is_fact"), *_cols(order_cols))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof = F.last("_state", ignorenulls=True).over(w)
+    live = F.col("_asof").isNotNull() & (
+        F.col("_asof")["_op"] != delete_op
+    )
+    return (
+        ch.unionByName(fa)
+        .withColumn("_asof", asof)
+        .filter(F.col("_is_fact") == 1)
+        .select(
+            *[F.col(f"_f_{c}").alias(c) for c in facts.columns],
+            *[
+                F.when(live, F.col("_asof")[c]).alias(f"{prefix}{c}")
+                for c in payload_cols
+            ],
+        )
+    )

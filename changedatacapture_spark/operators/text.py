@@ -1486,3 +1486,53 @@ def dsir_select(
             ).alias("selected"),
         )
     )
+
+
+def rrf_fuse(
+    ranked_lists: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rk",
+    rrf_k: int = 60,
+    scale: int = 1_000_000_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the
+    standard hybrid-search combiner (Cormack et al., SIGIR'09; the
+    fusion step behind every BM25+vector "hybrid" endpoint):
+    ``score(d) = Σ_lists 1 / (rrf_k + rank_d)``, documents missing
+    from a list contribute nothing.
+
+    Engine-exact scoring: each reciprocal is the INTEGER
+    ``scale div (rrf_k + rank)`` (no floating division anywhere), so
+    fused scores and the final ranking are bit-identical across
+    engines; ties break by document id.
+
+    Plan: the lists union (they are top-k-sized — tiny relative to the
+    corpora that produced them), one hash aggregate sums
+    contributions, and the final top-k lowers to
+    TakeOrderedAndProject. Cost is ∝ Σ list sizes, independent of
+    corpus size — fusion is never the scale bottleneck; the retrieval
+    legs are, and each leg keeps its own index-pruned plan.
+
+    Output: ``{id_col}, rrf_scaled, n_lists, rk``.
+    """
+    from pyspark.sql.window import Window
+
+    contrib = F.expr(
+        f"CAST({scale} AS BIGINT) div CAST({rrf_k} + {rank_col} AS BIGINT)"
+    )
+    parts = [
+        df.select(F.col(id_col), contrib.alias("_c")) for df in ranked_lists
+    ]
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    agg = uni.groupBy(id_col).agg(
+        F.sum("_c").alias("rrf_scaled"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.orderBy(F.col("rrf_scaled").desc(), F.col(id_col))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_k)
+    )

@@ -12683,6 +12683,441 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(load_table(spark, "documents", sf_dir))
 
 
+@_register(
+    "cdc_secondary_index_e2e",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL})
+    SELECT key_id, seq, ts_us, value, seq % 8 AS band
+    FROM final_state WHERE seq % 8 = 3
+    """,
+)
+def q_cdc_secondary_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed-maintained SECONDARY INDEX over a non-key payload
+    column (the Hudi record-index / GSI analogue the snapshot store
+    lacked): the changelog merges into the store in two batches
+    (``band = seq % 8`` changes for every key whose latest seq moves
+    between halves — the update_pre retraction path is genuinely
+    exercised); after each merge ``SecondaryIndex.sync()`` advances a
+    posting table (value, key) from ``changes_between(...,
+    include_preimage=True)`` — batch 1 bootstraps (full build), batch
+    2 is strictly delta-sized: inserts/update-posts ADD postings,
+    deletes/update-pres RETRACT the stale ones. ``lookup(3)`` then
+    answers "every row whose band is 3" with two pruned scans: the
+    posting probe (bloom + value-sort skipping) and ``read_keys`` on
+    the posting list (key-routed bucket subset) — never a base-table
+    scan. The oracle filters the plain final state: stale postings
+    (a key whose band moved off 3) or lost retractions would
+    over-fetch and hash-mismatch. See streaming/index.py."""
+    from changedatacapture_spark.streaming.index import SecondaryIndex
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "band", F.col("seq") % 8
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    store = SnapshotTable(
+        spark,
+        _session_scratch_dir("sidx_store_"),
+        ["key_id"],
+        n_buckets=8,
+        retain_history=4,
+    )
+    idx = SecondaryIndex(spark, store, "band", n_buckets=8)
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, half in enumerate(halves):
+        a = compact_latest(half, ["key_id"], ["ts_us", "seq"])
+        store.merge(a, batch_id=i)
+        idx.sync()
+    return idx.lookup(3).select("key_id", "seq", "ts_us", "value", "band")
+
+
+@_register("cdc_secondary_index_stream_e2e", None)  # oracle assigned below
+def q_cdc_secondary_index_stream_e2e(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Secondary index maintained from a REAL checkpointed stream with
+    a restart mid-changelog: each ``foreachBatch`` merges the compacted
+    micro-batch into the base table and then ``SecondaryIndex.sync()``s
+    the posting table — the stream stops after the first half, the SAME
+    checkpoint resumes over the second, and replayed batches no-op at
+    BOTH layers (the base merge's batch-id check and the index's
+    version marker + posting batch-id). The final ``lookup(3)`` shares
+    the batch e2e's oracle: restart choreography must be invisible."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import time as _time
+
+    from changedatacapture_spark.streaming.index import SecondaryIndex
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "band", F.col("seq") % 8
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    work = _fast_scratch_dir("sidx_stream_")
+    src = os.path.join(work, "src")
+    os.makedirs(src, exist_ok=True)
+    store = SnapshotTable(
+        spark, os.path.join(work, "store"), ["key_id"],
+        n_buckets=8, retain_history=4,
+    )
+    idx = SecondaryIndex(spark, store, "band", n_buckets=8)
+    ddl = (
+        "key_id long, ts_us long, seq long, op string, value double, "
+        "props string, band long"
+    )
+
+    def run_stream() -> None:
+        stream = (
+            spark.readStream.schema(ddl)
+            .option("maxFilesPerTrigger", "1")
+            .json(src)
+        )
+
+        def apply_batch(bdf: DataFrame, bid: int) -> None:
+            a = compact_latest(bdf, ["key_id"], ["ts_us", "seq"])
+            store.merge(a, batch_id=bid)
+            idx.sync()
+
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def promote(sub: str) -> None:
+        for p in _glob.glob(os.path.join(src, sub, "part-*.json")):
+            _shutil.move(p, os.path.join(src, f"{sub}.json"))
+        _shutil.rmtree(os.path.join(src, sub), ignore_errors=True)
+        _time.sleep(0.05)
+
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    halves[0].coalesce(1).write.mode("overwrite").json(
+        os.path.join(src, "h1")
+    )
+    promote("h1")
+    run_stream()
+    halves[1].coalesce(1).write.mode("overwrite").json(
+        os.path.join(src, "h2")
+    )
+    promote("h2")
+    run_stream()  # SAME checkpoint: only h2 is new
+    return idx.lookup(3).select("key_id", "seq", "ts_us", "value", "band")
+
+
+@_register(
+    "text_hybrid_rrf_search",
+    f"""
+    WITH bm AS ({{BM25}}),
+    vec AS (
+      SELECT c.vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')})
+                             * 1000000) AS BIGINT) DESC, c.vec_id) AS rk
+      FROM embeddings c,
+           (SELECT embedding AS pv FROM embeddings WHERE vec_id = 7) p
+      WHERE c.vec_id <> 7
+      QUALIFY rk <= 10),
+    uni AS (
+      SELECT doc_id, 1000000000000 // (60 + rk) AS c FROM bm
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + rk) AS c FROM vec),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_scaled,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM uni GROUP BY doc_id)
+    SELECT doc_id, rrf_scaled, n_lists,
+           row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS rk
+    FROM agg
+    QUALIFY rk <= 10
+    """,
+)
+def q_text_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-10 (the fixed corpus query)
+    and embedding-cosine top-10 (probe vector 7) fused by reciprocal-
+    rank fusion — the standard two-leg RAG retrieval stack, composed
+    from the engine's own rankers. Each leg keeps its scale plan (BM25:
+    combinable tf/df aggregates; cosine: broadcast probe over one
+    corpus scan); fusion itself touches only the top-k lists (integer
+    ``scale div (60 + rank)`` reciprocals, engine-exact — see
+    operators/text.py:rrf_fuse). Documents retrieved by BOTH legs
+    surface with n_lists = 2."""
+    from changedatacapture_spark.operators.similarity import cosine_topk
+    from changedatacapture_spark.operators.text import bm25_topk, rrf_fuse
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    bm = bm25_topk(docs, list(_BM25_TERMS), top_k=10)
+    vec = cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 7), k=10
+    ).select(F.col("neighbor_id").alias("doc_id"), "rk")
+    return rrf_fuse([bm.select("doc_id", "rk"), vec], top_k=10)
+
+
+@_register(
+    "cdc_point_in_time_join",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value
+      FROM events WHERE event_type <> 'view'),
+    probes AS (
+      SELECT event_id, user_id AS key_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'view'),
+    uni AS (
+      SELECT key_id, ts_us, 0 AS is_fact, seq,
+             CAST(NULL AS BIGINT) AS event_id,
+             struct_pack(op := op, value := value, seq := seq) AS st
+      FROM log
+      UNION ALL
+      SELECT key_id, ts_us, 1, NULL, event_id, NULL FROM probes),
+    w AS (
+      SELECT *, last_value(st IGNORE NULLS) OVER (
+               PARTITION BY key_id
+               ORDER BY ts_us, is_fact, seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eff
+      FROM uni)
+    SELECT event_id, key_id, ts_us,
+           CASE WHEN eff.op <> 'd' THEN eff.value END AS asof_value,
+           CASE WHEN eff.op <> 'd' THEN eff.seq END AS asof_seq
+    FROM w WHERE is_fact = 1
+    """,
+)
+def q_cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store
+    training-set rule): every ``view`` event picks up the user
+    profile's (value, seq) AS OF its own timestamp from the remaining
+    events' changelog — a change at the same microsecond is visible, a
+    later one never is (no look-ahead leakage), and a user whose
+    latest preceding change is a DELETE contributes nulls. Planned as
+    one union + one window pass per key — never a range join (hot keys
+    would pair-explode); see operators/cdc.py:point_in_time_join."""
+    from changedatacapture_spark.operators.cdc import point_in_time_join
+
+    ev = load_table(spark, "events", sf_dir)
+    changes = ev.filter(F.col("event_type") != "view").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key_id"),
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value"),
+    )
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.col("user_id").alias("key_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return point_in_time_join(
+        facts,
+        changes,
+        key_cols=["key_id"],
+        time_col="ts_us",
+        order_cols=["seq"],
+        payload_cols=["value", "seq"],
+    )
+
+
+@_register(
+    "events_decayed_score",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts) // 86400000000) AS mx_day
+                FROM events),
+    c AS (
+      SELECT user_id,
+             CAST(floor(value * 100) AS BIGINT)
+               << (30 - least(CAST(mx_day - epoch_us(ts) // 86400000000
+                                   AS INTEGER), 30)) AS contrib
+      FROM events, mx),
+    agg AS (
+      SELECT user_id, CAST(sum(contrib) AS BIGINT) AS decayed_scaled,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM c GROUP BY user_id)
+    SELECT user_id, decayed_scaled, n_events,
+           row_number() OVER (ORDER BY decayed_scaled DESC, user_id) AS rk
+    FROM agg
+    QUALIFY rk <= 20
+    """,
+)
+def q_events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decayed engagement score: each event's value decays by a
+    ONE-DAY HALF-LIFE relative to the corpus's newest day, scores sum
+    per user, top-20 surface. Engine-exact by construction: the decay
+    weight is a power of two applied with an integer SHIFT to the
+    cent-scaled value (never a float ``exp``/``pow`` whose libm
+    rounding could differ across engines), ages clamp at 30 days
+    (weight 1 — older events still count, just fully decayed). Plan:
+    the reference day is a broadcast single-row aggregate; scoring is
+    one map-side-combinable hash aggregate; top-20 lowers to
+    TakeOrderedAndProject. At 100 TB the shift arithmetic rides
+    whole-stage codegen — no UDF, no shuffle beyond the user-key
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    day = F.expr("unix_micros(ts) div 86400000000")
+    mx = ev.agg(F.max(day).alias("mx_day"))
+    c = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr(
+            "shiftleft(CAST(floor(value * 100) AS BIGINT), "
+            "30 - least(CAST(mx_day - (unix_micros(ts) div 86400000000) "
+            "AS INT), 30))"
+        ).alias("contrib"),
+    )
+    agg = c.groupBy("user_id").agg(
+        F.sum("contrib").alias("decayed_scaled"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("decayed_scaled").desc(), F.col("user_id"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+@_register(
+    "text_hybrid_rrf_indexed",
+    f"""
+    WITH bm AS ({{BM25}}),
+    base AS (
+      SELECT vec_id, embedding, {_ivf_cs_sql('embedding')} AS cs
+      FROM embeddings),
+    corpus_cells AS (
+      SELECT vec_id AS neighbor_id, embedding,
+             CAST(list_position(cs, list_max(cs)) - 1 AS INTEGER) AS cell
+      FROM base),
+    probe_scored AS (
+      SELECT vec_id AS probe_id, embedding AS pv, r.cell, cs[r.cell + 1] AS s
+      FROM base, range(0, 8) r(cell)
+      WHERE vec_id = 7),
+    probe_cells AS (
+      SELECT probe_id, pv, cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY s DESC, cell) AS rn
+        FROM probe_scored)
+      WHERE rn <= 2),
+    vec AS (
+      SELECT neighbor_id AS doc_id, rk FROM (
+        SELECT c.neighbor_id,
+               row_number() OVER (
+                 ORDER BY CAST(floor(({_cos_pair_sql('p.pv', 'c.embedding')})
+                               * 1000000) AS BIGINT) DESC, c.neighbor_id) AS rk
+        FROM probe_cells p JOIN corpus_cells c ON c.cell = p.cell
+        WHERE c.neighbor_id <> p.probe_id)
+      WHERE rk <= 10),
+    uni AS (
+      SELECT doc_id, 1000000000000 // (60 + rk) AS c FROM bm
+      UNION ALL
+      SELECT doc_id, 1000000000000 // (60 + rk) AS c FROM vec),
+    agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_scaled,
+             CAST(count(*) AS BIGINT) AS n_lists
+      FROM uni GROUP BY doc_id)
+    SELECT doc_id, rrf_scaled, n_lists,
+           row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS rk
+    FROM agg
+    QUALIFY rk <= 10
+    """,
+)
+def q_text_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served from MAINTAINED INDEXES — the
+    production sibling of ``text_hybrid_rrf_search``: the lexical leg
+    probes the materialized postings/doclen segments
+    (``bm25_topk_indexed`` — bit-equal to the full-corpus ranking, so
+    it shares the BM25 oracle body) and the vector leg searches the
+    IVF coarse-cell index (top-2 of 8 cells — the oracle reproduces
+    the same centroid assignment, so approximation is MODELED, not
+    fudged). At 100 TB neither leg rescans its corpus: the text leg
+    reads skinny posting relations, the vector leg ~nprobe/n_cells of
+    the embeddings; integer RRF fuses the two top-10 lists."""
+    from changedatacapture_spark.operators.similarity import cosine_topk_ivf
+    from changedatacapture_spark.operators.text import (
+        bm25_topk_indexed,
+        build_text_index,
+        rrf_fuse,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    idx = _session_scratch_dir("hybrid_idx_")
+    build_text_index(docs.select("doc_id", "text"), idx)
+    bm = bm25_topk_indexed(spark, idx, list(_BM25_TERMS), top_k=10)
+    vec = cosine_topk_ivf(
+        emb, emb.filter(F.col("vec_id") == 7), k=10, n_cells=8, nprobe=2,
+        dim=64,
+    ).select(F.col("neighbor_id").alias("doc_id"), "rk")
+    return rrf_fuse([bm.select("doc_id", "rk"), vec], top_k=10)
+
+
+@_register(
+    "q_join_size_no_materialize",
+    """
+    WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS ca
+               FROM orders GROUP BY o_custkey),
+    b AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS cb
+          FROM customer GROUP BY c_custkey),
+    j AS (SELECT a.k, ca * cb AS pairs FROM a JOIN b USING (k))
+    SELECT CAST(sum(pairs) AS BIGINT) AS join_rows,
+           CAST(count(*) AS BIGINT) AS matched_keys,
+           CAST(max(pairs) AS BIGINT) AS hottest_key_pairs
+    FROM j
+    """,
+)
+def q_join_size_no_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT join cardinality without materializing the join — the
+    planner/capacity question ("how many rows would orders ⋈ customer
+    produce, and how hot is the worst key?") answered from per-key
+    count aggregates joined on the DISTINCT-key relation:
+    ``Σ_k cnt_a(k)·cnt_b(k)``. At 100 TB this shuffles two count
+    tables (≤ |distinct keys| rows each) instead of the join's output
+    — the standard pre-flight before launching a join that might
+    explode, and the exact version of what sketch-based estimators
+    approximate. The hottest-key probe is the skew diagnostic that
+    decides salting."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    j = a.join(b, "k").select(
+        (F.col("ca") * F.col("cb")).alias("pairs")
+    )
+    return j.agg(
+        F.sum("pairs").alias("join_rows"),
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.max("pairs").alias("hottest_key_pairs"),
+    )
+
+
+ORACLE_SQL["text_hybrid_rrf_search"] = ORACLE_SQL[
+    "text_hybrid_rrf_search"
+].replace("{BM25}", ORACLE_SQL["text_bm25_rank"])
+ORACLE_SQL["text_hybrid_rrf_indexed"] = ORACLE_SQL[
+    "text_hybrid_rrf_indexed"
+].replace("{BM25}", ORACLE_SQL["text_bm25_rank"])
+ORACLE_SQL["cdc_secondary_index_stream_e2e"] = ORACLE_SQL[
+    "cdc_secondary_index_e2e"
+]
+
+
 # ---------------------------------------------------------------------------
 # The correctness driver samples the FIRST 50 registered queries. With 77
 # registered, ordering decides which operators get a driver-verified row.
@@ -12852,6 +13287,16 @@ _DEMOTED = [
     "token_budget_select",  # 3 greens; budget family keeps mix_waterfill in-window
     "privacy_k_anonymity",  # 3 greens; privacy family hands the slot to privacy_pseudonymize (first row)
     "q20_heavy_red_suppliers",  # 3 greens; nested-exists chain stays oracle-paired; TPC-H family keeps q11 + q_skew_split_join
+    # round-14 second rotation: five round-13-green members hand slots
+    # to the five NEW mid-round queries (secondary index batch+stream,
+    # hybrid RRF retrieval, point-in-time join, decayed score):
+    "knn_recall_label_bucketed",  # green r13; recall law stays oracle-paired; ANN family keeps knn_label_bucketed_topk in-window
+    "events_stream_heavy_hitters_calibrated",  # green r13; stream==batch law re-proven by events_stream_hll in-window; calibrated HH batch row stays
+    "events_cusum_drift",  # green r13; drift detection stays oracle-paired; stats family keeps events_blb_ci in-window
+    "knn_int8_topk",  # green r13; quantized-shortlist family keeps knn_mrl_topk in-window
+    "jsonl_batch_read",  # green r13; source-format family stays oracle-paired (csv/orc greens in the log)
+    "media_resize_bmp",  # green r13; media family keeps media_shard_assign (first row) in-window
+    "events_value_histogram_quantiles",  # green r13; quantile family keeps events_blb_ci in-window
 ]
 
 _PROMOTED = [
@@ -12865,6 +13310,14 @@ _PROMOTED = [
     "cdc_star_view_stream_e2e",  # NEW: star view across checkpointed restarts, both dims change (round 14)
     "cdc_join_view_mor_e2e",  # NEW: join view over a merge-on-read fact + size policy (round 14)
     "cdc_bloom_in_scan",  # NEW: IN-list bloom skipping, per-literal OR-fold (round 14)
+    # mid-round additions (second wave), each earning a first row:
+    "cdc_secondary_index_e2e",  # NEW: CDF-maintained secondary index, update_pre retractions (round 14)
+    "cdc_secondary_index_stream_e2e",  # NEW: index synced per checkpointed micro-batch across a restart (round 14)
+    "text_hybrid_rrf_search",  # NEW: BM25 + cosine legs fused by integer RRF (round 14)
+    "cdc_point_in_time_join",  # NEW: feature-store as-of enrichment, window pass not range join (round 14)
+    "events_decayed_score",  # NEW: half-life-decayed engagement score, integer shift weights (round 14)
+    "text_hybrid_rrf_indexed",  # NEW: hybrid RRF served from postings + IVF indexes (round 14)
+    "q_join_size_no_materialize",  # NEW: exact join cardinality + skew probe without the join (round 14)
     # verdict-priority never-greens earning first rows:
     "cdc_incremental_join",  # delta-propagated join maintenance: first row
     "events_enriched_stream",  # broadcast-dim enrichment over a replayed stream: first row
@@ -12892,21 +13345,14 @@ _PROMOTED = [
     "cdc_mor_size_policy_e2e",  # NEW: byte-budget minor/major compaction policy e2e (round 13)
     "decontaminate_cdf_incremental",  # NEW: change-feed incremental eval-leakage sweep, broadcast bench (round 13)
     "knn_label_bucketed_topk",  # NEW: composite-key bucketed ANN index, pruned + pushed probe (round 13)
-    "knn_recall_label_bucketed",  # NEW: recall 1.0 via residual label pushdown (round 13)
     "events_blb_ci",  # NEW: Bag-of-Little-Bootstraps CI, Poisson(s) md5 weights (round 13)
     "events_heavy_hitters_calibrated",  # NEW: skew-calibrated threshold, non-degenerate at any sf (round 13)
-    "events_stream_heavy_hitters_calibrated",  # NEW: streaming twin at the calibrated threshold (round 13)
     # verdict-priority never-greens earning first rows:
     "dedup_jaccard_prefix_join",  # exact All-Pairs prefix-filter set-similarity join: first row
-    "events_value_histogram_quantiles",  # fixed-width histogram quantile cut: first row
     "events_funnel_sequence",  # ordered multi-step funnel match: first row
-    "events_cusum_drift",  # CUSUM drift detection over minute series: first row
-    "knn_int8_topk",  # int8-quantized shortlist + exact re-rank: first row
-    "media_resize_bmp",  # BMP decode + box resize through Arrow: first row
     "mix_waterfill",  # water-filling token allocation across sources: first row
     "dq_column_profile",  # per-column completeness/cardinality profile: first row
     "events_cohort_retention",  # signup-cohort retention triangle: first row
-    "jsonl_batch_read",  # JSONL batch source parity: first row
     # round-12 first-evers kept a second window (verdict priorities):
     "events_stream_hll",  # stream-merged HLL partials == batch sketch
     "events_zorder_pruned_scan",  # z-order through SnapshotTable, 1.5% files kept

@@ -1,0 +1,198 @@
+"""Secondary (non-key) index over a :class:`SnapshotTable` column.
+
+The store's primary access paths are key-routed (``read_keys``) or
+stats-pruned (``read_where`` zone maps + bloom bitmaps). Both leave a
+gap: "fetch every row whose PAYLOAD column equals v" on a column the
+table is neither keyed nor clustered on still has to consult every
+bucket's stats and scan the survivors. A **secondary index** closes it
+the way Hudi's record index / DynamoDB's GSI do — a posting relation
+``indexed value → primary key`` maintained INCREMENTALLY from the
+table's own change feed, stored as its own ``SnapshotTable`` (so it
+inherits atomic commits, replay idempotence, time travel, and bloom
+skipping on the value column for free).
+
+Scale design (100 TB): maintenance cost per sync is ∝ the change-feed
+delta (never the table), lookups read (a) the posting buckets the
+probed value's bloom/zones keep, then (b) only the key-routed base
+buckets — two bounded scans, no full pass. The posting collect on the
+lookup path is bounded by the value's selectivity, which is the
+contract of ANY secondary index (point lookups on low-selectivity
+values should use a scan; this mirrors e.g. Postgres planner rules).
+
+No reference analog: the reference engine has no secondary indexes;
+this extends the snapshot store the same way bloom skipping did.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .sink import SnapshotTable
+
+
+class SecondaryIndex:
+    """Value→key posting index, change-feed maintained.
+
+    ``sync()`` after any base-table commit brings the index to the
+    table's current version:
+
+    - first sync (or a gap past the base's ``retain_history``): full
+      rebuild from one base read;
+    - otherwise: ``changes_between(indexed, current,
+      include_preimage=True)`` — inserts/update-postimages ADD
+      postings, deletes/update-preimages RETRACT them; an update that
+      left the indexed value unchanged nets out (its retraction is
+      anti-joined away so the posting row never churns).
+
+    NULL indexed values are not indexed (the usual engine contract);
+    ``lookup(None)`` raises.
+
+    Replay/crash safety: posting merges use the base version as the
+    batch id, and the ``_indexed_version`` marker is written (tmp +
+    atomic rename) only after the merge commits — a crash between the
+    two replays the same feed into a batch-id no-op.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: SnapshotTable,
+        col: str,
+        path: str | None = None,
+        n_buckets: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.col = col
+        self.path = (path or f"{table.path}__idx__{col}").rstrip("/")
+        # posting key = (value, base key...): one row per live posting,
+        # deletes are real deletes. bloom_cols on the value column is
+        # what makes lookup() prune posting buckets for values whose
+        # hash never entered them (the value is the FIRST key component,
+        # not the whole key, so bucket routing alone can't prune).
+        # routing hashes the FULL posting key, so a hot value's
+        # postings spread across buckets (skew-free parallel probes);
+        # bloom bitmaps on the value prune buckets the value never
+        # entered, and the value-sort (cluster_cols) gives parquet
+        # row-group stats selectivity INSIDE surviving buckets.
+        self.postings = SnapshotTable(
+            spark,
+            self.path,
+            key_cols=[col] + list(table.key_cols),
+            n_buckets=n_buckets,
+            bloom_cols=[col],
+            cluster_cols=[col],
+        )
+
+    # -- maintenance ------------------------------------------------------
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_indexed_version")
+
+    @property
+    def indexed_version(self) -> int | None:
+        try:
+            with open(self._marker_path(), encoding="utf-8") as fh:
+                return int(json.load(fh)["version"])
+        except (FileNotFoundError, ValueError, KeyError):
+            return None
+
+    def _write_marker(self, version: int) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": version}, fh)
+        os.replace(tmp, self._marker_path())
+
+    def _posting_cols(self) -> list[str]:
+        return [self.col] + list(self.table.key_cols)
+
+    def sync(self) -> dict:
+        """Advance the index to the base table's current version.
+
+        Returns ``{"mode": "noop"|"full"|"incremental", "from": ...,
+        "to": ...}``. Incremental work is ∝ the feed delta; the full
+        path is one base scan (bootstrap, or the feed's horizon was
+        vacuumed — both logged in the return value, never silent).
+        """
+        v_now = self.table.version
+        v_from = self.indexed_version
+        if v_from == v_now:
+            return {"mode": "noop", "from": v_from, "to": v_now}
+        cols = self._posting_cols()
+        if v_from is not None:
+            try:
+                feed = self.table.changes_between(
+                    v_from, v_now, include_preimage=True
+                )
+                adds = (
+                    feed.filter(
+                        F.col("change_type").isin("insert", "update_post")
+                    )
+                    .select(*cols)
+                    .filter(F.col(self.col).isNotNull())
+                    .withColumn("op", F.lit("c"))
+                )
+                # retract old postings — but an update whose indexed
+                # value did NOT change re-adds the same posting in this
+                # same batch; anti-join those retractions away so the
+                # batch stays ≤1 row per posting key (the merge
+                # contract) and unchanged postings never churn
+                dels = (
+                    feed.filter(
+                        F.col("change_type").isin("delete", "update_pre")
+                    )
+                    .select(*cols)
+                    .filter(F.col(self.col).isNotNull())
+                    .join(adds.select(*cols), cols, "left_anti")
+                    .withColumn("op", F.lit("d"))
+                )
+                self.postings.merge(adds.unionByName(dels), batch_id=v_now)
+                self._write_marker(v_now)
+                return {"mode": "incremental", "from": v_from, "to": v_now}
+            except ValueError:
+                # v_from's files were vacuumed (past retain_history):
+                # fall through to the full rebuild below
+                pass
+        # overwrite stores the frame as-is (merge consumes the op
+        # column; overwrite must not carry one)
+        full = (
+            self.table.read()
+            .select(*cols)
+            .filter(F.col(self.col).isNotNull())
+        )
+        self.postings.overwrite(full, batch_id=v_now)
+        self._write_marker(v_now)
+        return {"mode": "full", "from": v_from, "to": v_now}
+
+    # -- lookup -----------------------------------------------------------
+
+    def lookup_keys(self, value) -> DataFrame:
+        """Posting probe only: the base-table keys whose indexed column
+        equals ``value`` (as of the last sync). Bloom + zone pruning on
+        the posting store bounds the scan to the value's buckets."""
+        if value is None:
+            raise ValueError("NULL values are not indexed")
+        return self.postings.read_where([(self.col, "=", value)]).select(
+            *self.table.key_cols
+        )
+
+    def lookup(self, value) -> DataFrame:
+        """Rows of the BASE table whose indexed column equals ``value``.
+
+        Two pruned scans: the posting probe (bloom/zone-skipped), then
+        ``read_keys`` on the collected posting list (key-routed bucket
+        subset). The collect is bounded by the value's posting count —
+        the selectivity contract of a secondary index. The final
+        equality re-filter keeps the result exact against the CURRENT
+        base even if it moved past the last sync (stale postings can
+        only over-fetch, never corrupt)."""
+        keys = [
+            tuple(r) if len(self.table.key_cols) > 1 else r[0]
+            for r in self.lookup_keys(value).collect()
+        ]
+        return self.table.read_keys(keys).filter(F.col(self.col) == F.lit(value))

@@ -2448,12 +2448,22 @@ class SnapshotTable:
         )
         self._vacuum()
 
-    def changes_between(self, v_from: int, v_to: int) -> DataFrame:
+    def changes_between(
+        self, v_from: int, v_to: int, include_preimage: bool = False
+    ) -> DataFrame:
         """Change data feed: the net row-level difference between two
         committed versions (Delta ``table_changes`` analogue) —
         ``change_type ∈ {insert, delete, update_post}`` plus the row
         image (the post-image for inserts/updates, the pre-image for
         deletes).
+
+        ``include_preimage=True`` additionally emits one
+        ``update_pre`` row per update carrying the OLD row image
+        (Delta's ``update_preimage``) — the shape downstream
+        maintainers need to RETRACT derived state keyed on a payload
+        column (e.g. a secondary index deleting the stale posting
+        when the indexed value changes). Columns the old version's
+        schema lacked (post-evolution adds) come back as nulls.
 
         Computed as a full outer join of the two versions on the key
         (both sides read through the bucket manifests, so cost is two
@@ -2509,11 +2519,43 @@ class SnapshotTable:
             ).alias(c)
             for c in payload
         ]
-        return (
+        post = (
             joined.withColumn("change_type", change_type)
             .filter(F.col("change_type").isNotNull())
             .select("change_type", *out_cols)
         )
+        if not include_preimage:
+            return post
+        # one update_pre row per update, carrying the OLD image. The
+        # union re-executes the keyed join; both executions read the
+        # same two manifest-pruned version snapshots, so the feed stays
+        # two version reads' worth of I/O per pass (persist() upstream
+        # if single-pass cost matters). Pre-image payloads cast to the
+        # CURRENT schema so evolved columns union cleanly (nulls where
+        # the old version predates the column).
+        is_update = (
+            first_ok.isNotNull()
+            & first_nk.isNotNull()
+            & (changed if changed is not None else F.lit(False))
+        )
+        new_types = {f.name: f.dataType for f in new.schema.fields}
+        pre_cols = [
+            F.col(f"_ok_{k}").cast(new_types[k]).alias(k)
+            for k in self.key_cols
+        ] + [
+            (
+                F.col(f"_o_{c}")
+                if f"_o_{c}" in old_sel.columns
+                else F.lit(None)
+            )
+            .cast(new_types[c])
+            .alias(c)
+            for c in payload
+        ]
+        pre = joined.filter(is_update).select(
+            F.lit("update_pre").alias("change_type"), *pre_cols
+        )
+        return post.unionByName(pre)
 
     def optimize(self, tombstone_horizon=None) -> dict:
         """One-call table maintenance — the periodic job a deployment

@@ -599,3 +599,34 @@ def test_dedup_cdf_incremental_probe_broadcasts_delta(spark, sf_dir):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3, plan[:1500]
+
+
+def test_point_in_time_join_is_window_pass_not_range_join(spark, sf_dir):
+    """The point-in-time feature join must be the union + single
+    key-partitioned window pass — never an interval/range join (hot
+    keys would pair-explode) and never an unpartitioned window (driver
+    straggler): no cartesian or nested-loop join anywhere, and every
+    window spec partitions by the key."""
+    import re
+
+    df = _run(spark, sf_dir, "cdc_point_in_time_join")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan[:1500]
+    assert all("key_id" in s for s in specs), specs
+    assert "Union" in plan, plan[:1500]
+
+
+def test_hybrid_rrf_fusion_is_list_sized(spark, sf_dir):
+    """RRF fusion must aggregate the unioned top-k lists with a
+    partial (map-side) aggregate; the only nested-loop allowed is the
+    two 1-row broadcasts the legs carry (BM25 corpus constants, the
+    single probe vector). The documents/embeddings corpora each scan
+    once per leg — fusion itself adds no corpus scan."""
+    df = _run(spark, sf_dir, "text_hybrid_rrf_search")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower(), plan[:1500]
+    assert "Union" in plan, plan[:1500]

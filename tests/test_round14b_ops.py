@@ -1,0 +1,272 @@
+"""Round-14 second-wave operators: secondary index, CDF pre-images,
+point-in-time join, RRF fusion."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.streaming import sink as sink_mod
+from changedatacapture_spark.streaming.index import SecondaryIndex
+from changedatacapture_spark.streaming.sink import SnapshotTable
+
+
+def _mk_table(spark, tmp_path, retain=4):
+    t = SnapshotTable(
+        spark,
+        os.path.join(str(tmp_path), "t"),
+        ["k"],
+        n_buckets=4,
+        retain_history=retain,
+    )
+    b1 = spark.createDataFrame(
+        [(i, i % 3, f"p{i}", "c") for i in range(20)],
+        "k long, band long, payload string, op string",
+    )
+    t.merge(b1, batch_id=0)
+    return t
+
+
+class TestChangesPreimage:
+    def test_update_pre_rows(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        v1 = t.version
+        b2 = spark.createDataFrame(
+            [
+                (1, 2, "p1b", "u"),   # band change → pre + post
+                (4, None, None, "d"),  # delete → pre-image row only
+                (100, 1, "new", "c"),  # insert
+                (7, 1, "p7b", "u"),   # payload-only update (band kept)
+            ],
+            "k long, band long, payload string, op string",
+        )
+        t.merge(b2, batch_id=1)
+        feed = t.changes_between(v1, t.version, include_preimage=True)
+        rows = {(r.change_type, r.k): r for r in feed.collect()}
+        assert rows[("update_pre", 1)].band == 1
+        assert rows[("update_post", 1)].band == 2
+        assert rows[("update_pre", 7)].band == 1  # value unchanged, payload not
+        assert rows[("delete", 4)].band == 1  # deletes carry the pre-image
+        assert ("update_pre", 100) not in rows
+        # default call shape is unchanged
+        base = t.changes_between(v1, t.version)
+        assert set(base.select("change_type").distinct().toPandas()["change_type"]) == {
+            "insert",
+            "delete",
+            "update_post",
+        }
+
+    def test_preimage_nulls_for_evolved_columns(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        v1 = t.version
+        b2 = spark.createDataFrame(
+            [(1, 2, "p1b", 9.5, "u")],
+            "k long, band long, payload string, extra double, op string",
+        )
+        t.merge(b2, batch_id=1)
+        feed = t.changes_between(v1, t.version, include_preimage=True)
+        pre = feed.filter(
+            (F.col("change_type") == "update_pre") & (F.col("k") == 1)
+        ).first()
+        assert pre.extra is None  # column postdates the old version
+        assert pre.band == 1
+
+
+class TestSecondaryIndex:
+    def test_lookup_tracks_band_moves(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        idx = SecondaryIndex(spark, t, "band")
+        assert idx.sync()["mode"] == "full"
+        assert sorted(r.k for r in idx.lookup(1).collect()) == [
+            x for x in range(20) if x % 3 == 1
+        ]
+        b2 = spark.createDataFrame(
+            [
+                (1, 2, "p1b", "u"),
+                (4, None, None, "d"),
+                (100, 1, "new", "c"),
+                (7, 1, "p7b", "u"),
+            ],
+            "k long, band long, payload string, op string",
+        )
+        t.merge(b2, batch_id=1)
+        assert idx.sync()["mode"] == "incremental"
+        got = sorted(r.k for r in idx.lookup(1).collect())
+        assert got == [
+            x for x in range(20) if x % 3 == 1 and x not in (1, 4)
+        ] + [100]
+        # stale postings retracted: band 2 gained k=1
+        assert 1 in {r.k for r in idx.lookup(2).collect()}
+
+    def test_sync_noop_and_replay(self, spark, tmp_path):
+        t = _mk_table(spark, tmp_path)
+        idx = SecondaryIndex(spark, t, "band")
+        idx.sync()
+        v_boot = t.version
+        assert idx.sync()["mode"] == "noop"
+        t.merge(
+            spark.createDataFrame(
+                [(1, 2, "p1b", "u")],
+                "k long, band long, payload string, op string",
+            ),
+            batch_id=1,
+        )
+        idx.sync()
+        before = idx.postings.version
+        # crash between posting merge and marker write: the marker
+        # still holds the PRE-merge version; the replayed sync re-runs
+        # the same feed into a batch-id no-op
+        idx._write_marker(v_boot)
+        assert idx.sync()["mode"] == "incremental"
+        # the posting merge no-ops on its batch id — no new version
+        assert idx.postings.version == before
+        assert sorted(r.k for r in idx.lookup_keys(2).collect()) == sorted(
+            [1] + [x for x in range(20) if x % 3 == 2]
+        )
+
+    def test_null_values_not_indexed(self, spark, tmp_path):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "tn"), ["k"], n_buckets=2
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(1, None, "c"), (2, 5, "c")],
+                "k long, band long, op string",
+            ),
+            batch_id=0,
+        )
+        idx = SecondaryIndex(spark, t, "band")
+        idx.sync()
+        assert [r.k for r in idx.lookup(5).collect()] == [2]
+        with pytest.raises(ValueError):
+            idx.lookup(None)
+
+    def test_retention_gap_falls_back_to_full(self, spark, tmp_path, monkeypatch):
+        t = _mk_table(spark, tmp_path, retain=0)
+        idx = SecondaryIndex(spark, t, "band")
+        idx.sync()
+        t.merge(
+            spark.createDataFrame(
+                [(1, 2, "x", "u")],
+                "k long, band long, payload string, op string",
+            ),
+            batch_id=1,
+        )
+
+        # the indexed horizon's files were vacuumed: the feed raises
+        # and sync must fall back to a full rebuild, never fail
+        def gone(*a, **kw):
+            raise ValueError("version beyond retain_history")
+
+        monkeypatch.setattr(t, "changes_between", gone)
+        assert idx.sync()["mode"] == "full"
+        assert 1 in {r.k for r in idx.lookup(2).collect()}
+        assert 1 not in {r.k for r in idx.lookup(1).collect()}
+
+    def test_lookup_prunes_posting_buckets(self, spark, tmp_path):
+        # high-cardinality value column → bloom bitmaps prune buckets
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "tp"), ["k"], n_buckets=4
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, 1000 + i, "c") for i in range(400)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        idx = SecondaryIndex(spark, t, "v", n_buckets=16)
+        idx.sync()
+        assert [r.k for r in idx.lookup(1007).collect()] == [7]
+        idx.lookup_keys(1007).collect()
+        rep = sink_mod.LAST_SCAN_REPORT
+        assert rep["buckets_kept"] < rep["buckets_total"], rep
+        # the base side reads a key-routed bucket subset, never the
+        # full table: one key routes to exactly one of 4 base buckets
+        base_files = [
+            p for p in idx.lookup(1007).inputFiles() if "/tp/" in p
+        ]
+        base_buckets = {p.split("/bucket=")[1].split("/")[0] for p in base_files}
+        assert len(base_buckets) == 1, sorted(base_buckets)
+
+
+class TestPointInTimeJoin:
+    def test_asof_semantics_with_deletes(self, spark):
+        from changedatacapture_spark.operators.cdc import point_in_time_join
+
+        changes = spark.createDataFrame(
+            [
+                (1, 10, 1, "c", 100.0),
+                (1, 50, 2, "u", 200.0),
+                (1, 80, 3, "d", None),
+                (2, 5, 4, "c", 7.0),
+            ],
+            "key long, t long, seq long, op string, value double",
+        )
+        facts = spark.createDataFrame(
+            [(101, 1, 5), (102, 1, 10), (103, 1, 50), (104, 1, 60),
+             (105, 1, 90), (106, 2, 5), (107, 3, 5)],
+            "fid long, key long, t long",
+        )
+        out = {
+            r.fid: (r.asof_value, r.asof_seq)
+            for r in point_in_time_join(
+                facts, changes, ["key"], "t", ["seq"], ["value", "seq"]
+            ).collect()
+        }
+        assert out[101] == (None, None)      # before any change
+        assert out[102] == (100.0, 1)        # change at SAME time visible
+        assert out[103] == (200.0, 2)
+        assert out[104] == (200.0, 2)
+        assert out[105] == (None, None)      # deleted before the fact
+        assert out[106] == (7.0, 4)
+        assert out[107] == (None, None)      # key never seen
+
+    def test_same_time_change_ordering(self, spark):
+        from changedatacapture_spark.operators.cdc import point_in_time_join
+
+        # two changes at the same t: the higher seq wins for a fact at t
+        changes = spark.createDataFrame(
+            [(1, 10, 1, "u", 1.0), (1, 10, 2, "u", 2.0)],
+            "key long, t long, seq long, op string, value double",
+        )
+        facts = spark.createDataFrame([(9, 1, 10)], "fid long, key long, t long")
+        got = point_in_time_join(
+            facts, changes, ["key"], "t", ["seq"], ["value"]
+        ).first()
+        assert got.asof_value == 2.0
+
+
+class TestRrfFuse:
+    def test_integer_fusion(self, spark):
+        from changedatacapture_spark.operators.text import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id long, rk long"
+        )
+        b = spark.createDataFrame(
+            [(11, 1), (13, 2)], "doc_id long, rk long"
+        )
+        rows = {
+            r.doc_id: r
+            for r in rrf_fuse([a, b], top_k=10).collect()
+        }
+        s = 1_000_000_000_000
+        assert rows[11].rrf_scaled == s // 61 + s // 62
+        assert rows[11].n_lists == 2
+        assert rows[10].rrf_scaled == s // 61
+        assert rows[10].n_lists == 1
+        # ranking: 11 (two lists) first, then 10, 13, 12
+        order = sorted(rows.values(), key=lambda r: r.rk)
+        assert [r.doc_id for r in order] == [11, 10, 13, 12]
+
+    def test_tie_breaks_by_id(self, spark):
+        from changedatacapture_spark.operators.text import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(5, 1), (3, 1)], "doc_id long, rk long"
+        )  # impossible in one real list, but pins the tie rule
+        got = [r.doc_id for r in rrf_fuse([a], top_k=2).collect()]
+        assert got == [3, 5]

@@ -19,6 +19,13 @@ lookup path is bounded by the value's selectivity, which is the
 contract of ANY secondary index (point lookups on low-selectivity
 values should use a scan; this mirrors e.g. Postgres planner rules).
 
+Sizing rule: the 1024-bit manifest blooms stay selective up to
+~200 DISTINCT indexed values per posting bucket (fill ≈ 54%, FP ≈
+7%); past ~750 they saturate (FP ≈ 80%). Size ``n_buckets`` ≈
+|distinct values| / 200 — measured at 10× scale: 12k distinct values
+probe 13/16 kept at 16 buckets but 4/64 at 64. Posting buckets are
+value-count-sized, not byte-sized, so high counts are cheap.
+
 No reference analog: the reference engine has no secondary indexes;
 this extends the snapshot store the same way bloom skipping did.
 """
@@ -79,6 +86,11 @@ class SecondaryIndex:
         # bloom bitmaps on the value prune buckets the value never
         # entered, and the value-sort (cluster_cols) gives parquet
         # row-group stats selectivity INSIDE surviving buckets.
+        # stats_on_merge: the posting table is the scan-often /
+        # merge-per-batch case that flag exists for — a merge that
+        # DROPPED its touched buckets' stats (the default policy)
+        # would strip the bloom bitmaps every sync and lookups would
+        # degrade to full posting scans until the next rewrite.
         self.postings = SnapshotTable(
             spark,
             self.path,
@@ -86,6 +98,7 @@ class SecondaryIndex:
             n_buckets=n_buckets,
             bloom_cols=[col],
             cluster_cols=[col],
+            stats_on_merge=True,
         )
 
     # -- maintenance ------------------------------------------------------

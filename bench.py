@@ -162,6 +162,16 @@ EXTRA = [
     "decontaminate_cdf_incremental",
     "events_heavy_hitters_calibrated",
     "cdc_mor_size_policy_e2e",
+    # round-14 second-wave additions: the point-in-time feature join
+    # (union + one keyed window pass, never a range join), the
+    # integer-shift decayed score, the join-cardinality/skew probe
+    # that never materializes the join, and the two-leg RRF hybrid
+    # retrieval (the heavier index-served variant and the secondary-
+    # index e2es are measured in PERF_r14 §15/§17, not every round)
+    "cdc_point_in_time_join",
+    "events_decayed_score",
+    "q_join_size_no_materialize",
+    "text_hybrid_rrf_search",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime
@@ -247,6 +257,12 @@ SF1_SET = [
     "decontaminate_cdf_incremental",
     "knn_label_bucketed_topk",
     "cdc_mor_size_policy_e2e",
+    # round-14 second wave, cheap/scan-shaped: the point-in-time
+    # feature join (one keyed window pass over facts+changes) and the
+    # integer-shift decayed score (map-side-combinable aggregate) —
+    # both measured 100× sub-linear in PERF_r14 §16
+    "cdc_point_in_time_join",
+    "events_decayed_score",
     # the embedding dedup capstone LAST — round 11 bounded it with the
     # hub guard (all-pairs only in ≤20-member buckets, chained above),
     # so this wall now evidences the LINEAR capped hybrid, not the

@@ -630,3 +630,15 @@ def test_hybrid_rrf_fusion_is_list_sized(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower(), plan[:1500]
     assert "Union" in plan, plan[:1500]
+
+
+def test_decayed_score_broadcasts_reference_day(spark, sf_dir):
+    """The half-life decay must be one codegen'd scan + one keyed
+    aggregate: the reference-day relation is a 1-row broadcast (the
+    only nested-loop allowed), the per-user sum partially aggregates
+    map-side, and no Python UDF appears anywhere."""
+    df = _run(spark, sf_dir, "events_decayed_score")
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower(), plan[:1500]
+    assert "PythonUDF" not in plan, plan[:1500]

@@ -12990,6 +12990,106 @@ def q_events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cdc_scd2_view_e2e", None)  # oracle assigned below
+def q_cdc_scd2_view_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained SCD TYPE-2 HISTORY (``SCD2View`` —
+    the IVM family's history member, next to AggView/JoinView): the
+    changelog folds in two time-ordered batches; per batch the touched
+    keys' OPEN versions (``read_keys`` — key-routed bucket reads)
+    stitch with the batch's change rows through ONE window pass —
+    the previous version closes at the first batch change,
+    batch-internal chains close each other, trailing deletes leave no
+    open row — and the newly closed intervals append to a separate
+    closed-versions table keyed by the FULL order tuple (same-ts
+    zero-length versions stay distinct). The final history must equal
+    ``scd2_history`` over the whole log — it shares
+    ``cdc_scd2_history``'s oracle. Work per batch ∝ |batch| +
+    |touched keys|, never history size. See streaming/history.py."""
+    from changedatacapture_spark.streaming.history import SCD2View
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    open_t = SnapshotTable(
+        spark, _session_scratch_dir("scd2v_open_"), ["key_id"], n_buckets=8
+    )
+    closed_t = SnapshotTable(
+        spark,
+        _session_scratch_dir("scd2v_closed_"),
+        ["key_id", "valid_from", "seq"],
+        n_buckets=8,
+        bloom_cols=["key_id"],
+    )
+    view = SCD2View(
+        spark, open_t, closed_t, ["key_id"], ["ts_us", "seq"],
+        ["value", "props"],
+    )
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, half in enumerate(halves):
+        view.apply(half, batch_id=i)
+    return view.history().select(
+        "key_id", "value", "props", "valid_from", "valid_to", "is_current"
+    )
+
+
+@_register("cdc_scd2_view_asof_probe", None)  # oracle assigned below
+def q_cdc_scd2_view_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time probe against the INCREMENTALLY-maintained
+    history: the non-view changelog builds an ``SCD2View`` in two
+    batches, then every ``view`` event asks for the profile AS OF its
+    own timestamp — interval containment on the maintained
+    ``[valid_from, valid_to)`` rows. Shares
+    ``cdc_point_in_time_join``'s oracle: the feature-store rule
+    computed from materialized history must equal the one computed
+    from the raw changelog in a single pass — the cross-validation
+    that pins both the view's intervals and the probe's visibility
+    edge cases (same-microsecond changes, post-delete gaps)."""
+    from changedatacapture_spark.streaming.history import SCD2View
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    ev = load_table(spark, "events", sf_dir)
+    changes = ev.filter(F.col("event_type") != "view").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key_id"),
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value"),
+    )
+    lo, hi = changes.agg(F.min("ts_us"), F.max("ts_us")).first()
+    open_t = SnapshotTable(
+        spark, _session_scratch_dir("scd2p_open_"), ["key_id"], n_buckets=8
+    )
+    closed_t = SnapshotTable(
+        spark,
+        _session_scratch_dir("scd2p_closed_"),
+        ["key_id", "valid_from", "seq"],
+        n_buckets=8,
+        bloom_cols=["key_id"],
+    )
+    view = SCD2View(
+        spark, open_t, closed_t, ["key_id"], ["ts_us", "seq"],
+        ["value", "seq"],
+    )
+    halves = (
+        changes.filter(F.col("ts_us") * 2 <= lo + hi),
+        changes.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, half in enumerate(halves):
+        view.apply(half, batch_id=i)
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.col("user_id").alias("key_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return view.probe_as_of(facts, "ts_us")
+
+
 @_register(
     "text_hybrid_rrf_indexed",
     f"""
@@ -13116,6 +13216,8 @@ ORACLE_SQL["text_hybrid_rrf_indexed"] = ORACLE_SQL[
 ORACLE_SQL["cdc_secondary_index_stream_e2e"] = ORACLE_SQL[
     "cdc_secondary_index_e2e"
 ]
+ORACLE_SQL["cdc_scd2_view_e2e"] = ORACLE_SQL["cdc_scd2_history"]
+ORACLE_SQL["cdc_scd2_view_asof_probe"] = ORACLE_SQL["cdc_point_in_time_join"]
 
 
 # ---------------------------------------------------------------------------
@@ -13297,6 +13399,8 @@ _DEMOTED = [
     "jsonl_batch_read",  # green r13; source-format family stays oracle-paired (csv/orc greens in the log)
     "media_resize_bmp",  # green r13; media family keeps media_shard_assign (first row) in-window
     "events_value_histogram_quantiles",  # green r13; quantile family keeps events_blb_ci in-window
+    "dq_column_profile",  # green r13; DQ family keeps dq_volume_control (first row) in-window
+    "dedup_jaccard_prefix_join",  # green r13; set-similarity family keeps dedup_minhash_pairs_capped + dedup_sorted_neighborhood in-window
 ]
 
 _PROMOTED = [
@@ -13318,6 +13422,8 @@ _PROMOTED = [
     "events_decayed_score",  # NEW: half-life-decayed engagement score, integer shift weights (round 14)
     "text_hybrid_rrf_indexed",  # NEW: hybrid RRF served from postings + IVF indexes (round 14)
     "q_join_size_no_materialize",  # NEW: exact join cardinality + skew probe without the join (round 14)
+    "cdc_scd2_view_e2e",  # NEW: incrementally-maintained SCD2 history view (round 14)
+    "cdc_scd2_view_asof_probe",  # NEW: as-of probe over the maintained history, shares the PIT oracle (round 14)
     # verdict-priority never-greens earning first rows:
     "cdc_incremental_join",  # delta-propagated join maintenance: first row
     "events_enriched_stream",  # broadcast-dim enrichment over a replayed stream: first row
@@ -13348,10 +13454,8 @@ _PROMOTED = [
     "events_blb_ci",  # NEW: Bag-of-Little-Bootstraps CI, Poisson(s) md5 weights (round 13)
     "events_heavy_hitters_calibrated",  # NEW: skew-calibrated threshold, non-degenerate at any sf (round 13)
     # verdict-priority never-greens earning first rows:
-    "dedup_jaccard_prefix_join",  # exact All-Pairs prefix-filter set-similarity join: first row
     "events_funnel_sequence",  # ordered multi-step funnel match: first row
     "mix_waterfill",  # water-filling token allocation across sources: first row
-    "dq_column_profile",  # per-column completeness/cardinality profile: first row
     "events_cohort_retention",  # signup-cohort retention triangle: first row
     # round-12 first-evers kept a second window (verdict priorities):
     "events_stream_hll",  # stream-merged HLL partials == batch sketch

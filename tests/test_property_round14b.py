@@ -98,3 +98,79 @@ def test_secondary_index_any_split_any_sync_cadence(
         got = sorted(r.key_id for r in idx.lookup(band).collect())
         want = sorted(k for k, b in state.items() if b == band)
         assert got == want, (band, got, want, events, sync_plan)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=3),
+            st.sampled_from(["c", "u", "d"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@_SETTINGS
+def test_scd2_view_any_ordered_split_equals_batch_history(
+    spark, tmp_path_factory, events, n_batches, cut_seed
+):
+    """The SCD2View law: ANY changelog folded through ANY time-ordered
+    batch split leaves history() ≡ scd2_history over the whole log —
+    including same-timestamp zero-length version chains that SPAN
+    batch boundaries (the closed table's full-order-tuple key is what
+    keeps those from overwriting each other)."""
+    import random
+
+    from changedatacapture_spark.operators.cdc import scd2_history
+    from changedatacapture_spark.streaming.history import SCD2View
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    rows = sorted(
+        (ts, seq, key, op, value)
+        for seq, (key, ts, op, value) in enumerate(events)
+    )
+    ddl = "key_id long, ts long, seq long, op string, value long"
+    full = spark.createDataFrame(
+        [(k, ts, seq, op, v) for ts, seq, k, op, v in rows], ddl
+    )
+    expected = sorted(
+        (r.key_id, r.value, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(
+            full, ["key_id"], ["ts", "seq"], payload_cols=["value"]
+        ).collect()
+    )
+
+    rng = random.Random(cut_seed)
+    cuts = sorted(rng.randint(0, len(rows)) for _ in range(n_batches - 1))
+    bounds = [0] + cuts + [len(rows)]
+    base = tmp_path_factory.mktemp("scd2_prop")
+    open_t = SnapshotTable(spark, str(base / "open"), ["key_id"], n_buckets=2)
+    closed_t = SnapshotTable(
+        spark, str(base / "closed"), ["key_id", "valid_from", "seq"],
+        n_buckets=2,
+    )
+    view = SCD2View(
+        spark, open_t, closed_t, ["key_id"], ["ts", "seq"], ["value"]
+    )
+    for i in range(n_batches):
+        chunk = rows[bounds[i]:bounds[i + 1]]
+        if not chunk:
+            continue
+        view.apply(
+            spark.createDataFrame(
+                [(k, ts, seq, op, v) for ts, seq, k, op, v in chunk], ddl
+            ),
+            batch_id=i,
+        )
+    if not open_t.exists() and not closed_t.exists():
+        assert expected == []
+        return
+    got = sorted(
+        (r.key_id, r.value, r.valid_from, r.valid_to, r.is_current)
+        for r in view.history().collect()
+    )
+    assert got == expected, (events, bounds)

@@ -270,3 +270,84 @@ class TestRrfFuse:
         )  # impossible in one real list, but pins the tie rule
         got = [r.doc_id for r in rrf_fuse([a], top_k=2).collect()]
         assert got == [3, 5]
+
+
+class TestSCD2View:
+    def _mk(self, spark, tmp_path, payload=("value",)):
+        from changedatacapture_spark.streaming.history import SCD2View
+
+        open_t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "open"), ["key_id"],
+            n_buckets=2,
+        )
+        closed_t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "closed"),
+            ["key_id", "valid_from", "seq"], n_buckets=2,
+            bloom_cols=["key_id"],
+        )
+        return SCD2View(
+            spark, open_t, closed_t, ["key_id"], ["ts", "seq"],
+            list(payload),
+        )
+
+    DDL = "key_id long, ts long, seq long, op string, value double"
+
+    def test_same_ts_versions_span_batches(self, spark, tmp_path):
+        # batch 1 ends with an open version at ts=5; batch 2 opens a
+        # NEW version at the SAME ts=5 (higher seq) — the old one
+        # becomes a zero-length closed version that must NOT overwrite
+        # or be overwritten by batch 1's earlier zero-length at ts=5
+        v = self._mk(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, 5, 1, "c", 10.0), (1, 5, 2, "u", 11.0)], self.DDL
+        )
+        b2 = spark.createDataFrame([(1, 5, 3, "u", 12.0)], self.DDL)
+        v.apply(b1, batch_id=0)
+        v.apply(b2, batch_id=1)
+        hist = sorted(
+            (r.value, r.valid_from, r.valid_to, r.is_current)
+            for r in v.history().collect()
+        )
+        assert hist == [
+            (10.0, 5, 5, 0),
+            (11.0, 5, 5, 0),
+            (12.0, 5, None, 1),
+        ]
+
+    def test_delete_gap_and_reinsert(self, spark, tmp_path):
+        v = self._mk(spark, tmp_path)
+        v.apply(
+            spark.createDataFrame(
+                [(1, 1, 0, "c", 1.0), (1, 4, 1, "d", None)], self.DDL
+            ),
+            batch_id=0,
+        )
+        # key fully deleted: no open row
+        assert v.open.read().count() == 0
+        assert [
+            (r.valid_from, r.valid_to) for r in v.closed.read().collect()
+        ] == [(1, 4)]
+        v.apply(
+            spark.createDataFrame([(1, 9, 2, "c", 2.0)], self.DDL),
+            batch_id=1,
+        )
+        probe = spark.createDataFrame(
+            [(10, 1, 2), (11, 1, 5), (12, 1, 9)], "fid long, key_id long, ts long"
+        )
+        got = {
+            r.fid: r.asof_value
+            for r in v.probe_as_of(probe, "ts").collect()
+        }
+        assert got == {10: 1.0, 11: None, 12: 2.0}
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        v = self._mk(spark, tmp_path)
+        b1 = spark.createDataFrame(
+            [(1, 1, 0, "c", 1.0), (2, 2, 1, "c", 2.0)], self.DDL
+        )
+        b2 = spark.createDataFrame([(1, 5, 2, "u", 3.0)], self.DDL)
+        v.apply(b1, batch_id=0)
+        v.apply(b2, batch_id=1)
+        before = sorted(map(tuple, v.history().collect()))
+        v.apply(b2, batch_id=1)  # foreachBatch replay
+        assert sorted(map(tuple, v.history().collect())) == before

@@ -1518,6 +1518,8 @@ def rrf_fuse(
     """
     from pyspark.sql.window import Window
 
+    if not ranked_lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
     contrib = F.expr(
         f"CAST({scale} AS BIGINT) div CAST({rrf_k} + {rank_col} AS BIGINT)"
     )

@@ -2850,6 +2850,34 @@ def _changelog_us(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pit_changes_and_facts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared point-in-time fixtures: the profile changelog (every
+    non-``view`` event, same op mapping as ``_changelog_us``) and the
+    probe facts (the ``view`` events). ``cdc_point_in_time_join`` and
+    ``cdc_scd2_view_asof_probe`` share an oracle, so they must build
+    these relations from ONE definition — a drift here would silently
+    break the cross-validation the shared oracle pins."""
+    ev = load_table(spark, "events", sf_dir)
+    changes = ev.filter(F.col("event_type") != "view").select(
+        F.col("event_id").alias("seq"),
+        F.col("user_id").alias("key_id"),
+        F.when(F.col("event_type") == "signup", F.lit("c"))
+        .when(F.col("event_type") == "error", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("value"),
+    )
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "event_id",
+        F.col("user_id").alias("key_id"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return changes, facts
+
+
 @_register("cdc_snapshot_merge_e2e", _FINAL_STATE_SQL)
 def q_cdc_snapshot_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline end-to-end: Debezium JSON envelopes → CdcPipeline
@@ -12906,22 +12934,7 @@ def q_cdc_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     would pair-explode); see operators/cdc.py:point_in_time_join."""
     from changedatacapture_spark.operators.cdc import point_in_time_join
 
-    ev = load_table(spark, "events", sf_dir)
-    changes = ev.filter(F.col("event_type") != "view").select(
-        F.col("event_id").alias("seq"),
-        F.col("user_id").alias("key_id"),
-        F.when(F.col("event_type") == "signup", F.lit("c"))
-        .when(F.col("event_type") == "error", F.lit("d"))
-        .otherwise(F.lit("u"))
-        .alias("op"),
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("value"),
-    )
-    facts = ev.filter(F.col("event_type") == "view").select(
-        "event_id",
-        F.col("user_id").alias("key_id"),
-        F.unix_micros("ts").alias("ts_us"),
-    )
+    changes, facts = _pit_changes_and_facts(spark, sf_dir)
     return point_in_time_join(
         facts,
         changes,
@@ -13050,17 +13063,7 @@ def q_cdc_scd2_view_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from changedatacapture_spark.streaming.history import SCD2View
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
-    ev = load_table(spark, "events", sf_dir)
-    changes = ev.filter(F.col("event_type") != "view").select(
-        F.col("event_id").alias("seq"),
-        F.col("user_id").alias("key_id"),
-        F.when(F.col("event_type") == "signup", F.lit("c"))
-        .when(F.col("event_type") == "error", F.lit("d"))
-        .otherwise(F.lit("u"))
-        .alias("op"),
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("value"),
-    )
+    changes, facts = _pit_changes_and_facts(spark, sf_dir)
     lo, hi = changes.agg(F.min("ts_us"), F.max("ts_us")).first()
     open_t = SnapshotTable(
         spark, _session_scratch_dir("scd2p_open_"), ["key_id"], n_buckets=8
@@ -13082,11 +13085,6 @@ def q_cdc_scd2_view_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for i, half in enumerate(halves):
         view.apply(half, batch_id=i)
-    facts = ev.filter(F.col("event_type") == "view").select(
-        "event_id",
-        F.col("user_id").alias("key_id"),
-        F.unix_micros("ts").alias("ts_us"),
-    )
     return view.probe_as_of(facts, "ts_us")
 
 

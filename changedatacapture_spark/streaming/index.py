@@ -32,9 +32,6 @@ this extends the snapshot store the same way bloom skipping did.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -59,9 +56,11 @@ class SecondaryIndex:
     ``lookup(None)`` raises.
 
     Replay/crash safety: posting merges use the base version as the
-    batch id, and the ``_indexed_version`` marker is written (tmp +
-    atomic rename) only after the merge commits — a crash between the
-    two replays the same feed into a batch-id no-op.
+    batch id, and that committed batch id IS the indexed-version
+    record — one atomic commit carries both the postings and the
+    version they reflect, so there is no window where the index's
+    data and its progress marker disagree. A replayed sync no-ops on
+    the batch-id check.
     """
 
     def __init__(
@@ -103,23 +102,19 @@ class SecondaryIndex:
 
     # -- maintenance ------------------------------------------------------
 
-    def _marker_path(self) -> str:
-        return os.path.join(self.path, "_indexed_version")
-
     @property
     def indexed_version(self) -> int | None:
-        try:
-            with open(self._marker_path(), encoding="utf-8") as fh:
-                return int(json.load(fh)["version"])
-        except (FileNotFoundError, ValueError, KeyError):
+        """Base-table version the postings reflect — read from the
+        posting table's OWN committed batch id (every posting commit
+        carries the base version it indexed), so the indexed-version
+        record is atomic with the postings themselves. A separate
+        marker file would reopen the crash window it exists to close:
+        a crash between the posting merge and the marker write leaves
+        stale postings that the next (differently-versioned) sync
+        never retracts."""
+        if not self.postings.exists():
             return None
-
-    def _write_marker(self, version: int) -> None:
-        os.makedirs(self.path, exist_ok=True)
-        tmp = self._marker_path() + ".tmp"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            json.dump({"version": version}, fh)
-        os.replace(tmp, self._marker_path())
+        return self.postings.last_batch_id()
 
     def _posting_cols(self) -> list[str]:
         return [self.col] + list(self.table.key_cols)
@@ -137,40 +132,45 @@ class SecondaryIndex:
         if v_from == v_now:
             return {"mode": "noop", "from": v_from, "to": v_now}
         cols = self._posting_cols()
+        feed = None
         if v_from is not None:
             try:
+                # the version-availability check raises HERE (the reads
+                # are constructed eagerly); the try stays this narrow so
+                # a genuine maintenance bug can never masquerade as a
+                # retention miss and silently degrade to full rebuilds
                 feed = self.table.changes_between(
                     v_from, v_now, include_preimage=True
                 )
-                adds = (
-                    feed.filter(
-                        F.col("change_type").isin("insert", "update_post")
-                    )
-                    .select(*cols)
-                    .filter(F.col(self.col).isNotNull())
-                    .withColumn("op", F.lit("c"))
-                )
-                # retract old postings — but an update whose indexed
-                # value did NOT change re-adds the same posting in this
-                # same batch; anti-join those retractions away so the
-                # batch stays ≤1 row per posting key (the merge
-                # contract) and unchanged postings never churn
-                dels = (
-                    feed.filter(
-                        F.col("change_type").isin("delete", "update_pre")
-                    )
-                    .select(*cols)
-                    .filter(F.col(self.col).isNotNull())
-                    .join(adds.select(*cols), cols, "left_anti")
-                    .withColumn("op", F.lit("d"))
-                )
-                self.postings.merge(adds.unionByName(dels), batch_id=v_now)
-                self._write_marker(v_now)
-                return {"mode": "incremental", "from": v_from, "to": v_now}
             except ValueError:
                 # v_from's files were vacuumed (past retain_history):
                 # fall through to the full rebuild below
-                pass
+                feed = None
+        if feed is not None:
+            adds = (
+                feed.filter(
+                    F.col("change_type").isin("insert", "update_post")
+                )
+                .select(*cols)
+                .filter(F.col(self.col).isNotNull())
+                .withColumn("op", F.lit("c"))
+            )
+            # retract old postings — but an update whose indexed
+            # value did NOT change re-adds the same posting in this
+            # same batch; anti-join those retractions away so the
+            # batch stays ≤1 row per posting key (the merge
+            # contract) and unchanged postings never churn
+            dels = (
+                feed.filter(
+                    F.col("change_type").isin("delete", "update_pre")
+                )
+                .select(*cols)
+                .filter(F.col(self.col).isNotNull())
+                .join(adds.select(*cols), cols, "left_anti")
+                .withColumn("op", F.lit("d"))
+            )
+            self.postings.merge(adds.unionByName(dels), batch_id=v_now)
+            return {"mode": "incremental", "from": v_from, "to": v_now}
         # overwrite stores the frame as-is (merge consumes the op
         # column; overwrite must not carry one)
         full = (
@@ -179,7 +179,6 @@ class SecondaryIndex:
             .filter(F.col(self.col).isNotNull())
         )
         self.postings.overwrite(full, batch_id=v_now)
-        self._write_marker(v_now)
         return {"mode": "full", "from": v_from, "to": v_now}
 
     # -- lookup -----------------------------------------------------------

@@ -2494,11 +2494,17 @@ class SnapshotTable:
         first_ok = F.col(f"_ok_{self.key_cols[0]}")
         changed = None
         for c in payload:
-            if f"_o_{c}" not in old_sel.columns:
-                continue
-            ne = ~(
-                F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
-            )
+            if f"_o_{c}" in old_sel.columns:
+                ne = ~(
+                    F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+                )
+            else:
+                # column postdates the old version: its old value is
+                # logically NULL, so a non-null new value IS a change —
+                # skipping it would hide backfill-only updates from
+                # every CDF consumer (index maintainers would never
+                # retract/re-add the touched rows)
+                ne = F.col(f"_n_{c}").isNotNull()
             changed = ne if changed is None else changed | ne
         change_type = (
             F.when(first_ok.isNull(), F.lit("insert"))
@@ -2519,43 +2525,68 @@ class SnapshotTable:
             ).alias(c)
             for c in payload
         ]
-        post = (
-            joined.withColumn("change_type", change_type)
-            .filter(F.col("change_type").isNotNull())
-            .select("change_type", *out_cols)
-        )
         if not include_preimage:
-            return post
-        # one update_pre row per update, carrying the OLD image. The
-        # union re-executes the keyed join; both executions read the
-        # same two manifest-pruned version snapshots, so the feed stays
-        # two version reads' worth of I/O per pass (persist() upstream
-        # if single-pass cost matters). Pre-image payloads cast to the
-        # CURRENT schema so evolved columns union cleanly (nulls where
-        # the old version predates the column).
+            return (
+                joined.withColumn("change_type", change_type)
+                .filter(F.col("change_type").isNotNull())
+                .select("change_type", *out_cols)
+            )
+        # pre-images in the SAME pass: each joined row yields 0-2 feed
+        # rows (its post-image classification, plus an update_pre with
+        # the OLD image when it is an update) via array_compact +
+        # explode — the two version reads and the keyed join execute
+        # once, not once per image side. Every struct field casts to
+        # the CURRENT schema so evolved columns align (nulls where the
+        # old version predates the column).
         is_update = (
             first_ok.isNotNull()
             & first_nk.isNotNull()
             & (changed if changed is not None else F.lit(False))
         )
         new_types = {f.name: f.dataType for f in new.schema.fields}
-        pre_cols = [
-            F.col(f"_ok_{k}").cast(new_types[k]).alias(k)
-            for k in self.key_cols
-        ] + [
-            (
-                F.col(f"_o_{c}")
-                if f"_o_{c}" in old_sel.columns
-                else F.lit(None)
-            )
-            .cast(new_types[c])
-            .alias(c)
-            for c in payload
-        ]
-        pre = joined.filter(is_update).select(
-            F.lit("update_pre").alias("change_type"), *pre_cols
+        post_struct = F.struct(
+            change_type.alias("change_type"),
+            *[
+                F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}"))
+                .cast(new_types[k])
+                .alias(k)
+                for k in self.key_cols
+            ],
+            *[
+                (
+                    F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}"))
+                    if f"_o_{c}" in old_sel.columns
+                    else F.col(f"_n_{c}")
+                )
+                .cast(new_types[c])
+                .alias(c)
+                for c in payload
+            ],
         )
-        return post.unionByName(pre)
+        pre_struct = F.struct(
+            F.lit("update_pre").alias("change_type"),
+            *[
+                F.col(f"_ok_{k}").cast(new_types[k]).alias(k)
+                for k in self.key_cols
+            ],
+            *[
+                (
+                    F.col(f"_o_{c}")
+                    if f"_o_{c}" in old_sel.columns
+                    else F.lit(None)
+                )
+                .cast(new_types[c])
+                .alias(c)
+                for c in payload
+            ],
+        )
+        rows = F.array_compact(
+            F.array(
+                F.when(change_type.isNotNull(), post_struct),
+                F.when(is_update, pre_struct),
+            )
+        )
+        return joined.select(F.explode(rows).alias("_r")).select("_r.*")
 
     def optimize(self, tombstone_horizon=None) -> dict:
         """One-call table maintenance — the periodic job a deployment

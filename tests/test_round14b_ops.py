@@ -73,6 +73,24 @@ class TestChangesPreimage:
         assert pre.extra is None  # column postdates the old version
         assert pre.band == 1
 
+    def test_backfill_only_change_is_an_update(self, spark, tmp_path):
+        # a merge whose ONLY change is populating a schema-evolved
+        # column must still surface as an update (old value logically
+        # NULL) — a feed that skips it starves every CDF consumer
+        t = _mk_table(spark, tmp_path)
+        v1 = t.version
+        b2 = spark.createDataFrame(
+            [(1, 1, "p1", 9.5, "u")],  # band AND payload unchanged
+            "k long, band long, payload string, extra double, op string",
+        )
+        t.merge(b2, batch_id=1)
+        feed = t.changes_between(v1, t.version, include_preimage=True)
+        rows = {r.change_type: r for r in feed.filter(F.col("k") == 1).collect()}
+        assert rows["update_post"].extra == 9.5
+        assert rows["update_pre"].extra is None
+        base = t.changes_between(v1, t.version).filter(F.col("k") == 1)
+        assert [r.change_type for r in base.collect()] == ["update_post"]
+
 
 class TestSecondaryIndex:
     def test_lookup_tracks_band_moves(self, spark, tmp_path):
@@ -104,7 +122,11 @@ class TestSecondaryIndex:
         t = _mk_table(spark, tmp_path)
         idx = SecondaryIndex(spark, t, "band")
         idx.sync()
-        v_boot = t.version
+        # the indexed-version record IS the posting commit's batch id —
+        # one atomic commit, no marker file that a crash could leave
+        # behind the postings
+        assert idx.indexed_version == t.version
+        assert idx.indexed_version == idx.postings.last_batch_id()
         assert idx.sync()["mode"] == "noop"
         t.merge(
             spark.createDataFrame(
@@ -115,12 +137,9 @@ class TestSecondaryIndex:
         )
         idx.sync()
         before = idx.postings.version
-        # crash between posting merge and marker write: the marker
-        # still holds the PRE-merge version; the replayed sync re-runs
-        # the same feed into a batch-id no-op
-        idx._write_marker(v_boot)
-        assert idx.sync()["mode"] == "incremental"
-        # the posting merge no-ops on its batch id — no new version
+        assert idx.indexed_version == t.version
+        # replayed sync (same base version): no-op, no new commit
+        assert idx.sync()["mode"] == "noop"
         assert idx.postings.version == before
         assert sorted(r.k for r in idx.lookup_keys(2).collect()) == sorted(
             [1] + [x for x in range(20) if x % 3 == 2]

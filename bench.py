@@ -172,6 +172,14 @@ EXTRA = [
     "events_decayed_score",
     "q_join_size_no_materialize",
     "text_hybrid_rrf_search",
+    # round-15 additions: the join-served multi-value index probe, the
+    # attach_index planner routing, and the hybrid RRF served from
+    # pre-maintained segments + stored IVF cells (its probe-only wall
+    # vs the inline build is quantified in PERF_r15; this timing is
+    # the whole e2e including maintenance)
+    "cdc_index_multilookup",
+    "cdc_index_planner_scan",
+    "text_hybrid_rrf_served",
 ]
 
 #: sf1 (10x) scaling set: scan/agg/join-bound operators whose runtime

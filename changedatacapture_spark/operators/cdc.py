@@ -207,6 +207,7 @@ def scd2_history(
     order_cols: Sequence[str],
     op_col: str = "op",
     payload_cols: Sequence[str] | None = None,
+    delete_op: str = "d",
 ) -> DataFrame:
     """Slowly-Changing-Dimension Type 2 materialization: instead of the
     latest row per key (A1/K2), keep EVERY version with its validity
@@ -242,7 +243,7 @@ def scd2_history(
     first_order = order_cols[0]
     hist = df.withColumn("_next_from", F.lead(F.col(first_order)).over(w))
     return (
-        hist.filter(F.col(op_col) != "d")
+        hist.filter(F.col(op_col) != delete_op)
         .select(
             *_cols(key_cols),
             *_cols(payload),

@@ -484,6 +484,28 @@ def ivf_cell_scores(vec_col: str, n_cells: int = 8, dim: int = 64) -> Column:
     )
 
 
+def ivf_assign_cells(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Deterministic IVF coarse-cell assignment as a pure projection
+    (``argmax`` over the fixed pseudo-centroid scores — zero shuffle,
+    no training state): ``id, vec, cell``. Because the centroids are
+    fixed, assignment commutes with ANY batch split — the property
+    that lets a change-feed consumer assign ONLY the delta rows and
+    merge them into a stored cell table that stays bit-equal to a
+    full recompute (see ``text_hybrid_rrf_served``)."""
+    cs = ivf_cell_scores(vec_col, n_cells, dim)
+    return df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+    )
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     probes: DataFrame,
@@ -494,6 +516,7 @@ def cosine_topk_ivf(
     nprobe: int = 2,
     dim: int = 64,
     scale: int = 1_000_000,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF coarse quantization (the classic
     inverted-file ANN layout, the scale path beside sign-pattern LSH).
@@ -512,11 +535,23 @@ def cosine_topk_ivf(
     from pyspark.sql import Window as W
 
     cs = ivf_cell_scores(vec_col, n_cells, dim)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("corpus_vec"),
-        (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
-    )
+    if corpus_cells is not None:
+        # pre-maintained assignment (``ivf_assign_cells`` rows served
+        # from a SnapshotTable): the cell projection is deterministic,
+        # so a stored assignment is bit-equal to recomputing — this is
+        # the index-served path where the probe reads only its cells'
+        # committed segments instead of projecting the whole corpus
+        c = corpus_cells.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("corpus_vec"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    else:
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("corpus_vec"),
+            (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
+        )
     p_scored = (
         probes.select(
             F.col(id_col).alias("probe_id"),

@@ -12762,6 +12762,103 @@ def q_cdc_secondary_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idx.lookup(3).select("key_id", "seq", "ts_us", "value", "band")
 
 
+@_register(
+    "cdc_index_multilookup",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL})
+    SELECT key_id, seq, ts_us, value, seq % 997 AS band
+    FROM final_state WHERE (seq % 997) % 9 = 3
+    """,
+)
+def q_cdc_index_multilookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-VALUE secondary-index probe, join-served (round-15): the
+    decontamination shape — "fetch every row whose indexed column is
+    in this 111-value list" — answered by ``SecondaryIndex.lookup_df``
+    with NO driver-side posting collect: chunked bloom-pruned posting
+    scans resolve the probed values' postings, the postings' base-key
+    BUCKET IDS (≤ n_buckets longs, the JoinView bounded-metadata
+    pattern) route a ``read_buckets`` subset of the base, and the
+    postings semi-join it on the key. The index is maintained across
+    two CDF-synced merge batches first (update_pre retractions live),
+    so stale postings would over-fetch and hash-mismatch the plain
+    final-state filter oracle. See streaming/index.py:lookup_df."""
+    from changedatacapture_spark.streaming.index import SecondaryIndex
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "band", F.col("seq") % 997
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    store = SnapshotTable(
+        spark,
+        _session_scratch_dir("midx_store_"),
+        ["key_id"],
+        n_buckets=8,
+        retain_history=4,
+    )
+    idx = SecondaryIndex(spark, store, "band", n_buckets=8)
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, half in enumerate(halves):
+        a = compact_latest(half, ["key_id"], ["ts_us", "seq"])
+        store.merge(a, batch_id=i)
+        idx.sync()
+    probe = [v for v in range(997) if v % 9 == 3]
+    return idx.lookup_df(probe).select(
+        "key_id", "seq", "ts_us", "value", "band"
+    )
+
+
+@_register(
+    "cdc_index_planner_scan",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL})
+    SELECT key_id, seq, ts_us, value, seq % 8 AS band
+    FROM final_state WHERE seq % 8 = 3
+    """,
+)
+def q_cdc_index_planner_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANNER-ROUTED index scan (round-15): ``attach_index`` registers
+    the secondary index on its base table, and a plain
+    ``read_where([("band", "=", 3)])`` — the call every existing
+    consumer already makes — routes through the posting probe +
+    key-routed bucket reads instead of zone/bloom stats, with NO
+    caller opt-in. The route only engages when the index is exactly at
+    the table's current version (a stale index falls back to stats —
+    freshness is a correctness bound, not a heuristic), so the result
+    must be bit-identical to the stats-path scan the shared oracle
+    pins. See streaming/sink.py:attach_index."""
+    from changedatacapture_spark.streaming.index import SecondaryIndex
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir).withColumn(
+        "band", F.col("seq") % 8
+    )
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    store = SnapshotTable(
+        spark,
+        _session_scratch_dir("pidx_store_"),
+        ["key_id"],
+        n_buckets=8,
+        retain_history=4,
+    )
+    idx = SecondaryIndex(spark, store, "band", n_buckets=8)
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, half in enumerate(halves):
+        a = compact_latest(half, ["key_id"], ["ts_us", "seq"])
+        store.merge(a, batch_id=i)
+        idx.sync()
+    store.attach_index(idx)
+    return store.read_where([("band", "=", 3)]).select(
+        "key_id", "seq", "ts_us", "value", "band"
+    )
+
+
 @_register("cdc_secondary_index_stream_e2e", None)  # oracle assigned below
 def q_cdc_secondary_index_stream_e2e(
     spark: SparkSession, sf_dir: str
@@ -12978,18 +13075,34 @@ def q_events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     one map-side-combinable hash aggregate; top-20 lowers to
     TakeOrderedAndProject. At 100 TB the shift arithmetic rides
     whole-stage codegen — no UDF, no shuffle beyond the user-key
-    aggregate."""
+    aggregate.
+
+    Engine-divergence guards: the day bucket uses explicit FLOOR
+    division (Spark's ``div`` truncates toward zero while DuckDB's
+    ``//`` floors — they disagree on pre-1970 timestamps, so the
+    integer floor-div identity below keeps both engines exact on the
+    full epoch range, not just ts ≥ 1970). Headroom precondition: the
+    shifted contribs are cent-scaled values ≤ ~2^17 shifted ≤ 30 bits,
+    so a single contrib is < 2^47 and int64 sum overflow needs > 2^16
+    same-user events per day-equivalent — far past the data contract;
+    DuckDB would promote to HUGEINT silently, Spark would wrap, hence
+    the documented bound instead of a runtime check."""
     from pyspark.sql.window import Window
 
     ev = load_table(spark, "events", sf_dir)
-    day = F.expr("unix_micros(ts) div 86400000000")
+    # floor-division in pure int64 arithmetic (exact for any epoch,
+    # unlike float floor(x/d) past 2^53 or trunc-div for x < 0)
+    day = F.expr(
+        "(unix_micros(ts) div 86400000000) - "
+        "CASE WHEN unix_micros(ts) < 0 "
+        "AND unix_micros(ts) % 86400000000 != 0 THEN 1 ELSE 0 END"
+    )
     mx = ev.agg(F.max(day).alias("mx_day"))
-    c = ev.crossJoin(F.broadcast(mx)).select(
+    c = ev.withColumn("_day", day).crossJoin(F.broadcast(mx)).select(
         "user_id",
         F.expr(
             "shiftleft(CAST(floor(value * 100) AS BIGINT), "
-            "30 - least(CAST(mx_day - (unix_micros(ts) div 86400000000) "
-            "AS INT), 30))"
+            "30 - least(CAST(mx_day - _day AS INT), 30))"
         ).alias("contrib"),
     )
     agg = c.groupBy("user_id").agg(
@@ -13074,6 +13187,9 @@ def q_cdc_scd2_view_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["key_id", "valid_from", "seq"],
         n_buckets=8,
         bloom_cols=["key_id"],
+        # keep per-merge bloom/zone stats alive so probe_as_of's
+        # bounded-key routing actually prunes (round-15 weak closure)
+        stats_on_merge=True,
     )
     view = SCD2View(
         spark, open_t, closed_t, ["key_id"], ["ts_us", "seq"],
@@ -13086,6 +13202,75 @@ def q_cdc_scd2_view_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i, half in enumerate(halves):
         view.apply(half, batch_id=i)
     return view.probe_as_of(facts, "ts_us")
+
+
+@_register(
+    "cdc_scd2_snapshot_asof",
+    """
+    WITH log AS (
+      SELECT event_id AS seq, user_id AS key_id,
+             CASE WHEN event_type = 'signup' THEN 'c'
+                  WHEN event_type = 'error'  THEN 'd'
+                  ELSE 'u' END AS op,
+             epoch_us(ts) AS ts_us, value, props
+      FROM events),
+    mx AS (
+      SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS t
+      FROM events),
+    hist AS (
+      SELECT key_id, op, value, props, ts_us,
+             lead(ts_us) OVER (PARTITION BY key_id
+                               ORDER BY ts_us, seq) AS valid_to
+      FROM log)
+    SELECT key_id, value, props, ts_us AS valid_from, valid_to
+    FROM hist, mx
+    WHERE op <> 'd' AND ts_us <= t
+      AND (valid_to IS NULL OR valid_to > t)
+    """,
+)
+def q_cdc_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED snapshot from the maintained Type-2 history
+    (round-15): ``SCD2View.snapshot_as_of(T)`` answers "every key's
+    state as of T" by pushing ``valid_from <= T`` through the CLOSED
+    table's zone maps — the table appends in event-time order, so an
+    early T schedules a strict FILE subset (per-merge stats kept by
+    ``stats_on_merge``), never the whole closed history
+    (files_kept < files_total pinned in
+    tests/test_round15_ops.py::TestSnapshotAsOf). The oracle derives
+    the same interval-containment relation from the raw changelog
+    with one window pass — stale intervals, zero-length same-ts
+    versions at T, or a key deleted before T would all
+    hash-mismatch."""
+    from changedatacapture_spark.streaming.history import SCD2View
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    t_mid = (lo + hi) // 2
+    open_t = SnapshotTable(
+        spark, _session_scratch_dir("scd2s_open_"), ["key_id"], n_buckets=8
+    )
+    closed_t = SnapshotTable(
+        spark,
+        _session_scratch_dir("scd2s_closed_"),
+        ["key_id", "valid_from", "seq"],
+        n_buckets=8,
+        bloom_cols=["key_id"],
+        stats_on_merge=True,
+    )
+    view = SCD2View(
+        spark, open_t, closed_t, ["key_id"], ["ts_us", "seq"],
+        ["value", "props"],
+    )
+    halves = (
+        log.filter(F.col("ts_us") * 2 <= lo + hi),
+        log.filter(F.col("ts_us") * 2 > lo + hi),
+    )
+    for i, half in enumerate(halves):
+        view.apply(half, batch_id=i)
+    return view.snapshot_as_of(t_mid).select(
+        "key_id", "value", "props", "valid_from", "valid_to"
+    )
 
 
 @_register("cdc_scd2_view_stream_e2e", None)  # oracle assigned below
@@ -13246,6 +13431,134 @@ def q_text_hybrid_rrf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([bm.select("doc_id", "rk"), vec], top_k=10)
 
 
+@_register("text_hybrid_rrf_served", None)  # oracle assigned below
+def q_text_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval served from PRE-MAINTAINED indexes (round-15):
+    composes the two change-feed maintenance paths that already exist
+    — ``text_index_cdf_incremental``'s postings/doclen segments and an
+    IVF cell table maintained like ``SecondaryIndex.sync`` — so the
+    PROBE touches only committed skinny relations; no index build runs
+    inline with the query (the r14 finding: ``text_hybrid_rrf_indexed``
+    spent its sf10 wall on the build, not the probe).
+
+    Maintenance (delta-bounded, runs before the probe): documents and
+    embeddings each land in a SnapshotTable in two merge batches;
+    after every merge the INSERT set of ``changes_between`` — and only
+    it — appends its own BM25 segment / merges its deterministic
+    ``ivf_assign_cells`` rows into the cell table. Probe: the lexical
+    leg is ``bm25_topk_indexed`` over the stored segments; the vector
+    leg reads ONLY the probe's top-nprobe cells via
+    ``read_where(("cell", "in", ...))`` — bloom/cluster pruning on the
+    cell column keeps ~nprobe/n_cells of the stored candidates — and
+    exact-rescores them (``cosine_topk_ivf(corpus_cells=...)``).
+    Integer RRF fuses the two top-10 lists; shares
+    ``text_hybrid_rrf_indexed``'s oracle bit for bit (the stored cell
+    assignment is the same deterministic projection the oracle
+    models)."""
+    idx, cells = _rrf_served_build(spark, sf_dir)
+    return _rrf_served_probe(spark, sf_dir, idx, cells)
+
+
+def _rrf_served_build(spark: SparkSession, sf_dir: str):
+    """Maintenance phase of ``text_hybrid_rrf_served`` (split out so
+    tools/perf_rrf_served.py can time build and probe separately):
+    two merge batches per store; after each merge the CDF INSERT set
+    appends its BM25 segment / merges its IVF cell rows. Returns
+    ``(text_index_path, cells_table)``."""
+    from changedatacapture_spark.operators.similarity import ivf_assign_cells
+    from changedatacapture_spark.operators.text import build_text_index
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    emb = load_table(spark, "embeddings", sf_dir)
+    dstore = SnapshotTable(
+        spark, _session_scratch_dir("rrf_docs_"), ["doc_id"],
+        n_buckets=8, retain_history=2,
+    )
+    idx = _session_scratch_dir("rrf_text_idx_")
+    vstore = SnapshotTable(
+        spark, _session_scratch_dir("rrf_vecs_"), ["vec_id"],
+        n_buckets=8, retain_history=2,
+    )
+    cells = SnapshotTable(
+        spark, _session_scratch_dir("rrf_cells_"), ["vec_id"],
+        n_buckets=8, bloom_cols=["cell"], cluster_cols=["cell"],
+        stats_on_merge=True,
+    )
+    d_ver = v_ver = None
+    for i, half in enumerate((0, 1)):
+        dstore.merge(
+            docs.filter(F.col("doc_id") % 2 == half)
+            .withColumn("op", F.lit("c")),
+            batch_id=i,
+        )
+        ddelta = (
+            dstore.read()
+            if d_ver is None
+            else dstore.changes_between(d_ver, dstore.version)
+            .filter(F.col("change_type") == "insert")
+            .select("doc_id", "text")
+        )
+        build_text_index(
+            ddelta, idx, mode="overwrite" if d_ver is None else "append"
+        )
+        d_ver = dstore.version
+        vstore.merge(
+            emb.filter(F.col("vec_id") % 2 == half)
+            .withColumn("op", F.lit("c")),
+            batch_id=i,
+        )
+        vdelta = (
+            vstore.read()
+            if v_ver is None
+            else vstore.changes_between(v_ver, vstore.version)
+            .filter(F.col("change_type") == "insert")
+            .select("vec_id", "embedding")
+        )
+        cells.merge(
+            ivf_assign_cells(vdelta).withColumn("op", F.lit("c")),
+            batch_id=i,
+        )
+        v_ver = vstore.version
+    return idx, cells
+
+
+def _rrf_served_probe(
+    spark: SparkSession, sf_dir: str, idx: str, cells
+) -> DataFrame:
+    """Probe phase of ``text_hybrid_rrf_served``: committed relations
+    only — skinny BM25 segments, the probe's top-nprobe IVF cells via
+    a bloom/cluster-pruned ``read_where``, integer RRF fusion."""
+    from changedatacapture_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_cell_scores,
+    )
+    from changedatacapture_spark.operators.text import (
+        bm25_topk_indexed,
+        rrf_fuse,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    bm = bm25_topk_indexed(spark, idx, list(_BM25_TERMS), top_k=10)
+    probe = emb.filter(F.col("vec_id") == 7)
+    top_cells = [
+        r.cell
+        for r in probe.select(
+            F.posexplode(ivf_cell_scores("embedding", 8, 64)).alias(
+                "cell", "s"
+            )
+        )
+        .orderBy(F.col("s").desc(), F.col("cell"))
+        .limit(2)
+        .collect()
+    ]
+    cand = cells.read_where([("cell", "in", top_cells)])
+    vec = cosine_topk_ivf(
+        emb, probe, k=10, n_cells=8, nprobe=2, dim=64, corpus_cells=cand
+    ).select(F.col("neighbor_id").alias("doc_id"), "rk")
+    return rrf_fuse([bm.select("doc_id", "rk"), vec], top_k=10)
+
+
 @_register(
     "q_join_size_no_materialize",
     """
@@ -13295,6 +13608,9 @@ ORACLE_SQL["text_hybrid_rrf_search"] = ORACLE_SQL[
 ORACLE_SQL["text_hybrid_rrf_indexed"] = ORACLE_SQL[
     "text_hybrid_rrf_indexed"
 ].replace("{BM25}", ORACLE_SQL["text_bm25_rank"])
+# the served variant returns the SAME fused ranking: pre-maintained
+# segments + stored cell assignment are bit-equal to the inline build
+ORACLE_SQL["text_hybrid_rrf_served"] = ORACLE_SQL["text_hybrid_rrf_indexed"]
 ORACLE_SQL["cdc_secondary_index_stream_e2e"] = ORACLE_SQL[
     "cdc_secondary_index_e2e"
 ]
@@ -13488,77 +13804,69 @@ _DEMOTED = [
 ]
 
 _PROMOTED = [
-    # round-14 window: four NEW queries of this round and twelve
-    # never-driver-green queries (the ten the round-13 verdict named
-    # plus privacy_pseudonymize and dq_volume_control) earn rows;
-    # sixteen round-13-green members rotate out with every family
-    # still represented in-window or by a direct successor (see the
-    # _DEMOTED round-14 block for the per-family notes).
-    "cdc_star_view_e2e",  # NEW: N-dim star join view, per-dim touched-key probes (round 14)
-    "cdc_star_view_stream_e2e",  # NEW: star view across checkpointed restarts, both dims change (round 14)
-    "cdc_join_view_mor_e2e",  # NEW: join view over a merge-on-read fact + size policy (round 14)
-    "cdc_bloom_in_scan",  # NEW: IN-list bloom skipping, per-literal OR-fold (round 14)
-    # mid-round additions (second wave), each earning a first row:
-    "cdc_secondary_index_e2e",  # NEW: CDF-maintained secondary index, update_pre retractions (round 14)
-    "cdc_secondary_index_stream_e2e",  # NEW: index synced per checkpointed micro-batch across a restart (round 14)
-    "text_hybrid_rrf_search",  # NEW: BM25 + cosine legs fused by integer RRF (round 14)
-    "cdc_point_in_time_join",  # NEW: feature-store as-of enrichment, window pass not range join (round 14)
-    "events_decayed_score",  # NEW: half-life-decayed engagement score, integer shift weights (round 14)
-    "text_hybrid_rrf_indexed",  # NEW: hybrid RRF served from postings + IVF indexes (round 14)
-    "q_join_size_no_materialize",  # NEW: exact join cardinality + skew probe without the join (round 14)
-    "cdc_scd2_view_e2e",  # NEW: incrementally-maintained SCD2 history view (round 14)
-    "cdc_scd2_view_asof_probe",  # NEW: as-of probe over the maintained history, shares the PIT oracle (round 14)
-    "cdc_scd2_view_stream_e2e",  # NEW: history view across checkpointed restarts (round 14)
-    # verdict-priority never-greens earning first rows:
-    "cdc_incremental_join",  # delta-propagated join maintenance: first row
-    "events_enriched_stream",  # broadcast-dim enrichment over a replayed stream: first row
-    "q11_important_parts",  # TPC-H Q11 value-share HAVING over a scalar subquery: first row
-    "text_top_ngrams",  # corpus top-k n-grams: first row
-    "emb_pq_codes",  # PQ codebook assignment audit: first row
-    "media_shard_assign",  # deterministic media shard routing: first row
-    "events_rolling_active_users",  # rolling 7-day active-user window: first row
-    "dataset_stratified_sample",  # per-stratum exact-rate sample: first row
-    "dedup_sorted_neighborhood",  # sorted-neighborhood blocking dedup: first row
-    "events_pivot_daily",  # day x type pivot aggregate: first row
-    "privacy_pseudonymize",  # peppered-token pseudonymization audit: first row
-    "dq_volume_control",  # 3-sigma volume control chart: first row
-    # round-13 window: twelve NEW queries of this round, ten
-    # never-driver-green priorities from the round-12 verdict, and the
-    # de-stragglered text_dsir_select earn rows; twenty-two
-    # round-12-green members rotate out with every family still
-    # represented in-window or by a direct successor
-    # (MoR e2e: the size-policy pipeline replaces the count-cadence
-    # merge twin, the stream twin stays; quantile sketches hand slots
-    # to the BLB CI + histogram-quantiles pair; label-ANN: the
-    # bucketed composite key replaces the per-label layout; CDF
-    # incremental: decontamination replaces dedup/knn maintenance,
-    # which each hold an oracle-logged green).
-    "cdc_mor_size_policy_e2e",  # NEW: byte-budget minor/major compaction policy e2e (round 13)
-    "decontaminate_cdf_incremental",  # NEW: change-feed incremental eval-leakage sweep, broadcast bench (round 13)
-    "knn_label_bucketed_topk",  # NEW: composite-key bucketed ANN index, pruned + pushed probe (round 13)
-    "events_blb_ci",  # NEW: Bag-of-Little-Bootstraps CI, Poisson(s) md5 weights (round 13)
-    "events_heavy_hitters_calibrated",  # NEW: skew-calibrated threshold, non-degenerate at any sf (round 13)
-    # verdict-priority never-greens earning first rows:
-    "mix_waterfill",  # water-filling token allocation across sources: first row
-    "events_cohort_retention",  # signup-cohort retention triangle: first row
-    # round-12 first-evers kept a second window (verdict priorities):
-    "events_stream_hll",  # stream-merged HLL partials == batch sketch
-    "events_zorder_pruned_scan",  # z-order through SnapshotTable, 1.5% files kept
-    "knn_mrl_topk",  # Matryoshka 16-dim prefix shortlist + exact re-rank
-    "knn_recall_mrl",  # MRL recall vs brute (0.60 untrained prefix)
-    "knn_prefilter_topk",  # filtered ANN done right (pre-filter)
-    "cdc_join_view_e2e",  # NEW: incrementally-maintained join view, touched-key recompute (round 13)
-    "events_ab_welch",  # Welch A/B t-test, shared formula trees
-    "dataset_leakage_safe_split",  # cluster-atomic train/val/test split
-    "q_skew_split_join",  # salted skew-split join
-    "text_index_cdf_incremental",  # NEW: change-feed incremental BM25 segments, probe == full rebuild (round 13)
-    "cdc_join_view_stream_e2e",  # NEW: join view across checkpointed restarts + dim change (round 13)
-    "cdc_bloom_pruned_scan",  # NEW: manifest bloom skipping for equality point lookups (round 13)
-    "cdc_mor_stream_e2e",  # checkpointed foreachBatch MoR apply + fold cadence
-    "events_tws_rate_limit",  # v2 MapState admission control, exact under out-of-order replay
-    "dedup_minhash_pairs_capped",  # LSH hub guard active, min-surviving-band emission
-    "emb_dedup_groups_chained",  # linear chained embedding closure
-    "text_dsir_select",  # DSIR importance resampling — re-green the de-stragglered rank (round 13)
+    # round-15 window: three NEW queries, seven queries whose code
+    # paths CHANGED this round (driver re-verification of the CDF
+    # NULL-post fix, chunked probes, pruned SCD2 reads, floor-div),
+    # eight family anchors, and THIRTY-TWO never-driver-green
+    # veterans earning first rows (the r14 verdict asked >=10; its six
+    # spot-checked names and four explicit priorities all included).
+    # Rotated-out members keep an in-window family representative —
+    # noted inline — and remain registered + oracle-paired.
+    #
+    # -- NEW this round --
+    "cdc_index_multilookup",  # NEW: 111-value probe via join-based lookup_df, no posting collect (round 15)
+    "cdc_index_planner_scan",  # NEW: attach_index planner hook — plain read_where routes through postings (round 15)
+    "text_hybrid_rrf_served",  # NEW: hybrid RRF served from CDF-maintained BM25 segments + stored IVF cells (round 15)
+    # -- changed-path re-verification --
+    "cdc_star_view_e2e",  # Δdim repair probe now chunks read_where IN-lists (fallback scans closed)
+    "cdc_star_view_stream_e2e",  # stream-twin family representative (checkpoint restart choreography)
+    "cdc_join_view_mor_e2e",  # MoR family + composite/oversized dim probing path
+    "cdc_secondary_index_e2e",  # CDF update-to-NULL post-image fix feeds its sync
+    "cdc_scd2_view_e2e",  # op_col/delete_op forwarding through scd2_history + merges
+    "cdc_scd2_view_asof_probe",  # the r14 weak closure: pruned both-side history reads
+    "events_decayed_score",  # explicit floor-division day bucket (engine-divergence guard)
+    # -- family anchors (each covers its rotated-out kin) --
+    "events_stream_hll",  # stream==batch sketch law (covers tws_rate_limit, stream twins of sketches)
+    "decontaminate_cdf_incremental",  # CDF-incremental consumer family (dedup/knn maintenance kin)
+    "text_index_cdf_incremental",  # BM25 segment maintenance (feeds the served RRF)
+    "events_zorder_pruned_scan",  # layout/pruning family (covers cdc_bloom_in_scan, bloom_pruned_scan)
+    "dedup_minhash_pairs_capped",  # banded-LSH dedup family (covers sorted_neighborhood, simhash kin)
+    "media_shard_assign",  # sole multimodal family representative
+    "privacy_pseudonymize",  # privacy family representative
+    "dq_volume_control",  # DQ family representative
+    # -- never-driver-green veterans: first rows --
+    "dedup_chunk_pairs",  # r14-verdict priority (spot-checked PASS)
+    "events_ordered_funnel",  # r14-verdict priority (spot-checked PASS)
+    "q16_supplier_count",  # r14-verdict priority (spot-checked PASS)
+    "text_bigram_lm",  # r14-verdict priority (spot-checked PASS)
+    "knn_recall",  # r14-verdict priority (spot-checked PASS)
+    "q_grouping_sets_lineitem",  # r14-verdict priority (spot-checked PASS)
+    "events_cms_user_counts",  # r14-verdict priority
+    "q22_idle_rich_customers",  # r14-verdict priority
+    "text_langid_eval",  # r14-verdict priority
+    "kmeans_refine_step",  # r14-verdict priority
+    "q12_priority_by_status",
+    "events_median_value",
+    "events_hourly_profile",
+    "q_cumulative_cust_revenue",
+    "emb_label_centroids",
+    "events_props_typed_agg",
+    "emb_quantize_int8",
+    "text_vocab_coverage",
+    "dedup_corpus_stats",
+    "props_key_profile",
+    "mix_weights",
+    "knn_recall_lsh",
+    "text_winnow_pairs",
+    "events_value_percentiles",
+    "events_running_value",
+    "q_customer_order_reconciliation",
+    "dedup_lsh_hot_buckets",
+    "text_length_histogram",
+    "events_heavy_hitters",
+    "q_join_skew_profile",
+    "cdc_scd2_snapshot_asof",  # NEW: zone-pruned as-of snapshot from the maintained history (round 15)
+    "events_retention_cohorts",
 ]
 
 DRIVER_WINDOW = 50

@@ -31,6 +31,15 @@ its batches under.
 Crash/replay safety: the closed merge commits before the open merge;
 both carry the caller's batch id, so a replay after either commit
 no-ops that table and recomputes the other from unchanged pre-state.
+
+Read-side pruning (round 15): ``history(keys=...)`` and
+``probe_as_of`` with a bounded fact key set read the open side via
+key-routed ``read_keys`` buckets and the closed side via chunked
+``read_where`` IN-probes (key blooms/zones), with ``up_to`` /
+``snapshot_as_of`` pushing a ``valid_from`` range into the closed
+table's zone maps — append-in-time-order keeps those tight, so early
+probes skip late files entirely. ``last_scan`` records each side's
+kept/total after every pruned read.
 """
 
 from __future__ import annotations
@@ -54,13 +63,16 @@ class SCD2View:
         payload_cols: Sequence[str],
         op_col: str = "op",
         delete_op: str = "d",
+        max_inlist: int = 10_000,
     ) -> None:
         """``order_cols[0]`` is the event-time column (it becomes
         ``valid_from``/``valid_to``); the rest break ties. The
         ``closed_table`` must be keyed
         ``key_cols + ["valid_from"] + order_cols[1:]`` (the tie
         columns keep same-timestamp zero-length versions distinct);
-        the ``open_table`` by ``key_cols``."""
+        the ``open_table`` by ``key_cols``. ``max_inlist`` bounds the
+        driver-collected key set a :meth:`probe_as_of` may route
+        through pruned history reads (the JoinView cap)."""
         self.spark = spark
         self.open = open_table
         self.closed = closed_table
@@ -69,6 +81,11 @@ class SCD2View:
         self.payload_cols = list(payload_cols)
         self.op_col = op_col
         self.delete_op = delete_op
+        self.max_inlist = max_inlist
+        #: per-side manifest scan report of the last pruned history
+        #: read (``probe_as_of`` / ``history(keys=...)``) — the
+        #: buckets_kept < buckets_total evidence plan tests pin
+        self.last_scan: dict = {}
 
     # -- maintenance ------------------------------------------------------
 
@@ -99,10 +116,17 @@ class SCD2View:
         ]
         if not touched:
             return
+        # synthesized markers must never collide with the caller's
+        # delete marker (a non-default delete_op of "c"/"u" would
+        # otherwise turn the stitched open row or every closed-version
+        # append into a delete)
+        keep_op = next(
+            m for m in ("c", "u", "k") if m != self.delete_op
+        )
         if self.open.exists():
             prev = (
                 self.open.read_keys(touched)
-                .withColumn(self.op_col, F.lit("c"))
+                .withColumn(self.op_col, F.lit(keep_op))
                 .select(*self._change_cols())
             )
             events = prev.unionByName(batch)
@@ -116,6 +140,7 @@ class SCD2View:
         hist = scd2_history(
             events, self.key_cols, self.order_cols,
             op_col=self.op_col, payload_cols=inner_payload,
+            delete_op=self.delete_op,
         )
         closed_cols: list[str] = []
         for c in (
@@ -128,29 +153,99 @@ class SCD2View:
             if c not in closed_cols:
                 closed_cols.append(c)
         newly_closed = hist.filter(F.col("valid_to").isNotNull()).select(
-            *closed_cols, F.lit("u").alias(self.op_col)
+            *closed_cols, F.lit(keep_op).alias(self.op_col)
         )
         # the key's final state: last change wins; a trailing delete
         # leaves no open version (merge delete on the open table)
         latest = compact_latest(events, self.key_cols, self.order_cols)
-        self.closed.merge(newly_closed, batch_id=batch_id)
-        self.open.merge(latest, batch_id=batch_id)
+        self.closed.merge(
+            newly_closed,
+            op_col=self.op_col,
+            delete_op=self.delete_op,
+            batch_id=batch_id,
+        )
+        self.open.merge(
+            latest,
+            op_col=self.op_col,
+            delete_op=self.delete_op,
+            batch_id=batch_id,
+        )
 
     # -- reads ------------------------------------------------------------
 
-    def history(self) -> DataFrame:
-        """The full Type-2 relation: ``key..., payload..., valid_from,
-        valid_to, is_current`` — equal to ``scd2_history`` over the
-        whole changelog (the property the e2e oracle checks)."""
+    def history(
+        self, keys: list | None = None, up_to=None
+    ) -> DataFrame:
+        """The Type-2 relation: ``key..., payload..., valid_from,
+        valid_to, is_current`` — with no arguments, equal to
+        ``scd2_history`` over the whole changelog (the property the
+        e2e oracle checks).
+
+        ``keys`` (bounded driver metadata — a collected key list, the
+        ``read_keys`` contract) restricts to those keys' versions AND
+        prunes the reads: the open side routes its hash buckets via
+        ``read_keys``; the closed side (keyed by the full
+        ``(key..., valid_from, tie...)`` tuple, so bucket routing
+        can't apply) probes chunked ``read_where`` IN-lists on the
+        first key column — its blooms/zones drop buckets the probed
+        keys never entered. ``up_to`` additionally pushes a
+        ``valid_from <= up_to`` range into the closed read: the table
+        appends in event-time order, so per-file zone maps on
+        ``valid_from`` are tight and an early bound skips late files
+        (``stats_on_merge=True`` keeps per-merge file stats alive).
+        Both prune via manifest stats BEFORE Spark schedules a file;
+        results are exact regardless (predicates re-apply on
+        survivors). ``last_scan`` records both sides' kept/total."""
         time_col = self.order_cols[0]
-        closed = self.closed.read().select(
+        kcol = self.key_cols[0]
+        closed_preds: list[tuple] = []
+        if up_to is not None:
+            closed_preds.append(("valid_from", "<=", up_to))
+        self.last_scan = {}
+        if keys is not None and len(keys) == 0:
+            closed_src = self.closed.read().limit(0)
+            open_src = self.open.read().limit(0)
+        elif keys is not None:
+            from . import sink as _sink
+            from .sink import chunked_in_read
+
+            first = [
+                (k[0] if isinstance(k, tuple) else k) for k in keys
+            ]
+            closed_src, rep = chunked_in_read(
+                self.closed, kcol, first, self.max_inlist,
+                extra_preds=closed_preds,
+            )
+            self.last_scan["closed"] = rep
+            open_src = self.open.read_keys(keys)
+            self.last_scan["open"] = dict(_sink.LAST_SCAN_REPORT)
+            if len(self.key_cols) > 1:
+                # first-component pruning is conservative; exact-set
+                # membership re-applies on the composite key
+                kdf = self.spark.createDataFrame(
+                    [k if isinstance(k, tuple) else (k,) for k in keys],
+                    self.key_cols,
+                )
+                closed_src = closed_src.join(
+                    F.broadcast(kdf), self.key_cols, "leftsemi"
+                )
+        elif closed_preds:
+            from . import sink as _sink
+
+            closed_src = self.closed.read_where(closed_preds)
+            self.last_scan["closed"] = dict(_sink.LAST_SCAN_REPORT)
+            open_src = self.open.read()
+        else:
+            closed_src = self.closed.read()
+            open_src = self.open.read()
+        closed = closed_src.select(
             *self.key_cols,
             *self.payload_cols,
             "valid_from",
             "valid_to",
             F.lit(0).alias("is_current"),
         )
-        open_rows = self.open.read().select(
+        open_rows = open_src.select(
             *self.key_cols,
             *self.payload_cols,
             F.col(time_col).alias("valid_from"),
@@ -159,7 +254,26 @@ class SCD2View:
             ),
             F.lit(1).alias("is_current"),
         )
-        return closed.unionByName(open_rows)
+        out = closed.unionByName(open_rows)
+        if up_to is not None:
+            # open rows and surviving closed rows past the bound drop
+            # here (the closed read's zone pruning already skipped
+            # whole files; this is the exactness re-filter)
+            out = out.filter(F.col("valid_from") <= F.lit(up_to))
+        return out
+
+    def snapshot_as_of(self, at, keys: list | None = None) -> DataFrame:
+        """Each key's state AS OF time ``at`` (≤1 row per key): the
+        version whose ``[valid_from, valid_to)`` interval contains
+        ``at`` — absent keys (pre-first-version, or inside a
+        post-delete gap) yield no row. The closed read pushes
+        ``valid_from <= at`` through zone maps (append-in-time-order
+        keeps those zones tight), so an early ``at`` on a long-lived
+        history reads a file subset, never the whole closed table."""
+        h = self.history(keys=keys, up_to=at)
+        return h.filter(
+            F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(at))
+        ).drop("is_current")
 
     def probe_as_of(
         self, facts: DataFrame, fact_time_col: str, prefix: str = "asof_"
@@ -175,10 +289,33 @@ class SCD2View:
 
         Plan: equi-join on the key with the interval test as a
         residual — per-key histories are small, so the join never
-        pair-explodes; the closed side's key blooms prune its buckets
-        when the fact key set is selective."""
+        pair-explodes. When the facts' distinct key set fits
+        ``max_inlist`` (collected — bounded driver metadata, the
+        JoinView pattern), BOTH history sides read pruned: the open
+        table via key-routed ``read_keys`` buckets, the closed table
+        via chunked ``read_where`` IN-probes whose key blooms/zones
+        drop buckets the probed keys never entered, with the facts'
+        max time pushed as a ``valid_from`` zone bound on top
+        (versions opening after the last fact can never cover any
+        fact). Past the cap the key set is no longer bounded metadata
+        and the probe reads the full history — stated, not claimed
+        otherwise. ``last_scan`` carries the kept/total evidence."""
         t = F.col(f"_f_{fact_time_col}")
-        hist = self.history().select(
+        cap = self.max_inlist
+        fkeys = [
+            tuple(r) if len(self.key_cols) > 1 else r[0]
+            for r in facts.select(*self.key_cols)
+            .distinct()
+            .limit(cap + 1)
+            .collect()
+            if (r[0] is not None if len(self.key_cols) == 1 else True)
+        ]
+        if fkeys and len(fkeys) <= cap:
+            tmax = facts.agg(F.max(fact_time_col)).first()[0]
+            hist_rel = self.history(keys=fkeys, up_to=tmax)
+        else:
+            hist_rel = self.history()
+        hist = hist_rel.select(
             *[F.col(k) for k in self.key_cols],
             "valid_from",
             "valid_to",

@@ -193,16 +193,61 @@ class SecondaryIndex:
             *self.table.key_cols
         )
 
+    def lookup_keys_in(self, values: list) -> DataFrame:
+        """IN-list posting probe: ``(value, key...)`` postings for N
+        probed values in chunked bloom-pruned posting scans — the
+        decontamination shape (thousands of probe values) costs
+        ceil(N/max-inlist) pruned scans, never N point probes and
+        never a full posting pass. NULLs in ``values`` are dropped
+        (never indexed)."""
+        from .sink import chunked_in_read
+
+        vals = [v for v in values if v is not None]
+        if not vals:
+            return self.postings.read().limit(0).select(
+                self.col, *self.table.key_cols
+            )
+        df, _ = chunked_in_read(self.postings, self.col, vals, 10_000)
+        return df.select(self.col, *self.table.key_cols)
+
+    def lookup_df(self, values: list) -> DataFrame:
+        """Rows of the BASE table whose indexed column is in
+        ``values`` — the JOIN-based plan: postings never collect to
+        the driver (the hot-value escape hatch for :meth:`lookup`).
+
+        The base read still prunes: the postings' base-key BUCKET IDS
+        (≤ ``n_buckets`` longs — bounded metadata regardless of
+        posting count, the JoinView pattern) route a
+        ``read_buckets`` subset, the pruned postings semi-join it on
+        the key, and the final IN re-filter keeps the result exact
+        against a base that moved past the last sync."""
+        posts = self.lookup_keys_in(values)
+        keys = list(self.table.key_cols)
+        bids = [
+            r[0]
+            for r in posts.select(
+                self.table._bucket_col().alias("b")
+            ).distinct().collect()
+        ]
+        vals = [v for v in values if v is not None]
+        base = self.table.read_buckets(bids).join(
+            posts.select(*keys).distinct(), keys, "leftsemi"
+        )
+        return base.filter(F.col(self.col).isin(vals))
+
     def lookup(self, value) -> DataFrame:
         """Rows of the BASE table whose indexed column equals ``value``.
 
         Two pruned scans: the posting probe (bloom/zone-skipped), then
         ``read_keys`` on the collected posting list (key-routed bucket
         subset). The collect is bounded by the value's posting count —
-        the selectivity contract of a secondary index. The final
-        equality re-filter keeps the result exact against the CURRENT
-        base even if it moved past the last sync (stale postings can
-        only over-fetch, never corrupt)."""
+        the selectivity contract of a secondary index; a HOT value
+        with millions of postings should use :meth:`lookup_df`
+        instead, which joins postings to the base without any
+        driver-side posting collect. The final equality re-filter
+        keeps the result exact against the CURRENT base even if it
+        moved past the last sync (stale postings can only over-fetch,
+        never corrupt)."""
         keys = [
             tuple(r) if len(self.table.key_cols) > 1 else r[0]
             for r in self.lookup_keys(value).collect()

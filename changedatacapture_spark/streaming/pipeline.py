@@ -809,6 +809,23 @@ class AggView:
         return self.view.read()
 
 
+#: bounded-metadata probing cap: the collected value set may span up
+#: to this many ``max_inlist``-sized read_where chunks before a probe
+#: degrades to a full scan. 64 chunks x the default 10k inlist =
+#: 640k scalar values (a few MB on the driver) — far past any
+#: micro-batch, so the full-scan fallback now needs a dim backfill
+#: touching >640k distinct join values in ONE batch.
+_MAX_PROBE_CHUNKS = 64
+
+
+def _chunked_in_read(tbl: SnapshotTable, col: str, vals: list, max_inlist: int):
+    """Shared with SCD2View's pruned history reads — see
+    :func:`changedatacapture_spark.streaming.sink.chunked_in_read`."""
+    from changedatacapture_spark.streaming.sink import chunked_in_read
+
+    return chunked_in_read(tbl, col, vals, max_inlist)
+
+
 def _star_view_apply(
     fact: SnapshotTable,
     dims: Sequence[tuple],
@@ -831,8 +848,10 @@ def _star_view_apply(
     - the Δdim repair probe reads the fact through
       ``read_where((join_col, "in", Δdim values))`` — zone + bloom
       skipping on the collected (micro-batch-bounded) changed join
-      values (falls back to a broadcast-semi full scan past
-      ``max_inlist``);
+      values, chunked into ``max_inlist``-sized probes past the
+      single-probe cap (broadcast-semi full scan only past
+      ``max_inlist * _MAX_PROBE_CHUNKS`` distinct values — no longer
+      bounded metadata);
     - ``fact_now`` reads ONLY the touched keys' hash buckets
       (``read_buckets`` on the ≤ ``n_buckets`` distinct bucket ids of
       the touched-key set);
@@ -840,7 +859,10 @@ def _star_view_apply(
       distinct join values (collected from the delta-bounded
       ``fact_now``, so dim pruning needs no assumption about which
       row wins the base merge) when the dim is keyed by its join
-      column and the value set fits ``max_inlist``.
+      column; a composite-keyed dim probes the same values through
+      chunked ``read_where`` IN-lists instead (stats pruning — a
+      stats-less dim degrades to the full read it always did, never
+      worse).
     """
     from changedatacapture_spark.streaming import sink as _sink
     from changedatacapture_spark.streaming.sink import _align_key_types
@@ -867,10 +889,20 @@ def _star_view_apply(
         ]
         if not jvals:
             continue
-        if len(jvals) <= max_inlist:
-            from_dim = fact.read_where([(jcol, "in", jvals)]).select(*keys)
-            io[f"probe_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
+        if len(jvals) <= max_inlist * _MAX_PROBE_CHUNKS:
+            # one probe per max_inlist-sized chunk: a Δdim past the
+            # single-probe cap (e.g. a dim backfill) still reads only
+            # bloom/zone-kept buckets, N chunked probes' worth —
+            # never the whole fact
+            probed, rep = _chunked_in_read(fact, jcol, jvals, max_inlist)
+            from_dim = probed.select(*keys)
+            io[f"probe_{jcol}"] = rep
         else:
+            # >max_inlist*_MAX_PROBE_CHUNKS distinct changed join
+            # values in one batch: the value set itself is no longer
+            # bounded metadata — broadcast-semi full scan is the
+            # honest plan (and at that churn most buckets would
+            # survive the blooms anyway)
             jdf = cd.select(jcol).distinct()
             from_dim = (
                 fact.read()
@@ -899,28 +931,42 @@ def _star_view_apply(
                 # inside the sampled max_inlist+1 rows would otherwise
                 # mask a value-set overflow, silently truncating the
                 # dim read and evicting live view rows as deletes
+                probe_cap = max_inlist * _MAX_PROBE_CHUNKS
                 vals = [
                     r[0]
                     for r in fact_now.select(jcol)
                     .where(F.col(jcol).isNotNull())
                     .distinct()
-                    .limit(max_inlist + 1)
+                    .limit(probe_cap + 1)
                     .collect()
                 ]
-                if (
-                    vals
-                    and len(vals) <= max_inlist
-                    and dim_tbl.key_cols == [jcol]
-                ):
-                    dn = F.broadcast(dim_tbl.read_keys(vals))
-                    io[f"dim_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
-                elif not vals:
+                if not vals:
                     # no non-null join values: nothing can inner-join;
                     # no dim read happens, so no scan report either
                     dn = dim_tbl.read().limit(0)
+                elif len(vals) <= probe_cap and dim_tbl.key_cols == [jcol]:
+                    # join-column-keyed dim: read_keys routes the hash
+                    # buckets of the actual values — exact pruning at
+                    # any value-set size up to the probe cap; broadcast
+                    # only when the read is inlist-small
+                    dn = dim_tbl.read_keys(vals)
+                    if len(vals) <= max_inlist:
+                        dn = F.broadcast(dn)
+                    io[f"dim_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
+                elif len(vals) <= probe_cap:
+                    # composite-keyed dim (jcol is one component, so
+                    # bucket routing can't apply): chunked read_where
+                    # IN-probes on jcol — zone/bloom stats prune when
+                    # present, and a stats-less table degrades to the
+                    # old full read, never worse
+                    dn, rep = _chunked_in_read(
+                        dim_tbl, jcol, vals, max_inlist
+                    )
+                    io[f"dim_{jcol}"] = rep
                 else:
-                    # composite-keyed dim or an overflowing value set:
-                    # exact fallback, one full dim read
+                    # >probe_cap distinct live join values among the
+                    # touched facts: value set is no longer bounded
+                    # metadata — one full dim read is the honest plan
                     dn = dim_tbl.read()
                 joined = joined.join(dn.select(jcol, *payload), jcol, "inner")
             # inner-join semantics: a touched key with no surviving
@@ -981,10 +1027,12 @@ class JoinView:
     - every fact key in ΔA (its join partner may have changed, or the
       row was deleted), and
     - every fact row whose join value appears in ΔB (dim update/delete
-      must re-enrich or evict its fact rows) — found with a
-      ``read_where`` IN-list probe over the collected ΔB join values
-      (zone + bloom manifest skipping; broadcast-semi full-scan
-      fallback past ``max_inlist``).
+      must re-enrich or evict its fact rows) — found with
+      ``read_where`` IN-list probes over the collected ΔB join values
+      (zone + bloom manifest skipping), chunked ``max_inlist`` values
+      per probe so even a dim backfill stays bucket-pruned
+      (broadcast-semi full scan only past
+      ``max_inlist * _MAX_PROBE_CHUNKS`` distinct values).
 
     Touched keys re-join against the POST-merge states; keys whose
     join vanished (fact deleted, or dim partner deleted — inner-join

@@ -211,6 +211,47 @@ def _evolved_fields(
     return evolved + new_fields
 
 
+def chunked_in_read(
+    tbl, col: str, vals: list, max_inlist: int, extra_preds: list | None = None
+):
+    """Union of ``read_where`` IN-list probes in ``max_inlist``-sized
+    chunks over ``tbl`` — N pruned probes instead of one full scan
+    when a value set outgrows a single probe. Chunks partition the
+    value set and a row holds ONE value, so the union is
+    duplicate-free and exact. ``extra_preds`` conjoin onto every
+    chunk's predicate list (e.g. a time bound riding along with the
+    key IN-list).
+
+    Returns ``(df, report)``: the report sums kept buckets/files
+    across chunks (total SCHEDULED scan volume — chunks may re-keep
+    overlapping buckets, so the sum can exceed one full pass on an
+    unselective value set) against the single-pass totals, plus the
+    chunk count. ``kept < total`` is the pruning win the plan tests
+    pin for selective probes.
+    """
+    parts = []
+    rep = {
+        "buckets_total": 0, "buckets_kept": 0,
+        "files_total": 0, "files_kept": 0, "chunks": 0,
+    }
+    for i in range(0, len(vals), max_inlist):
+        parts.append(
+            tbl.read_where(
+                [(col, "in", vals[i:i + max_inlist])] + list(extra_preds or [])
+            )
+        )
+        r = dict(LAST_SCAN_REPORT)
+        rep["buckets_total"] = r["buckets_total"]
+        rep["files_total"] = r["files_total"]
+        rep["buckets_kept"] += r["buckets_kept"]
+        rep["files_kept"] += r["files_kept"]
+        rep["chunks"] += 1
+    df = parts[0]
+    for p_ in parts[1:]:
+        df = df.unionByName(p_)
+    return df, rep
+
+
 def _align_key_types(df: DataFrame, table_schema, key_cols) -> DataFrame:
     """Cast the batch's key columns to the COMMITTED key types before any
     bucket routing or key join.
@@ -357,6 +398,13 @@ class SnapshotTable:
         #: write job + commit). Size it above the longest plausible
         #: single merge write; tests shrink it to exercise collection.
         self.vacuum_grace_s = 600.0
+        #: attached secondary indexes by indexed column
+        #: (:meth:`attach_index`): ``read_where`` equality/IN
+        #: predicates on these columns route through the posting probe
+        #: when the index is exactly at the table's current version —
+        #: the planner hook that makes an index benefit every caller,
+        #: not just the ones who know to call ``lookup()``.
+        self._indexes: dict = {}
         #: staging-marker lifetime (seconds): an uncommitted version
         #: dir whose _staging/<id> marker stands is NEVER vacuumed
         #: until the marker is this old (see _new_data_version) — the
@@ -1188,6 +1236,84 @@ class SnapshotTable:
                 return False
         return True
 
+    #: posting-collect ceiling for index-routed ``read_where``: past
+    #: this many matching postings the probed value set is too hot for
+    #: a driver collect and the stats path (or an explicit
+    #: ``lookup_df`` join) is the right plan anyway.
+    _INDEX_ROUTE_MAX_KEYS = 100_000
+
+    def attach_index(self, index) -> None:
+        """Register a :class:`~.index.SecondaryIndex` over one of this
+        table's payload columns so :meth:`read_where` can route
+        equality/IN predicates on that column through the posting
+        probe — key-routed bucket reads instead of stats pruning —
+        whenever the index is exactly at the table's current version.
+        A stale or missing index silently falls back to the stats
+        path; results are identical either way (the predicates
+        re-apply on whatever the route returns)."""
+        self._indexes[index.col] = index
+
+    def _read_via_index(
+        self, predicates: list[tuple], include_tombstones: bool
+    ) -> DataFrame | None:
+        """Index-routed plan for :meth:`read_where`, or ``None`` when
+        no attached index applies: first equality/IN predicate on an
+        indexed column whose index is at the CURRENT table version
+        (behind-version postings may miss fresh rows — correctness
+        forbids routing) resolves to posting keys (bloom-pruned
+        posting scan, driver-bounded by ``_INDEX_ROUTE_MAX_KEYS``),
+        then ``read_keys`` reads only those keys' buckets and ALL
+        predicates re-apply — bit-identical to the stats path."""
+        if include_tombstones:
+            # tombstones are never indexed; the stats path owns them
+            return None
+        for p in predicates:
+            col, op = p[0], p[1]
+            idx = self._indexes.get(col)
+            if idx is None or op not in ("=", "in"):
+                continue
+            if idx.indexed_version != self.version:
+                continue
+            values = (
+                [p[2]] if op == "=" else [v for v in p[2] if v is not None]
+            )
+            values = [v for v in values if v is not None]
+            if not values:
+                continue
+            cap = self._INDEX_ROUTE_MAX_KEYS
+            keys = [
+                tuple(r) if len(self.key_cols) > 1 else r[0]
+                for r in idx.lookup_keys_in(values)
+                .select(*self.key_cols)
+                .distinct()
+                .limit(cap + 1)
+                .collect()
+            ]
+            if len(keys) > cap:
+                return None  # too hot: stats path
+            df = self.read_keys(keys)
+            for q in predicates:
+                df = self._apply_predicate(df, q)
+            return df
+        return None
+
+    @staticmethod
+    def _apply_predicate(df: DataFrame, p: tuple) -> DataFrame:
+        col, op = p[0], p[1]
+        c = F.col(col)
+        if op == "between":
+            return df.filter((c >= F.lit(p[2])) & (c <= F.lit(p[3])))
+        if op == "in":
+            return df.filter(c.isin(list(p[2])))
+        ops = {
+            "=": c.__eq__,
+            "<": c.__lt__,
+            "<=": c.__le__,
+            ">": c.__gt__,
+            ">=": c.__ge__,
+        }
+        return df.filter(ops[op](F.lit(p[2])))
+
     def read_where(
         self, predicates: list[tuple], include_tombstones: bool = False
     ) -> DataFrame:
@@ -1215,7 +1341,15 @@ class SnapshotTable:
         in the commit-time read-back), so no object-store LIST on the
         read path. Each call records module-level ``LAST_SCAN_REPORT``
         (buckets/files kept vs total) — the pruning ratio IS the
-        result at 100 TB."""
+        result at 100 TB.
+
+        With an :meth:`attach_index`-registered secondary index on an
+        equality/IN predicate column, the read routes through the
+        posting probe instead (key-routed buckets; identical results)
+        whenever the index is at the current version."""
+        routed = self._read_via_index(predicates, include_tombstones)
+        if routed is not None:
+            return routed
         kept, every, ptr = self._prune_buckets(predicates)
         from pyspark.sql.types import StructType
 
@@ -1260,21 +1394,7 @@ class SnapshotTable:
         # pruned result equals the unpruned one.
         df = self._mor_resolve(df, ptr, schema)
         for p in predicates:
-            col, op = p[0], p[1]
-            c = F.col(col)
-            if op == "between":
-                df = df.filter((c >= F.lit(p[2])) & (c <= F.lit(p[3])))
-            elif op == "in":
-                df = df.filter(c.isin(list(p[2])))
-            else:
-                ops = {
-                    "=": c.__eq__,
-                    "<": c.__lt__,
-                    "<=": c.__le__,
-                    ">": c.__gt__,
-                    ">=": c.__ge__,
-                }
-                df = df.filter(ops[op](F.lit(p[2])))
+            df = self._apply_predicate(df, p)
         guard = ptr.get("guard")
         if guard and not include_tombstones:
             df = df.filter(F.col(guard["op_col"]) != guard["delete_op"])
@@ -2514,17 +2634,25 @@ class SnapshotTable:
                 F.lit("update_post"),
             )
         )
+        # the row image comes from the NEW side whenever the new side
+        # has the row (insert / update_post — even when the new value
+        # is NULL: an update that nulls a payload column must emit a
+        # NULL post-image, or downstream index maintainers re-add the
+        # stale old value and its retraction cancels itself); only a
+        # DELETE (no new-side row) falls back to the old image. A
+        # coalesce here would silently resurrect the old value on
+        # update-to-NULL.
+        def _image(c):
+            if f"_o_{c}" not in old_sel.columns:
+                return F.col(f"_n_{c}")
+            return F.when(first_nk.isNull(), F.col(f"_o_{c}")).otherwise(
+                F.col(f"_n_{c}")
+            )
+
         out_cols = [
             F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
             for k in self.key_cols
-        ] + [
-            (
-                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}"))
-                if f"_o_{c}" in old_sel.columns
-                else F.col(f"_n_{c}")
-            ).alias(c)
-            for c in payload
-        ]
+        ] + [_image(c).alias(c) for c in payload]
         if not include_preimage:
             return (
                 joined.withColumn("change_type", change_type)
@@ -2552,16 +2680,7 @@ class SnapshotTable:
                 .alias(k)
                 for k in self.key_cols
             ],
-            *[
-                (
-                    F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}"))
-                    if f"_o_{c}" in old_sel.columns
-                    else F.col(f"_n_{c}")
-                )
-                .cast(new_types[c])
-                .alias(c)
-                for c in payload
-            ],
+            *[_image(c).cast(new_types[c]).alias(c) for c in payload],
         )
         pre_struct = F.struct(
             F.lit("update_pre").alias("change_type"),

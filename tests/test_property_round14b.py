@@ -15,13 +15,17 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 # (key, ts, op, band) — band is the INDEXED payload column; tiny
-# domains force key collisions, band moves, delete-then-reinsert
+# domains force key collisions, band moves, delete-then-reinsert.
+# None is IN the domain: a NULL band is un-indexed, so the invariant
+# covers the non-null→NULL transition (the old value's posting must
+# retract even though the update adds no posting of its own — the
+# exact path a coalesce'd CDF post-image silently broke)
 _EVENTS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=4),
         st.integers(min_value=0, max_value=3),
         st.sampled_from(["c", "u", "d"]),
-        st.integers(min_value=0, max_value=2),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
     ),
     min_size=1,
     max_size=24,

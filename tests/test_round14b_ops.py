@@ -145,6 +145,32 @@ class TestSecondaryIndex:
             [1] + [x for x in range(20) if x % 3 == 2]
         )
 
+    def test_update_to_null_retracts_posting(self, spark, tmp_path):
+        # the indexed column transitioning non-null → NULL must emit a
+        # NULL post-image in the CDF (not the coalesce'd OLD value —
+        # that bogus add would anti-join away its own update_pre
+        # retraction, leaving a stale posting lookup_keys serves
+        # forever). k=1 starts at band 1.
+        t = _mk_table(spark, tmp_path)
+        v1 = t.version
+        idx = SecondaryIndex(spark, t, "band")
+        idx.sync()
+        t.merge(
+            spark.createDataFrame(
+                [(1, None, "p1-nulled", "u")],
+                "k long, band long, payload string, op string",
+            ),
+            batch_id=1,
+        )
+        feed = t.changes_between(v1, t.version, include_preimage=True)
+        rows = {r.change_type: r for r in feed.filter(F.col("k") == 1).collect()}
+        assert rows["update_post"].band is None
+        assert rows["update_pre"].band == 1
+        assert idx.sync()["mode"] == "incremental"
+        # the POSTING itself is gone (not merely re-filtered by lookup)
+        assert 1 not in {r.k for r in idx.lookup_keys(1).collect()}
+        assert 1 not in {r.k for r in idx.lookup(1).collect()}
+
     def test_null_values_not_indexed(self, spark, tmp_path):
         t = SnapshotTable(
             spark, os.path.join(str(tmp_path), "tn"), ["k"], n_buckets=2
@@ -370,3 +396,51 @@ class TestSCD2View:
         before = sorted(map(tuple, v.history().collect()))
         v.apply(b2, batch_id=1)  # foreachBatch replay
         assert sorted(map(tuple, v.history().collect())) == before
+
+    def test_non_default_op_col_and_delete_marker(self, spark, tmp_path):
+        # a Debezium-style envelope uses __op with 'D' for delete and
+        # 'c' happens to be a LIVE op value — the constructor params
+        # must flow through scd2_history, the synthesized markers, and
+        # both merges (a hardcoded 'd'/'op' would corrupt history)
+        import os
+
+        from changedatacapture_spark.streaming.history import SCD2View
+        from changedatacapture_spark.streaming.sink import SnapshotTable
+
+        open_t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "o2"), ["key_id"], n_buckets=2
+        )
+        closed_t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "c2"),
+            ["key_id", "valid_from", "seq"], n_buckets=2,
+        )
+        v = SCD2View(
+            spark, open_t, closed_t, ["key_id"], ["ts", "seq"], ["value"],
+            op_col="__op", delete_op="D",
+        )
+        ddl = "key_id long, ts long, seq long, __op string, value double"
+        v.apply(
+            spark.createDataFrame(
+                [(1, 1, 0, "c", 1.0), (1, 3, 1, "u", 2.0)], ddl
+            ),
+            batch_id=0,
+        )
+        # 'd' is NOT the delete marker here — it must stay a live row
+        v.apply(
+            spark.createDataFrame(
+                [(1, 5, 2, "d", 3.0), (2, 6, 3, "c", 9.0), (1, 8, 4, "D", None)],
+                ddl,
+            ),
+            batch_id=1,
+        )
+        hist = sorted(
+            (r.key_id, r.value, r.valid_from, r.valid_to, r.is_current)
+            for r in v.history().collect()
+        )
+        assert hist == [
+            (1, 1.0, 1, 3, 0),
+            (1, 2.0, 3, 5, 0),
+            (1, 3.0, 5, 8, 0),   # op 'd' row is live, closed by the real delete
+            (2, 9.0, 6, None, 1),
+        ]
+        assert open_t.read().filter(F.col("key_id") == 1).count() == 0

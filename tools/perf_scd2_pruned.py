@@ -1,0 +1,114 @@
+"""Measure SCD2View's pruned history reads vs the full-scan path.
+
+The r14 `weak`: ``probe_as_of`` claimed bloom pruning its plan never
+did. Round 15 routes bounded fact key sets through ``read_keys`` /
+chunked ``read_where`` and pushes the facts' max time as a
+``valid_from`` zone bound. This harness quantifies it: per sf dir it
+folds the changelog into a view in four time-ordered batches (closed
+table bloom'd on the key, ``stats_on_merge=True``), then times
+
+- ``probe_pruned``: a 100-key fact probe through the round-15 path
+  (scan report attached),
+- ``probe_full``: the same probe with ``max_inlist=0`` forcing the
+  pre-round-15 full history read,
+- ``snapshot_early``: ``snapshot_as_of`` at the 1/8-quantile time
+  (files kept vs total — the time-zone pruning win).
+
+Usage: python tools/perf_scd2_pruned.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from changedatacapture_spark.queries import _changelog_us
+    from changedatacapture_spark.session import get_spark
+    from changedatacapture_spark.streaming.history import SCD2View
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = get_spark(app_name="perf-scd2-pruned")
+    for sf_dir in sf_dirs:
+        work = tempfile.mkdtemp(prefix="scd2_perf_")
+        log = _changelog_us(spark, sf_dir)
+        lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+        open_t = SnapshotTable(
+            spark, os.path.join(work, "open"), ["key_id"], n_buckets=32
+        )
+        closed_t = SnapshotTable(
+            spark, os.path.join(work, "closed"),
+            ["key_id", "valid_from", "seq"], n_buckets=32,
+            bloom_cols=["key_id"], stats_on_merge=True,
+        )
+        view = SCD2View(
+            spark, open_t, closed_t, ["key_id"], ["ts_us", "seq"],
+            ["value", "props"],
+        )
+        t0 = time.time()
+        for i in range(4):
+            a = lo + (hi - lo) * i // 4
+            b = hi if i == 3 else lo + (hi - lo) * (i + 1) // 4
+            view.apply(
+                log.filter(
+                    (F.col("ts_us") >= a)
+                    & (F.col("ts_us") < b + (1 if i == 3 else 0))
+                ),
+                batch_id=i,
+            )
+        build = time.time() - t0
+
+        probe_keys = [
+            r.key_id
+            for r in log.select("key_id").distinct().limit(100).collect()
+        ]
+        facts = spark.createDataFrame(
+            [(i, k, (lo + hi) // 2) for i, k in enumerate(probe_keys)],
+            "fid long, key_id long, ts_us long",
+        )
+
+        t1 = time.time()
+        n1 = view.probe_as_of(facts, "ts_us").count()
+        pruned_wall = time.time() - t1
+        scan = {k: dict(v) for k, v in view.last_scan.items()}
+
+        view.max_inlist = 0  # force the full-read path
+        t2 = time.time()
+        n2 = view.probe_as_of(facts, "ts_us").count()
+        full_wall = time.time() - t2
+        view.max_inlist = 10_000
+
+        t3 = time.time()
+        n3 = view.snapshot_as_of(lo + (hi - lo) // 8).count()
+        snap_wall = time.time() - t3
+        snap_scan = dict(view.last_scan.get("closed") or {})
+
+        assert n1 == n2 == len(probe_keys)
+        print(
+            json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "build_sec": round(build, 2),
+                    "probe_pruned_sec": round(pruned_wall, 2),
+                    "probe_full_sec": round(full_wall, 2),
+                    "probe_scan": scan,
+                    "snapshot_early_sec": round(snap_wall, 2),
+                    "snapshot_rows": n3,
+                    "snapshot_scan": snap_scan,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

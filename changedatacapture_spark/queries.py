@@ -13188,7 +13188,11 @@ def q_cdc_scd2_view_asof_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=8,
         bloom_cols=["key_id"],
         # keep per-merge bloom/zone stats alive so probe_as_of's
-        # bounded-key routing actually prunes (round-15 weak closure)
+        # bounded-key routing actually prunes (round-15 weak closure);
+        # valid_from clustering time-bands each bucket's files so the
+        # probe's max-time zone bound skips late files too
+        cluster_cols=["valid_from"],
+        max_records_per_file=512,
         stats_on_merge=True,
     )
     view = SCD2View(
@@ -13256,6 +13260,12 @@ def q_cdc_scd2_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["key_id", "valid_from", "seq"],
         n_buckets=8,
         bloom_cols=["key_id"],
+        # time-banded files: each bucket rewrite streams sorted by
+        # valid_from and splits, so per-file zones stay TIGHT under
+        # CoW rewrites (one unsplit file per bucket would span the
+        # whole history and an early-T bound could never skip it)
+        cluster_cols=["valid_from"],
+        max_records_per_file=512,
         stats_on_merge=True,
     )
     view = SCD2View(

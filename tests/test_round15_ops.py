@@ -31,6 +31,12 @@ def _mk_view(spark, tmp_path, n_keys=64, batches=4):
         spark, os.path.join(str(tmp_path), "closed"),
         ["key_id", "valid_from", "seq"], n_buckets=16,
         bloom_cols=["key_id"], stats_on_merge=True,
+        # time-banded files inside each bucket: without the split, a
+        # CoW rewrite folds every batch's rows into ONE file whose
+        # valid_from zone spans the whole history and an early-T
+        # bound prunes nothing (the pin below would be chance, not
+        # design — each bucket holds rows from every batch)
+        cluster_cols=["valid_from"], max_records_per_file=4,
     )
     v = SCD2View(
         spark, open_t, closed_t, ["key_id"], ["ts", "seq"], ["value"],

@@ -50,6 +50,7 @@ def main() -> None:
             spark, os.path.join(work, "closed"),
             ["key_id", "valid_from", "seq"], n_buckets=32,
             bloom_cols=["key_id"], stats_on_merge=True,
+            cluster_cols=["valid_from"], max_records_per_file=2048,
         )
         view = SCD2View(
             spark, open_t, closed_t, ["key_id"], ["ts_us", "seq"],

@@ -235,6 +235,35 @@ class SecondaryIndex:
         )
         return base.filter(F.col(self.col).isin(vals))
 
+    def lookup_join(self, values_df: DataFrame) -> DataFrame:
+        """Rows of the BASE table whose indexed column appears in
+        ``values_df`` (one column, same name as the indexed column) —
+        the fully-relational probe for value sets too large to
+        collect at all (a benchmark suite's term table, another
+        table's key column).
+
+        No driver round-trip touches the VALUES: the postings
+        semi-join ``values_df`` directly (the posting relation is
+        skinny — value + key — so this scan is index-sized, never
+        base-sized). Only the matched postings' base-key bucket ids
+        (≤ ``n_buckets`` longs) collect, routing the base read to a
+        bucket subset; the final semi-join re-applies the value set
+        exactly. NULLs never match (equi-join semantics = the
+        NULL-not-indexed contract)."""
+        vals = values_df.select(F.col(self.col)).distinct()
+        posts = self.postings.read().join(vals, self.col, "leftsemi")
+        keys = list(self.table.key_cols)
+        bids = [
+            r[0]
+            for r in posts.select(
+                self.table._bucket_col().alias("b")
+            ).distinct().collect()
+        ]
+        base = self.table.read_buckets(bids).join(
+            posts.select(*keys).distinct(), keys, "leftsemi"
+        )
+        return base.join(vals, self.col, "leftsemi")
+
     def lookup(self, value) -> DataFrame:
         """Rows of the BASE table whose indexed column equals ``value``.
 

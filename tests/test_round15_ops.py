@@ -176,28 +176,34 @@ class TestHistoryKeyed:
         assert scan["closed"]["buckets_kept"] < scan["closed"]["buckets_total"]
 
 
+def _mk_indexed_base(spark, tmp_path):
+    """200-row base keyed k (32 buckets) with band = k % 50 and a
+    freshly synced SecondaryIndex on band."""
+    from changedatacapture_spark.streaming.index import SecondaryIndex
+
+    t = SnapshotTable(
+        spark, os.path.join(str(tmp_path), "base"), ["k"],
+        n_buckets=32, retain_history=4,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [(i, i % 50, f"p{i}", "c") for i in range(200)],
+            "k long, band long, payload string, op string",
+        ),
+        batch_id=0,
+    )
+    idx = SecondaryIndex(spark, t, "band", n_buckets=8)
+    idx.sync()
+    return t, idx
+
+
 class TestIndexPlannerHookAndMultiLookup:
     """Round-15 items 6+7: read_where planner routing through an
     attached SecondaryIndex, IN-list posting probes, and the
     join-based lookup_df (no driver posting collect)."""
 
     def _mk(self, spark, tmp_path):
-        from changedatacapture_spark.streaming.index import SecondaryIndex
-
-        t = SnapshotTable(
-            spark, os.path.join(str(tmp_path), "base"), ["k"],
-            n_buckets=32, retain_history=4,
-        )
-        t.merge(
-            spark.createDataFrame(
-                [(i, i % 50, f"p{i}", "c") for i in range(200)],
-                "k long, band long, payload string, op string",
-            ),
-            batch_id=0,
-        )
-        idx = SecondaryIndex(spark, t, "band", n_buckets=8)
-        idx.sync()
-        return t, idx
+        return _mk_indexed_base(spark, tmp_path)
 
     def test_read_where_routes_and_prunes(self, spark, tmp_path):
         from changedatacapture_spark.streaming import sink as sink_mod
@@ -354,3 +360,16 @@ class TestIndexHookHardening:
         t.attach_index(idx)
         assert idx.postings._indexes == {}
         assert [r.k for r in t.read_where([("band", "=", 5)]).collect()] == [1]
+
+    def test_lookup_join_relational_values(self, spark, tmp_path):
+        """lookup_join: the probe value set is a DataFrame (never
+        collected) — decontamination against a term TABLE. Result
+        equals the plain isin filter; NULL values never match."""
+        t, idx = _mk_indexed_base(spark, tmp_path)
+        vals = spark.createDataFrame(
+            [(1,), (2,), (None,), (777,)], "band long"
+        )
+        rows = idx.lookup_join(vals)
+        assert sorted((r.k, r.band) for r in rows.collect()) == sorted(
+            (i, i % 50) for i in range(200) if i % 50 in (1, 2)
+        )

@@ -209,8 +209,16 @@ class SCD2View:
             from . import sink as _sink
             from .sink import chunked_in_read
 
+            # NULL components never equi-join / never pass the IN
+            # re-filter, so dropping them from the probe list is exact
+            # (and read_where's per-value zone/bloom tests need real
+            # values)
             first = [
-                (k[0] if isinstance(k, tuple) else k) for k in keys
+                f
+                for f in (
+                    (k[0] if isinstance(k, tuple) else k) for k in keys
+                )
+                if f is not None
             ]
             closed_src, rep = chunked_in_read(
                 self.closed, kcol, first, self.max_inlist,

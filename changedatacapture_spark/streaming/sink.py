@@ -228,19 +228,45 @@ def chunked_in_read(
     unselective value set) against the single-pass totals, plus the
     chunk count. ``kept < total`` is the pruning win the plan tests
     pin for selective probes.
+
+    Adaptive bail: if the FIRST chunk's stats prune nothing (no
+    zones/blooms on ``col``, or the value set genuinely spans every
+    file), the remaining chunks would each re-scan the same full
+    volume — so the helper degrades to ONE probe carrying the whole
+    IN list (identical result, single pass; ``degraded_single_pass``
+    set in the report). Chunking therefore never multiplies scan
+    volume past one full pass plus the first probe.
     """
+    if not vals:
+        rep = dict(
+            buckets_total=0, buckets_kept=0,
+            files_total=0, files_kept=0, chunks=0,
+        )
+        return tbl.read().limit(0), rep
     parts = []
     rep = {
         "buckets_total": 0, "buckets_kept": 0,
         "files_total": 0, "files_kept": 0, "chunks": 0,
     }
     for i in range(0, len(vals), max_inlist):
-        parts.append(
-            tbl.read_where(
-                [(col, "in", vals[i:i + max_inlist])] + list(extra_preds or [])
-            )
+        part = tbl.read_where(
+            [(col, "in", vals[i:i + max_inlist])] + list(extra_preds or [])
         )
         r = dict(LAST_SCAN_REPORT)
+        if (
+            rep["chunks"] == 0
+            and len(vals) > max_inlist
+            and r["buckets_kept"] >= r["buckets_total"]
+            and r["files_kept"] >= r["files_total"]
+        ):
+            df = tbl.read_where(
+                [(col, "in", list(vals))] + list(extra_preds or [])
+            )
+            rep = dict(LAST_SCAN_REPORT)
+            rep["chunks"] = 1
+            rep["degraded_single_pass"] = True
+            return df, rep
+        parts.append(part)
         rep["buckets_total"] = r["buckets_total"]
         rep["files_total"] = r["files_total"]
         rep["buckets_kept"] += r["buckets_kept"]

@@ -373,3 +373,73 @@ class TestIndexHookHardening:
         assert sorted((r.k, r.band) for r in rows.collect()) == sorted(
             (i, i % 50) for i in range(200) if i % 50 in (1, 2)
         )
+
+
+class TestChunkedInRead:
+    def test_adaptive_single_pass_on_statless_table(self, spark, tmp_path):
+        """A table with NO stats on the probed column prunes nothing —
+        the helper must degrade to ONE full-list probe instead of
+        N full-volume chunk scans (the 'never worse than one pass'
+        guarantee)."""
+        from changedatacapture_spark.streaming.sink import (
+            SnapshotTable,
+            chunked_in_read,
+        )
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=4, collect_stats=False,
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i % 7, "c") for i in range(50)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        df, rep = chunked_in_read(t, "v", [0, 1, 2, 3, 4], 2)
+        assert rep.get("degraded_single_pass") is True
+        assert rep["chunks"] == 1
+        assert sorted(r.k for r in df.collect()) == sorted(
+            i for i in range(50) if i % 7 <= 4
+        )
+
+    def test_empty_values_yield_empty_frame(self, spark, tmp_path):
+        from changedatacapture_spark.streaming.sink import (
+            SnapshotTable,
+            chunked_in_read,
+        )
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t2"), ["k"], n_buckets=2
+        )
+        t.merge(
+            spark.createDataFrame([(1, 2, "c")], "k long, v long, op string"),
+            batch_id=0,
+        )
+        df, rep = chunked_in_read(t, "v", [], 10)
+        assert df.count() == 0 and rep["chunks"] == 0
+
+    def test_selective_chunks_stay_chunked(self, spark, tmp_path):
+        """With working blooms the first chunk prunes, so the helper
+        keeps chunking (no degrade) and stays exact."""
+        from changedatacapture_spark.streaming.sink import (
+            SnapshotTable,
+            chunked_in_read,
+        )
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t3"), ["k"],
+            n_buckets=32, bloom_cols=["v"],
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i, "c") for i in range(300)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        df, rep = chunked_in_read(t, "v", [3, 5, 7, 9, 11], 2)
+        assert "degraded_single_pass" not in rep
+        assert rep["chunks"] == 3
+        assert sorted(r.k for r in df.collect()) == [3, 5, 7, 9, 11]

@@ -310,16 +310,27 @@ class SCD2View:
         otherwise. ``last_scan`` carries the kept/total evidence."""
         t = F.col(f"_f_{fact_time_col}")
         cap = self.max_inlist
-        fkeys = [
-            tuple(r) if len(self.key_cols) > 1 else r[0]
-            for r in facts.select(*self.key_cols)
-            .distinct()
+        # ONE driver job gets both pruning inputs: the distinct keys
+        # with each key's max fact time. When the limit did NOT
+        # overflow it captured EVERY distinct key, so the max over the
+        # collected per-key maxes IS the global max fact time; on
+        # overflow the full-read path needs neither.
+        krows = (
+            facts.groupBy(*self.key_cols)
+            .agg(F.max(fact_time_col).alias("_tmax"))
             .limit(cap + 1)
             .collect()
+        )
+        fkeys = [
+            tuple(r[: len(self.key_cols)])
+            if len(self.key_cols) > 1
+            else r[0]
+            for r in krows
             if (r[0] is not None if len(self.key_cols) == 1 else True)
         ]
-        if fkeys and len(fkeys) <= cap:
-            tmax = facts.agg(F.max(fact_time_col)).first()[0]
+        if fkeys and len(krows) <= cap:
+            tmaxes = [r["_tmax"] for r in krows if r["_tmax"] is not None]
+            tmax = max(tmaxes) if tmaxes else None
             hist_rel = self.history(keys=fkeys, up_to=tmax)
         else:
             hist_rel = self.history()

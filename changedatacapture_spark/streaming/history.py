@@ -307,19 +307,21 @@ class SCD2View:
         (versions opening after the last fact can never cover any
         fact). Past the cap the key set is no longer bounded metadata
         and the probe reads the full history — stated, not claimed
-        otherwise. ``last_scan`` carries the kept/total evidence."""
+        otherwise. ``last_scan`` carries the kept/total evidence.
+
+        The overflow probe is two-staged so a batch-scale fact set
+        never pays a full per-key aggregate just to learn "read the
+        full history": stage 1 collects ``distinct(keys).limit(cap+1)``
+        — per-partition partial dedup + local limits, never a global
+        per-key shuffle of millions of keys — and ONLY under the cap
+        does stage 2 run the global ``max(fact_time)`` (a map-side
+        scalar aggregate, no keyed shuffle at all). Two small driver
+        jobs on the pruned path; one short-circuiting job and zero
+        aggregates on the overflow path."""
         t = F.col(f"_f_{fact_time_col}")
         cap = self.max_inlist
-        # ONE driver job gets both pruning inputs: the distinct keys
-        # with each key's max fact time. When the limit did NOT
-        # overflow it captured EVERY distinct key, so the max over the
-        # collected per-key maxes IS the global max fact time; on
-        # overflow the full-read path needs neither.
         krows = (
-            facts.groupBy(*self.key_cols)
-            .agg(F.max(fact_time_col).alias("_tmax"))
-            .limit(cap + 1)
-            .collect()
+            facts.select(*self.key_cols).distinct().limit(cap + 1).collect()
         )
         fkeys = [
             tuple(r[: len(self.key_cols)])
@@ -329,8 +331,9 @@ class SCD2View:
             if (r[0] is not None if len(self.key_cols) == 1 else True)
         ]
         if fkeys and len(krows) <= cap:
-            tmaxes = [r["_tmax"] for r in krows if r["_tmax"] is not None]
-            tmax = max(tmaxes) if tmaxes else None
+            tmax = facts.agg(
+                F.max(fact_time_col).alias("_tmax")
+            ).collect()[0]["_tmax"]
             hist_rel = self.history(keys=fkeys, up_to=tmax)
         else:
             hist_rel = self.history()

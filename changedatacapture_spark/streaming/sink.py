@@ -216,48 +216,67 @@ def chunked_in_read(
 ):
     """Union of ``read_where`` IN-list probes in ``max_inlist``-sized
     chunks over ``tbl`` — N pruned probes instead of one full scan
-    when a value set outgrows a single probe. Chunks partition the
-    value set and a row holds ONE value, so the union is
-    duplicate-free and exact. ``extra_preds`` conjoin onto every
-    chunk's predicate list (e.g. a time bound riding along with the
-    key IN-list).
+    when a value set outgrows a single probe. ``vals`` dedupes at
+    entry (callers forward user-supplied lists; a duplicate landing
+    in two chunks would match the same rows twice and corrupt the
+    union), after which chunks partition the value set and a row
+    holds ONE value, so the union is duplicate-free and exact.
+    ``extra_preds`` conjoin onto every chunk's predicate list (e.g. a
+    time bound riding along with the key IN-list).
 
-    Returns ``(df, report)``: the report sums kept buckets/files
+    Returns ``(df, report)``: the report sums kept buckets/files/rows
     across chunks (total SCHEDULED scan volume — chunks may re-keep
-    overlapping buckets, so the sum can exceed one full pass on an
-    unselective value set) against the single-pass totals, plus the
-    chunk count. ``kept < total`` is the pruning win the plan tests
-    pin for selective probes.
+    overlapping files, so the running sum can approach one full pass
+    on an unselective value set) against the single-pass totals, plus
+    the chunk count. ``kept < total`` is the pruning win the plan
+    tests pin for selective probes.
 
-    Adaptive bail: if the FIRST chunk's stats prune nothing (no
-    zones/blooms on ``col``, or the value set genuinely spans every
-    file), the remaining chunks would each re-scan the same full
-    volume — so the helper degrades to ONE probe carrying the whole
-    IN list (identical result, single pass; ``degraded_single_pass``
-    set in the report). Chunking therefore never multiplies scan
-    volume past one full pass plus the first probe.
+    Adaptive bail: chunk plans are lazy (``read_where`` prunes on the
+    driver; nothing executes until an action), so the helper watches
+    the RUNNING kept-file sum and, the moment the accumulated chunks
+    would schedule at least one full pass while chunks remain (or
+    strictly more than one on the last chunk), discards the
+    un-executed chunk plans and returns ONE probe carrying the whole
+    IN list (identical result; ``degraded_single_pass`` in the
+    report, whose counts then describe that single pass). The first
+    chunk of a stats-less table trips this immediately — the old
+    first-chunk heuristic is the degenerate case — and a later chunk
+    tripping it caps an unselective tail the first chunk looked too
+    selective to predict. EXECUTED scan volume therefore never
+    exceeds one full pass.
     """
+    vals = list(dict.fromkeys(vals))
     if not vals:
         rep = dict(
             buckets_total=0, buckets_kept=0,
-            files_total=0, files_kept=0, chunks=0,
+            files_total=0, files_kept=0,
+            rows_total=0, rows_kept=0, chunks=0,
         )
         return tbl.read().limit(0), rep
     parts = []
     rep = {
         "buckets_total": 0, "buckets_kept": 0,
-        "files_total": 0, "files_kept": 0, "chunks": 0,
+        "files_total": 0, "files_kept": 0,
+        "rows_total": 0, "rows_kept": 0, "chunks": 0,
     }
     for i in range(0, len(vals), max_inlist):
         part = tbl.read_where(
             [(col, "in", vals[i:i + max_inlist])] + list(extra_preds or [])
         )
         r = dict(LAST_SCAN_REPORT)
-        if (
-            rep["chunks"] == 0
-            and len(vals) > max_inlist
-            and r["buckets_kept"] >= r["buckets_total"]
-            and r["files_kept"] >= r["files_total"]
+        parts.append(part)
+        rep["buckets_total"] = r["buckets_total"]
+        rep["files_total"] = r["files_total"]
+        rep["rows_total"] = r.get("rows_total")
+        rep["buckets_kept"] += r["buckets_kept"]
+        rep["files_kept"] += r["files_kept"]
+        if rep["rows_kept"] is not None:
+            n = r.get("rows_kept")
+            rep["rows_kept"] = None if n is None else rep["rows_kept"] + n
+        rep["chunks"] += 1
+        remaining = i + max_inlist < len(vals)
+        if (remaining and rep["files_kept"] >= rep["files_total"]) or (
+            rep["files_kept"] > rep["files_total"]
         ):
             df = tbl.read_where(
                 [(col, "in", list(vals))] + list(extra_preds or [])
@@ -266,12 +285,6 @@ def chunked_in_read(
             rep["chunks"] = 1
             rep["degraded_single_pass"] = True
             return df, rep
-        parts.append(part)
-        rep["buckets_total"] = r["buckets_total"]
-        rep["files_total"] = r["files_total"]
-        rep["buckets_kept"] += r["buckets_kept"]
-        rep["files_kept"] += r["files_kept"]
-        rep["chunks"] += 1
     df = parts[0]
     for p_ in parts[1:]:
         df = df.unionByName(p_)
@@ -351,6 +364,7 @@ class SnapshotTable:
         stats_on_merge: bool = False,
         max_records_per_file: int | None = None,
         bloom_cols: list[str] | None = None,
+        target_file_bytes: int | None = None,
     ) -> None:
         self.spark = spark
         self.path = path.rstrip("/")
@@ -387,6 +401,18 @@ class SnapshotTable:
         #: None = one file per bucket per version (file-level pruning
         #: degenerates to bucket-level; still exact).
         self.max_records_per_file = max_records_per_file
+        #: BYTE-targeted file sizing — the 100 TB default the row-count
+        #: knob above is not: when set (e.g. 128 << 20) and no explicit
+        #: row cap governs, every write derives its own
+        #: ``maxRecordsPerFile`` from the table's measured bytes/row
+        #: (committed manifest bytes over committed per-file row
+        #: counts — driver metadata, no data scan), so files land in
+        #: the target byte band whatever the row width is. The first
+        #: commit has no measurement and writes uncapped; every later
+        #: write self-corrects. ``cluster_cols`` banding is preserved:
+        #: the derived cap splits each sorted bucket into contiguous
+        #: cluster-key ranges exactly as an explicit row cap would.
+        self.target_file_bytes = target_file_bytes
         #: SQL expressions (usually column names; see
         #: ``operators/layout.py:zorder16`` for multi-column locality)
         #: that every bucket write sorts by. Sorted files give parquet
@@ -1072,7 +1098,14 @@ class SnapshotTable:
                 ]
             )
             df = df.withColumn(f"_bp__{name}", pos)
-        aggs = []
+        # per-file row count rides the same aggregate: it feeds the
+        # scan report's rows-kept column (file-packing regressions are
+        # measured, not inferred from file counts) and the zero-job
+        # posting-count estimate behind index routing. The "__" prefix
+        # keeps it out of the column-stat namespace (real columns come
+        # from the schema; `_zone_may_match` only consults predicate
+        # column names, so the extra key is inert there).
+        aggs = [F.count(F.lit(1)).alias("n__rows")]
         for name, kind in cols:
             e = self._stat_expr(name, kind)
             aggs.append(F.min(e).alias(f"mn__{name}"))
@@ -1132,7 +1165,9 @@ class SnapshotTable:
                     ]
                 else:
                     acc_b[name] = words
-            fstats.setdefault(str(b), {})[fname] = {**d, **fbl}
+            fstats.setdefault(str(b), {})[fname] = {
+                **d, **fbl, "__rows": int(r["n__rows"]),
+            }
             acc = merged.setdefault(b, {})
             for name, (fmn, fmx) in d.items():
                 if name not in acc:
@@ -1163,6 +1198,13 @@ class SnapshotTable:
         for b, accb in merged_bloom.items():
             for name, words in accb.items():
                 out.setdefault(str(b), {})[f"bloom__{name}"] = words
+        # bucket-level row counts (sum of the bucket's file counts):
+        # bounded-metadata answers for "how big is this bucket" without
+        # walking parquet footers
+        for b, fmap in fstats.items():
+            out.setdefault(b, {})["__rows"] = sum(
+                z["__rows"] for z in fmap.values()
+            )
         return out, fstats
 
     def _prune_buckets(
@@ -1262,6 +1304,39 @@ class SnapshotTable:
                 return False
         return True
 
+    def estimate_rows_where(self, predicates: list[tuple]) -> int | None:
+        """Driver-only UPPER BOUND on the rows a
+        :meth:`read_where` scan for ``predicates`` would schedule:
+        run the same bucket- and file-level zone/bloom pruning
+        against the pointer's committed per-file row counts and sum
+        the survivors. No Spark job runs — one pointer read plus
+        pure-Python stat tests — so planners can reject a route
+        before paying for it (the index-routing gate below). Returns
+        ``None`` when any surviving file predates row stats (older
+        commits, stats-dropping merges): unknown, not zero."""
+        kept, every, ptr = self._prune_buckets(predicates)
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(ptr["schema"]))
+        kinds = dict(self._stats_cols(schema))
+        fstats_all = ptr.get("fstats") or {}
+        total = 0
+        for b in kept:
+            fmap = fstats_all.get(str(b))
+            if not fmap:
+                return None
+            for zone in fmap.values():
+                if self._zone_may_match(zone, predicates, kinds):
+                    n = zone.get("__rows")
+                    if n is None:
+                        return None
+                    total += n
+        # pending MoR runs carry no stats; their rows are invisible to
+        # the bound, so a table with pending runs reports unknown
+        if ptr.get("runs"):
+            return None
+        return total
+
     #: posting-collect ceiling for index-routed ``read_where``: past
     #: this many matching postings the probed value set is too hot for
     #: a driver collect and the stats path (or an explicit
@@ -1276,7 +1351,33 @@ class SnapshotTable:
         whenever the index is exactly at the table's current version.
         A stale or missing index silently falls back to the stats
         path; results are identical either way (the predicates
-        re-apply on whatever the route returns)."""
+        re-apply on whatever the route returns).
+
+        Rejects an index built over a DIFFERENT table (same-version
+        coincidences would otherwise pass the freshness gate and
+        route through foreign postings — silently incomplete results,
+        since the predicate re-apply can only subtract rows) and an
+        index column this table's committed schema lacks."""
+        it = getattr(index, "table", None)
+        if it is not self and getattr(it, "path", None) != self.path:
+            raise ValueError(
+                f"index over {getattr(it, 'path', it)!r} cannot attach "
+                f"to {self.path!r}: postings map a different table's "
+                "keys, and the freshness gate compares version NUMBERS "
+                "only — routing would silently drop rows"
+            )
+        ptr = self._read_pointer()
+        if ptr is not None:
+            from pyspark.sql.types import StructType
+
+            names = StructType.fromJson(
+                json.loads(ptr["schema"])
+            ).fieldNames()
+            if index.col not in names:
+                raise ValueError(
+                    f"index column {index.col!r} is not a column of "
+                    f"{self.path!r} (schema: {names})"
+                )
         self._indexes[index.col] = index
 
     def _read_via_index(
@@ -1289,7 +1390,18 @@ class SnapshotTable:
         forbids routing) resolves to posting keys (bloom-pruned
         posting scan, driver-bounded by ``_INDEX_ROUTE_MAX_KEYS``),
         then ``read_keys`` reads only those keys' buckets and ALL
-        predicates re-apply — bit-identical to the stats path."""
+        predicates re-apply — bit-identical to the stats path.
+
+        HOT values bail BEFORE any job runs: the posting table's own
+        manifest (per-file row counts + zone/bloom stats) upper-bounds
+        how many postings the probed values can match, driver-side
+        (:meth:`estimate_rows_where` on the posting store). An
+        estimate past ``_INDEX_ROUTE_MAX_KEYS`` means the collect
+        would overflow anyway, so the route declines with ZERO
+        posting-scan jobs instead of paying the probe and a 100k-row
+        collect just to discover the overflow. The post-scan count
+        check stays as the belt for estimates the stats cannot bound
+        (pre-row-stats commits, pending posting runs)."""
         if include_tombstones:
             # tombstones are never indexed; the stats path owns them
             return None
@@ -1307,6 +1419,11 @@ class SnapshotTable:
             if not values:
                 continue
             cap = self._INDEX_ROUTE_MAX_KEYS
+            est = idx.postings.estimate_rows_where(
+                [(idx.col, "in", values)]
+            )
+            if est is not None and est > cap:
+                return None  # provably hot: stats path, zero jobs
             keys = [
                 tuple(r) if len(self.key_cols) > 1 else r[0]
                 for r in idx.lookup_keys_in(values)
@@ -1387,13 +1504,26 @@ class SnapshotTable:
         files_total = sum(
             len(fstats_all.get(str(b)) or {}) or 1 for b in every
         )
+        # rows_total/rows_kept: summed per-file counts where committed
+        # (None when any contributing file predates row stats or a
+        # bucket scans opaque) — file-packing health reads straight
+        # off the report instead of being inferred from file counts
+        rows_total: int | None = 0
+        for b in every:
+            fmap = fstats_all.get(str(b))
+            if not fmap or any("__rows" not in z for z in fmap.values()):
+                rows_total = None
+                break
+            rows_total += sum(z["__rows"] for z in fmap.values())
         paths: list[str] = []
         files_kept = 0
+        rows_kept: int | None = 0
         for b in kept:
             fmap = fstats_all.get(str(b))
             if not fmap:
                 paths.append(f"{self.path}/v={manifest[b]}/bucket={b}")
                 files_kept += 1
+                rows_kept = None
                 continue
             for fname, zone in sorted(fmap.items()):
                 if self._zone_may_match(zone, predicates, kinds):
@@ -1401,12 +1531,17 @@ class SnapshotTable:
                         f"{self.path}/v={manifest[b]}/bucket={b}/{fname}"
                     )
                     files_kept += 1
+                    if rows_kept is not None:
+                        n = zone.get("__rows")
+                        rows_kept = None if n is None else rows_kept + n
         global LAST_SCAN_REPORT
         LAST_SCAN_REPORT = {
             "buckets_total": len(every),
             "buckets_kept": len(kept),
             "files_total": files_total,
             "files_kept": files_kept,
+            "rows_total": rows_total,
+            "rows_kept": rows_kept,
         }
         if not paths:
             df = self.spark.createDataFrame([], schema)
@@ -1547,7 +1682,10 @@ class SnapshotTable:
         interleave a winner between the check and the job).
         ``records_per_file`` overrides the table's
         ``max_records_per_file`` for THIS write — maintenance rewrites
-        use it to bin-pack toward a target file size."""
+        use it to bin-pack toward a target file size. With neither an
+        override nor a table-level row cap, ``target_file_bytes``
+        derives one from the committed manifest's measured bytes/row
+        (see the constructor)."""
         # fixed partition count = bucket count: tasks align 1:1 with
         # output bucket directories, so each task streams one file.
         # (Measured: letting AQE coalesce this shuffle for small
@@ -1567,6 +1705,8 @@ class SnapshotTable:
             if records_per_file is not None
             else self.max_records_per_file
         )
+        if rpf is None:
+            rpf = self._derived_records_per_file()
         if rpf:
             # split each sorted bucket into cluster-key-contiguous
             # files so per-file zone maps have something to prune
@@ -2394,6 +2534,38 @@ class SnapshotTable:
         )
         self._vacuum()
         return len(runs)
+
+    def _derived_records_per_file(self) -> int | None:
+        """Rows-per-file cap that lands files near
+        ``target_file_bytes``, from the COMMITTED table's own measured
+        bytes/row: for every manifest bucket whose per-file row counts
+        are committed, pair its rows with its on-disk parquet bytes
+        and divide. Buckets without row stats (pre-row-stat commits,
+        stats-dropping merges) contribute neither rows nor bytes, so
+        the ratio never mixes counted rows with uncounted bytes.
+        Driver-only (pointer read + dir stats, no job). ``None`` when
+        the target is unset or nothing is measurable yet (first write:
+        uncapped, self-corrects from the second write on)."""
+        if self.target_file_bytes is None:
+            return None
+        ptr = self._read_pointer()
+        if ptr is None:
+            return None
+        fstats_all = ptr.get("fstats") or {}
+        rows = 0
+        nbytes = 0
+        for b, v in ptr["buckets"].items():
+            fmap = fstats_all.get(str(b))
+            if not fmap or any("__rows" not in z for z in fmap.values()):
+                continue
+            r = sum(z["__rows"] for z in fmap.values())
+            if r <= 0:
+                continue
+            rows += r
+            nbytes += self._bucket_dir_bytes(int(v), [int(b)])
+        if rows <= 0 or nbytes <= 0:
+            return None
+        return max(1, int(self.target_file_bytes * rows / nbytes))
 
     def _bucket_dir_bytes(self, v: int, buckets) -> int:
         """Parquet bytes under ``v=<v>/bucket=<b>`` for the given

@@ -1,0 +1,327 @@
+"""Round-16 pins: chunked-probe hardening (duplicate values, the
+accumulated adaptive bail), zero-job stats gating for index-routed
+reads, attach_index table/column validation, per-file row counts in
+the scan report, byte-targeted file sizing, and rebucket pruning.
+
+Same contract as the JoinView/round-15 pins: every claimed pruning or
+bail shows up in the manifest scan report without changing any result.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from changedatacapture_spark.streaming.index import SecondaryIndex
+from changedatacapture_spark.streaming.sink import (
+    SnapshotTable,
+    chunked_in_read,
+)
+
+
+def _mk(spark, path, rows, n_buckets=4, **kw):
+    t = SnapshotTable(spark, path, ["k"], n_buckets=n_buckets, **kw)
+    t.merge(
+        spark.createDataFrame(rows, "k long, v long, op string"),
+        batch_id=0,
+    )
+    return t
+
+
+class TestChunkedInReadHardening:
+    def test_duplicate_values_across_chunks_stay_exact(
+        self, spark, tmp_path
+    ):
+        """Caller-supplied duplicates landing in DIFFERENT chunks used
+        to re-match the same rows in two chunk probes and duplicate
+        the union (ADVICE r15). Dedup at entry makes the result exact
+        whatever the caller sends."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i % 5, "c") for i in range(40)],
+        )
+        # 3 in chunk 0 and again in chunk 1; 2 duplicated inside one
+        vals = [3, 2, 2, 3, 4]
+        df, rep = chunked_in_read(t, "v", vals, 2)
+        got = sorted(r.k for r in df.collect())
+        assert got == sorted(i for i in range(40) if i % 5 in (2, 3, 4))
+        assert len(got) == len(set(got))
+
+    def test_composite_key_history_dedups_first_components(
+        self, spark, tmp_path
+    ):
+        """The reachable path ADVICE named: a composite-keyed
+        SCD2View.history(keys=...) forwards the keys' FIRST components
+        to chunked_in_read — shared first components past max_inlist
+        must not duplicate closed rows."""
+        from changedatacapture_spark.streaming.history import SCD2View
+
+        open_t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "open"), ["k"], n_buckets=4
+        )
+        closed_t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "closed"),
+            ["k", "valid_from", "seq"], n_buckets=4,
+        )
+        v = SCD2View(spark, open_t, closed_t, ["k"], ["ts", "seq"], ["p"])
+        ddl = "k long, ts long, seq long, op string, p double"
+        v.apply(
+            spark.createDataFrame(
+                [(k, 10, k, "c", float(k)) for k in range(8)], ddl
+            ),
+            batch_id=0,
+        )
+        v.apply(
+            spark.createDataFrame(
+                [(k, 20, 100 + k, "u", k + 0.5) for k in range(8)], ddl
+            ),
+            batch_id=1,
+        )
+        v.max_inlist = 2  # force multiple chunks
+        # every key twice in the probe list → first components repeat
+        keys = [k for k in range(8)] * 2
+        hist = v.history(keys=keys).collect()
+        # exactly one closed + one open version per key — no dupes
+        assert len(hist) == 16
+        per_key = {}
+        for r in hist:
+            per_key.setdefault(r.k, []).append(r.is_current)
+        assert all(sorted(f) == [0, 1] for f in per_key.values())
+
+    def test_accumulated_bail_caps_unselective_tails(
+        self, spark, tmp_path
+    ):
+        """A first chunk that prunes does NOT license unbounded
+        re-scanning by later chunks (ADVICE r15): once the RUNNING
+        kept sum reaches one full pass with chunks remaining, the
+        helper degrades to a single full-list probe. Chunk plans are
+        lazy, so executed volume is that one pass."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(100)],
+            n_buckets=4, bloom_cols=["v"],
+        )
+        # 8 single-value chunks over a 4-file table: each chunk keeps
+        # >=1 file (the value IS present — blooms have no false
+        # negatives), so the running sum crosses 4 kept files with
+        # chunks remaining and the helper must bail.
+        df, rep = chunked_in_read(t, "v", list(range(1, 9)), 1)
+        assert rep.get("degraded_single_pass") is True
+        assert rep["chunks"] == 1
+        assert sorted(r.k for r in df.collect()) == list(range(1, 9))
+
+    def test_report_carries_row_counts(self, spark, tmp_path):
+        """Scan reports now measure rows, not just files — packing
+        regressions read straight off the report (VERDICT r15 #3/#6)."""
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(100)],
+            n_buckets=4, bloom_cols=["v"],
+        )
+        t.read_where([("v", "=", 7)]).collect()
+        rep = sink_mod.LAST_SCAN_REPORT
+        assert rep["rows_total"] == 100
+        assert rep["rows_kept"] is not None
+        assert rep["rows_kept"] <= rep["rows_total"]
+        # pruning must show in rows too: one value's bucket subset
+        assert rep["rows_kept"] < rep["rows_total"]
+
+
+class TestEstimateRowsWhere:
+    def test_upper_bounds_actual_matches_with_zero_jobs(
+        self, spark, tmp_path
+    ):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i % 10, "c") for i in range(200)],
+            n_buckets=8, bloom_cols=["v"],
+        )
+        est = t.estimate_rows_where([("v", "=", 3)])
+        actual = t.read_where([("v", "=", 3)]).count()
+        assert est is not None
+        assert est >= actual
+        assert est < 200  # the bound prunes: not the whole table
+
+    def test_unknown_when_row_stats_absent(self, spark, tmp_path):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(20)],
+            n_buckets=2, collect_stats=False,
+        )
+        assert t.estimate_rows_where([("v", "=", 1)]) is None
+
+
+class TestIndexRoutingStatsGate:
+    def _mk_indexed(self, spark, tmp_path, n=400):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "base"), ["k"], n_buckets=4
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i % 4, "c") for i in range(n)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        idx = SecondaryIndex(spark, t, "v", n_buckets=4)
+        idx.sync()
+        t.attach_index(idx)
+        return t, idx
+
+    def test_hot_value_bails_with_zero_posting_jobs(self, spark, tmp_path):
+        """VERDICT r16 item 3: a hot-value read_where must decline the
+        index route from manifest stats alone — no posting scan, no
+        100k-row collect — and the stats path answers exactly."""
+        t, idx = self._mk_indexed(spark, tmp_path)
+        t._INDEX_ROUTE_MAX_KEYS = 10  # every value is "hot" (100 postings)
+
+        def boom(*a, **k):  # any posting probe is the regression
+            raise AssertionError("posting scan ran for a hot value")
+
+        idx.lookup_keys_in = boom
+        got = sorted(r.k for r in t.read_where([("v", "=", 1)]).collect())
+        assert got == sorted(i for i in range(400) if i % 4 == 1)
+
+    def test_cold_value_still_routes(self, spark, tmp_path):
+        t, idx = self._mk_indexed(spark, tmp_path)
+        called = {}
+        orig = idx.lookup_keys_in
+
+        def spy(values):
+            called["yes"] = True
+            return orig(values)
+
+        idx.lookup_keys_in = spy
+        got = sorted(r.k for r in t.read_where([("v", "=", 2)]).collect())
+        assert got == sorted(i for i in range(400) if i % 4 == 2)
+        assert called.get("yes") is True
+
+    def test_attach_rejects_foreign_table(self, spark, tmp_path):
+        """ADVICE r15: a mis-attached index from ANOTHER table whose
+        version number coincides would silently drop rows; attach must
+        refuse it up front."""
+        t, idx = self._mk_indexed(spark, tmp_path)
+        other = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "other"), ["k"], n_buckets=2
+        )
+        other.merge(
+            spark.createDataFrame(
+                [(1, 5, "c")], "k long, v long, op string"
+            ),
+            batch_id=0,
+        )
+        with pytest.raises(ValueError, match="different table"):
+            other.attach_index(idx)
+
+    def test_attach_rejects_missing_column(self, spark, tmp_path):
+        t, idx = self._mk_indexed(spark, tmp_path)
+        idx2 = SecondaryIndex(spark, t, "v", n_buckets=2)
+        idx2.col = "no_such_col"  # simulate a stale/mistyped config
+        with pytest.raises(ValueError, match="not a column"):
+            t.attach_index(idx2)
+
+
+class TestByteTargetedSizing:
+    def test_writes_land_in_the_byte_band(self, spark, tmp_path):
+        """VERDICT r16 item 4: with target_file_bytes set and no row
+        cap, the SECOND write on derives rows-per-file from measured
+        bytes/row and splits files near the target (wide tolerance —
+        parquet footers dominate at toy scale)."""
+        target = 16 << 10
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=2, cluster_cols=["ts"],
+            target_file_bytes=target, stats_on_merge=True,
+        )
+        ddl = "k long, ts long, payload string, op string"
+
+        def batch(b):
+            return spark.createDataFrame(
+                [(i, b * 10_000 + i, "x" * 64, "c")
+                 for i in range(b * 20_000, b * 20_000 + 20_000)],
+                ddl,
+            )
+
+        t.merge(batch(0), batch_id=0)  # first write: no measurement yet
+        assert t._derived_records_per_file() is not None
+        t.overwrite(
+            t.read().unionByName(batch(1).drop("op")), batch_id=1
+        )
+        pv = max(
+            int(d.split("=")[1])
+            for d in os.listdir(t.path)
+            if d.startswith("v=")
+        )
+        sizes = [
+            e.stat().st_size
+            for b in os.listdir(f"{t.path}/v={pv}")
+            if b.startswith("bucket=")
+            for e in os.scandir(f"{t.path}/v={pv}/{b}")
+            if e.name.endswith(".parquet")
+        ]
+        assert len(sizes) > 2  # the cap split buckets into bands
+        # every file within a wide band of the target: the derivation
+        # used measured bytes/row, so order-of-magnitude is guaranteed
+        assert max(sizes) < 4 * target
+        assert t.read().count() == 40_000
+
+    def test_explicit_row_cap_still_wins(self, spark, tmp_path):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=2, max_records_per_file=7,
+            target_file_bytes=1 << 30,
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, "c") for i in range(40)], "k long, op string"
+            ),
+            batch_id=0,
+        )
+        t.overwrite(t.read(), batch_id=1)
+        pv = max(
+            int(d.split("=")[1])
+            for d in os.listdir(t.path)
+            if d.startswith("v=")
+        )
+        counts = [
+            len([e for e in os.scandir(f"{t.path}/v={pv}/{b}")
+                 if e.name.endswith(".parquet")])
+            for b in os.listdir(f"{t.path}/v={pv}")
+            if b.startswith("bucket=")
+        ]
+        assert all(c >= 2 for c in counts)  # 20 rows / 7-cap → ≥3 files
+
+
+class TestRebucketKeepsPruning:
+    def test_pruning_engages_at_the_new_bucket_count(
+        self, spark, tmp_path
+    ):
+        """VERDICT r16 item 5: after an online rebucket, stats prune
+        and key routing run against the NEW modulus — a grown table
+        keeps its scan bounds."""
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=2, bloom_cols=["v"],
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i, "c") for i in range(400)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        t.rebucket(16)
+        got = sorted(r.k for r in t.read_where([("v", "=", 37)]).collect())
+        assert got == [37]
+        rep = sink_mod.LAST_SCAN_REPORT
+        assert rep["buckets_total"] == 16
+        assert rep["buckets_kept"] < rep["buckets_total"]
+        t.read_keys([37]).collect()
+        rep = sink_mod.LAST_SCAN_REPORT
+        assert rep["buckets_total"] == 16
+        assert rep["buckets_kept"] == 1

@@ -20,6 +20,11 @@ number interpretable across hosts and rounds:
   same headline set. The first pass pays per-query-shape JIT/codegen
   compilation; the steady pass is how a long-running engine behaves.
   ``value`` (cold) stays the round-comparable headline.
+- ``probe_phase``: warm-probe walls for the served designs
+  (hybrid RRF, index multilookup, planner-routed scan) with the
+  index/store build paid separately — the e2e rows in
+  ``queries_extra`` are bootstrap-dominated, so drift in the number
+  those designs actually sell would otherwise be invisible.
 - ``sf1``: if a 10x corpus exists (``tools/gen_scale.py``, default
   ``.scaledata/sf1``), a bounded query set is timed there with row
   counts, one decade of empirical scaling above the driver's sf0.1.
@@ -408,6 +413,38 @@ def main() -> None:
         "sf_zorder": scan_reports.get("events_zorder_pruned_scan"),
     }
 
+    # probe-phase walls for the served designs (the e2e walls above
+    # are bootstrap+maintenance-dominated; the number each design
+    # SELLS is the warm probe against pre-maintained state — without
+    # this split, round-over-round drift in that number is invisible
+    # to the driver artifact). Build once, time the probe alone.
+    probe_phase: dict[str, float] = {}
+    try:
+        from changedatacapture_spark import queries as _qmod
+
+        _ridx, _rcells = _qmod._rrf_served_build(spark, SF_DIR)
+        t0 = time.time()
+        _qmod._rrf_served_probe(spark, SF_DIR, _ridx, _rcells).count()
+        probe_phase["text_hybrid_rrf_served_probe"] = round(
+            time.time() - t0, 3
+        )
+        _midx = _qmod._index_multilookup_build(spark, SF_DIR)
+        t0 = time.time()
+        _qmod._index_multilookup_probe(_midx).count()
+        probe_phase["cdc_index_multilookup_probe"] = round(
+            time.time() - t0, 3
+        )
+        _pstore = _qmod._index_planner_build(spark, SF_DIR)
+        t0 = time.time()
+        _qmod._index_planner_probe(_pstore).count()
+        probe_phase["cdc_index_planner_scan_probe"] = round(
+            time.time() - t0, 3
+        )
+        for k, v in probe_phase.items():
+            print(f"# probe_phase {k}: {v}s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001 - probe walls are evidence, not the contract
+        print(f"# probe_phase section aborted: {e}", file=sys.stderr)
+
     # streaming CDC apply throughput (BASELINE.md 'Measured' workload),
     # reported alongside the per-query walls
     from changedatacapture_spark.streaming.bench import run as stream_run
@@ -493,6 +530,7 @@ def main() -> None:
         "value_steady": round(sum(steady.values()), 3),
         "queries_steady": steady,
         "queries_extra": extra_timings,
+        "probe_phase": probe_phase,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "stream_apply": {
             "events_per_sec": stream["events_per_sec"],
@@ -529,6 +567,7 @@ def main() -> None:
             "stream_events_per_sec": stream["events_per_sec"],
             "calib_single_core_sec": calib_after,
             "calib_multi_core_wall_sec": mcore_after,
+            "probe_phase": probe_phase,
         }
     }))
 

@@ -12782,6 +12782,15 @@ def q_cdc_index_multilookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     two CDF-synced merge batches first (update_pre retractions live),
     so stale postings would over-fetch and hash-mismatch the plain
     final-state filter oracle. See streaming/index.py:lookup_df."""
+    idx = _index_multilookup_build(spark, sf_dir)
+    return _index_multilookup_probe(idx)
+
+
+def _index_multilookup_build(spark: SparkSession, sf_dir: str):
+    """Maintenance phase of ``cdc_index_multilookup`` (split out so
+    bench.py can time the amortized build and the served probe
+    separately): base store + CDF-synced secondary index over two
+    merge batches. Returns the index."""
     from changedatacapture_spark.streaming.index import SecondaryIndex
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
@@ -12805,6 +12814,12 @@ def q_cdc_index_multilookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = compact_latest(half, ["key_id"], ["ts_us", "seq"])
         store.merge(a, batch_id=i)
         idx.sync()
+    return idx
+
+
+def _index_multilookup_probe(idx) -> DataFrame:
+    """Probe phase of ``cdc_index_multilookup``: the 111-value
+    join-served lookup against the pre-maintained postings."""
     probe = [v for v in range(997) if v % 9 == 3]
     return idx.lookup_df(probe).select(
         "key_id", "seq", "ts_us", "value", "band"
@@ -12830,6 +12845,14 @@ def q_cdc_index_planner_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     freshness is a correctness bound, not a heuristic), so the result
     must be bit-identical to the stats-path scan the shared oracle
     pins. See streaming/sink.py:attach_index."""
+    store = _index_planner_build(spark, sf_dir)
+    return _index_planner_probe(store)
+
+
+def _index_planner_build(spark: SparkSession, sf_dir: str):
+    """Maintenance phase of ``cdc_index_planner_scan`` (split out so
+    bench.py can time build and probe separately): base store + synced
+    index, attached for planner routing. Returns the store."""
     from changedatacapture_spark.streaming.index import SecondaryIndex
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
@@ -12854,6 +12877,12 @@ def q_cdc_index_planner_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.merge(a, batch_id=i)
         idx.sync()
     store.attach_index(idx)
+    return store
+
+
+def _index_planner_probe(store) -> DataFrame:
+    """Probe phase of ``cdc_index_planner_scan``: the plain
+    ``read_where`` every consumer already makes, index-routed."""
     return store.read_where([("band", "=", 3)]).select(
         "key_id", "seq", "ts_us", "value", "band"
     )
@@ -13612,6 +13641,51 @@ def q_join_size_no_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("cdc_rebucket_e2e", _FINAL_STATE_SQL)
+def q_cdc_rebucket_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online partition evolution end-to-end: the changelog applies as
+    4 time-ordered micro-batches with a ``rebucket(8 → 32)`` between
+    batches 2 and 3 — the 100 TB lifecycle move a hash-bucketed store
+    needs when a table outgrows its creation-time bucket count (a
+    32-bucket table absorbing 100× growth has 3 TB buckets; rewriting
+    to 4× buckets restores ~256 MB–1 GB units). The rewrite commits
+    atomically (readers pinned to the old pointer stay consistent),
+    persists the new modulus so every later writer routes against it,
+    and carries guard metadata + batch id through — so the final
+    state must be hash-equal to the never-rebucketed twin
+    (``cdc_snapshot_merge_e2e``'s oracle). Post-rebucket merges prove
+    key routing works at the new modulus (a mismatched modulus would
+    strand live rows in buckets merges no longer probe — exactly the
+    corruption the persisted count prevents).
+    ``tests/test_round16_ops.py::TestRebucketKeepsPruning`` pins that
+    zone/bloom pruning and ``read_keys`` engage at the new count."""
+    import tempfile
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    batched = log.withColumn(
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
+    )
+    table = SnapshotTable(
+        spark, tempfile.mkdtemp(prefix="cdc_rebucket_e2e_"), ["key_id"],
+        n_buckets=8,
+    )
+    for b in (1, 2, 3, 4):
+        if b == 3:
+            table.rebucket(32)
+        batch = compact_latest(
+            batched.filter(F.col("_b") == b).drop("_b"),
+            ["key_id"],
+            ["ts_us", "seq"],
+        )
+        table.merge(batch, batch_id=b)
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
 ORACLE_SQL["text_hybrid_rrf_search"] = ORACLE_SQL[
     "text_hybrid_rrf_search"
 ].replace("{BM25}", ORACLE_SQL["text_bm25_rank"])
@@ -13814,69 +13888,71 @@ _DEMOTED = [
 ]
 
 _PROMOTED = [
-    # round-15 window: three NEW queries, seven queries whose code
-    # paths CHANGED this round (driver re-verification of the CDF
-    # NULL-post fix, chunked probes, pruned SCD2 reads, floor-div),
-    # eight family anchors, and THIRTY-TWO never-driver-green
-    # veterans earning first rows (the r14 verdict asked >=10; its six
-    # spot-checked names and four explicit priorities all included).
-    # Rotated-out members keep an in-window family representative —
-    # noted inline — and remain registered + oracle-paired.
+    # round-16 window: one NEW query, the LAST SEVEN never-driver-green
+    # queries (after this round every registered query has held a
+    # driver-green row at least once), seven queries whose code paths
+    # CHANGED this round (chunked-probe dedupe + accumulated bail,
+    # stats-gated index routing, two-stage as-of overflow probe), and
+    # THIRTY-FIVE oldest-green-first veterans — the round-robin rule
+    # rotation shifts to now that never-green is empty: members whose
+    # last driver row is oldest (r01–r07) re-verify first. Every r15
+    # member rotating out was green in CORRECTNESS_r15 and remains
+    # registered + oracle-paired in the full log.
     #
     # -- NEW this round --
-    "cdc_index_multilookup",  # NEW: 111-value probe via join-based lookup_df, no posting collect (round 15)
-    "cdc_index_planner_scan",  # NEW: attach_index planner hook — plain read_where routes through postings (round 15)
-    "text_hybrid_rrf_served",  # NEW: hybrid RRF served from CDF-maintained BM25 segments + stored IVF cells (round 15)
-    # -- changed-path re-verification --
-    "cdc_star_view_e2e",  # Δdim repair probe now chunks read_where IN-lists (fallback scans closed)
-    "cdc_star_view_stream_e2e",  # stream-twin family representative (checkpoint restart choreography)
-    "cdc_join_view_mor_e2e",  # MoR family + composite/oversized dim probing path
-    "cdc_secondary_index_e2e",  # CDF update-to-NULL post-image fix feeds its sync
-    "cdc_scd2_view_e2e",  # op_col/delete_op forwarding through scd2_history + merges
-    "cdc_scd2_view_asof_probe",  # the r14 weak closure: pruned both-side history reads
-    "events_decayed_score",  # explicit floor-division day bucket (engine-divergence guard)
-    # -- family anchors (each covers its rotated-out kin) --
-    "events_stream_hll",  # stream==batch sketch law (covers tws_rate_limit, stream twins of sketches)
-    "decontaminate_cdf_incremental",  # CDF-incremental consumer family (dedup/knn maintenance kin)
-    "text_index_cdf_incremental",  # BM25 segment maintenance (feeds the served RRF)
-    "events_zorder_pruned_scan",  # layout/pruning family (covers cdc_bloom_in_scan, bloom_pruned_scan)
-    "dedup_minhash_pairs_capped",  # banded-LSH dedup family (covers sorted_neighborhood, simhash kin)
-    "media_shard_assign",  # sole multimodal family representative
-    "privacy_pseudonymize",  # privacy family representative
-    "dq_volume_control",  # DQ family representative
-    # -- never-driver-green veterans: first rows --
-    "dedup_chunk_pairs",  # r14-verdict priority (spot-checked PASS)
-    "events_ordered_funnel",  # r14-verdict priority (spot-checked PASS)
-    "q16_supplier_count",  # r14-verdict priority (spot-checked PASS)
-    "text_bigram_lm",  # r14-verdict priority (spot-checked PASS)
-    "knn_recall",  # r14-verdict priority (spot-checked PASS)
-    "q_grouping_sets_lineitem",  # r14-verdict priority (spot-checked PASS)
-    "events_cms_user_counts",  # r14-verdict priority
-    "q22_idle_rich_customers",  # r14-verdict priority
-    "text_langid_eval",  # r14-verdict priority
-    "kmeans_refine_step",  # r14-verdict priority
-    "q12_priority_by_status",
-    "events_median_value",
-    "events_hourly_profile",
-    "q_cumulative_cust_revenue",
-    "emb_label_centroids",
-    "events_props_typed_agg",
-    "emb_quantize_int8",
-    "text_vocab_coverage",
-    "dedup_corpus_stats",
-    "props_key_profile",
-    "mix_weights",
-    "knn_recall_lsh",
-    "text_winnow_pairs",
-    "events_value_percentiles",
-    "events_running_value",
-    "q_customer_order_reconciliation",
-    "dedup_lsh_hot_buckets",
-    "text_length_histogram",
-    "events_heavy_hitters",
-    "q_join_skew_profile",
-    "cdc_scd2_snapshot_asof",  # NEW: zone-pruned as-of snapshot from the maintained history (round 15)
-    "events_retention_cohorts",
+    "cdc_rebucket_e2e",  # NEW: online partition evolution (merge → rebucket 8→32 → merge), hash-equal to the never-rebucketed twin
+    # -- last never-driver-green queries: first rows --
+    "dedup_minhash_est_jaccard",
+    "events_bloom_probe",
+    "events_trimmed_mean",
+    "lineitem_qty_price_corr",
+    "text_gini_diversity",
+    "text_hashed_linear_score",
+    "text_rare_bigram_score",
+    # -- changed-path re-verification (round-16 code movers) --
+    "cdc_index_planner_scan",  # route now declines hot values from manifest stats with zero jobs
+    "cdc_index_multilookup",  # lookup_keys_in rides the deduping/accumulating chunked_in_read
+    "cdc_secondary_index_e2e",  # attach/sync path now validates table+column at attach
+    "cdc_scd2_view_asof_probe",  # two-stage overflow probe (distinct-limit, then global max)
+    "cdc_scd2_snapshot_asof",  # history(keys=, up_to=) rides the hardened chunked probes
+    "text_hybrid_rrf_served",  # served probe reads via the stats-gated index route
+    "cdc_join_view_mor_e2e",  # Δdim repair probes ride chunked_in_read's new bail
+    # -- oldest-green-first round-robin (last driver row r01–r07) --
+    "q19_disjunctive_revenue",  # r01
+    "dedup_minhash_signatures",  # r02
+    "dedup_simhash",  # r02
+    "embedding_profile",  # r02
+    "q10_returned_revenue",  # r02
+    "q13_cust_order_distribution",  # r02
+    "q14_promo_share",  # r02
+    "q15_top_supplier",  # r02
+    "q17_small_quantity_revenue",  # r02
+    "q18_large_orders",  # r02
+    "q4_priority_with_returns",  # r02
+    "q6_revenue_filter",  # r02
+    "q_late_shipments",  # r02
+    "text_fingerprint",  # r02
+    "text_lang_profile",  # r02
+    "text_token_topk",  # r02
+    "knn_lsh_topk",  # r05
+    "q5_revenue_by_nation",  # r05
+    "q_distinct_parts_per_flag",  # r05
+    "q_rollup_lineitem",  # r05
+    "text_quality",  # r05
+    "dedup_groups",  # r06
+    "events_sessionize",  # r06
+    "media_stats",  # r06
+    "cdc_flatten",  # r07
+    "dedup_ngram_jaccard",  # r07
+    "dedup_simhash_pairs",  # r07
+    "emb_neardup_pairs",  # r07
+    "events_asof_join",  # r07
+    "knn_ivf_topk",  # r07
+    "media_features",  # r07
+    "q_anti_semi_join",  # r07
+    "q_topk_orders_per_segment",  # r07
+    "text_bpe_tokens",  # r07
+    "text_langid",  # r07
 ]
 
 DRIVER_WINDOW = 50
@@ -13890,7 +13966,11 @@ def _reorder_for_driver_window() -> None:
         raise RuntimeError(f"reorder references unknown queries: {missing}")
     body = [n for n in names if n not in _DEMOTED and n not in _PROMOTED]
     cut = DRIVER_WINDOW - len(_PROMOTED)
-    order = body[:cut] + _PROMOTED + body[cut:] + _DEMOTED
+    # a promoted name may ALSO sit in the historical _DEMOTED notes
+    # (oldest-green round-robin re-promotes past demotions); promotion
+    # wins, so drop it from the tail instead of listing it twice
+    demoted = [n for n in _DEMOTED if n not in _PROMOTED]
+    order = body[:cut] + _PROMOTED + body[cut:] + demoted
     SPARK_QUERIES = {n: SPARK_QUERIES[n] for n in order}
     ORACLE_SQL = {n: ORACLE_SQL[n] for n in order if n in ORACLE_SQL}
 

@@ -95,6 +95,15 @@ def main() -> None:
         snap_scan = dict(view.last_scan.get("closed") or {})
 
         assert n1 == n2 == len(probe_keys)
+        # physical packing straight from the committed manifest's
+        # per-file row counts (PERF_r15 §3 mislabeled the snapshot's
+        # RESULT rows as the closed table's stored rows and implied
+        # 93-row files; report both, plus rows/file, so the packing is
+        # measured rather than inferred)
+        rt, ft = snap_scan.get("rows_total"), snap_scan.get("files_total")
+        rows_per_file = (
+            round(rt / ft, 1) if rt is not None and ft else None
+        )
         print(
             json.dumps(
                 {
@@ -104,7 +113,9 @@ def main() -> None:
                     "probe_full_sec": round(full_wall, 2),
                     "probe_scan": scan,
                     "snapshot_early_sec": round(snap_wall, 2),
-                    "snapshot_rows": n3,
+                    "snapshot_result_rows": n3,
+                    "closed_table_stored_rows": rt,
+                    "closed_rows_per_file": rows_per_file,
                     "snapshot_scan": snap_scan,
                 }
             )

@@ -495,6 +495,30 @@ class SnapshotTable:
                 )
             self.n_buckets = persisted
 
+    def _adopt_committed_layout(self, ptr: dict) -> None:
+        """Re-adopt the committed physical layout (bucket count,
+        clustering) from a FRESHLY read pointer before planning a
+        write. The constructor adopts at build time, but a long-lived
+        writer instance can straddle another writer's
+        :meth:`rebucket`: planning with the stale modulus would route
+        the batch's keys into buckets the committed rows no longer
+        live in, so the anti-join never sees the incumbents — the key
+        silently exists twice — and the commit would persist the stale
+        count, stranding the manifest's other buckets for every future
+        reader. Every merge path calls this on the pointer it plans
+        against; the MoR commit-time guard remains as the belt for a
+        rebucket landing mid-write."""
+        nb = int(ptr.get("n_buckets") or self.n_buckets)
+        if nb != self.n_buckets:
+            logging.getLogger(__name__).warning(
+                "SnapshotTable(%s): committed n_buckets moved %d -> %d "
+                "(concurrent rebucket); re-routing this plan",
+                self.path, self.n_buckets, nb,
+            )
+            self.n_buckets = nb
+        if ptr.get("cluster_cols") is not None:
+            self.cluster_cols = list(ptr["cluster_cols"])
+
     # -- commit log -------------------------------------------------------
 
     def _pointer_path(self) -> str:
@@ -971,6 +995,11 @@ class SnapshotTable:
         for f in schema.fields:
             if len(out) >= _STATS_MAX_COLS:
                 break
+            if f.name == "__rows":
+                # reserved zone-dict key (per-file row count); a column
+                # with this name gets no stats — never prunes, always
+                # correct — instead of corrupting the counter
+                continue
             dt = f.dataType
             if isinstance(
                 dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -1967,6 +1996,7 @@ class SnapshotTable:
                 "copy-on-write merge found pending merge-on-read runs: "
                 "compact() first or merge with mode='mor'"
             )
+        self._adopt_committed_layout(ptr)
         base = int(ptr["version"])
         table_schema = StructType.fromJson(json.loads(ptr["schema"]))
         evolved_fields = _evolved_fields(
@@ -2193,6 +2223,7 @@ class SnapshotTable:
         budget = retry_conflicts
         while True:
             ptr = self._read_pointer()
+            self._adopt_committed_layout(ptr)
             base = int(ptr["version"])
             table_schema = StructType.fromJson(json.loads(ptr["schema"]))
             aligned = _align_key_types(compacted, table_schema, self.key_cols)
@@ -2350,6 +2381,7 @@ class SnapshotTable:
             return
 
         ptr = self._read_pointer()
+        self._adopt_committed_layout(ptr)
         base = int(ptr["version"])
         table_schema = StructType.fromJson(json.loads(ptr["schema"]))
         evolved_fields = _evolved_fields(

@@ -295,6 +295,113 @@ class TestByteTargetedSizing:
         assert all(c >= 2 for c in counts)  # 20 rows / 7-cap → ≥3 files
 
 
+class TestStaleWriterAcrossRebucket:
+    """A LONG-LIVED writer instance that straddles another writer's
+    rebucket must re-adopt the committed modulus when it plans — a
+    stale modulus routes keys into buckets the incumbents no longer
+    live in, the anti-join never sees them, and the key exists twice
+    (plus the commit would persist the stale count). Found round 16:
+    only the MoR path had a (commit-time) guard."""
+
+    def _two_writers(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "t")
+        t1 = SnapshotTable(spark, path, ["k"], n_buckets=4)
+        t1.merge(
+            spark.createDataFrame(
+                [(k, k, "c") for k in range(40)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        t2 = SnapshotTable(spark, path, ["k"], n_buckets=4)
+        t2.rebucket(16)
+        return t1, t2
+
+    def test_cow_merge_adopts_new_modulus(self, spark, tmp_path):
+        t1, _ = self._two_writers(spark, tmp_path)
+        assert t1.n_buckets == 4  # stale by construction
+        t1.merge(
+            spark.createDataFrame(
+                [(k, k + 1000, "u") for k in range(0, 40, 5)],
+                "k long, v long, op string",
+            ),
+            batch_id=1,
+        )
+        assert t1.n_buckets == 16  # adopted while planning
+        got = sorted((r.k, r.v) for r in t1.read().collect())
+        want = sorted(
+            (k, k + 1000 if k % 5 == 0 else k) for k in range(40)
+        )
+        assert got == want  # no duplicate keys, no stale rows
+        assert int(t1._read_pointer()["n_buckets"]) == 16
+
+    def test_guarded_merge_adopts_new_modulus(self, spark, tmp_path):
+        path = os.path.join(str(tmp_path), "t")
+        t1 = SnapshotTable(spark, path, ["k"], n_buckets=4)
+        gb = lambda rows: spark.createDataFrame(  # noqa: E731
+            rows, "k long, op string, ts long, v long"
+        )
+        t1.merge(gb([(k, "c", 100, k) for k in range(40)]),
+                 guard_cols=["ts"], batch_id=0)
+        SnapshotTable(spark, path, ["k"], n_buckets=4).rebucket(16)
+        t1.merge(gb([(k, "u", 200, k + 1000) for k in range(0, 40, 5)]),
+                 guard_cols=["ts"], batch_id=1)
+        got = sorted((r.k, r.v) for r in t1.read().collect())
+        want = sorted(
+            (k, k + 1000 if k % 5 == 0 else k) for k in range(40)
+        )
+        assert got == want
+        assert int(t1._read_pointer()["n_buckets"]) == 16
+
+    def test_mor_merge_adopts_new_modulus(self, spark, tmp_path):
+        t1, _ = self._two_writers(spark, tmp_path)
+        t1.merge(
+            spark.createDataFrame(
+                [(k, k + 1000, "u") for k in range(0, 40, 5)],
+                "k long, v long, op string",
+            ),
+            batch_id=1,
+            mode="mor",
+        )
+        got = sorted((r.k, r.v) for r in t1.read().collect())
+        want = sorted(
+            (k, k + 1000 if k % 5 == 0 else k) for k in range(40)
+        )
+        assert got == want
+
+
+class TestIndexAcrossRebucket:
+    def test_stale_index_falls_back_then_syncs(self, spark, tmp_path):
+        """A base rebucket bumps the table version, so the attached
+        index goes stale: read_where must fall back to the stats path
+        (exact results), and one sync() restores routing — across a
+        bucket-count change, the CDF diff is empty, so the sync is a
+        metadata-only catch-up."""
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "base"), ["k"],
+            n_buckets=4, retain_history=2,
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i % 50, "c") for i in range(200)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        idx = SecondaryIndex(spark, t, "v", n_buckets=4)
+        idx.sync()
+        t.attach_index(idx)
+        t.rebucket(16)
+        assert idx.indexed_version != t.version  # stale
+        got = sorted(r.k for r in t.read_where([("v", "=", 7)]).collect())
+        assert got == sorted(i for i in range(200) if i % 50 == 7)
+        rep = idx.sync()
+        assert rep["mode"] == "incremental"
+        assert idx.indexed_version == t.version
+        got2 = sorted(r.k for r in t.read_where([("v", "=", 7)]).collect())
+        assert got2 == got
+
+
 class TestRebucketKeepsPruning:
     def test_pruning_engages_at_the_new_bucket_count(
         self, spark, tmp_path

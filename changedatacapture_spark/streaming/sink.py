@@ -892,6 +892,11 @@ class SnapshotTable:
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
+        # key→bucket routing must follow the COMMITTED modulus: a
+        # long-lived reader that straddled a rebucket would otherwise
+        # probe buckets the keys no longer live in — silently missing
+        # rows, the read-path twin of the stale-writer hazard
+        self._adopt_committed_layout(ptr)
         schema = StructType.fromJson(json.loads(ptr["schema"]))
         # key_cols order, NOT table-schema order: callers pass composite
         # keys as tuples following key_cols, so a schema-ordered struct
@@ -1839,7 +1844,13 @@ class SnapshotTable:
             shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
-        """Create / replace the table contents (initial load, K1)."""
+        """Create / replace the table contents (initial load, K1).
+        On an EXISTING table the rewrite lands in the committed layout
+        (bucket count, clustering) — replacing contents is not a
+        license to silently revert another writer's rebucket."""
+        ptr = self._read_pointer()
+        if ptr is not None:
+            self._adopt_committed_layout(ptr)
         base = self.version
         version = base + 1
         pv = self._new_data_version()
@@ -2476,6 +2487,9 @@ class SnapshotTable:
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
+        # a stale instance must compact INTO the committed layout, not
+        # silently revert another writer's rebucket
+        self._adopt_committed_layout(ptr)
         full = self.read(include_tombstones=True).withColumn(
             "bucket", self._bucket_col()
         )
@@ -2531,6 +2545,9 @@ class SnapshotTable:
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
+        # the folded run's bucket ids must follow the committed modulus
+        # or key-routed reads would miss its masks/overrides
+        self._adopt_committed_layout(ptr)
         runs = ptr.get("runs") or []
         if len(runs) <= 1:
             return len(runs)
@@ -2978,6 +2995,9 @@ class SnapshotTable:
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
+        # touched-bucket discovery routes rows; a stale modulus would
+        # pair wrong bucket ids with the committed manifest's paths
+        self._adopt_committed_layout(ptr)
         guard = ptr.get("guard")
         if not guard:
             raise ValueError("gc_tombstones applies only to order-guarded tables")

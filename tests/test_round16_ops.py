@@ -353,6 +353,23 @@ class TestStaleWriterAcrossRebucket:
         assert got == want
         assert int(t1._read_pointer()["n_buckets"]) == 16
 
+    def test_stale_reader_read_keys_finds_rows(self, spark, tmp_path):
+        """The read-path twin: a stale reader's key routing must follow
+        the committed modulus or point lookups silently miss rows."""
+        t1, _ = self._two_writers(spark, tmp_path)
+        got = sorted(r.k for r in t1.read_keys([3, 17, 29]).collect())
+        assert got == [3, 17, 29]
+
+    def test_stale_compact_preserves_committed_layout(
+        self, spark, tmp_path
+    ):
+        """compact() from a stale instance must compact INTO the
+        committed layout, not silently revert the rebucket."""
+        t1, _ = self._two_writers(spark, tmp_path)
+        t1.compact()
+        assert int(t1._read_pointer()["n_buckets"]) == 16
+        assert t1.read().count() == 40
+
     def test_mor_merge_adopts_new_modulus(self, spark, tmp_path):
         t1, _ = self._two_writers(spark, tmp_path)
         t1.merge(

@@ -221,6 +221,10 @@ class SecondaryIndex:
         ``read_buckets`` subset, the pruned postings semi-join it on
         the key, and the final IN re-filter keeps the result exact
         against a base that moved past the last sync."""
+        # bucket ids are computed OUTSIDE a read call, so follow the
+        # committed modulus first (a stale instance straddling a base
+        # rebucket would route to buckets the keys no longer live in)
+        self.table.refresh_layout()
         posts = self.lookup_keys_in(values)
         keys = list(self.table.key_cols)
         bids = [
@@ -250,6 +254,7 @@ class SecondaryIndex:
         bucket subset; the final semi-join re-applies the value set
         exactly. NULLs never match (equi-join semantics = the
         NULL-not-indexed contract)."""
+        self.table.refresh_layout()  # see lookup_df
         vals = values_df.select(F.col(self.col)).distinct()
         posts = self.postings.read().join(vals, self.col, "leftsemi")
         keys = list(self.table.key_cols)

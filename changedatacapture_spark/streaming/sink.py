@@ -519,6 +519,16 @@ class SnapshotTable:
         if ptr.get("cluster_cols") is not None:
             self.cluster_cols = list(ptr["cluster_cols"])
 
+    def refresh_layout(self) -> None:
+        """Public :meth:`_adopt_committed_layout` on the current
+        pointer (no-op on an uncommitted table) — for long-lived
+        consumers that compute routing expressions OUTSIDE a
+        read/merge call (e.g. a secondary index deriving base bucket
+        ids from postings before a ``read_buckets``)."""
+        ptr = self._read_pointer()
+        if ptr is not None:
+            self._adopt_committed_layout(ptr)
+
     # -- commit log -------------------------------------------------------
 
     def _pointer_path(self) -> str:

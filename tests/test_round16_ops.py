@@ -388,6 +388,30 @@ class TestStaleWriterAcrossRebucket:
 
 
 class TestIndexAcrossRebucket:
+    def test_lookup_df_from_stale_table_instance(self, spark, tmp_path):
+        """lookup_df derives base bucket ids OUTSIDE a read call; after
+        a rebucket through ANOTHER instance + a sync, it must still
+        find every row (refresh_layout before routing)."""
+        path = os.path.join(str(tmp_path), "base")
+        t = SnapshotTable(
+            spark, path, ["k"], n_buckets=4, retain_history=2
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i % 10, "c") for i in range(100)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        idx = SecondaryIndex(spark, t, "v", n_buckets=4)
+        idx.sync()
+        SnapshotTable(spark, path, ["k"], n_buckets=4).rebucket(16)
+        idx.sync()  # catch up past the rebucket (empty logical diff)
+        got = sorted(r.k for r in idx.lookup_df([3, 7]).collect())
+        assert got == sorted(
+            i for i in range(100) if i % 10 in (3, 7)
+        )
+
     def test_stale_index_falls_back_then_syncs(self, spark, tmp_path):
         """A base rebucket bumps the table version, so the attached
         index goes stale: read_where must fall back to the stats path

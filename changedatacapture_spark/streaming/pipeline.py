@@ -869,6 +869,11 @@ def _star_view_apply(
 
     keys = list(fact_key_cols)
     io: dict = {}
+    # bucket ids below derive from fact._bucket_col() outside a read
+    # call: follow the committed modulus first (a view whose fact was
+    # rebucketed through another instance would otherwise probe
+    # buckets the touched keys left — same hazard class as read_keys)
+    fact.refresh_layout()
     # align the delta's key types to the COMMITTED fact schema before
     # hashing: merge routes buckets after _align_key_types, so a
     # type-drifted batch (int keys against a long-keyed table) would

@@ -2710,7 +2710,7 @@ class SnapshotTable:
             return "minor"
         return "none"
 
-    def fsck(self) -> dict:
+    def fsck(self, deep: bool = False) -> dict:
         """Filesystem consistency check — the operational audit a
         production table runs after an incident (partial restore,
         manual cleanup, suspected vacuum bug): verify every path the
@@ -2726,6 +2726,16 @@ class SnapshotTable:
         only degrades time travel, missing current paths mean reads
         WILL raise). The commit log is the authority, exactly like the
         read path; no LIST is trusted over it.
+
+        ``deep=True`` additionally audits the PHYSICAL files behind
+        the current manifest against the committed per-file stats:
+        every ``fstats`` file must exist (``missing_files``) and its
+        parquet-footer row count must equal the committed ``__rows``
+        (``row_mismatches`` — a mismatch means the file was replaced
+        or truncated out-of-band and every zone/bloom stat for it is
+        suspect, so pruned reads could silently skip live rows). All
+        driver-side footer reads (pyarrow), no Spark job; still
+        read-only. ``ok`` then also requires both lists empty.
         """
         ptr = self._read_pointer()
         if ptr is None:
@@ -2781,7 +2791,7 @@ class SnapshotTable:
             int(r["v"]) for e in entries for r in e.get("runs") or []
         }
         orphans = sorted(on_disk - referenced - committed_ever)
-        return {
+        out = {
             "ok": not missing,
             "missing": sorted(missing),
             "missing_history": sorted(missing_history),
@@ -2789,6 +2799,37 @@ class SnapshotTable:
             "versions_on_disk": len(on_disk),
             "versions_referenced": len(referenced),
         }
+        if deep:
+            import pyarrow.parquet as pq
+
+            missing_files: list[str] = []
+            row_mismatches: list[dict] = []
+            fstats_all = ptr.get("fstats") or {}
+            for b, v in ptr["buckets"].items():
+                for fname, zone in sorted(
+                    (fstats_all.get(str(b)) or {}).items()
+                ):
+                    rel = f"v={v}/bucket={b}/{fname}"
+                    full_path = f"{self.path}/{rel}"
+                    if not os.path.isfile(full_path):
+                        missing_files.append(rel)
+                        continue
+                    committed = zone.get("__rows")
+                    if committed is None:
+                        continue  # pre-row-stat commit: nothing to check
+                    actual = pq.ParquetFile(full_path).metadata.num_rows
+                    if actual != committed:
+                        row_mismatches.append(
+                            {
+                                "path": rel,
+                                "committed_rows": committed,
+                                "actual_rows": actual,
+                            }
+                        )
+            out["missing_files"] = sorted(missing_files)
+            out["row_mismatches"] = row_mismatches
+            out["ok"] = out["ok"] and not missing_files and not row_mismatches
+        return out
 
     def rebucket(self, n_buckets: int) -> None:
         """Change the table's bucket count via the documented full

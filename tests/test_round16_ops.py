@@ -443,6 +443,60 @@ class TestIndexAcrossRebucket:
         assert got2 == got
 
 
+class TestDeepFsck:
+    def _table(self, spark, tmp_path):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=2, stats_on_merge=True,
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i, "c") for i in range(50)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        return t
+
+    def test_healthy_table_passes(self, spark, tmp_path):
+        rep = self._table(spark, tmp_path).fsck(deep=True)
+        assert rep["ok"] is True
+        assert rep["missing_files"] == []
+        assert rep["row_mismatches"] == []
+
+    def test_out_of_band_file_swap_is_detected(self, spark, tmp_path):
+        """A file replaced out-of-band (restore from the wrong backup,
+        manual 'fix') keeps its name but not its rows — every
+        committed stat for it is suspect. Deep fsck must flag it; the
+        shallow dir check cannot."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = self._table(spark, tmp_path)
+        ptr = t._read_pointer()
+        b, v = next(iter(ptr["buckets"].items()))
+        fname = next(iter(ptr["fstats"][b]))
+        victim = f"{t.path}/v={v}/bucket={b}/{fname}"
+        pq.write_table(
+            pa.table({"k": [1], "v": [2]}), victim
+        )
+        rep = t.fsck(deep=True)
+        assert rep["ok"] is False
+        assert len(rep["row_mismatches"]) == 1
+        assert rep["row_mismatches"][0]["actual_rows"] == 1
+        assert t.fsck()["ok"] is True  # shallow check is blind to it
+
+    def test_deleted_file_is_detected(self, spark, tmp_path):
+        t = self._table(spark, tmp_path)
+        ptr = t._read_pointer()
+        b, v = next(iter(ptr["buckets"].items()))
+        fname = next(iter(ptr["fstats"][b]))
+        os.remove(f"{t.path}/v={v}/bucket={b}/{fname}")
+        rep = t.fsck(deep=True)
+        assert rep["ok"] is False
+        assert rep["missing_files"] == [f"v={v}/bucket={b}/{fname}"]
+
+
 class TestRebucketKeepsPruning:
     def test_pruning_engages_at_the_new_bucket_count(
         self, spark, tmp_path

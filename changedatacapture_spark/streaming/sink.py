@@ -54,6 +54,12 @@ _LOG = "_LOG"
 #: the pruning ratio, not the wall time, is the number that matters
 LAST_SCAN_REPORT: dict | None = None
 
+#: last physical write's shape (`_do_write_buckets`): whether the
+#: write repartitioned by bucket (an exchange of the whole write set)
+#: or streamed map-side — plan tests pin the map-only rebucket split
+#: the same way scan tests pin pruning
+LAST_WRITE_REPORT: dict | None = None
+
 #: zone-map width cap: per-bucket min/max is kept for the first this-many
 #: eligible scalar columns (Delta's dataSkippingNumIndexedCols analogue) —
 #: manifest size stays O(n_buckets * cap), independent of schema width
@@ -1676,6 +1682,7 @@ class SnapshotTable:
         dynamic: bool = False,
         expected_base: int | None = None,
         records_per_file: int | None = None,
+        repartition: bool = True,
     ) -> list[int]:
         """Write ``df`` (bucket column included) partitioned by bucket
         under ``v=<version>`` — ``version`` being this attempt's
@@ -1712,7 +1719,9 @@ class SnapshotTable:
                     f"pointer moved to {cur_v}; aborting before the "
                     f"write job runs — re-read and retry the batch"
                 )
-        return self._do_write_buckets(df, version, dynamic, records_per_file)
+        return self._do_write_buckets(
+            df, version, dynamic, records_per_file, repartition
+        )
 
     def _do_write_buckets(
         self,
@@ -1720,6 +1729,7 @@ class SnapshotTable:
         version: int,
         dynamic: bool = False,
         records_per_file: int | None = None,
+        repartition: bool = True,
     ) -> list[int]:
         """The physical write behind :meth:`_write_buckets`, after the
         concurrent-writer economy check (split out so race tests can
@@ -1736,7 +1746,15 @@ class SnapshotTable:
         # batches is NOT a win — fewer tasks each write many files
         # sequentially, and micro-batch timings are JIT/host-noise
         # dominated anyway.)
-        out = df.repartition(self.n_buckets, "bucket")
+        # repartition=False streams the input partitioning straight to
+        # the partitioned write — NO exchange. partitionBy is correct
+        # whatever the task layout (each task opens one file per bucket
+        # value it holds), so callers whose input is already
+        # bucket-local (the map-only rebucket split) trade "one file
+        # per bucket" for "no shuffle of the whole table".
+        out = df.repartition(self.n_buckets, "bucket") if repartition else df
+        global LAST_WRITE_REPORT
+        LAST_WRITE_REPORT = {"repartitioned": repartition}
         if self.cluster_cols:
             out = out.sortWithinPartitions(
                 F.col("bucket"), *[F.expr(c) for c in self.cluster_cols]
@@ -2845,12 +2863,33 @@ class SnapshotTable:
 
         Use when the table outgrows its creation-time bucket count
         (bucket size should stay ~256 MB–1 GB; see the class docstring).
+
+        **Map-only split (the 100 TB path):** when the new count is an
+        integer MULTIPLE of the old (2×, 4×, …) and the table is pure
+        copy-on-write, the rewrite skips the full-table shuffle:
+        ``hash % (m·n) ≡ b (mod n)``, so every old bucket's rows land
+        only in its own m children — each scan task splits its rows
+        locally and the partitioned write routes them, no exchange. At
+        100 TB that is the difference between shipping the whole table
+        across the network and a local read+write per file. Cost: file
+        count multiplies by up to m per scan task instead of one file
+        per bucket (zone/bloom stats handle many files per bucket;
+        :meth:`compact` restores packing). Non-multiple targets and
+        tables with pending MoR runs (whose resolution already
+        shuffles) take the general repartition path. The plan choice
+        is recorded in module-level ``LAST_WRITE_REPORT``.
         """
         if n_buckets < 1:
             raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
         ptr = self._read_pointer()
         if ptr is None:
             raise FileNotFoundError(f"no snapshot at {self.path}")
+        old_n = int(ptr.get("n_buckets") or self.n_buckets)
+        map_only = (
+            n_buckets > old_n
+            and n_buckets % old_n == 0
+            and not ptr.get("runs")
+        )
         full = self.read(include_tombstones=True)
         self.n_buckets = n_buckets
         base = int(ptr["version"])
@@ -2858,7 +2897,7 @@ class SnapshotTable:
         pv = self._new_data_version()
         written = self._write_buckets(
             full.withColumn("bucket", self._bucket_col()), pv,
-            expected_base=base,
+            expected_base=base, repartition=not map_only,
         )
         self._commit(
             version, ptr.get("batch_id"), {b: pv for b in written},

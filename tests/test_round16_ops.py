@@ -443,6 +443,73 @@ class TestIndexAcrossRebucket:
         assert got2 == got
 
 
+class TestMapOnlyRebucketSplit:
+    def _seed(self, spark, tmp_path, n_buckets=4):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=n_buckets, bloom_cols=["v"],
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(i, i, "c") for i in range(300)],
+                "k long, v long, op string",
+            ),
+            batch_id=0,
+        )
+        return t
+
+    def test_multiple_target_splits_without_shuffle(
+        self, spark, tmp_path
+    ):
+        """4 -> 16 is an integer multiple on a pure-CoW table: the
+        rewrite must stream map-side (hash % 16 of a bucket-b row is
+        b, b+4, b+8, or b+12 — children only), recorded as
+        repartitioned=False; results and key routing stay exact."""
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t = self._seed(spark, tmp_path)
+        before = sorted((r.k, r.v) for r in t.read().collect())
+        t.rebucket(16)
+        assert sink_mod.LAST_WRITE_REPORT == {"repartitioned": False}
+        assert sorted((r.k, r.v) for r in t.read().collect()) == before
+        t.read_keys([7, 123]).collect()
+        rep = sink_mod.LAST_SCAN_REPORT
+        assert rep["buckets_total"] == 16
+        assert rep["buckets_kept"] <= 2
+        # children-only: every physical dir id is a valid new bucket
+        manifest = t._bucket_manifest()
+        assert set(manifest) <= set(range(16))
+
+    def test_non_multiple_target_takes_the_shuffle_path(
+        self, spark, tmp_path
+    ):
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t = self._seed(spark, tmp_path)
+        before = sorted((r.k, r.v) for r in t.read().collect())
+        t.rebucket(6)
+        assert sink_mod.LAST_WRITE_REPORT == {"repartitioned": True}
+        assert sorted((r.k, r.v) for r in t.read().collect()) == before
+        got = sorted(r.k for r in t.read_keys([42]).collect())
+        assert got == [42]
+
+    def test_mor_runs_take_the_shuffle_path(self, spark, tmp_path):
+        t = self._seed(spark, tmp_path)
+        t.merge(
+            spark.createDataFrame(
+                [(5, 5000, "u")], "k long, v long, op string"
+            ),
+            batch_id=1,
+            mode="mor",
+        )
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t.rebucket(8)
+        assert sink_mod.LAST_WRITE_REPORT == {"repartitioned": True}
+        got = {r.k: r.v for r in t.read().collect()}
+        assert got[5] == 5000 and len(got) == 300
+
+
 class TestDeepFsck:
     def _table(self, spark, tmp_path):
         t = SnapshotTable(

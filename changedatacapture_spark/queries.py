@@ -13656,7 +13656,10 @@ def q_cdc_rebucket_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``cdc_snapshot_merge_e2e``'s oracle). Post-rebucket merges prove
     key routing works at the new modulus (a mismatched modulus would
     strand live rows in buckets merges no longer probe — exactly the
-    corruption the persisted count prevents).
+    corruption the persisted count prevents). 8 → 32 is an integer
+    multiple on a pure-CoW table, so this rewrite takes the MAP-ONLY
+    split (each bucket's rows land only in its 4 children — no
+    exchange of the table; see ``SnapshotTable.rebucket``).
     ``tests/test_round16_ops.py::TestRebucketKeepsPruning`` pins that
     zone/bloom pruning and ``read_keys`` engage at the new count."""
     import tempfile

@@ -1720,7 +1720,8 @@ class SnapshotTable:
                     f"write job runs — re-read and retry the batch"
                 )
         return self._do_write_buckets(
-            df, version, dynamic, records_per_file, repartition
+            df, version, dynamic, records_per_file,
+            repartition=repartition,
         )
 
     def _do_write_buckets(

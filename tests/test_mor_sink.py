@@ -142,17 +142,17 @@ def test_mor_concurrent_appends_both_commit_without_rerun(
     writes = {"t1": 0}
     fired = []
 
-    def hook(self, df, version, dynamic=False, records_per_file=None):
+    def hook(self, df, version, dynamic=False, records_per_file=None, **kw):
         if self is t1:
             writes["t1"] += 1
-            out = orig(self, df, version, dynamic, records_per_file)
+            out = orig(self, df, version, dynamic, records_per_file, **kw)
             if not fired:
                 fired.append(True)
                 t2.merge(  # winner lands between loser's write & commit
                     _batch(spark, [(0, "u", 100)]), batch_id=50, mode="mor"
                 )
             return out
-        return orig(self, df, version, dynamic, records_per_file)
+        return orig(self, df, version, dynamic, records_per_file, **kw)
 
     monkeypatch.setattr(SnapshotTable, "_do_write_buckets", hook)
     t1.merge(

@@ -43,8 +43,8 @@ def test_commit_refuses_vacuumed_staging_dir(spark, tmp_path, monkeypatch):
 
     orig = SnapshotTable._do_write_buckets
 
-    def hook(self, df, version, dynamic=False, records_per_file=None):
-        written = orig(self, df, version, dynamic, records_per_file)
+    def hook(self, df, version, dynamic=False, records_per_file=None, **kw):
+        written = orig(self, df, version, dynamic, records_per_file, **kw)
         if self is t:
             # simulate the racing vacuum landing after the write job
             # finished but before this writer's commit
@@ -68,8 +68,8 @@ def test_commit_guard_applies_to_mor_runs(spark, tmp_path, monkeypatch):
 
     orig = SnapshotTable._do_write_buckets
 
-    def hook(self, df, version, dynamic=False, records_per_file=None):
-        written = orig(self, df, version, dynamic, records_per_file)
+    def hook(self, df, version, dynamic=False, records_per_file=None, **kw):
+        written = orig(self, df, version, dynamic, records_per_file, **kw)
         if self is t:
             shutil.rmtree(f"{self.path}/v={version}")
         return written

@@ -450,7 +450,7 @@ def test_retry_winner_commits_during_losers_write(
     orig = SnapshotTable._do_write_buckets
     fired = []
 
-    def hook(self, df, version, dynamic=False, records_per_file=None):
+    def hook(self, df, version, dynamic=False, records_per_file=None, **kw):
         # fires AFTER t1's pre-write pointer check passed, BEFORE its
         # files hit disk — the winner's full merge + commit lands here
         if self is t1 and not fired:
@@ -461,7 +461,7 @@ def test_retry_winner_commits_during_losers_write(
                 ),
                 batch_id=100,
             )
-        return orig(self, df, version, dynamic, records_per_file)
+        return orig(self, df, version, dynamic, records_per_file, **kw)
 
     monkeypatch.setattr(SnapshotTable, "_do_write_buckets", hook)
     t1.merge(
@@ -532,13 +532,13 @@ def test_guarded_creation_race_never_clobbers_winner(
     orig = SnapshotTable._do_write_buckets
     fired = []
 
-    def hook(self, df, version, dynamic=False, records_per_file=None):
+    def hook(self, df, version, dynamic=False, records_per_file=None, **kw):
         if self is t1 and not fired:
             fired.append(True)
             t2.merge(  # the winner creates the table mid-plan
                 gb([(7, "c", 100, 70)]), guard_cols=["ts"], batch_id=50
             )
-        return orig(self, df, version, dynamic, records_per_file)
+        return orig(self, df, version, dynamic, records_per_file, **kw)
 
     monkeypatch.setattr(SnapshotTable, "_do_write_buckets", hook)
     with pytest.raises(ConcurrentWriteError):

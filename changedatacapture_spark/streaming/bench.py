@@ -204,8 +204,12 @@ def run_mor_policy(
             orig_write = table._do_write_buckets
             orig_minor, orig_major = table.compact_runs, table.compact
 
-            def write_hook(df, version, dynamic=False, records_per_file=None):
-                written = orig_write(df, version, dynamic, records_per_file)
+            def write_hook(
+                df, version, dynamic=False, records_per_file=None, **kw
+            ):
+                written = orig_write(
+                    df, version, dynamic, records_per_file, **kw
+                )
                 counters["bytes"] += table._bucket_dir_bytes(
                     version, range(table.n_buckets)
                 )

@@ -13689,6 +13689,153 @@ def q_cdc_rebucket_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select("key_id", "seq", "ts_us", "value", "props")
 
 
+@_register("cdc_rebucket_policy_e2e", _FINAL_STATE_SQL)
+def q_cdc_rebucket_policy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution PLUS self-healing compaction (VERDICT r16
+    #4): batches 1-2 apply copy-on-write, the table rebuckets 8 → 32
+    (map-only split — no exchange), a row-capped maintenance
+    rewrite then deliberately fragments every bucket into 2-row files
+    (standing in for the small-file debris the ×m split and churny
+    clustered merges accumulate at scale), batches 3-4 apply as
+    merge-on-read runs, and finally ONE ``compact_by_size``
+    evaluation with the FILE-COUNT tier armed
+    (``max_files_per_bucket=2``) repacks the table — folding the
+    pending runs and re-packing files toward ``target_file_bytes`` in
+    the same major rewrite, with no operator in the loop (the policy
+    is the maintenance hook a streaming pipeline evaluates after
+    every batch). The final state must stay hash-equal to the
+    never-rebucketed, never-fragmented twin
+    (``cdc_snapshot_merge_e2e``'s oracle): every move here is
+    physical. ``tests/test_round17_ops.py`` pins that the policy
+    actually trips ("files") and that files/bucket lands back under
+    the threshold."""
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    lo, hi = log.agg(F.min("ts_us"), F.max("ts_us")).first()
+    span = max((hi - lo) // 4 + 1, 1)
+    batched = log.withColumn(
+        "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
+    )
+    table = SnapshotTable(
+        spark, _session_scratch_dir("cdc_rebucket_policy_"), ["key_id"],
+        n_buckets=8, target_file_bytes=8 << 20,
+    )
+    for b in (1, 2):
+        table.merge(
+            compact_latest(
+                batched.filter(F.col("_b") == b).drop("_b"),
+                ["key_id"], ["ts_us", "seq"],
+            ),
+            batch_id=b,
+        )
+    table.rebucket(32)
+    # fragment: churn stand-in (explicit 2-row cap — deterministic at
+    # any sf, unlike byte-derived sizing whose footer overhead
+    # dominates at toy scale), then hand sizing back to the byte band
+    table.max_records_per_file = 2
+    table.compact()
+    table.max_records_per_file = None
+    for b in (3, 4):
+        table.merge(
+            compact_latest(
+                batched.filter(F.col("_b") == b).drop("_b"),
+                ["key_id"], ["ts_us", "seq"],
+            ),
+            batch_id=b,
+            mode="mor",
+        )
+    table.compact_by_size(max_files_per_bucket=2)
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
+@_register(
+    "cdc_semi_in_scan",
+    f"""
+    WITH final_state AS ({_FINAL_STATE_SQL})
+    SELECT key_id, seq, ts_us, value, props
+    FROM final_state WHERE key_id % 2 = 0
+    """,
+)
+def q_cdc_semi_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oversized-IN read (VERDICT r16 #2): the final state probes a
+    100,000-value externally supplied membership list (every even id —
+    the decontamination/blocklist shape, mostly absent values) through
+    ``chunked_in_read``, whose entry check routes value sets past
+    ``semi_threshold`` (64k) to ``SnapshotTable.read_in_values``: ONE
+    broadcast semi-join against a values DataFrame — the physical plan
+    carries a broadcast hash join, never a 100k-literal IN predicate
+    the driver would have to render and then test per zone PER VALUE
+    (both costs linear in the probe set; at the 640k values JoinView's
+    fallback bound allows, the literal plan is driver-bound before a
+    single task runs). Zone pruning survives as one sorted-values
+    bisect per bound. Result is exactly IN semantics — the oracle is
+    the equivalent residue predicate.
+    ``tests/test_round17_ops.py::TestLargeInSemiJoin`` pins the plan
+    shape (LeftSemi present, no literal IN) and hash-equality against
+    the literal path."""
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import (
+        SnapshotTable,
+        chunked_in_read,
+    )
+
+    log = _changelog_us(spark, sf_dir)
+    state = compact_latest(log, ["key_id"], ["ts_us", "seq"]).filter(
+        F.col("op") != "d"
+    ).drop("op")
+    table = SnapshotTable(
+        spark, _session_scratch_dir("cdc_semi_in_"), ["key_id"], n_buckets=8
+    )
+    table.overwrite(state, batch_id=0)
+    vals = list(range(0, 200_000, 2))  # 100k probe values
+    df, _rep = chunked_in_read(table, "key_id", vals, 10_000)
+    return df.select("key_id", "seq", "ts_us", "value", "props")
+
+
+@_register("cdc_vacuum_orphans_e2e", _FINAL_STATE_SQL)
+def q_cdc_vacuum_orphans_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crashed-writer cleanup end-to-end (VERDICT r16 #5): the final
+    state materializes, then a crashed write attempt is simulated the
+    way one actually dies — a staging id is allocated (marker dropped)
+    and files land under its ``v=`` dir, but no commit ever references
+    it. ``fsck`` reports the dir as an orphan;
+    ``vacuum_orphans(min_age_s=0)`` (the operator's assertion that no
+    writer is in flight) removes it AND its staging marker — the
+    default reclaim would otherwise wait out the 24 h marker TTL —
+    and a deep fsck afterwards must be fully green with the table
+    reading hash-identical to the never-crashed twin. Safe by the OCC
+    physical-id scheme: committed versions never share a directory
+    with an uncommitted attempt, so removing a never-committed dir
+    cannot touch live data. The young-orphan survival guard is pinned
+    in ``tests/test_round17_ops.py::TestVacuumOrphans``."""
+    import os as _os
+
+    from changedatacapture_spark.operators.cdc import compact_latest
+    from changedatacapture_spark.streaming.sink import SnapshotTable
+
+    log = _changelog_us(spark, sf_dir)
+    state = compact_latest(log, ["key_id"], ["ts_us", "seq"]).filter(
+        F.col("op") != "d"
+    ).drop("op")
+    table = SnapshotTable(
+        spark, _session_scratch_dir("cdc_vacuum_"), ["key_id"], n_buckets=8
+    )
+    table.overwrite(state, batch_id=0)
+    # simulate the crash: allocated id + files on disk, no commit
+    pv = table._new_data_version()
+    _os.makedirs(f"{table.path}/v={pv}/bucket=0", exist_ok=True)
+    with open(f"{table.path}/v={pv}/bucket=0/part-crashed.parquet", "w"):
+        pass
+    if pv not in table.fsck()["orphans"]:
+        raise RuntimeError("fsck failed to report the crashed-writer orphan")
+    removed = table.vacuum_orphans(min_age_s=0.0)
+    if pv not in removed or not table.fsck(deep=True)["ok"]:
+        raise RuntimeError(f"vacuum_orphans failed: removed={removed}")
+    return table.read().select("key_id", "seq", "ts_us", "value", "props")
+
+
 ORACLE_SQL["text_hybrid_rrf_search"] = ORACLE_SQL[
     "text_hybrid_rrf_search"
 ].replace("{BM25}", ORACLE_SQL["text_bm25_rank"])

@@ -206,7 +206,6 @@ class SCD2View:
             closed_src = self.closed.read().limit(0)
             open_src = self.open.read().limit(0)
         elif keys is not None:
-            from . import sink as _sink
             from .sink import chunked_in_read
 
             # NULL components never equi-join / never pass the IN
@@ -226,7 +225,7 @@ class SCD2View:
             )
             self.last_scan["closed"] = rep
             open_src = self.open.read_keys(keys)
-            self.last_scan["open"] = dict(_sink.LAST_SCAN_REPORT)
+            self.last_scan["open"] = dict(self.open.last_scan_report)
             if len(self.key_cols) > 1:
                 # first-component pruning is conservative; exact-set
                 # membership re-applies on the composite key
@@ -238,10 +237,8 @@ class SCD2View:
                     F.broadcast(kdf), self.key_cols, "leftsemi"
                 )
         elif closed_preds:
-            from . import sink as _sink
-
             closed_src = self.closed.read_where(closed_preds)
-            self.last_scan["closed"] = dict(_sink.LAST_SCAN_REPORT)
+            self.last_scan["closed"] = dict(self.closed.last_scan_report)
             open_src = self.open.read()
         else:
             closed_src = self.closed.read()

@@ -70,10 +70,26 @@ class SecondaryIndex:
         col: str,
         path: str | None = None,
         n_buckets: int = 8,
+        postings_mode: str = "cow",
     ) -> None:
+        if postings_mode not in ("cow", "mor"):
+            raise ValueError(
+                f"postings_mode must be 'cow' or 'mor', got {postings_mode!r}"
+            )
         self.spark = spark
         self.table = table
         self.col = col
+        #: posting-merge mode: "cow" (default) rewrites touched posting
+        #: buckets per sync; "mor" appends each sync's postings as a
+        #: delta run — the high-churn configuration where every sync
+        #: touches most posting buckets and copy-on-write would rewrite
+        #: the index per micro-batch. MoR runs commit per-file row
+        #: counts (footer-read, no job), so the planner's zero-job
+        #: hot-value gate (SnapshotTable.estimate_rows_where) stays
+        #: live with runs pending; bound read amplification with
+        #: ``postings.compact_runs()`` / ``compact_by_size`` on the
+        #: usual maintenance cadence.
+        self.postings_mode = postings_mode
         self.path = (path or f"{table.path}__idx__{col}").rstrip("/")
         # posting key = (value, base key...): one row per live posting,
         # deletes are real deletes. bloom_cols on the value column is
@@ -169,7 +185,11 @@ class SecondaryIndex:
                 .join(adds.select(*cols), cols, "left_anti")
                 .withColumn("op", F.lit("d"))
             )
-            self.postings.merge(adds.unionByName(dels), batch_id=v_now)
+            self.postings.merge(
+                adds.unionByName(dels),
+                batch_id=v_now,
+                mode=self.postings_mode,
+            )
             return {"mode": "incremental", "from": v_from, "to": v_now}
         # overwrite stores the frame as-is (merge consumes the op
         # column; overwrite must not carry one)

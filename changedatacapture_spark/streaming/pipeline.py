@@ -149,6 +149,7 @@ class CdcPipeline:
         compact_every: int | None = None,
         compact_minor_ratio: float | None = None,
         compact_major_ratio: float | None = None,
+        compact_max_files_per_bucket: int | None = None,
     ) -> None:
         self.spark = spark
         self.record_schema = record_schema
@@ -180,6 +181,13 @@ class CdcPipeline:
         #: alike; both policies compose (count fires first if both set)
         self.compact_minor_ratio = compact_minor_ratio
         self.compact_major_ratio = compact_major_ratio
+        #: file-count tier of the same policy: re-pack (major compact,
+        #: sized by the table's target_file_bytes) once any live
+        #: bucket fragments past this many parquet files — how a
+        #: map-only rebucket's ×m file split or churny clustered
+        #: merges self-heal on the next maintenance evaluation
+        #: instead of waiting for an operator
+        self.compact_max_files_per_bucket = compact_max_files_per_bucket
         # lazily seeded past any adhoc_* dirs already on disk — see
         # process_batch
         self._adhoc_dlq_seq: int | None = None
@@ -411,11 +419,15 @@ class CdcPipeline:
             if did == "none" and (
                 self.compact_minor_ratio is not None
                 or self.compact_major_ratio is not None
+                or self.compact_max_files_per_bucket is not None
             ):
-                # byte-budget policy: same crash-deferral argument —
-                # a missed evaluation is re-run after the next batch
+                # byte-budget + file-count policy: same crash-deferral
+                # argument — a missed evaluation re-runs after the
+                # next batch
                 self.table.compact_by_size(
-                    self.compact_minor_ratio, self.compact_major_ratio
+                    self.compact_minor_ratio,
+                    self.compact_major_ratio,
+                    self.compact_max_files_per_bucket,
                 )
 
     def bootstrap(self, raw: DataFrame, batch_id: int = -1) -> None:
@@ -864,7 +876,6 @@ def _star_view_apply(
       stats-less dim degrades to the full read it always did, never
       worse).
     """
-    from changedatacapture_spark.streaming import sink as _sink
     from changedatacapture_spark.streaming.sink import _align_key_types
 
     keys = list(fact_key_cols)
@@ -928,7 +939,7 @@ def _star_view_apply(
         fact_now = (
             fact.read_buckets(bids).join(touched, keys, "left_semi").persist()
         )
-        io["fact"] = dict(_sink.LAST_SCAN_REPORT)
+        io["fact"] = dict(fact.last_scan_report)
         try:
             joined = fact_now
             for dim_tbl, jcol, payload in dims:
@@ -957,7 +968,7 @@ def _star_view_apply(
                     dn = dim_tbl.read_keys(vals)
                     if len(vals) <= max_inlist:
                         dn = F.broadcast(dn)
-                    io[f"dim_{jcol}"] = dict(_sink.LAST_SCAN_REPORT)
+                    io[f"dim_{jcol}"] = dict(dim_tbl.last_scan_report)
                 elif len(vals) <= probe_cap:
                     # composite-keyed dim (jcol is one component, so
                     # bucket routing can't apply): chunked read_where

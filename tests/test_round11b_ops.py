@@ -278,7 +278,6 @@ def test_zorder_clustered_store_prunes_files(spark, sf_dir, tmp_path):
     identical content, and both reads must return identical rows."""
     from changedatacapture_spark.operators.layout import zorder16_sql
     from changedatacapture_spark.sources.tables import load_table
-    from changedatacapture_spark.streaming import sink as sink_mod
     from changedatacapture_spark.streaming.sink import SnapshotTable
 
     ev = load_table(spark, "events", sf_dir).select(
@@ -307,7 +306,7 @@ def test_zorder_clustered_store_prunes_files(spark, sf_dir, tmp_path):
                 "event_id", "bx", "by_"
             ).collect()
         )
-        reports[tag] = dict(sink_mod.LAST_SCAN_REPORT)
+        reports[tag] = dict(t.last_scan_report)
     assert results["zorder"] == results["flat"]
     assert len(results["zorder"]) > 0
     assert reports["zorder"]["files_total"] == reports["flat"]["files_total"]

@@ -207,7 +207,6 @@ def test_bloom_skipping_point_lookup(spark, tmp_path):
     """Equality probes on a high-cardinality column prune buckets via
     the manifest blooms where zone maps cannot (a uniform column's
     per-bucket [min, max] spans everything); results stay exact."""
-    from changedatacapture_spark.streaming import sink as sink_mod
     from changedatacapture_spark.streaming.sink import _bloom_contains
 
     t = SnapshotTable(
@@ -225,7 +224,7 @@ def test_bloom_skipping_point_lookup(spark, tmp_path):
     probe = rows[123][1]
     got = t.read_where([("tag", "=", probe)]).collect()
     assert [(r.k, r.v) for r in got] == [(123, 123)]
-    rep = sink_mod.LAST_SCAN_REPORT
+    rep = t.last_scan_report
     assert rep["buckets_kept"] < rep["buckets_total"], rep
     # an absent value whose bloom check fails everywhere: zero buckets
     missing = "tag-none-such"
@@ -235,7 +234,7 @@ def test_bloom_skipping_point_lookup(spark, tmp_path):
         if "bloom__tag" in z
     )
     assert t.read_where([("tag", "=", missing)]).count() == 0
-    assert sink_mod.LAST_SCAN_REPORT["buckets_kept"] == 0
+    assert t.last_scan_report["buckets_kept"] == 0
     # exactness against the unpruned definition
     full = sorted(
         (r.k, r.v)
@@ -245,7 +244,6 @@ def test_bloom_skipping_point_lookup(spark, tmp_path):
 
 
 def test_bloom_int_column_and_range_predicates_unaffected(spark, tmp_path):
-    from changedatacapture_spark.streaming import sink as sink_mod
 
     t = SnapshotTable(
         spark, str(tmp_path / "t"), ["k"], n_buckets=8,
@@ -261,8 +259,8 @@ def test_bloom_int_column_and_range_predicates_unaffected(spark, tmp_path):
     got = t.read_where([("seq", "=", probe)]).collect()
     assert [(r.k, r.v) for r in got] == [(123, 123)]
     assert (
-        sink_mod.LAST_SCAN_REPORT["buckets_kept"]
-        < sink_mod.LAST_SCAN_REPORT["buckets_total"]
+        t.last_scan_report["buckets_kept"]
+        < t.last_scan_report["buckets_total"]
     )
     # range predicates never consult blooms: full exact answer
     n = t.read_where([("seq", ">=", 0)]).count()
@@ -273,7 +271,6 @@ def test_bloom_in_list_pruning(spark, tmp_path):
     """IN-list predicates prune per value: a list of two present
     values keeps their buckets; an all-absent list keeps none; an
     empty list reads nothing. Results stay exact."""
-    from changedatacapture_spark.streaming import sink as sink_mod
 
     t = SnapshotTable(
         spark, str(tmp_path / "t"), ["k"], n_buckets=8, bloom_cols=["tag"],
@@ -285,10 +282,10 @@ def test_bloom_in_list_pruning(spark, tmp_path):
         (r.k, r.v) for r in t.read_where([("tag", "in", probes)]).collect()
     )
     assert got == [(123, 123), (321, 321)]
-    rep = sink_mod.LAST_SCAN_REPORT
+    rep = t.last_scan_report
     assert rep["buckets_kept"] < rep["buckets_total"], rep
     assert t.read_where([("tag", "in", ["no-1", "no-2"])]).count() == 0
-    assert sink_mod.LAST_SCAN_REPORT["buckets_kept"] == 0
+    assert t.last_scan_report["buckets_kept"] == 0
     assert t.read_where([("tag", "in", [])]).count() == 0
 
 

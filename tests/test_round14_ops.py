@@ -40,7 +40,6 @@ def test_bloom_in_list_pruning(spark, tmp_path):
     (per-literal bloom OR-fold). Pins: kept < total for present
     values, 0 kept when every value is provably absent, and legacy
     bloom-less buckets always survive."""
-    from changedatacapture_spark.streaming import sink
 
     path = str(tmp_path / "t")
     t = SnapshotTable(
@@ -55,7 +54,7 @@ def test_bloom_in_list_pruning(spark, tmp_path):
     # two present values -> at most their two home buckets (+ rare
     # bloom false positives) are scheduled
     out = t.read_where([("tag", "in", ["t3", "t77"])])
-    rep = dict(sink.LAST_SCAN_REPORT)
+    rep = dict(t.last_scan_report)
     assert rep["buckets_kept"] < rep["buckets_total"] == 8
     assert rep["buckets_kept"] <= 3
     assert sorted(r.k for r in out.collect()) == [3, 77]
@@ -63,7 +62,7 @@ def test_bloom_in_list_pruning(spark, tmp_path):
     # all values absent (inside the lexicographic range, so only the
     # bloom can exclude them) -> zero buckets scheduled, empty result
     out = t.read_where([("tag", "in", ["t3x", "t77x"])])
-    rep = dict(sink.LAST_SCAN_REPORT)
+    rep = dict(t.last_scan_report)
     assert rep["buckets_kept"] == 0
     assert out.count() == 0
 
@@ -77,7 +76,7 @@ def test_bloom_in_list_pruning(spark, tmp_path):
         )
     )
     out = plain.read_where([("tag", "in", ["t3", "t77"])])
-    rep = dict(sink.LAST_SCAN_REPORT)
+    rep = dict(plain.last_scan_report)
     assert rep["buckets_kept"] == rep["buckets_total"] == 8
     assert sorted(r.k for r in out.collect()) == [3, 77]
 
@@ -87,7 +86,6 @@ def test_compact_target_file_bytes_bin_packs(spark, tmp_path):
     clustered table rewrites to far fewer, size-targeted files;
     contents are bit-identical and per-file zone pruning still
     prunes."""
-    from changedatacapture_spark.streaming import sink
 
     t = SnapshotTable(
         spark,
@@ -113,7 +111,7 @@ def test_compact_target_file_bytes_bin_packs(spark, tmp_path):
     # the rewrite kept the cluster sort: a narrow range probe still
     # prunes buckets whose v-zone cannot match
     t.read_where([("v", "between", 0, 3)])
-    rep = dict(sink.LAST_SCAN_REPORT)
+    rep = dict(t.last_scan_report)
     assert rep["files_total"] == 4
 
 

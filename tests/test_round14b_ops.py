@@ -8,7 +8,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from changedatacapture_spark.streaming import sink as sink_mod
 from changedatacapture_spark.streaming.index import SecondaryIndex
 from changedatacapture_spark.streaming.sink import SnapshotTable
 
@@ -226,7 +225,7 @@ class TestSecondaryIndex:
         idx.sync()
         assert [r.k for r in idx.lookup(1007).collect()] == [7]
         idx.lookup_keys(1007).collect()
-        rep = sink_mod.LAST_SCAN_REPORT
+        rep = idx.postings.last_scan_report
         assert rep["buckets_kept"] < rep["buckets_total"], rep
         # the base side reads a key-routed bucket subset, never the
         # full table: one key routes to exactly one of 4 base buckets

@@ -206,7 +206,6 @@ class TestIndexPlannerHookAndMultiLookup:
         return _mk_indexed_base(spark, tmp_path)
 
     def test_read_where_routes_and_prunes(self, spark, tmp_path):
-        from changedatacapture_spark.streaming import sink as sink_mod
 
         t, idx = self._mk(spark, tmp_path)
         want = sorted(
@@ -219,7 +218,7 @@ class TestIndexPlannerHookAndMultiLookup:
         assert stats == want
         t.attach_index(idx)
         routed = t.read_where([("band", "=", 7)])
-        rep = dict(sink_mod.LAST_SCAN_REPORT)  # set by the read_keys route
+        rep = dict(t.last_scan_report)  # set by the read_keys route
         assert sorted((r.k, r.band) for r in routed.collect()) == want
         # 4 keys (7, 57, 107, 157) → ≤4 of 32 base buckets scheduled
         assert rep["buckets_kept"] <= 4

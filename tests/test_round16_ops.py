@@ -114,7 +114,6 @@ class TestChunkedInReadHardening:
     def test_report_carries_row_counts(self, spark, tmp_path):
         """Scan reports now measure rows, not just files — packing
         regressions read straight off the report (VERDICT r15 #3/#6)."""
-        from changedatacapture_spark.streaming import sink as sink_mod
 
         t = _mk(
             spark, os.path.join(str(tmp_path), "t"),
@@ -122,7 +121,7 @@ class TestChunkedInReadHardening:
             n_buckets=4, bloom_cols=["v"],
         )
         t.read_where([("v", "=", 7)]).collect()
-        rep = sink_mod.LAST_SCAN_REPORT
+        rep = t.last_scan_report
         assert rep["rows_total"] == 100
         assert rep["rows_kept"] is not None
         assert rep["rows_kept"] <= rep["rows_total"]
@@ -465,15 +464,14 @@ class TestMapOnlyRebucketSplit:
         rewrite must stream map-side (hash % 16 of a bucket-b row is
         b, b+4, b+8, or b+12 — children only), recorded as
         repartitioned=False; results and key routing stay exact."""
-        from changedatacapture_spark.streaming import sink as sink_mod
 
         t = self._seed(spark, tmp_path)
         before = sorted((r.k, r.v) for r in t.read().collect())
         t.rebucket(16)
-        assert sink_mod.LAST_WRITE_REPORT == {"repartitioned": False}
+        assert t.last_write_report == {"repartitioned": False}
         assert sorted((r.k, r.v) for r in t.read().collect()) == before
         t.read_keys([7, 123]).collect()
-        rep = sink_mod.LAST_SCAN_REPORT
+        rep = t.last_scan_report
         assert rep["buckets_total"] == 16
         assert rep["buckets_kept"] <= 2
         # children-only: every physical dir id is a valid new bucket
@@ -483,12 +481,11 @@ class TestMapOnlyRebucketSplit:
     def test_non_multiple_target_takes_the_shuffle_path(
         self, spark, tmp_path
     ):
-        from changedatacapture_spark.streaming import sink as sink_mod
 
         t = self._seed(spark, tmp_path)
         before = sorted((r.k, r.v) for r in t.read().collect())
         t.rebucket(6)
-        assert sink_mod.LAST_WRITE_REPORT == {"repartitioned": True}
+        assert t.last_write_report == {"repartitioned": True}
         assert sorted((r.k, r.v) for r in t.read().collect()) == before
         got = sorted(r.k for r in t.read_keys([42]).collect())
         assert got == [42]
@@ -502,10 +499,9 @@ class TestMapOnlyRebucketSplit:
             batch_id=1,
             mode="mor",
         )
-        from changedatacapture_spark.streaming import sink as sink_mod
 
         t.rebucket(8)
-        assert sink_mod.LAST_WRITE_REPORT == {"repartitioned": True}
+        assert t.last_write_report == {"repartitioned": True}
         got = {r.k: r.v for r in t.read().collect()}
         assert got[5] == 5000 and len(got) == 300
 
@@ -571,7 +567,6 @@ class TestRebucketKeepsPruning:
         """VERDICT r16 item 5: after an online rebucket, stats prune
         and key routing run against the NEW modulus — a grown table
         keeps its scan bounds."""
-        from changedatacapture_spark.streaming import sink as sink_mod
 
         t = SnapshotTable(
             spark, os.path.join(str(tmp_path), "t"), ["k"],
@@ -587,10 +582,10 @@ class TestRebucketKeepsPruning:
         t.rebucket(16)
         got = sorted(r.k for r in t.read_where([("v", "=", 37)]).collect())
         assert got == [37]
-        rep = sink_mod.LAST_SCAN_REPORT
+        rep = t.last_scan_report
         assert rep["buckets_total"] == 16
         assert rep["buckets_kept"] < rep["buckets_total"]
         t.read_keys([37]).collect()
-        rep = sink_mod.LAST_SCAN_REPORT
+        rep = t.last_scan_report
         assert rep["buckets_total"] == 16
         assert rep["buckets_kept"] == 1

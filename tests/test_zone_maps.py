@@ -252,14 +252,13 @@ def test_read_where_prunes_files_within_surviving_buckets(spark, tmp_path):
     """The VERDICT-7 assertion: a selective predicate on the cluster key
     keeps every bucket (val ranges span all buckets) but only the FILES
     whose range intersects — file-count pruning, not just bucket-count."""
-    from changedatacapture_spark.streaming import sink as sink_mod
 
     t = _build_clustered(spark, tmp_path)
     pred = [("val", "between", 1000, 1200)]
     kept_b, every_b, _ = t._prune_buckets(pred)
     assert kept_b == every_b  # bucket level cannot help here
     df = t.read_where(pred)
-    rep = sink_mod.LAST_SCAN_REPORT
+    rep = t.last_scan_report
     assert rep["buckets_kept"] == rep["buckets_total"]
     assert rep["files_kept"] < rep["files_total"]
     assert len(df.inputFiles()) == rep["files_kept"]

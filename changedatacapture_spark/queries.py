@@ -14038,71 +14038,70 @@ _DEMOTED = [
 ]
 
 _PROMOTED = [
-    # round-16 window: one NEW query, the LAST SEVEN never-driver-green
-    # queries (after this round every registered query has held a
-    # driver-green row at least once), seven queries whose code paths
-    # CHANGED this round (chunked-probe dedupe + accumulated bail,
-    # stats-gated index routing, two-stage as-of overflow probe), and
-    # THIRTY-FIVE oldest-green-first veterans — the round-robin rule
-    # rotation shifts to now that never-green is empty: members whose
-    # last driver row is oldest (r01–r07) re-verify first. Every r15
-    # member rotating out was green in CORRECTNESS_r15 and remains
-    # registered + oracle-paired in the full log.
+    # round-17 window: the THREE NEW queries (rebucket+policy loop,
+    # oversized-IN semi-join scan, crashed-writer vacuum), ELEVEN
+    # queries whose code paths CHANGED this round (MoR run row stats
+    # + planner bound, chunked_in_read's semi-threshold route,
+    # instance-scoped scan reports through JoinView/SCD2, the
+    # compact_by_size restructure, SecondaryIndex postings_mode), and
+    # THIRTY-SIX oldest-green-first veterans — r16's brief names the
+    # r08 cohort explicitly; the r09/r10 cohorts fill the remainder.
+    # Every r16 member rotating out was green in CORRECTNESS_r16 and
+    # remains registered + oracle-paired in the full log.
     #
     # -- NEW this round --
-    "cdc_rebucket_e2e",  # NEW: online partition evolution (merge → rebucket 8→32 → merge), hash-equal to the never-rebucketed twin
-    # -- last never-driver-green queries: first rows --
-    "dedup_minhash_est_jaccard",
-    "events_bloom_probe",
-    "events_trimmed_mean",
-    "lineitem_qty_price_corr",
-    "text_gini_diversity",
-    "text_hashed_linear_score",
-    "text_rare_bigram_score",
-    # -- changed-path re-verification (round-16 code movers) --
-    "cdc_index_planner_scan",  # route now declines hot values from manifest stats with zero jobs
-    "cdc_index_multilookup",  # lookup_keys_in rides the deduping/accumulating chunked_in_read
-    "cdc_secondary_index_e2e",  # attach/sync path now validates table+column at attach
-    "cdc_scd2_view_asof_probe",  # two-stage overflow probe (distinct-limit, then global max)
-    "cdc_scd2_snapshot_asof",  # history(keys=, up_to=) rides the hardened chunked probes
-    "text_hybrid_rrf_served",  # served probe reads via the stats-gated index route
-    "cdc_join_view_mor_e2e",  # Δdim repair probes ride chunked_in_read's new bail
-    # -- oldest-green-first round-robin (last driver row r01–r07) --
-    "q19_disjunctive_revenue",  # r01
-    "dedup_minhash_signatures",  # r02
-    "dedup_simhash",  # r02
-    "embedding_profile",  # r02
-    "q10_returned_revenue",  # r02
-    "q13_cust_order_distribution",  # r02
-    "q14_promo_share",  # r02
-    "q15_top_supplier",  # r02
-    "q17_small_quantity_revenue",  # r02
-    "q18_large_orders",  # r02
-    "q4_priority_with_returns",  # r02
-    "q6_revenue_filter",  # r02
-    "q_late_shipments",  # r02
-    "text_fingerprint",  # r02
-    "text_lang_profile",  # r02
-    "text_token_topk",  # r02
-    "knn_lsh_topk",  # r05
-    "q5_revenue_by_nation",  # r05
-    "q_distinct_parts_per_flag",  # r05
-    "q_rollup_lineitem",  # r05
-    "text_quality",  # r05
-    "dedup_groups",  # r06
-    "events_sessionize",  # r06
-    "media_stats",  # r06
-    "cdc_flatten",  # r07
-    "dedup_ngram_jaccard",  # r07
-    "dedup_simhash_pairs",  # r07
-    "emb_neardup_pairs",  # r07
-    "events_asof_join",  # r07
-    "knn_ivf_topk",  # r07
-    "media_features",  # r07
-    "q_anti_semi_join",  # r07
-    "q_topk_orders_per_segment",  # r07
-    "text_bpe_tokens",  # r07
-    "text_langid",  # r07
+    "cdc_rebucket_policy_e2e",  # NEW: rebucket → fragment → MoR churn → file-count tier heals it
+    "cdc_semi_in_scan",  # NEW: 100k-value IN probe as a broadcast semi-join, no literal IN
+    "cdc_vacuum_orphans_e2e",  # NEW: fsck-listed crashed-writer orphan reclaimed, reads unchanged
+    # -- changed-path re-verification (round-17 code movers) --
+    "cdc_mor_merge_e2e",  # MoR merges now footer-commit per-file run row stats
+    "cdc_mor_stream_e2e",  # streamed MoR path rides the same run-stats commit
+    "cdc_mor_size_policy_e2e",  # compact_by_size restructured for the file-count tier
+    "cdc_rebucket_e2e",  # rebucket records its plan on the instance write report
+    "cdc_index_planner_scan",  # estimate_rows_where now covers pending runs
+    "cdc_index_multilookup",  # lookup_keys_in rides the semi-threshold chunked_in_read
+    "cdc_secondary_index_e2e",  # sync() now merges via the postings_mode dispatch
+    "cdc_scd2_view_asof_probe",  # history/probe reads report via instance attrs
+    "cdc_scd2_snapshot_asof",  # same instance-report migration on the closed reads
+    "cdc_join_view_mor_e2e",  # JoinView scan evidence now instance-scoped
+    "text_hybrid_rrf_served",  # served probe reads via the MoR-aware gated route
+    # -- oldest-green-first round-robin (last driver row r07–r10) --
+    "text_stats",  # r07
+    "bson_normalize",  # r08
+    "cdc_keyrule",  # r08
+    "cdc_opsplit",  # r08
+    "cdc_prune",  # r08
+    "cdc_window_compact",  # r08
+    "csv_batch_read",  # r08
+    "dataset_split_assign",  # r08
+    "dedup_minhash_pairs",  # r08
+    "events_range_join",  # r08
+    "kmeans_fit_2iter",  # r08
+    "knn_brute_topk",  # r08
+    "q1_pricing_summary",  # r08
+    "cdc_apply",  # r09
+    "cdc_audit",  # r09
+    "cdc_compact",  # r09
+    "cdc_typemap",  # r09
+    "cdc_validate",  # r09
+    "curation_funnel",  # r09
+    "decontaminate_ngrams",  # r09
+    "dedup_exact",  # r09
+    "dedup_incremental",  # r09
+    "doc_chunks",  # r09
+    "emb_dedup_groups",  # r09
+    "events_resample",  # r09
+    "events_stream_join",  # r09
+    "kmv_distinct_users",  # r09
+    "knn_pq_topk",  # r09
+    "knn_recall_pq",  # r09
+    "pii_scrub",  # r09
+    "q3_top_revenue_orders",  # r09
+    "seq_packing_bins",  # r09
+    "text_repetition",  # r09
+    "text_tfidf_top",  # r09
+    "q8_market_share",  # r10
+    "text_winnow_fp",  # r10
 ]
 
 DRIVER_WINDOW = 50

@@ -429,7 +429,10 @@ class SnapshotTable:
         #: degenerates to bucket-level; still exact).
         self.max_records_per_file = max_records_per_file
         #: BYTE-targeted file sizing — the 100 TB default the row-count
-        #: knob above is not: when set (e.g. 128 << 20) and no explicit
+        #: knob above is not. Production tables should set 128 << 20
+        #: (128 MB — the Delta/Iceberg OPTIMIZE file-size default;
+        #: pair it with a bucket count that keeps buckets at
+        #: ~256 MB–1 GB). When set and no explicit
         #: row cap governs, every write derives its own
         #: ``maxRecordsPerFile`` from the table's measured bytes/row
         #: (committed manifest bytes over committed per-file row

@@ -218,13 +218,22 @@ def _evolved_fields(
     return evolved + new_fields
 
 
+#: IN-list size past which a literal IN predicate is the wrong plan:
+#: the driver renders an N-element expression and runs N range/bloom
+#: tests per zone (measured 84 s at 100k values, 211 s at 300k —
+#: tools/perf_round17.py), so ``read_where``/``chunked_in_read`` route
+#: bigger sets through ``read_in_values``'s broadcast semi-join
+#: (0.7 s / 1.4 s on the same probes, results identical).
+SEMI_JOIN_IN_THRESHOLD = 64_000
+
+
 def chunked_in_read(
     tbl,
     col: str,
     vals: list,
     max_inlist: int,
     extra_preds: list | None = None,
-    semi_threshold: int = 64_000,
+    semi_threshold: int = SEMI_JOIN_IN_THRESHOLD,
 ):
     """Union of ``read_where`` IN-list probes in ``max_inlist``-sized
     chunks over ``tbl`` — N pruned probes instead of one full scan
@@ -1649,7 +1658,30 @@ class SnapshotTable:
         With an :meth:`attach_index`-registered secondary index on an
         equality/IN predicate column, the read routes through the
         posting probe instead (key-routed buckets; identical results)
-        whenever the index is at the current version."""
+        whenever the index is at the current version.
+
+        An IN predicate past ``SEMI_JOIN_IN_THRESHOLD`` values routes
+        to :meth:`read_in_values` (identical IN semantics, broadcast
+        semi-join plan): past that size BOTH the literal predicate and
+        the per-value zone tests — here and in the index route's
+        posting estimate — cost driver time linear in the value set
+        (measured 84 s at 100k values; tools/perf_round17.py). The
+        largest such predicate becomes the join; any remaining
+        predicates ride along as ``extra_preds``."""
+        big = [
+            (len(p[2]), i)
+            for i, p in enumerate(predicates)
+            if p[1] == "in" and len(p[2]) > SEMI_JOIN_IN_THRESHOLD
+        ]
+        if big:
+            _, i = max(big)
+            p = predicates[i]
+            return self.read_in_values(
+                p[0],
+                list(p[2]),
+                extra_preds=[q for j, q in enumerate(predicates) if j != i],
+                include_tombstones=include_tombstones,
+            )
         routed = self._read_via_index(predicates, include_tombstones)
         if routed is not None:
             return routed

@@ -220,6 +220,26 @@ class TestLargeInSemiJoin:
         got = sorted(r.k for r in df.collect())
         assert got == list(range(100))
 
+    def test_read_where_routes_oversized_in(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A DIRECT read_where with an oversized literal IN takes the
+        semi route too — no caller has to know about chunked_in_read
+        to dodge the linear driver planning cost (and the index
+        route's per-value posting estimate never sees a huge list)."""
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i % 10, "c") for i in range(100)],
+        )
+        monkeypatch.setattr(sink_mod, "SEMI_JOIN_IN_THRESHOLD", 50)
+        df = t.read_where([("v", "in", list(range(200))), ("k", "<", 30)])
+        assert t.last_scan_report.get("semi_join") is True
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and " IN (" not in plan
+        assert sorted(r.k for r in df.collect()) == list(range(30))
+
     def test_semi_path_hash_equals_literal_path(self, spark, tmp_path):
         t = _mk(
             spark, os.path.join(str(tmp_path), "t"),

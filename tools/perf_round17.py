@@ -71,7 +71,8 @@ def main() -> None:
         semi_n = semi_df.count()
         semi_total = time.time() - t1
 
-        assert lit_n == semi_n == n, (lit_n, semi_n, n)
+        # values past the table's 200k-row domain are absent by design
+        assert lit_n == semi_n == min(n, 200_000), (lit_n, semi_n, n)
         out["large_in"].append(
             {
                 "n_values": n,

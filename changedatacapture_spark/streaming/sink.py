@@ -406,6 +406,9 @@ class SnapshotTable:
         self.path = path.rstrip("/")
         self.key_cols = key_cols
         self.n_buckets = n_buckets
+        #: parsed-pointer cache, keyed by the pointer FILE's identity
+        #: (inode, mtime_ns, size) — see :meth:`_read_pointer`
+        self._ptr_cache: tuple | None = None
         #: merge anti-join strategy ceiling: batches with at most this
         #: many rows broadcast their key set to the touched-bucket scan
         #: (the normal CDC micro-batch case — no shuffle of table rows);
@@ -594,11 +597,45 @@ class SnapshotTable:
         return f"{self.path}/{_POINTER}"
 
     def _read_pointer(self) -> dict | None:
+        """Parsed ``_LATEST`` pointer, cached by FILE IDENTITY
+        ``(inode, mtime_ns, size)``.
+
+        Every operation plans from one pointer read, so at 100 TB —
+        where per-file stats put the pointer at tens of MB (10⁵ files
+        × 32 stat cols) — an uncached ``json.loads`` per micro-batch
+        is seconds of driver time doing nothing. Commits go through
+        ``os.replace`` (new inode, new mtime), so the identity key
+        can never serve a stale pointer to the concurrent-writer CAS
+        checks: a racing winner's commit always misses the cache. An
+        object-store port would key on the ETag the same way.
+
+        The returned dict is the SHARED cached object — committed
+        state, treat as immutable. Callers that derive modified
+        pointers copy first (``read_buckets``); a caller that wrote a
+        doctored pointer to disk invalidates by identity like any
+        commit.
+        """
+        p = self._pointer_path()
         try:
-            with open(self._pointer_path()) as f:
-                return json.load(f)
+            st = os.stat(p)
         except FileNotFoundError:
+            self._ptr_cache = None
             return None
+        key = (st.st_ino, st.st_mtime_ns, st.st_size)
+        cached = self._ptr_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        try:
+            with open(p) as f:
+                ptr = json.load(f)
+        except FileNotFoundError:
+            self._ptr_cache = None
+            return None
+        # stat-then-read race: if the file was replaced in between,
+        # the content is NEWER than the key, so the worst case is one
+        # redundant reparse on the next call — never a stale serve
+        self._ptr_cache = (key, ptr)
+        return ptr
 
     def _commit(
         self,

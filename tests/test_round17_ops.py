@@ -488,6 +488,61 @@ class TestVacuumOrphans:
         assert t.read(at_version=0).count() == 10
 
 
+class TestPointerCache:
+    """At 100 TB the per-file-stats pointer is tens of MB; re-parsing
+    it per operation is seconds of driver time per micro-batch. The
+    identity-keyed cache must make repeat reads free WITHOUT ever
+    serving a stale pointer across a commit."""
+
+    def test_warm_reads_skip_the_parse(self, spark, tmp_path, monkeypatch):
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(10)],
+        )
+        t._read_pointer()
+        calls = {"n": 0}
+        real = sink_mod.json.load
+
+        def counting(fp):
+            calls["n"] += 1
+            return real(fp)
+
+        monkeypatch.setattr(sink_mod.json, "load", counting)
+        for _ in range(5):
+            assert t._read_pointer()["version"] == 0
+        assert calls["n"] == 0  # identity unchanged: zero reparses
+
+    def test_foreign_commit_invalidates(self, spark, tmp_path):
+        """A second writer instance's commit must be visible to this
+        instance's very next pointer read — the CAS checks depend on
+        it (os.replace gives the file a new identity)."""
+        path = os.path.join(str(tmp_path), "t")
+        a = _mk(spark, path, [(i, i, "c") for i in range(10)])
+        assert a.version == 0
+        b = SnapshotTable(spark, path, ["k"], n_buckets=4)
+        b.merge(
+            spark.createDataFrame(
+                [(99, 99, "c")], "k long, v long, op string"
+            ),
+            batch_id=1,
+        )
+        assert a.version == 1  # a's cache missed on the new identity
+        assert 99 in {r.k for r in a.read().collect()}
+
+    def test_doctored_rewrite_invalidates(self, spark, tmp_path):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(10)],
+        )
+        ptr = dict(t._read_pointer())
+        ptr["batch_id"] = 777
+        with open(t._pointer_path(), "w") as f:
+            json.dump(ptr, f)
+        assert t.last_batch_id() == 777
+
+
 class TestDeepFsckParallel:
     def test_many_files_and_sorted_mismatches(self, spark, tmp_path):
         """The pooled footer audit returns the same deterministic

@@ -59,11 +59,21 @@ def main() -> None:
         t.read_where([("v", "in", vals[:100])]).count()
         t.read_in_values("v", vals[:100]).count()
 
-        t0 = time.time()
-        lit_df = t.read_where([("v", "in", vals)])
-        lit_plan = time.time() - t0
-        lit_n = lit_df.count()
-        lit_total = time.time() - t0
+        # the literal arm must measure the PRE-round-17 plan:
+        # read_where itself now routes oversized INs to the semi-join,
+        # so disable the threshold for this arm only
+        from changedatacapture_spark.streaming import sink as _sink
+
+        saved = _sink.SEMI_JOIN_IN_THRESHOLD
+        _sink.SEMI_JOIN_IN_THRESHOLD = 10**12
+        try:
+            t0 = time.time()
+            lit_df = t.read_where([("v", "in", vals)])
+            lit_plan = time.time() - t0
+            lit_n = lit_df.count()
+            lit_total = time.time() - t0
+        finally:
+            _sink.SEMI_JOIN_IN_THRESHOLD = saved
 
         t1 = time.time()
         semi_df = t.read_in_values("v", vals)
@@ -121,6 +131,26 @@ def main() -> None:
         "pooled_sec": round(pooled, 3),
         "single_thread_sec": round(serial, 3),
         "ok": rep_pool["ok"],
+    }
+
+    # pointer-parse cache: every operation plans from one pointer
+    # read; measure a cold parse vs 1000 identity-keyed cache hits on
+    # the multi-hundred-file manifest above (at 10^5 files the
+    # pointer is tens of MB and the cold parse is seconds — the cache
+    # turns per-micro-batch parse cost into a stat call)
+    ptr_bytes = os.path.getsize(f._pointer_path())
+    f._ptr_cache = None
+    t4 = time.time()
+    f._read_pointer()
+    cold = time.time() - t4
+    t5 = time.time()
+    for _ in range(1000):
+        f._read_pointer()
+    warm_1000 = time.time() - t5
+    out["pointer_cache"] = {
+        "pointer_bytes": ptr_bytes,
+        "cold_parse_sec": round(cold, 5),
+        "warm_1000_reads_sec": round(warm_1000, 5),
     }
     print(json.dumps(out))
 

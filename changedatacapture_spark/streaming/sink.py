@@ -1519,12 +1519,50 @@ class SnapshotTable:
         are exactly the extra volume the scan schedules. A run written
         before run stats existed makes the estimate ``None`` — the
         high-churn MoR table, where hot values are most likely, keeps
-        its zero-job planner gate (VERDICT r16 #1)."""
-        kept, every, ptr = self._prune_buckets(predicates)
+        its zero-job planner gate (VERDICT r16 #1).
+
+        IN predicates past ``_ESTIMATE_IN_BISECT`` values trade the
+        per-value zone/bloom tests for one sorted-values bisect per
+        zone bound (``_zone_range_any``) — a LOOSER test, which only
+        raises the estimate, so the upper-bound contract holds while
+        the estimate itself stays sub-millisecond instead of linear
+        in the probe set (the cost class tools/perf_round17.py
+        measured at 86 s for 100k values on the read path)."""
+        small: list[tuple] = []
+        bisected: list[tuple[str, list]] = []
+        for p in predicates:
+            if p[1] == "in" and len(p[2]) > self._ESTIMATE_IN_BISECT:
+                bisected.append((p[0], list(p[2])))
+            else:
+                small.append(p)
+        kept, every, ptr = self._prune_buckets(small)
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(ptr["schema"]))
         kinds = dict(self._stats_cols(schema))
+        svals_by_col: dict[str, list | None] = {}
+        for col, vals in bisected:
+            if col in kinds:
+                try:
+                    svals_by_col[col] = sorted(
+                        self._stat_value(v, kinds[col])
+                        for v in vals
+                        if v is not None
+                    )
+                except TypeError:
+                    svals_by_col[col] = None
+            else:
+                svals_by_col[col] = None
+        stats_all = ptr.get("stats") or {}
+        kept = [
+            b
+            for b in kept
+            if stats_all.get(str(b)) is None
+            or all(
+                self._zone_range_any(stats_all[str(b)], c, sv)
+                for c, sv in svals_by_col.items()
+            )
+        ]
         fstats_all = ptr.get("fstats") or {}
         total = 0
         for b in kept:
@@ -1532,7 +1570,10 @@ class SnapshotTable:
             if not fmap:
                 return None
             for zone in fmap.values():
-                if self._zone_may_match(zone, predicates, kinds):
+                if self._zone_may_match(zone, small, kinds) and all(
+                    self._zone_range_any(zone, c, sv)
+                    for c, sv in svals_by_col.items()
+                ):
                     n = zone.get("__rows")
                     if n is None:
                         return None
@@ -1541,6 +1582,12 @@ class SnapshotTable:
         if ptr.get("runs") and run_rows is None:
             return None  # pre-run-stats run: unknown, not zero
         return total + (run_rows or 0)
+
+    #: IN-list size past which :meth:`estimate_rows_where` switches
+    #: from per-value zone/bloom tests to the sorted-bisect range test
+    #: — keeps the "driver-only, no job" promise sub-millisecond
+    #: instead of linear in the probe set
+    _ESTIMATE_IN_BISECT = 4096
 
     #: posting-collect ceiling for index-routed ``read_where``: past
     #: this many matching postings the probed value set is too hot for

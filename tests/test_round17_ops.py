@@ -139,6 +139,34 @@ class TestMorRunRowStats:
         assert t.estimate_rows_where([("v", "=", 1)]) is not None
 
 
+class TestEstimateBisectsLargeIns:
+    def test_large_in_estimate_stays_upper_bound(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Past _ESTIMATE_IN_BISECT values the driver-only estimate
+        swaps per-value zone tests for one bisect per zone bound — a
+        looser test that can only RAISE the estimate, so the
+        upper-bound contract survives while the estimate stays
+        sub-millisecond instead of linear in the probe set."""
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=2, cluster_cols=["v"], max_records_per_file=16,
+            bloom_cols=["v"],
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i) for i in range(200)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        monkeypatch.setattr(SnapshotTable, "_ESTIMATE_IN_BISECT", 4)
+        vals = [3, 4, 5, 6, 7, 8]  # > patched threshold: bisect path
+        est = t.estimate_rows_where([("v", "in", vals)])
+        actual = t.read_where([("v", "in", vals)]).count()
+        assert est is not None and est >= actual == 6
+        assert est < 200  # the bisect still prunes
+
+
 class TestIndexGateOnMorPostings:
     """VERDICT r16 item 1's done-criterion: the zero-job hot-value
     gate must keep working when the posting store has PENDING RUNS —

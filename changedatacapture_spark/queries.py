@@ -14055,70 +14055,72 @@ _DEMOTED = [
 ]
 
 _PROMOTED = [
-    # round-17 window: the THREE NEW queries (rebucket+policy loop,
-    # oversized-IN semi-join scan, crashed-writer vacuum), ELEVEN
-    # queries whose code paths CHANGED this round (MoR run row stats
-    # + planner bound, chunked_in_read's semi-threshold route,
-    # instance-scoped scan reports through JoinView/SCD2, the
-    # compact_by_size restructure, SecondaryIndex postings_mode), and
-    # THIRTY-SIX oldest-green-first veterans — r16's brief names the
-    # r08 cohort explicitly; the r09/r10 cohorts fill the remainder.
-    # Every r16 member rotating out was green in CORRECTNESS_r16 and
+    # round-18 window: TWELVE queries whose code paths CHANGED this
+    # round (the pointer stats SIDECAR rebuilt how every SnapshotTable
+    # read composes its zone/bloom/file stats; read_keys grew an Arrow
+    # key-batch path; SecondaryIndex auto-compacts MoR posting runs;
+    # three registered queries migrated to the public
+    # committed_rows/allocate_data_version accessors or derive their
+    # probe ceiling from data), then THIRTY-EIGHT oldest-green-first
+    # veterans: the FULL r10 cohort (18) and 20 of the r11 cohort
+    # (the remaining four r11 names — text_bpe_encode, text_bpe_merges,
+    # text_gopher_report, text_inverted_index — lead r19's rotation).
+    # Every r17 member rotating out was green in CORRECTNESS_r17 and
     # remains registered + oracle-paired in the full log.
     #
-    # -- NEW this round --
-    "cdc_rebucket_policy_e2e",  # NEW: rebucket → fragment → MoR churn → file-count tier heals it
-    "cdc_semi_in_scan",  # NEW: 100k-value IN probe as a broadcast semi-join, no literal IN
-    "cdc_vacuum_orphans_e2e",  # NEW: fsck-listed crashed-writer orphan reclaimed, reads unchanged
-    # -- changed-path re-verification (round-17 code movers) --
-    "cdc_mor_merge_e2e",  # MoR merges now footer-commit per-file run row stats
-    "cdc_mor_stream_e2e",  # streamed MoR path rides the same run-stats commit
-    "cdc_mor_size_policy_e2e",  # compact_by_size restructured for the file-count tier
-    "cdc_rebucket_e2e",  # rebucket records its plan on the instance write report
-    "cdc_index_planner_scan",  # estimate_rows_where now covers pending runs
-    "cdc_index_multilookup",  # lookup_keys_in rides the semi-threshold chunked_in_read
-    "cdc_secondary_index_e2e",  # sync() now merges via the postings_mode dispatch
-    "cdc_scd2_view_asof_probe",  # history/probe reads report via instance attrs
-    "cdc_scd2_snapshot_asof",  # same instance-report migration on the closed reads
-    "cdc_join_view_mor_e2e",  # JoinView scan evidence now instance-scoped
-    "text_hybrid_rrf_served",  # served probe reads via the MoR-aware gated route
-    # -- oldest-green-first round-robin (last driver row r07–r10) --
-    "text_stats",  # r07
-    "bson_normalize",  # r08
-    "cdc_keyrule",  # r08
-    "cdc_opsplit",  # r08
-    "cdc_prune",  # r08
-    "cdc_window_compact",  # r08
-    "csv_batch_read",  # r08
-    "dataset_split_assign",  # r08
-    "dedup_minhash_pairs",  # r08
-    "events_range_join",  # r08
-    "kmeans_fit_2iter",  # r08
-    "knn_brute_topk",  # r08
-    "q1_pricing_summary",  # r08
-    "cdc_apply",  # r09
-    "cdc_audit",  # r09
-    "cdc_compact",  # r09
-    "cdc_typemap",  # r09
-    "cdc_validate",  # r09
-    "curation_funnel",  # r09
-    "decontaminate_ngrams",  # r09
-    "dedup_exact",  # r09
-    "dedup_incremental",  # r09
-    "doc_chunks",  # r09
-    "emb_dedup_groups",  # r09
-    "events_resample",  # r09
-    "events_stream_join",  # r09
-    "kmv_distinct_users",  # r09
-    "knn_pq_topk",  # r09
-    "knn_recall_pq",  # r09
-    "pii_scrub",  # r09
-    "q3_top_revenue_orders",  # r09
-    "seq_packing_bins",  # r09
-    "text_repetition",  # r09
-    "text_tfidf_top",  # r09
-    "q8_market_share",  # r10
-    "text_winnow_fp",  # r10
+    # -- changed-path re-verification (round-18 code movers) --
+    "cdc_pruned_scan",  # zone-map stats now compose from sidecar refs
+    "events_zorder_pruned_scan",  # file-level stats ride the sidecar; bench taps its report
+    "cdc_bloom_pruned_scan",  # bloom bitmaps live in the sidecar payload now
+    "cdc_mor_merge_e2e",  # merge commits write refs + touched-bucket sidecar
+    "cdc_rebucket_policy_e2e",  # migrated to the public committed_rows() accessor
+    "cdc_semi_in_scan",  # probe ceiling now derives from max(key_id)
+    "cdc_vacuum_orphans_e2e",  # allocate_data_version() + sidecar GC in the vacuum path
+    "cdc_secondary_index_e2e",  # sync() now auto-evaluates the postings policy
+    "cdc_secondary_index_stream_e2e",  # streamed sync rides the same policy hook
+    "cdc_index_multilookup",  # lookup()'s read_keys ships keys as one Arrow batch
+    "cdc_index_planner_scan",  # estimate_rows_where reads ref-composed fstats
+    "cdc_table_digest",  # order-independent digest over sidecar-composed reads
+    # -- oldest-green-first round-robin: full r10 cohort --
+    "cdc_incremental_agg",  # r10
+    "cdc_scd2_history",  # r10
+    "cdc_schema_evolution",  # r10
+    "cdc_snapshot_merge_guarded",  # r10
+    "cdc_time_travel",  # r10 (history entries now carry stats refs)
+    "dedup_survivors",  # r10
+    "events_ewma",  # r10
+    "events_mad_outliers",  # r10
+    "events_minute_spikes",  # r10
+    "events_numeric_profile",  # r10
+    "events_stateful_sessions",  # r10
+    "graph_pagerank_trade",  # r10
+    "media_decode_bmp",  # r10
+    "q7_nation_pair_revenue",  # r10
+    "q9_product_profit",  # r10
+    "q_bucketed_join",  # r10
+    "text_boilerplate",  # r10
+    "text_quality_gate",  # r10
+    # -- r11 cohort (20 of 24) --
+    "cdc_snapshot_merge_e2e",  # r11
+    "cdc_window_stream_e2e",  # r11
+    "curation_e2e",  # r11
+    "curation_weighted_sample",  # r11
+    "dq_expectations",  # r11
+    "emb_semdedup_stats",  # r11
+    "events_hll_distinct",  # r11
+    "events_zorder_scan",  # r11
+    "graph_triangles_trade",  # r11
+    "kmv_set_algebra",  # r11
+    "knn_ivfpq_topk",  # r11
+    "knn_pq_refine_topk",  # r11
+    "knn_recall_pq_refine",  # r11
+    "media_decode_mixed",  # r11
+    "media_decode_wav",  # r11
+    "mix_temperature",  # r11
+    "mongo_changes_e2e",  # r11
+    "orc_batch_read",  # r11
+    "q2_min_cost_supplier",  # r11
+    "text_bm25_rank",  # r11
 ]
 
 DRIVER_WINDOW = 50

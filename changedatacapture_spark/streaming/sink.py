@@ -3526,6 +3526,7 @@ class SnapshotTable:
                 "orphans": [],
                 "versions_on_disk": 0,
                 "versions_referenced": 0,
+                "sidecars_missing": [],
             }
 
         def paths_of(entry: dict) -> list[str]:
@@ -3571,6 +3572,20 @@ class SnapshotTable:
             int(r["v"]) for e in entries for r in e.get("runs") or []
         }
         orphans = sorted(on_disk - referenced - committed_ever)
+        # stats sidecars: referenced-but-absent ones are reported as
+        # INFO, not corruption — a lost sidecar composes to absent
+        # stats (reads stay exact, pruning degrades), so it never
+        # flips ``ok``; an operator seeing the list knows why a scan
+        # stopped skipping
+        side_refs = {
+            int(v)
+            for refs in (ptr.get("stats_ref"), ptr.get("fstats_ref"))
+            for v in (refs or {}).values()
+        }
+        sidecars_missing = sorted(
+            v for v in side_refs
+            if not os.path.isfile(self._sidecar_path(v))
+        )
         out = {
             "ok": not missing,
             "missing": sorted(missing),
@@ -3578,6 +3593,7 @@ class SnapshotTable:
             "orphans": orphans,
             "versions_on_disk": len(on_disk),
             "versions_referenced": len(referenced),
+            "sidecars_missing": sidecars_missing,
         }
         if deep:
             # footer reads are independent I/O round-trips: a thread

@@ -190,6 +190,27 @@ class TestStatsSidecar:
         rep = t2.last_scan_report
         assert rep["files_kept"] == rep["files_total"]  # no pruning
 
+    def test_fsck_reports_missing_sidecar_as_info(self, spark, tmp_path):
+        """A lost referenced sidecar shows up in the fsck report but
+        never flips ``ok`` — absent stats cannot corrupt reads."""
+        import shutil
+
+        t = SnapshotTable(
+            spark, os.path.join(str(tmp_path), "t"), ["k"], n_buckets=2
+        )
+        t.overwrite(
+            spark.createDataFrame(
+                [(i, i) for i in range(10)], "k long, v long"
+            ),
+            batch_id=0,
+        )
+        rep = t.fsck()
+        assert rep["ok"] is True and rep["sidecars_missing"] == []
+        shutil.rmtree(f"{t.path}/_stats")
+        rep = t.fsck()
+        assert rep["ok"] is True
+        assert rep["sidecars_missing"] == [_raw_pointer(t)["version"]]
+
     def test_superseded_sidecars_are_vacuumed(self, spark, tmp_path):
         """A sidecar no retained pointer/log entry references is
         garbage; ones still referenced by CARRY survive any number of

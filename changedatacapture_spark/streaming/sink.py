@@ -643,16 +643,35 @@ class SnapshotTable:
         except (FileNotFoundError, json.JSONDecodeError):
             side = {}
         if len(self._side_cache) >= 64:
-            self._side_cache.pop(next(iter(self._side_cache)))
+            # pooled cold-cache loads race here benignly: default=None
+            # because two threads may pick the same eviction victim
+            self._side_cache.pop(next(iter(self._side_cache)), None)
         self._side_cache[version] = side
         return side
 
     def _compose_refs(self, refs: dict | None, kind: str) -> dict:
         """Materialize a ``{bucket: sidecar_version}`` ref map into the
         inline ``stats``/``fstats`` shape every reader consumes —
-        loading each distinct sidecar once (cached)."""
+        loading each distinct sidecar once (cached).
+
+        Cold-cache loads of multiple sidecars go through a small
+        thread pool (the deep-fsck pattern): each sidecar is an
+        independent I/O round-trip, so a fresh reader on an object
+        store pays ~ceil(missing / 8) RTT batches instead of a serial
+        RTT per distinct ref (bounded by ``n_buckets``). Local disk
+        sees no difference; steady state (refs carried across
+        commits) hits the version cache and loads nothing."""
+        refs = refs or {}
+        missing = sorted(
+            {int(v) for v in refs.values()} - set(self._side_cache)
+        )
+        if len(missing) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                list(ex.map(self._load_sidecar, missing))
         out: dict = {}
-        for bs, v in (refs or {}).items():
+        for bs, v in refs.items():
             side = self._load_sidecar(int(v)).get(kind) or {}
             if bs in side:
                 out[bs] = side[bs]

@@ -190,6 +190,31 @@ class TestStatsSidecar:
         rep = t2.last_scan_report
         assert rep["files_kept"] == rep["files_total"]  # no pruning
 
+    def test_cold_multi_sidecar_compose_is_pooled_and_exact(
+        self, spark, tmp_path
+    ):
+        """A fresh reader whose refs span several sidecar versions
+        (carried + per-merge fresh stats) composes through the pooled
+        cold-cache path to exactly the stats a warm instance holds."""
+        t = _mk(
+            spark, os.path.join(str(tmp_path), "t"),
+            [(i, i, "c") for i in range(64)],
+            stats_on_merge=True,
+        )
+        for bid, k in enumerate((0, 1, 2), start=1):
+            t.merge(
+                spark.createDataFrame(
+                    [(k, k * 100, "u")], "k long, v long, op string"
+                ),
+                batch_id=bid,
+            )
+        raw = _raw_pointer(t)
+        distinct_refs = {int(v) for v in raw["fstats_ref"].values()}
+        assert len(distinct_refs) > 1, "refs collapsed to one sidecar"
+        t2 = SnapshotTable(spark, t.path, ["k"], n_buckets=4)
+        assert t2._read_pointer()["fstats"] == t._read_pointer()["fstats"]
+        assert len(t2._side_cache) >= len(distinct_refs)
+
     def test_fsck_reports_missing_sidecar_as_info(self, spark, tmp_path):
         """A lost referenced sidecar shows up in the fsck report but
         never flips ``ok`` — absent stats cannot corrupt reads."""

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from changedatacapture_spark.operators.layout import fan_out_scan
+
 
 def _shingle_expr(text_col: str, k: int = 5) -> Column:
     """`transform(sequence(1, len-k+1), i -> substring(text, i, k))`."""
@@ -75,6 +77,9 @@ def minhash_signatures(
     materialize the digest arrays, then take the per-slice minima.
     """
     n_blocks = (n_hashes + 3) // 4
+    # per-doc md5-per-shingle work dominates the scan: fan a narrow
+    # source out first (no-op when the source already splits wide)
+    docs = fan_out_scan(docs)
     sh = _shingle_expr(text_col, k)
     # build without default-arg lambdas (see minhash_signature)
     blocks = []
@@ -512,7 +517,9 @@ def contamination(
     scored side must never shuffle); leave False when the eval suite
     might exceed broadcast size and let AQE decide.
     """
-    doc_sh = docs.select(
+    # the per-character shingle explode is the heavy stage on the
+    # scored side: fan a narrow corpus out first
+    doc_sh = fan_out_scan(docs).select(
         "doc_id",
         F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh"),
     )
@@ -554,7 +561,8 @@ def contamination_matrix(
     matrix itself is <= sources² rows. Shuffles carry k-byte shingle
     keys, never document text.
     """
-    src_sh = docs.select(
+    # the shingle explode dominates the scan: fan it out first
+    src_sh = fan_out_scan(docs).select(
         F.col(source_col).alias("source"),
         F.explode(F.array_distinct(_shingle_expr(text_col, k))).alias("sh"),
     ).distinct()
@@ -1031,7 +1039,9 @@ def substring_dup_spans(
     """
     from pyspark.sql import Window as W
 
-    base = docs.select(
+    # the per-position k-gram explode is linear in corpus characters
+    # and rides the scan: fan a narrow source out first
+    base = fan_out_scan(docs).select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
     ).filter(F.length("text") >= k)
     pos = base.select(

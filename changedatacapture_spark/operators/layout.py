@@ -15,8 +15,51 @@ the curve with zero extra shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def fan_out_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Spread a narrow batch scan across the cluster before CPU-heavy
+    per-row work (the batch twin of ``streaming.pipeline.fan_out``).
+
+    A parquet file with a single row group is unsplittable: the scan
+    runs as ONE task, and every narrow transform chained on it (md5
+    shingling, per-row array math, ``explode`` fan-outs) executes on
+    one core no matter how many the cluster has. Operators whose
+    per-row compute dominates their scan call this before that work:
+    a keyless ``repartition`` moves only the projected input bytes
+    once and buys full-width parallelism for everything after.
+
+    Scale-adaptive by the same metadata probe the streaming fan-out
+    uses: a source that already exposes enough files (a 100 TB table)
+    keeps its own split parallelism and this is a no-op — the
+    repartition only fires when the file count alone cannot fill the
+    cluster (``inputFiles()`` reads the plan's FileIndex on the
+    driver; no job runs). Non-file plans (in-memory test frames,
+    post-shuffle intermediates) fan out unconditionally: a shuffle of
+    a frame that small is noise next to the compute it parallelizes.
+    """
+    spark = df.sparkSession
+    target = parts or spark.sparkContext.defaultParallelism
+    floor = max(2, target // 4)
+    try:
+        n_in = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 - plans that refuse file listing
+        n_in = 0
+    if n_in >= floor:
+        return df
+    # few/no files doesn't prove the plan is narrow (a post-shuffle
+    # intermediate is already wide): confirm with the real partition
+    # count — one driver-side plan conversion, no job — and leave
+    # already-parallel inputs untouched
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 - plans that refuse RDD conversion
+        return df.repartition(target)
+    if n_parts >= floor:
+        return df
+    return df.repartition(target)
 
 
 def zorder16(a: Column, b: Column) -> Column:

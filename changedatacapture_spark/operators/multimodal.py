@@ -24,6 +24,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from changedatacapture_spark.operators.layout import fan_out_scan
 from pyspark.sql import types as T
 
 MEDIA_SCHEMA = T.StructType(
@@ -318,7 +320,11 @@ def bmp_decode_stats(docs: DataFrame) -> DataFrame:
                 rows["mean_px"].append(sum(px) / float(len(px)))
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(batches, out_schema)
+    # the Python decode is the whole cost and its input is one bare id
+    # column: fan a narrow scan out so every worker decodes a slice
+    # (payload synthesis happens inside the worker — nothing heavy
+    # crosses this exchange)
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(batches, out_schema)
 
 
 def mixed_decode_stats(docs: DataFrame) -> DataFrame:
@@ -371,7 +377,11 @@ def mixed_decode_stats(docs: DataFrame) -> DataFrame:
                 rows["mean_px"].append(sum(px) / float(len(px)))
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(batches, out_schema)
+    # the Python decode is the whole cost and its input is one bare id
+    # column: fan a narrow scan out so every worker decodes a slice
+    # (payload synthesis happens inside the worker — nothing heavy
+    # crosses this exchange)
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(batches, out_schema)
 
 
 def resize_nearest(
@@ -429,7 +439,11 @@ def bmp_resize_stats(docs: DataFrame, factor: int = 2) -> DataFrame:
                 rows["mean_px"].append(sum(rpx) / float(len(rpx)))
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(batches, out_schema)
+    # the Python decode is the whole cost and its input is one bare id
+    # column: fan a narrow scan out so every worker decodes a slice
+    # (payload synthesis happens inside the worker — nothing heavy
+    # crosses this exchange)
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(batches, out_schema)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
@@ -579,7 +593,11 @@ def bmp_ahash(docs: DataFrame) -> DataFrame:
                 {"doc_id": ids, "ahash": average_hash_batch(rasters)}
             )
 
-    return docs.select("doc_id").mapInPandas(batches, out_schema)
+    # the Python decode is the whole cost and its input is one bare id
+    # column: fan a narrow scan out so every worker decodes a slice
+    # (payload synthesis happens inside the worker — nothing heavy
+    # crosses this exchange)
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(batches, out_schema)
 
 
 # --------------------------------------------------------------- audio
@@ -703,7 +721,11 @@ def wav_decode_stats(docs: DataFrame) -> DataFrame:
                 rows["peak"].append(max(abs(x) for x in s))
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(batches, out_schema)
+    # the Python decode is the whole cost and its input is one bare id
+    # column: fan a narrow scan out so every worker decodes a slice
+    # (payload synthesis happens inside the worker — nothing heavy
+    # crosses this exchange)
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(batches, out_schema)
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -888,4 +910,8 @@ def png_decode_stats(docs: DataFrame) -> DataFrame:
                 rows["mean_px"].append(sum(px) / float(len(px)))
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id").mapInPandas(batches, out_schema)
+    # the Python decode is the whole cost and its input is one bare id
+    # column: fan a narrow scan out so every worker decodes a slice
+    # (payload synthesis happens inside the worker — nothing heavy
+    # crosses this exchange)
+    return fan_out_scan(docs.select("doc_id")).mapInPandas(batches, out_schema)

@@ -24,6 +24,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from changedatacapture_spark.operators.layout import fan_out_scan
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ in float64, index order (deterministic)."""
@@ -66,8 +68,13 @@ def cosine_topk(
     p = probes.select(
         F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+    # all pair scores evaluate in the corpus scan stage: fan a narrow
+    # (single-row-group) corpus out first so the codegen stage runs
+    # cluster-wide, not on the scan's one task
+    c = fan_out_scan(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("corpus_vec")
+        )
     )
     pair = c.crossJoin(F.broadcast(p)).filter(
         F.col("probe_id") != F.col("neighbor_id")
@@ -871,6 +878,9 @@ def pq_encode(
     int64) — the quality metric PQ tuning watches.
     """
     dsub = dim // m
+    # the m*ks distance projection is the heavy stage: fan a narrow
+    # corpus out so encoding parallelizes beyond the scan's task count
+    emb = fan_out_scan(emb)
     xs = F.expr(_pq_scaled_vec(vec_col, dim))
     dists = F.expr(_pq_dists_expr("xs", m, ks, dsub, book))
     codes = F.expr(
@@ -1046,6 +1056,9 @@ def pq_fit_codebook(
         [list(r["xs"][j * dsub : (j + 1) * dsub]) for r in seed_rows]
         for j in range(m)
     ]
+    # each Lloyd pass evaluates the m*ks literal-matrix distances over
+    # the corpus: fan a narrow source once so every pass runs wide
+    emb = fan_out_scan(emb)
     for _ in range(n_iter):
         xs = F.expr(_pq_scaled_vec(vec_col, dim))
         dists = F.expr(_pq_dists_expr("xs", m, ks, dsub, book))
@@ -1212,6 +1225,9 @@ def semdedup_stats(
 
     from changedatacapture_spark.operators.dedup import connected_components
 
+    # fit + assignment + pair cosines all chain on the embeddings
+    # scan: fan a narrow source once for every downstream stage
+    emb = fan_out_scan(emb)
     fit = kmeans_fit(emb, n_iter=n_iter, n_cells=n_cells, dim=dim,
                      vec_col=vec_col, scale=scale)
     by_cell: dict[int, list[int]] = {}

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from changedatacapture_spark.operators.layout import fan_out_scan
+
 #: Fixed-point scale: six decimal digits survive quantization. The
 #: quantized statistics are deterministic and engine-identical; the
 #: quantization error on mean/stddev is bounded by 1e-6 of the raw
@@ -782,10 +784,16 @@ def bootstrap_ci(
     from pyspark.sql import Window as W
 
     x = _scaled(value_col)
-    base = df.select(
-        F.col(group_col).alias("grp"),
-        x.alias("x"),
-        F.col(id_col).cast("string").alias("rid"),
+    # the replicate explode multiplies per-row md5 work by n_replicates;
+    # a single-row-group source would run all of it on one core — fan
+    # the 3-column projection out first (scan-width probe, no-op when
+    # the source already splits)
+    base = fan_out_scan(
+        df.select(
+            F.col(group_col).alias("grp"),
+            x.alias("x"),
+            F.col(id_col).cast("string").alias("rid"),
+        )
     )
     rep = base.select(
         "grp",
@@ -923,10 +931,16 @@ def blb_ci(
     from pyspark.sql import Window as W
 
     x = _scaled(value_col)
-    base = df.select(
-        F.col(group_col).alias("grp"),
-        x.alias("x"),
-        F.col(id_col).cast("string").alias("rid"),
+    # the replicate explode multiplies per-row md5 work by n_replicates;
+    # a single-row-group source would run all of it on one core — fan
+    # the 3-column projection out first (scan-width probe, no-op when
+    # the source already splits)
+    base = fan_out_scan(
+        df.select(
+            F.col(group_col).alias("grp"),
+            x.alias("x"),
+            F.col(id_col).cast("string").alias("rid"),
+        )
     )
     subset = (
         F.conv(

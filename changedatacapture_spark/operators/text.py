@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from changedatacapture_spark.operators.layout import fan_out_scan
+
 #: Tiny per-language stopword lists (public common words) for the
 #: n-gram/stopword language-ID heuristic and quality scoring. Kept in
 #: alphabetical language order — ties in the argmax resolve to the
@@ -161,7 +163,9 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: ``doc_id, simhash`` (non-negative bigint, 63 bits).
     """
-    hashed = docs.select(
+    # one md5 per distinct token then 63 vote folds per doc — far
+    # heavier than the scan: fan a narrow source out first
+    hashed = fan_out_scan(docs).select(
         "doc_id",
         F.transform(
             F.array_distinct(tokens(F.col(text_col))), lambda x: F.md5(x)
@@ -500,6 +504,8 @@ def winnow_fingerprints(
     """
     t = F.col(text_col)
     n_grams = F.greatest(F.length(t) - (k - 1), F.lit(0))
+    # one md5 per character k-gram: compute-bound, fan the scan out
+    docs = fan_out_scan(docs)
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         F.transform(
@@ -632,6 +638,9 @@ def _bpe_train(
     from pyspark.sql import Window as W
 
     spark = docs.sparkSession
+    # tokenizing explode + word count partials run in the scan stage:
+    # fan a narrow corpus out first
+    docs = fan_out_scan(docs)
     words = (
         docs.select(
             F.explode(F.split(F.col(text_col), " ")).alias("word")
@@ -769,6 +778,9 @@ def bpe_encode_stats(
     corpus). The corpus is scanned exactly twice (word-count seed +
     per-doc multiplicities), never per merge step.
     """
+    # both corpus scans (word-count seed + per-doc multiplicities)
+    # are tokenize-heavy: fan a narrow source once for both
+    docs = fan_out_scan(docs)
     _, sym = _bpe_train(docs, n_merges, text_col)
     tokens_per_word = sym.groupBy("word").agg(
         F.count(F.lit(1)).alias("n_sym")
@@ -1239,6 +1251,8 @@ def ppl_buckets(
 
     from changedatacapture_spark.operators.curation import split_bucket
 
+    # bigram explode + md5 bucketing ride the scan: fan it out first
+    docs = fan_out_scan(docs)
     b = split_bucket(f"CAST({id_col} AS STRING)")
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -1391,6 +1405,8 @@ def dsir_select(
     """
     from pyspark.sql import Window as W
 
+    # hashed-ngram featurization is the heavy stage: fan the scan out
+    docs = fan_out_scan(docs)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         target_cond.cast("int").alias("is_tgt"),

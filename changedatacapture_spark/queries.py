@@ -538,9 +538,17 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         F.col("l_extendedprice").cast(_DEC) * (F.lit(1) - F.col("l_discount")).cast(_DEC)
     )
+    # dim-first join order: orders reduce by the broadcast segment
+    # filter BEFORE meeting the fact, so the fact-side join sees the
+    # ~1/5-selectivity orders slice — AQE broadcasts it when it fits
+    # (no lineitem shuffle at all locally) and falls back to a
+    # sort-merge of the REDUCED side at scale; the aggregate reuses
+    # the join's orderkey partitioning either way
+    o_seg = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o_seg, li.l_orderkey == o_seg.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -579,9 +587,14 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                c.c_nationkey == F.col("n_nationkey"))
         .select("c_custkey", "n_name")
     )
+    # dim-first join order (see q3): orders reduce by the broadcast
+    # ASIA dims before meeting lineitem; AQE broadcasts the reduced
+    # slice locally, sort-merges it at scale
+    o_dim = o.join(F.broadcast(dims), o.o_custkey == dims.c_custkey).select(
+        "o_orderkey", "n_name"
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        li.join(o_dim, li.l_orderkey == o_dim.o_orderkey)
         .groupBy("n_name")
         .agg(F.sum(rev).cast("decimal(38,4)").alias("revenue"))
     )

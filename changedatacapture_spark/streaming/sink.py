@@ -438,6 +438,18 @@ class SnapshotTable:
         #: hint is dropped and AQE picks the join strategy, instead of
         #: blowing the driver's broadcast limit
         self.broadcast_key_limit = broadcast_key_limit
+        #: merge write layout threshold (bytes). When the TOUCHED
+        #: buckets' on-disk size reaches this, a broadcast-anti merge
+        #: streams the kept side straight from its bucket files to the
+        #: partitioned write — shuffle drops from O(touched bucket
+        #: bytes) to O(batch bytes), the lever that matters when one
+        #: bucket is 1/n_buckets of 100 TB. Below it the single
+        #: exchange is noise and the repartitioned layout's tighter
+        #: file count wins (measured: ~10% faster apply on a 3 MB
+        #: table, ~one extra file per touched bucket avoided). 256 MiB
+        #: default = the shuffle-partition sizing band; 0 forces
+        #: bucket-local always, None disables it.
+        self.bucket_local_merge_bytes: int | None = 256 << 20
         #: zone maps: per-bucket min/max column stats in the manifest so
         #: ``read_where`` can skip whole buckets whose value range
         #: cannot match a predicate — manifest-level data skipping, the
@@ -2307,6 +2319,7 @@ class SnapshotTable:
         expected_base: int | None = None,
         records_per_file: int | None = None,
         repartition: bool = True,
+        range_cluster: bool = False,
     ) -> list[int]:
         """Write ``df`` (bucket column included) partitioned by bucket
         under ``v=<version>`` — ``version`` being this attempt's
@@ -2345,7 +2358,7 @@ class SnapshotTable:
                 )
         return self._do_write_buckets(
             df, version, dynamic, records_per_file,
-            repartition=repartition,
+            repartition=repartition, range_cluster=range_cluster,
         )
 
     def _do_write_buckets(
@@ -2355,6 +2368,7 @@ class SnapshotTable:
         dynamic: bool = False,
         records_per_file: int | None = None,
         repartition: bool = True,
+        range_cluster: bool = False,
     ) -> list[int]:
         """The physical write behind :meth:`_write_buckets`, after the
         concurrent-writer economy check (split out so race tests can
@@ -2377,7 +2391,40 @@ class SnapshotTable:
         # value it holds), so callers whose input is already
         # bucket-local (the map-only rebucket split) trade "one file
         # per bucket" for "no shuffle of the whole table".
-        out = df.repartition(self.n_buckets, "bucket") if repartition else df
+        # range_cluster (maintenance rewrites of CLUSTERED tables only):
+        # the fixed bucket-count shuffle caps write parallelism at
+        # n_buckets, which serializes a many-files-per-bucket rewrite —
+        # the zorder demo writes ~1.5k cluster-sliced files through 8
+        # tasks. Range-partitioning on (bucket, cluster exprs) keeps
+        # every task's slice contiguous on the curve (per-file zone
+        # maps stay tight; partitionBy still routes rows to their
+        # bucket dirs) while letting the write use the full cluster.
+        # Costs one sampling pass over the input, so the merge hot
+        # path keeps the plain bucket-aligned shuffle.
+        rpf = (
+            records_per_file
+            if records_per_file is not None
+            else self.max_records_per_file
+        )
+        if rpf is None:
+            rpf = self._derived_records_per_file()
+        n_parts = max(
+            self.n_buckets, self.spark.sparkContext.defaultParallelism
+        )
+        # the range path only pays when a per-file row cap will split
+        # each bucket into MANY files (the serialized-write case);
+        # an uncapped rewrite emits one file per bucket and the
+        # sampling pass would be pure overhead
+        if repartition and range_cluster and self.cluster_cols \
+                and n_parts > self.n_buckets and rpf:
+            out = df.repartitionByRange(
+                n_parts, F.col("bucket"),
+                *[F.expr(c) for c in self.cluster_cols],
+            )
+        elif repartition:
+            out = df.repartition(self.n_buckets, "bucket")
+        else:
+            out = df
         self.last_write_report = {"repartitioned": repartition}
         if self.cluster_cols:
             out = out.sortWithinPartitions(
@@ -2386,13 +2433,6 @@ class SnapshotTable:
         writer = out.write.mode("overwrite").partitionBy("bucket")
         if dynamic:
             writer = writer.option("partitionOverwriteMode", "dynamic")
-        rpf = (
-            records_per_file
-            if records_per_file is not None
-            else self.max_records_per_file
-        )
-        if rpf is None:
-            rpf = self._derived_records_per_file()
         if rpf:
             # split each sorted bucket into cluster-key-contiguous
             # files so per-file zone maps have something to prune
@@ -2612,7 +2652,7 @@ class SnapshotTable:
         pv = self._new_data_version()
         written = self._write_buckets(
             df.withColumn("bucket", self._bucket_col()), pv,
-            expected_base=base,
+            expected_base=base, range_cluster=True,
         )
         self._commit(
             version,
@@ -2804,14 +2844,47 @@ class SnapshotTable:
                     .withColumn("bucket", self._bucket_col())
                 )
                 batch_keys = source.select(*self.key_cols)
-                if batch_rows <= self.broadcast_key_limit:
+                thr = self.bucket_local_merge_bytes
+                bucket_local = (
+                    batch_rows <= self.broadcast_key_limit
+                    and thr is not None
+                    and sum(
+                        self._bucket_dir_bytes(manifest[b], [b])
+                        for b in live_touched
+                    )
+                    >= thr
+                )
+                if bucket_local:
                     batch_keys = F.broadcast(batch_keys)
                 kept = current.join(batch_keys, self.key_cols, "left_anti")
                 # two-sided null backfill: batch may add columns the
                 # table lacks and omit columns the table has
-                new_data = kept.unionByName(upserts, allowMissingColumns=True)
+                if bucket_local:
+                    # the kept side is ALREADY bucket-local (every scan
+                    # split holds whole files out of bucket dirs, and
+                    # the broadcast anti-join adds no exchange), so the
+                    # table's rows stream straight from their old files
+                    # to their new bucket dir — only the BATCH shuffles
+                    # into bucket layout. The old repartition here moved
+                    # every kept row through an exchange: O(touched
+                    # bucket bytes) of shuffle per merge that is now
+                    # O(batch bytes). Cost: ~one extra (batch-sized)
+                    # file per touched bucket per merge, which the
+                    # file-count compaction tier already bounds.
+                    new_data = kept.unionByName(
+                        upserts.repartition(self.n_buckets, "bucket"),
+                        allowMissingColumns=True,
+                    )
+                else:
+                    # hash-join path: the anti-join itself re-keys the
+                    # kept side, so bucket locality is gone — keep the
+                    # explicit bucket shuffle before the write
+                    new_data = kept.unionByName(
+                        upserts, allowMissingColumns=True
+                    )
             else:
                 new_data = upserts
+                bucket_local = False
 
             # files land under this attempt's unique pv dir — a racing
             # writer (committed or in flight) can never touch them, and
@@ -2824,7 +2897,8 @@ class SnapshotTable:
             written = [
                 b
                 for b in self._write_buckets(
-                    new_data, pv, dynamic=True, expected_base=base
+                    new_data, pv, dynamic=True, expected_base=base,
+                    repartition=not bucket_local,
                 )
                 if b in touched_set
             ]
@@ -3273,7 +3347,8 @@ class SnapshotTable:
         version = base + 1
         pv = self._new_data_version()
         written = self._write_buckets(
-            full, pv, expected_base=base, records_per_file=rpf
+            full, pv, expected_base=base, records_per_file=rpf,
+            range_cluster=True,
         )
         self._commit(
             version, ptr.get("batch_id"), {b: pv for b in written},

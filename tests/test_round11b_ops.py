@@ -309,7 +309,18 @@ def test_zorder_clustered_store_prunes_files(spark, sf_dir, tmp_path):
         reports[tag] = dict(t.last_scan_report)
     assert results["zorder"] == results["flat"]
     assert len(results["zorder"]) > 0
-    assert reports["zorder"]["files_total"] == reports["flat"]["files_total"]
+    # the clustered maintenance write range-partitions across the full
+    # cluster (write parallelism is no longer capped at n_buckets), so
+    # each write task may close one partial boundary file per bucket it
+    # touches: allow that bounded overhead, keep the pruning pin strict
+    import os as _os
+
+    slack = max(_os.cpu_count() or 1, 2)
+    assert (
+        reports["flat"]["files_total"]
+        <= reports["zorder"]["files_total"]
+        <= reports["flat"]["files_total"] + slack
+    ), reports
     assert reports["zorder"]["files_kept"] < reports["flat"]["files_kept"], reports
 
 

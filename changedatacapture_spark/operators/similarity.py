@@ -554,7 +554,9 @@ def cosine_topk_ivf(
             F.col("cell").cast("int").alias("cell"),
         )
     else:
-        c = corpus.select(
+        # the n_cells x dim argmax projection is the corpus-side cost:
+        # fan a narrow scan out first (no-op on wide sources)
+        c = fan_out_scan(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("corpus_vec"),
             (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
@@ -1128,7 +1130,7 @@ def pq_adc_topk_ivf(
     cs = ivf_cell_scores(vec_col, n_cells, dim)
     xs = F.expr(_pq_scaled_vec(vec_col, dim))
     c = (
-        corpus.select(
+        fan_out_scan(corpus).select(
             F.col(id_col).alias("neighbor_id"),
             (F.array_position(cs, F.array_max(cs)) - 1).cast("int").alias("cell"),
             xs.alias("xs"),

@@ -171,12 +171,25 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.array_distinct(tokens(F.col(text_col))), lambda x: F.md5(x)
         ).alias("_h"),
     )
-    votes = hashed.select(
+    # decode each hex digit ONCE per token (16 instr+substring) in its
+    # own projection — the vote folds then do array-index integer math
+    # instead of re-running instr per BIT (63x): same values, ~4x less
+    # string work per token. Separate select, like the md5 stage: a
+    # HOF referencing another HOF expression is not reliably CSE'd.
+    n_digits = (SIMHASH_BITS + 3) // 4
+    digits = hashed.select(
+        "doc_id",
+        F.expr(
+            f"transform(_h, h -> transform(sequence(1, {n_digits}), "
+            f"i -> instr('{_HEX}', substring(h, i, 1)) - 1))"
+        ).alias("_d"),
+    )
+    votes = digits.select(
         "doc_id",
         *[
             F.expr(
-                f"aggregate(_h, 0, (acc, h) -> acc + "
-                f"CASE WHEN ((instr('{_HEX}', substring(h, {j // 4 + 1}, 1)) - 1) "
+                f"aggregate(_d, 0, (acc, dv) -> acc + "
+                f"CASE WHEN (element_at(dv, {j // 4 + 1}) "
                 f"div {1 << (j % 4)}) % 2 = 1 "
                 f"THEN 1 ELSE -1 END)"
             ).alias(f"v{j}")

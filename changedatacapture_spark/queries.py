@@ -5273,18 +5273,27 @@ def _write_ordered_batches(df: DataFrame, src: str, work: str, n: int) -> None:
     import shutil
 
     os.makedirs(src, exist_ok=True)
+    # ONE partitioned write job for all n batch files (was one
+    # filter+coalesce(1) job per batch): hash-partitioning on _b puts
+    # each batch id wholly in one task, and partitionBy splits by
+    # value, so every _b=i dir holds exactly one part file
+    out_dir = os.path.join(work, "wall")
+    (
+        df.repartition(n, "_b")
+        .write.mode("overwrite")
+        .partitionBy("_b")
+        .json(out_dir)
+    )
     for i in range(1, n + 1):
-        out_dir = os.path.join(work, f"w{i}")
-        (
-            df.filter(F.col("_b") == i)
-            .drop("_b")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .json(out_dir)
-        )
-        part = glob.glob(os.path.join(out_dir, "part-*.json"))[0]
+        parts = glob.glob(os.path.join(out_dir, f"_b={i}", "part-*.json"))
         dest = os.path.join(src, f"b{i}.json")
-        shutil.move(part, dest)
+        if parts:
+            shutil.move(parts[0], dest)
+        else:
+            # partitionBy omits empty partitions; the per-batch writer
+            # emitted an empty file — preserve that replay shape (the
+            # stream still sees n micro-batches)
+            open(dest, "w").close()
         os.utime(dest, (1_000_000 + i * 10, 1_000_000 + i * 10))
 
 

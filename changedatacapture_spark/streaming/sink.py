@@ -56,6 +56,12 @@ _LOG = "_LOG"
 #: O(changed buckets), not O(total table files)
 _STATS_DIR = "_stats"
 
+#: per-file row caps at or below this are the small-file zone-map
+#: regime where a clustered rewrite fans out via range partitioning;
+#: larger caps mean few files per bucket, where one writer task per
+#: bucket is already right (and file counts must not grow)
+_RANGE_CLUSTER_MAX_RPF = 65_536
+
 #: active scan-report taps (see :func:`capture_scan_reports`). Plan
 #: evidence lives on the TABLE instance (``table.last_scan_report``);
 #: the tap exists for harnesses that invoke an OPAQUE query callable
@@ -2411,12 +2417,18 @@ class SnapshotTable:
         n_parts = max(
             self.n_buckets, self.spark.sparkContext.defaultParallelism
         )
-        # the range path only pays when a per-file row cap will split
-        # each bucket into MANY files (the serialized-write case);
-        # an uncapped rewrite emits one file per bucket and the
-        # sampling pass would be pure overhead
+        # the range path only pays when the per-file row cap puts the
+        # write in the deliberately-small-file regime (zone-map tier:
+        # many curve-sliced files per bucket, where one task per
+        # bucket serializes the write). An uncapped rewrite — or a
+        # size-targeted pack whose derived cap is file-count-reducing
+        # (compact(target_file_bytes=huge) must still emit ONE file
+        # per bucket) — keeps the bucket-aligned shuffle, where the
+        # sampling pass would be pure overhead and range slices would
+        # add boundary files.
         if repartition and range_cluster and self.cluster_cols \
-                and n_parts > self.n_buckets and rpf:
+                and n_parts > self.n_buckets and rpf \
+                and rpf <= _RANGE_CLUSTER_MAX_RPF:
             out = df.repartitionByRange(
                 n_parts, F.col("bucket"),
                 *[F.expr(c) for c in self.cluster_cols],
@@ -2844,9 +2856,12 @@ class SnapshotTable:
                     .withColumn("bucket", self._bucket_col())
                 )
                 batch_keys = source.select(*self.key_cols)
+                use_broadcast = batch_rows <= self.broadcast_key_limit
+                if use_broadcast:
+                    batch_keys = F.broadcast(batch_keys)
                 thr = self.bucket_local_merge_bytes
                 bucket_local = (
-                    batch_rows <= self.broadcast_key_limit
+                    use_broadcast
                     and thr is not None
                     and sum(
                         self._bucket_dir_bytes(manifest[b], [b])
@@ -2854,8 +2869,6 @@ class SnapshotTable:
                     )
                     >= thr
                 )
-                if bucket_local:
-                    batch_keys = F.broadcast(batch_keys)
                 kept = current.join(batch_keys, self.key_cols, "left_anti")
                 # two-sided null backfill: batch may add columns the
                 # table lacks and omit columns the table has

@@ -11379,7 +11379,10 @@ def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; tokens with df < 5 are noise and dropped."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, "documents", sf_dir)
+    from changedatacapture_spark.operators.layout import fan_out_scan
+
+    # regex tokenization + explode ride the scan: fan it out first
+    docs = fan_out_scan(load_table(spark, "documents", sf_dir))
     toks = (
         docs.select(
             "doc_id",
@@ -12132,7 +12135,10 @@ def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``text_bigram_lm``); marginals and the total aggregate the ALREADY
     AGGREGATED vocabulary-sized counts table, never raw pairs; the
     1-row total broadcasts."""
-    docs = load_table(spark, "documents", sf_dir)
+    from changedatacapture_spark.operators.layout import fan_out_scan
+
+    # regex tokenization + bigram explode ride the scan: fan it out
+    docs = fan_out_scan(load_table(spark, "documents", sf_dir))
     toks = docs.select(
         F.split(
             F.trim(F.regexp_replace(F.lower("text"), "[^a-z]+", " ")), " "

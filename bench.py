@@ -301,6 +301,19 @@ ON_DEMAND = [
     "events_bootstrap_ci",
 ]
 
+#: sf1 residents republished as "<name>@sf1" in the final driver line's
+#: queries map: compute-dominant walls (6-17 s) whose low-core/high-core
+#: ratio measures parallelism instead of the per-job scheduling floor
+#: every sf0.1 headline query sits at (VERDICT r18 #8). Reuses the sf1
+#: section's timings — no extra bench wall.
+SCALING_SUBSET = [
+    "dedup_groups",
+    "dedup_substring_spans",
+    "knn_pq_topk",
+    "text_inverted_index",
+    "events_blb_ci",
+]
+
 
 def _calib_loop() -> float:
     """Fixed busy-loop: host effective-CPU-speed constant (seconds)."""
@@ -598,24 +611,60 @@ def main() -> None:
     if prune_report.get("sf") or prune_report.get("sf1"):
         out["pruned_scan"] = prune_report
     print(json.dumps(out))
-    # the driver keeps only the last ~2000 chars of output: repeat the
-    # cross-round comparables in one compact trailer line so they
-    # survive tail truncation of the (much longer) full JSON above
-    print(json.dumps({
-        "bench_summary": {
-            "metric": out["metric"],
-            "value": out["value"],
-            "unit": out["unit"],
-            "sf": out["sf"],
-            "value_median3": out["value_median3"],
-            "value_steady": out["value_steady"],
-            "stream_events_per_sec": stream["events_per_sec"],
-            "calib_single_core_sec": calib_after,
-            "calib_multi_core_wall_sec": mcore_after,
-            "loadavg_after": load_after,
-            "probe_phase": probe_phase,
-        }
-    }))
+    # ---- driver-contract tail (round 19) -------------------------------
+    # The driver keeps only the LAST ~2000 chars of stdout and parses the
+    # final JSON line. Rounds 17-18 printed the per-query map only inside
+    # the huge first line (truncated -> unparseable) and a trailer nested
+    # under "bench_summary" (no top-level metric/value/queries), so
+    # PERF_r17/r18 had empty per_query and null geomean. The FINAL line
+    # below is now exactly the driver shape — top-level metric / value /
+    # unit / sf / queries — compact (2-decimal, no spaces) so it always
+    # fits the tail whole. The full-precision artifact stays in the first
+    # line above (additions-only: "value" keeps its frozen cold-total
+    # semantics, "queries" keeps its frozen cold per-query semantics).
+    def _r2(m: dict) -> dict:
+        return {k: round(v, 2) for k, v in m.items()}
+
+    # extras on the second-to-last line: 63 names don't fit the final
+    # line's budget next to the headline maps; the driver still sees
+    # most of this line in its tail and the committed BENCH_LOCAL
+    # artifact carries it whole
+    print(json.dumps({"queries_extra": _r2(extra_timings)},
+                     separators=(",", ":")))
+    final = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": _r2(timings),
+        "queries_median3": _r2(median3),
+        "value_median3": out["value_median3"],
+        "value_steady": out["value_steady"],
+        "stream_events_per_sec": stream["events_per_sec"],
+        "calib_single_core_sec": calib_after,
+        "calib_multi_core_wall_sec": mcore_after,
+        "loadavg_after": load_after,
+        "probe_phase": _r2(probe_phase),
+    }
+    # scaling evidence the driver's low-core rerun can use: the sf0.1
+    # headline queries all sit at the ~0.3 s per-job scheduling floor,
+    # so their c8/c32 ratios measure the floor, not parallelism
+    # (VERDICT r18 #8). The sf1 section's compute-dominant residents are
+    # already timed above at either core count — republish them as
+    # ADDED "<name>@sf1" entries in the queries map (zero extra wall;
+    # absent when the sf1 corpus wasn't generated or the query was
+    # skipped by the section budget).
+    if sf1 is not None:
+        for _n in SCALING_SUBSET:
+            if _n in sf1["queries"]:
+                final["queries"][f"{_n}@sf1"] = round(sf1["queries"][_n], 2)
+    # the final line must survive the ~2000-char tail WHOLE: shed the
+    # informational fields first if some future growth overflows it
+    for drop in ("loadavg_after", "probe_phase", "queries_median3"):
+        if len(json.dumps(final, separators=(",", ":"))) <= 1900:
+            break
+        final.pop(drop, None)
+    print(json.dumps(final, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -56,7 +56,10 @@ def fan_out_scan(df: DataFrame, parts: int | None = None) -> DataFrame:
     try:
         n_parts = df.rdd.getNumPartitions()
     except Exception:  # noqa: BLE001 - plans that refuse RDD conversion
-        return df.repartition(target)
+        # a failed probe proves nothing about the plan's width: adding
+        # an unconditional exchange to an already-wide plan costs a
+        # full shuffle, so leave the frame untouched (ADVICE r18)
+        return df
     if n_parts >= floor:
         return df
     return df.repartition(target)

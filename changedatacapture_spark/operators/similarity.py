@@ -1059,8 +1059,12 @@ def pq_fit_codebook(
         for j in range(m)
     ]
     # each Lloyd pass evaluates the m*ks literal-matrix distances over
-    # the corpus: fan a narrow source once so every pass runs wide
-    emb = fan_out_scan(emb)
+    # the corpus: fan a narrow source once so every pass runs wide, and
+    # PIN it — every pass ends in a driver collect (its own job), so an
+    # unpersisted frame would re-run the scan + fan exchange n_iter
+    # times (ADVICE r18). Released before returning: the loop fully
+    # materializes each pass, nothing lazy escapes.
+    emb = fan_out_scan(emb).persist()
     for _ in range(n_iter):
         xs = F.expr(_pq_scaled_vec(vec_col, dim))
         dists = F.expr(_pq_dists_expr("xs", m, ks, dsub, book))
@@ -1091,6 +1095,7 @@ def pq_fit_codebook(
         )
         for r in means:  # empty cells keep their previous centroid
             book[r["sub"]][r["code"]][r["dd"]] = r["mean_x"]
+    emb.unpersist()
     return book
 
 
@@ -1228,8 +1233,12 @@ def semdedup_stats(
     from changedatacapture_spark.operators.dedup import connected_components
 
     # fit + assignment + pair cosines all chain on the embeddings
-    # scan: fan a narrow source once for every downstream stage
-    emb = fan_out_scan(emb)
+    # scan: fan a narrow source once for every downstream stage, and
+    # PIN it — the Lloyd fit collects per iteration and the rank
+    # window's eager checkpoint is a third action, so an unpersisted
+    # frame re-runs the scan + fan exchange per action (ADVICE r18);
+    # released right after the checkpoint barrier materializes
+    emb = fan_out_scan(emb).persist()
     fit = kmeans_fit(emb, n_iter=n_iter, n_cells=n_cells, dim=dim,
                      vec_col=vec_col, scale=scale)
     by_cell: dict[int, list[int]] = {}
@@ -1259,6 +1268,7 @@ def semdedup_stats(
         "lr",
         F.row_number().over(W.partitionBy("cell").orderBy("affinity", "vid")),
     ).localCheckpoint(eager=True)
+    emb.unpersist()  # checkpoint barrier holds the rows from here on
     r = ranked.alias("r")
     s = ranked.alias("s")
     probe = r.select(

@@ -175,45 +175,44 @@ def mad_profile(
     """
     from pyspark.sql import Window as W
 
-    def freq_median(vc: DataFrame, val: str) -> DataFrame:
-        """(g, val, cnt) histogram -> (g, med): the average of the
-        values at global positions (n+1) DIV 2 and (n+2) DIV 2, found
-        by running-count containment (a row holds position p iff
-        cum-cnt < p <= cum)."""
-        r = vc.select(
-            "g",
-            val,
-            "cnt",
-            F.sum("cnt").over(W.partitionBy("g").orderBy(val)).alias("cum"),
-            F.sum("cnt").over(W.partitionBy("g")).alias("n"),
-        )
-        prev = F.col("cum") - F.col("cnt")
-        p1 = F.expr("(n + 1) DIV 2")
-        p2 = F.expr("(n + 2) DIV 2")
+    def median_col(val: str) -> F.Column:
+        """Per-group exact median ATTACHED AS A WINDOW COLUMN over a
+        (g, val, cnt) histogram: the average of the values at global
+        positions (n+1) DIV 2 and (n+2) DIV 2, found by running-count
+        containment (a row holds position p iff cum-cnt < p <= cum).
+        The whole-group sum keeps only the <= 2 middle rows' terms
+        nonzero; adding the other rows' exact +0.0 terms leaves the
+        IEEE double bit-identical to the old filter-then-aggregate
+        form, so the oracle hash is unchanged by construction.
+
+        Round-19 fusion (guide §2.4): the old shape computed each
+        median with its own aggregate and JOINED it back (per median:
+        one groupBy plus a join whose probe side was partitioned on a
+        different key), costing ~5 exchanges end to end. Every window
+        here partitions by ``g`` — and the (g, d) histogram re-
+        aggregation below clusters on a superset of {g} — so after the
+        first histogram shuffle ONE exchange on ``g`` carries the
+        entire remaining plan."""
+        cum = F.sum("cnt").over(W.partitionBy("g").orderBy(val))
+        n = F.sum("cnt").over(W.partitionBy("g"))
+        prev = cum - F.col("cnt")
+        # (n + k) DIV 2 as an exact long shift — n >= 1 always
+        p1 = F.shiftright(n + F.lit(1), 1)
+        p2 = F.shiftright(n + F.lit(2), 1)
         h = (
-            ((prev < p1) & (p1 <= F.col("cum"))).cast("int")
-            + ((prev < p2) & (p2 <= F.col("cum"))).cast("int")
+            ((prev < p1) & (p1 <= cum)).cast("int")
+            + ((prev < p2) & (p2 <= cum)).cast("int")
         )
-        return (
-            r.select("g", val, h.alias("h"))
-            .filter(F.col("h") > 0)
-            .groupBy("g")
-            .agg(
-                (
-                    F.sum(F.col(val).cast("double") * F.col("h"))
-                    / F.lit(2.0)
-                ).alias("med")
-            )
-        )
+        term = F.col(val).cast("double") * h
+        return F.sum(term).over(W.partitionBy("g")) / F.lit(2.0)
 
     sc = df.select(
         F.col(group_col).alias("g"), _scaled(value_col).alias("x")
     )
     vc = sc.groupBy("g", "x").agg(F.count(F.lit(1)).alias("cnt"))
-    med = freq_median(vc, "x")
+    with_med = vc.withColumn("med", median_col("x"))
     dvc = (
-        vc.join(med, "g")
-        .select(
+        with_med.select(
             "g",
             "med",
             F.abs(F.col("x").cast("double") - F.col("med")).alias("d"),
@@ -222,10 +221,7 @@ def mad_profile(
         .groupBy("g", "d")
         .agg(F.sum("cnt").alias("cnt"), F.min("med").alias("med"))
     )
-    mad = freq_median(dvc.select("g", "d", "cnt"), "d").withColumnRenamed(
-        "med", "mad"
-    )
-    flagged = dvc.join(mad, "g")
+    flagged = dvc.withColumn("mad", median_col("d"))
     return (
         flagged.groupBy("g")
         .agg(

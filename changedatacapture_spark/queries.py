@@ -5287,6 +5287,17 @@ def _write_ordered_batches(df: DataFrame, src: str, work: str, n: int) -> None:
     for i in range(1, n + 1):
         parts = glob.glob(os.path.join(out_dir, f"_b={i}", "part-*.json"))
         dest = os.path.join(src, f"b{i}.json")
+        if len(parts) > 1:
+            # repartition(n, "_b") puts each batch in ONE task, so one
+            # part file per dir; a session-level file-split config
+            # (e.g. spark.sql.files.maxRecordsPerFile) could roll a
+            # second file — fail loudly instead of silently dropping
+            # its rows from the replay (ADVICE r18)
+            raise RuntimeError(
+                f"replay batch _b={i} wrote {len(parts)} part files; "
+                "expected exactly 1 — a file-split session config "
+                "would silently drop replay rows"
+            )
         if parts:
             shutil.move(parts[0], dest)
         else:

@@ -2860,15 +2860,18 @@ class SnapshotTable:
                 if use_broadcast:
                     batch_keys = F.broadcast(batch_keys)
                 thr = self.bucket_local_merge_bytes
-                bucket_local = (
-                    use_broadcast
-                    and thr is not None
-                    and sum(
-                        self._bucket_dir_bytes(manifest[b], [b])
-                        for b in live_touched
-                    )
-                    >= thr
-                )
+                bucket_local = use_broadcast and thr is not None
+                if bucket_local:
+                    # short-circuit the driver-side scandir sum at the
+                    # threshold: a shard-scale table crosses it after
+                    # one or two bucket dirs instead of paying an
+                    # O(touched buckets) listing per merge (ADVICE r18)
+                    seen = 0
+                    for b in live_touched:
+                        seen += self._bucket_dir_bytes(manifest[b], [b])
+                        if seen >= thr:
+                            break
+                    bucket_local = seen >= thr
                 kept = current.join(batch_keys, self.key_cols, "left_anti")
                 # two-sided null backfill: batch may add columns the
                 # table lacks and omit columns the table has

@@ -86,8 +86,15 @@ class TestStatsSidecar:
                 ).drop("op"),
                 batch_id=0,
             )
-            fstats = t._read_pointer()["fstats"]
+            ptr = t._read_pointer()
+            fstats = ptr["fstats"]
             sizes[name + "_files"] = sum(len(m) for m in fstats.values())
+            sizes[name + "_disk_files"] = sum(
+                1
+                for b, v in ptr["buckets"].items()
+                for f in os.listdir(f"{t.path}/v={v}/bucket={b}")
+                if f.endswith(".parquet")
+            )
             t.merge(
                 spark.createDataFrame(
                     [(1, 999, "u")], "k long, v long, op string"
@@ -100,6 +107,12 @@ class TestStatsSidecar:
         # asserted as an absolute file-count gap (the 10x-rows table
         # must carry ~10x the per-file stats), not a ratio
         assert sizes["big_files"] >= sizes["small_files"] + 100
+        # and the stats payload must track the PHYSICAL file count
+        # exactly — one fstats entry per committed parquet file — so a
+        # regression in per-file stats scaling cannot hide inside the
+        # absolute gap above (ADVICE r18)
+        assert sizes["big_files"] == sizes["big_disk_files"], sizes
+        assert sizes["small_files"] == sizes["small_disk_files"], sizes
         # refs are {bucket: int} for a fixed bucket count: pointer
         # bytes must NOT scale with file count (allow slack for
         # longer version ids / row counts, not for stats payload)

@@ -222,6 +222,18 @@ def triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
     )
+    if materialize:
+        # oriented is referenced THREE times (both wedge legs + the
+        # closure); lazily each reference re-derives the und⋈deg⋈deg
+        # subtree, and under AQE every one of those joins materializes
+        # its broadcast side as its own job — a warm sf0.1 run showed
+        # 46 jobs for one query (r19 event-log attribution). The
+        # oriented relation is O(|E|) rows; one eager checkpoint makes
+        # the three references scans of a computed artifact and lets
+        # the edge cache release early. materialize=False keeps the
+        # full lazy lineage for plan-shape tests.
+        oriented = oriented.localCheckpoint(eager=True)
+        und.unpersist()
     e1 = oriented.select(
         F.col("a"), F.col("b"), F.col("db").alias("db1")
     )
@@ -243,12 +255,11 @@ def triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
-    # O(|V|) result: materialize eagerly, then release the pinned edge
-    # relation (ContextCleaner frees the checkpointed blocks when the
-    # returned DataFrame is garbage collected). materialize=False
-    # returns the lazy plan for plan-shape tests (cache stays pinned —
-    # caller releases).
+    # O(|V|) result: materialize eagerly (ContextCleaner frees the
+    # checkpointed blocks when the returned DataFrame is garbage
+    # collected; the edge cache was already released at the oriented
+    # checkpoint above). materialize=False returns the lazy plan for
+    # plan-shape tests (cache stays pinned — caller releases).
     if materialize:
         result = result.localCheckpoint(eager=True)
-        und.unpersist()
     return result

@@ -33,6 +33,7 @@ import logging
 import os
 import secrets
 import shutil
+import threading
 import time
 from collections.abc import Sequence
 from contextlib import contextmanager
@@ -70,6 +71,12 @@ _RANGE_CLUSTER_MAX_RPF = 65_536
 #: active ``with`` block — which is what replaced (and retired) the
 #: round-16 ``LAST_SCAN_REPORT``/``LAST_WRITE_REPORT`` module globals.
 _SCAN_TAPS: list[list] = []
+
+#: depth-counted per-session state for :meth:`SnapshotTable.
+#: _static_merge_planning` — concurrent merges on driver threads share
+#: one window so the adaptive-execution conf is restored exactly once
+_STATIC_PLAN_LOCK = threading.Lock()
+_STATIC_PLAN_STATE: dict = {}
 
 
 @contextmanager
@@ -557,6 +564,21 @@ class SnapshotTable:
         #: hard guarantee behind the commit guard; crashed writers'
         #: orphans are reclaimed after expiry via the grace heuristic
         self.staging_ttl_s = 86400.0
+        #: plan the merge hot path STATICALLY (adaptive execution off
+        #: for the merge's own jobs, restored after). AQE materializes
+        #: every exchange as its own job with a driver re-planning
+        #: round between — measured here at 8 jobs and ~0.8 s of
+        #: driver gaps per 10k-event micro-batch, while buying the
+        #: merge nothing it uses: the anti-join is an explicit
+        #: broadcast below ``broadcast_key_limit``, the write shuffle
+        #: is an explicit ``repartition(n_buckets)`` AQE never touches,
+        #: and the batch compact's skew is absorbed by map-side partial
+        #: aggregation. Batch-sized shuffles fall back to the
+        #: configured ``spark.sql.shuffle.partitions``. Set False for
+        #: tables that ingest huge non-broadcast backfill batches
+        #: through merge() where AQE's runtime coalescing pays more
+        #: than its per-stage driver rounds cost.
+        self.merge_static_planning = True
         # the bucket count is a PHYSICAL property of the committed
         # files: an existing table's persisted value overrides the
         # constructor arg, otherwise a reader constructed with a
@@ -2785,6 +2807,42 @@ class SnapshotTable:
                 if attempt == retry_conflicts:
                     raise
 
+    @contextmanager
+    def _static_merge_planning(self):
+        """Scope ``spark.sql.adaptive.enabled=false`` around the merge's
+        own jobs when ``merge_static_planning`` is set (see the
+        constructor). Conf is session-scoped: a concurrent query in
+        another driver thread that plans inside this window simply
+        plans statically too — results are unaffected either way, and
+        the window is one micro-batch long. Concurrent merges (two
+        tables on two driver threads) share one depth-counted window
+        per session, so the LAST one out restores the caller's value —
+        a naive set/restore pair could race and leave AQE off."""
+        if not self.merge_static_planning:
+            yield
+            return
+        key = "spark.sql.adaptive.enabled"
+        with _STATIC_PLAN_LOCK:
+            st = _STATIC_PLAN_STATE.setdefault(
+                self.spark, {"depth": 0, "prior": None}
+            )
+            if st["depth"] == 0:
+                st["prior"] = self.spark.conf.get(key, None)
+                self.spark.conf.set(key, "false")
+            st["depth"] += 1
+        try:
+            yield
+        finally:
+            with _STATIC_PLAN_LOCK:
+                st["depth"] -= 1
+                if st["depth"] == 0:
+                    prior = st["prior"]
+                    _STATIC_PLAN_STATE.pop(self.spark, None)
+                    if prior is None:  # pragma: no cover
+                        self.spark.conf.unset(key)
+                    else:
+                        self.spark.conf.set(key, prior)
+
     def _merge_once(
         self,
         compacted: DataFrame,
@@ -2831,14 +2889,30 @@ class SnapshotTable:
         # upsert union) — without this it would re-execute per consumer
         source = aligned.withColumn("bucket", self._bucket_col()).persist()
         try:
-            # bounded driver action: ≤ n_buckets rows of (bucket, count)
-            # — one job yields both the touched-bucket set and the batch
-            # size that decides the anti-join strategy below
-            per_bucket = (
-                source.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-            )
-            touched = sorted(r.bucket for r in per_bucket)
-            batch_rows = sum(r.n for r in per_bucket)
+            # bounded driver metadata: the touched-bucket set and the
+            # batch size that decides the anti-join strategy below,
+            # OBSERVED during the cache-materializing noop write
+            # instead of a separate groupBy + collect — the old probe
+            # added an aggregation exchange and a collect round, which
+            # under AQE ran as two extra jobs per micro-batch (r19
+            # event-log attribution: 5 probe jobs -> 3, and 1 with
+            # static planning). collect_set is ≤ n_buckets values.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            with self._static_merge_planning():
+                (
+                    source.observe(
+                        obs,
+                        F.collect_set("bucket").alias("b"),
+                        F.count(F.lit(1)).alias("n"),
+                    )
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+            touched = sorted(obs.get["b"])
+            batch_rows = int(obs.get["n"])
             upserts = source.filter(F.col(op_col) != delete_op).drop(op_col)
             version = base + 1
             pv = self._new_data_version()
@@ -2910,14 +2984,15 @@ class SnapshotTable:
             # touched buckets out of discipline — the fresh dir can
             # only contain them anyway.
             touched_set = set(touched)
-            written = [
-                b
-                for b in self._write_buckets(
-                    new_data, pv, dynamic=True, expected_base=base,
-                    repartition=not bucket_local,
-                )
-                if b in touched_set
-            ]
+            with self._static_merge_planning():
+                written = [
+                    b
+                    for b in self._write_buckets(
+                        new_data, pv, dynamic=True, expected_base=base,
+                        repartition=not bucket_local,
+                    )
+                    if b in touched_set
+                ]
         except ConcurrentWriteError:
             raise
         except Exception as exc:
@@ -3102,9 +3177,12 @@ class SnapshotTable:
             )
             pv = self._new_data_version()
             try:
-                written = self._write_buckets(
-                    run_df, pv, expected_base=base
-                )
+                # delta-run appends are batch-sized by construction at
+                # every scale: static planning (see _merge_once)
+                with self._static_merge_planning():
+                    written = self._write_buckets(
+                        run_df, pv, expected_base=base
+                    )
             except ConcurrentWriteError:
                 if budget == 0:
                     raise
@@ -3259,9 +3337,23 @@ class SnapshotTable:
         aligned = _align_key_types(compacted, table_schema, self.key_cols)
         source = aligned.withColumn("bucket", self._bucket_col()).persist()
         try:
-            touched = sorted(
-                r.bucket for r in source.select("bucket").distinct().collect()
-            )
+            # same observed cache-materializing probe as _merge_once
+            # (one static job instead of distinct + collect under AQE);
+            # the guarded WRITE below keeps adaptive planning — it
+            # compacts whole touched buckets, not just the batch
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            with self._static_merge_planning():
+                (
+                    source.observe(
+                        obs, F.collect_set("bucket").alias("b")
+                    )
+                    .write.format("noop")
+                    .mode("overwrite")
+                    .save()
+                )
+            touched = sorted(obs.get["b"])
             version = base + 1
             pv = self._new_data_version()
             live_touched = [b for b in touched if b in manifest]
@@ -3346,6 +3438,49 @@ class SnapshotTable:
         # a stale instance must compact INTO the committed layout, not
         # silently revert another writer's rebucket
         self._adopt_committed_layout(ptr)
+        # OPTIMIZE fast path (r19, guide §6): a size-targeted compact
+        # whose committed layout ALREADY meets the target is a
+        # metadata no-op — rewriting it would re-read and re-write the
+        # whole table to reproduce what is on disk. "Meets the target":
+        # no pending MoR runs (they must fold), no oversized file
+        # (> 2x target: needs splitting), and at most one sub-half-
+        # target file per writer-task slice per bucket (the remainder
+        # file every row-capped write leaves at each slice boundary —
+        # with fewer candidates than that, bin-packing cannot reduce
+        # the file count meaningfully). The check is driver-side
+        # scandir of the live bucket dirs, the same bounded-metadata
+        # class as the manifest; at 100 TB it replaces a full-table
+        # rewrite per maintenance tick with a listing.
+        if target_file_bytes is not None and not (ptr.get("runs") or []):
+            width = max(
+                self.n_buckets,
+                self.spark.sparkContext.defaultParallelism,
+            )
+            small_allow = width // self.n_buckets + 1
+            meets = True
+            n_files_now = 0
+            for b, v in ptr["buckets"].items():
+                d = f"{self.path}/v={v}/bucket={b}"
+                small = 0
+                try:
+                    with os.scandir(d) as it:
+                        for e in it:
+                            if not e.name.endswith(".parquet"):
+                                continue
+                            n_files_now += 1
+                            size = e.stat().st_size
+                            if size > 2 * target_file_bytes:
+                                meets = False
+                                break
+                            if 2 * size < target_file_bytes:
+                                small += 1
+                except FileNotFoundError:
+                    meets = False
+                if not meets or small > small_allow:
+                    meets = False
+                    break
+            if meets:
+                return n_files_now
         full = self.read(include_tombstones=True).withColumn(
             "bucket", self._bucket_col()
         )

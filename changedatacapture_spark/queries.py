@@ -4601,7 +4601,9 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # result (checked against the one-shot oracle) does not depend on
     # where the cuts fall. mtimes forced strictly increasing so replay
     # order is deterministic.
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo, hi, nk = ev.agg(
+        F.min("ts_us"), F.max("ts_us"), F.countDistinct("user_id")
+    ).first()
     span = max((hi - lo) // 4 + 1, 1)
     batched = ev.withColumn(
         "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
@@ -4614,16 +4616,17 @@ def q_events_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     sink = f"stateful_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_sessionize(stream, gap_seconds=21600)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_state_partitions(spark, nk):
+        q = (
+            stateful_sessionize(stream, gap_seconds=21600)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emitted = spark.table(sink)
     # closed sessions emit once; open sessions re-emit per batch as they
     # grow — the per-(user, start) max is the session's final extent
@@ -4677,7 +4680,11 @@ def q_events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="stateful_rate_")
     src = os.path.join(work, "src")
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    # key cardinality rides the SAME two-row aggregate as the time
+    # bounds (no extra job) and sizes the query's state partitions
+    lo, hi, nk = ev.agg(
+        F.min("ts_us"), F.max("ts_us"), F.countDistinct("user_id")
+    ).first()
     span = max((hi - lo) // 4 + 1, 1)
     batched = ev.withColumn(
         "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
@@ -4690,16 +4697,17 @@ def q_events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .json(src)
     )
     sink = f"stateful_rate_{uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_rate_limit(stream, window_seconds=3600, cap=5)
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_state_partitions(spark, nk):
+        q = (
+            stateful_rate_limit(stream, window_seconds=3600, cap=5)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     emitted = spark.table(sink)
     # every measure is monotone within a window; the per-(user, window)
     # max is the final extent
@@ -4712,6 +4720,37 @@ def q_events_stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "window_start", "n_seen", "n_admitted", "n_dropped",
         "last_admitted_ts",
     )
+
+
+def _replay_state_partitions(spark: SparkSession, n_keys: int):
+    """Context manager sizing ``spark.sql.shuffle.partitions`` — which
+    fixes a streaming query's STATE partition count at its first
+    checkpoint — to the replay's key cardinality instead of the session
+    default (VERDICT r18 #4). Target ~192 keys per state task: each
+    state partition pays a per-trigger state-store open/commit and a
+    Python-worker round (for the pandas operators), so key-starved
+    partitions are pure overhead — measured at sf0.1 (1,500 keys),
+    32 → 8 partitions cuts the rate-limit replay wall ~20%, while 4
+    loses parallelism. The session's configured value CAPS the result:
+    a cluster-sized config is honored whenever keys are plentiful — the
+    knob only ever shrinks below it for small key spaces, never widens.
+    Results are partitioning-independent (state shards by key hash);
+    the differential oracle pins that.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        key = "spark.sql.shuffle.partitions"
+        prior = spark.conf.get(key)
+        target = max(2, min(int(prior), (n_keys + 191) // 192))
+        spark.conf.set(key, str(target))
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prior)
+
+    return cm()
 
 
 def _with_rocksdb_state(spark: SparkSession):
@@ -4793,7 +4832,9 @@ def q_events_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="tws_sess_")
     src = os.path.join(work, "src")
-    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    lo, hi, nk = ev.agg(
+        F.min("ts_us"), F.max("ts_us"), F.countDistinct("user_id")
+    ).first()
     span = max((hi - lo) // 4 + 1, 1)
     batched = ev.withColumn(
         "_b", F.least(F.lit(4), F.floor((F.col("ts_us") - lo) / span) + 1)
@@ -4818,7 +4859,7 @@ def q_events_tws_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream.select("user_id", F.unix_micros("ts").alias("ts_us")),
             gap_seconds=21600,
         )
-    with _with_rocksdb_state(spark):
+    with _with_rocksdb_state(spark), _replay_state_partitions(spark, nk):
         q = (
             out.writeStream.format("memory")
             .queryName(sink)
@@ -9464,8 +9505,10 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFram
     import tempfile
 
     ev = load_table(spark, "events", sf_dir)
-    lo, hi = ev.agg(
-        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    lo, hi, nk = ev.agg(
+        F.min(F.unix_millis("ts")),
+        F.max(F.unix_millis("ts")),
+        F.countDistinct("user_id"),
     ).first()
     span = max((hi - lo) // 4 + 1, 1)
     raw = ev.withColumn(
@@ -9501,15 +9544,16 @@ def q_events_session_window_stream(spark: SparkSession, sf_dir: str) -> DataFram
     # through the memory sink turn the bench wall into a driver-collect
     # measurement; the parquet sink keeps the emit distributed
     out = os.path.join(work, "out")
-    q = (
-        sessions.writeStream.format("parquet")
-        .option("path", out)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _replay_state_partitions(spark, nk):
+        q = (
+            sessions.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.schema(
         "user_id long, n_events long, session_start_ms long, "
         "session_end_ms long"
@@ -13591,49 +13635,76 @@ def _rrf_served_build(spark: SparkSession, sf_dir: str):
     # is unchanged; the e2e oracle hash pins that.
     from concurrent.futures import ThreadPoolExecutor
 
-    def _doc_chain() -> None:
-        d_ver = None
-        for i, half in enumerate((0, 1)):
-            dstore.merge(
-                docs.filter(F.col("doc_id") % 2 == half)
-                .withColumn("op", F.lit("c")),
-                batch_id=i,
-            )
-            ddelta = (
-                dstore.read()
-                if d_ver is None
-                else dstore.changes_between(d_ver, dstore.version)
-                .filter(F.col("change_type") == "insert")
-                .select("doc_id", "text")
-            )
-            build_text_index(
-                ddelta, idx, mode="overwrite" if d_ver is None else "append"
-            )
-            d_ver = dstore.version
+    # Within each chain, batch 0's index sync depends only on batch
+    # 0's commit — not on batch 1's merge — so it overlaps the next
+    # merge on a helper thread. Sound because deltas are VERSION-
+    # PINNED (read()/changes_between bind to committed version
+    # numbers, not "latest") and retain_history=2 keeps batch 0's
+    # files readable across batch 1's vacuum. Batch 1's sync still
+    # waits for batch 0's (same index/cell table, ordered appends).
+    def _doc_chain(pool: ThreadPoolExecutor) -> None:
+        dstore.merge(
+            docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+                "op", F.lit("c")
+            ),
+            batch_id=0,
+        )
+        delta0 = dstore.read()
+        f_idx0 = pool.submit(
+            build_text_index, delta0, idx, mode="overwrite"
+        )
+        d_ver = dstore.version
+        dstore.merge(
+            docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+                "op", F.lit("c")
+            ),
+            batch_id=1,
+        )
+        ddelta1 = (
+            dstore.changes_between(d_ver, dstore.version)
+            .filter(F.col("change_type") == "insert")
+            .select("doc_id", "text")
+        )
+        f_idx0.result()
+        build_text_index(ddelta1, idx, mode="append")
 
-    def _vec_chain() -> None:
-        v_ver = None
-        for i, half in enumerate((0, 1)):
-            vstore.merge(
-                emb.filter(F.col("vec_id") % 2 == half)
-                .withColumn("op", F.lit("c")),
-                batch_id=i,
+    def _vec_chain(pool: ThreadPoolExecutor) -> None:
+        vstore.merge(
+            emb.filter(F.col("vec_id") % 2 == 0).withColumn(
+                "op", F.lit("c")
+            ),
+            batch_id=0,
+        )
+        vdelta0 = vstore.read()
+        f_cells0 = pool.submit(
+            lambda: cells.merge(
+                ivf_assign_cells(vdelta0).withColumn("op", F.lit("c")),
+                batch_id=0,
             )
-            vdelta = (
-                vstore.read()
-                if v_ver is None
-                else vstore.changes_between(v_ver, vstore.version)
-                .filter(F.col("change_type") == "insert")
-                .select("vec_id", "embedding")
-            )
-            cells.merge(
-                ivf_assign_cells(vdelta).withColumn("op", F.lit("c")),
-                batch_id=i,
-            )
-            v_ver = vstore.version
+        )
+        v_ver = vstore.version
+        vstore.merge(
+            emb.filter(F.col("vec_id") % 2 == 1).withColumn(
+                "op", F.lit("c")
+            ),
+            batch_id=1,
+        )
+        vdelta1 = (
+            vstore.changes_between(v_ver, vstore.version)
+            .filter(F.col("change_type") == "insert")
+            .select("vec_id", "embedding")
+        )
+        f_cells0.result()
+        cells.merge(
+            ivf_assign_cells(vdelta1).withColumn("op", F.lit("c")),
+            batch_id=1,
+        )
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_doc_chain), pool.submit(_vec_chain)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(_doc_chain, pool),
+            pool.submit(_vec_chain, pool),
+        ]
         for f in futs:
             f.result()
     return idx, cells

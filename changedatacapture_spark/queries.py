@@ -6952,6 +6952,11 @@ def q_events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/stats.py:qsketch_partial."""
     from changedatacapture_spark.operators.stats import quantile_sketch
 
+    # fan_out_scan was TRIED here in r19 and reverted: interleaved A/B
+    # measured it ~15% slower — the bottom-k partial and the rank pass
+    # are map-side-combinable bounded aggregates, so the fan's
+    # repartition shuffles the corpus to parallelize work the single
+    # scan task finishes faster than the exchange costs
     ev = load_table(spark, "events", sf_dir)
     return quantile_sketch(
         ev, group_col="event_type", value_col="value", id_col="event_id"
@@ -11296,6 +11301,10 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         dq_report,
     )
 
+    # fan_out_scan was TRIED here in r19 and reverted: the interleaved
+    # A/B measured the fanned scan 25-35% SLOWER (the repartition moves
+    # 600k x 5 columns to parallelize a map-side partial aggregate that
+    # was never the wall; the count-distinct Expand shuffles anyway)
     li = load_table(spark, "lineitem", sf_dir)
     o = load_table(spark, "orders", sf_dir)
     li_report = check_rules(

@@ -143,6 +143,26 @@ class TestStaticMergePlanning:
             assert spark.conf.get(key) == "true"
 
 
+class TestReplayStatePartitions:
+    def test_caps_at_session_value_and_restores(self, spark):
+        from changedatacapture_spark.queries import _replay_state_partitions
+
+        key = "spark.sql.shuffle.partitions"
+        prior = spark.conf.get(key)
+        spark.conf.set(key, "8")
+        try:
+            # small key space shrinks below the session value
+            with _replay_state_partitions(spark, 300):
+                assert spark.conf.get(key) == "2"
+            assert spark.conf.get(key) == "8"
+            # plentiful keys: the session value is the cap, never wider
+            with _replay_state_partitions(spark, 10_000_000):
+                assert spark.conf.get(key) == "8"
+            assert spark.conf.get(key) == "8"
+        finally:
+            spark.conf.set(key, prior)
+
+
 class TestObservedProbeEdges:
     def test_empty_batch_merge_is_noop_on_contents(self, spark, tmp_path):
         t = SnapshotTable(spark, str(tmp_path / "e"), ["k"], n_buckets=2)
